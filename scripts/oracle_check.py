@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/oracle_check.py <verify_out_dir> <sf_dir>
+
+For each query dir under <verify_out_dir>: read the Spark parquet result,
+run the matching oracle SQL from oracle_sql.json in DuckDB against the
+parquet tables in <sf_dir>, sort columns by name, and compare row count,
+schema shape, and a value hash.  (Local pre-flight only — the driver runs
+its own equivalent.)
+"""
+import json
+import sys
+import glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df
+
+
+def hash_df(df: pd.DataFrame) -> str:
+    import hashlib
+    h = hashlib.sha256()
+    for col in df.columns:
+        s = df[col]
+        for v in s:
+            if isinstance(v, float):
+                h.update(repr(v).encode())
+            else:
+                h.update(str(v).encode())
+        h.update(b"|")
+    return h.hexdigest()[:16]
+
+
+def main(outdir: str, sfdir: str) -> int:
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    failures = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            failures += 1
+            continue
+        got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        want = norm(con.execute(oracle[name]).fetchdf())
+        ok_rows = len(got) == len(want)
+        ok_cols = list(got.columns) == list(want.columns)
+        # compare values cell-by-cell with tolerance-free equality
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                pd.testing.assert_frame_equal(
+                    got.reset_index(drop=True), want.reset_index(drop=True),
+                    check_dtype=False, check_exact=True)
+                ok_vals = True
+            except AssertionError as e:
+                ok_vals = False
+                err = str(e).split("\n")[0:3]
+        status = "OK  " if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures += 1
+        print(f"{status} {name}: rows {len(got)}/{len(want)} cols_match={ok_cols} vals={ok_vals}")
+        if not ok_cols:
+            print(f"     spark cols: {list(got.columns)}")
+            print(f"     duck  cols: {list(want.columns)}")
+        elif ok_rows and not ok_vals:
+            for line in err:
+                print("    ", line)
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)

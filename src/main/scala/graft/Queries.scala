@@ -189,6 +189,256 @@ object Queries {
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q8
+  /** U1/U2: schema-reconciling union of three "source" slices; one slice
+    * is missing a column (the PL catalog's extra station_type shape,
+    * SURVEY §2.7) and gets nulls.
+    */
+  def q8Union(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val a = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), lit("a").as("src"))
+    val b = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), lit("b").as("src"))
+    val m = c.filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey"), col("c_name"), lit("m").as("src"))
+    Unions.unionLoose(Seq(a, b, m)).orderBy(col("c_custkey"), col("src"))
+  }
+
+  val q8Oracle: String =
+    """SELECT c_custkey, c_name, c_acctbal, 'a' AS src FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal, 'b' AS src FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION ALL
+      |SELECT c_custkey, c_name, NULL AS c_acctbal, 'm' AS src FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |ORDER BY c_custkey, src""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  /** L1: top-k — Spark plans TakeOrderedAndProject (no global sort of the
+    * full table; per-partition top-k then merge on the driver side of the
+    * exchange — the scalable form at 100 TB).
+    */
+  def q9Topk(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .limit(100)
+
+  val q9Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity
+      |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** A5: COALESCE-upsert — catalog merge where a new non-null value wins
+    * and null update columns keep the old value (reference
+    * app/main.py:636-645). Simulated with two customer snapshots.
+    */
+  def q10Upsert(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val base = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    val updates = c.filter(col("c_custkey") % 3 === 0)
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"),
+        lit(null).cast("string").as("c_mktsegment")
+      )
+    Upsert.coalesceMerge(base, updates, "c_custkey").orderBy(col("c_custkey"))
+  }
+
+  val q10Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+      |), upd AS (
+      |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+      |         CAST(NULL AS VARCHAR) AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |)
+      |SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+      |       COALESCE(u.c_name, b.c_name) AS c_name,
+      |       COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal,
+      |       COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+      |FROM upd u FULL OUTER JOIN base b ON u.c_custkey = b.c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** A4/A6: GREATEST-merge of two cursor snapshots — the watermark only
+    * advances (reference app/main.py:257-270). Timestamps emitted at
+    * microsecond precision strings (ns table, see Tables.events).
+    */
+  def q11Greatest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val oldCur = Rollup.maxTsPerKey(ev.filter(col("event_id") < 5000L), Seq("user_id", "event_type"), "ts_ns")
+    val newCur = Rollup.maxTsPerKey(ev.filter(col("event_id") >= 5000L), Seq("user_id", "event_type"), "ts_ns")
+    Upsert
+      .greatestMerge(oldCur, newCur, Seq("user_id", "event_type"), "last_observed_at")
+      .select(
+        col("user_id"),
+        col("event_type"),
+        date_format(
+          timestamp_micros(expr("last_observed_at div 1000")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).as("last_observed")
+      )
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q11Oracle: String =
+    """WITH oldc AS (
+      |  SELECT user_id, event_type, MAX(ts) AS t FROM events WHERE event_id < 5000 GROUP BY 1,2
+      |), newc AS (
+      |  SELECT user_id, event_type, MAX(ts) AS t FROM events WHERE event_id >= 5000 GROUP BY 1,2
+      |)
+      |SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+      |       COALESCE(n.event_type, o.event_type) AS event_type,
+      |       strftime(COALESCE(GREATEST(n.t, o.t), n.t, o.t), '%Y-%m-%d %H:%M:%S.%f') AS last_observed
+      |FROM newc n FULL OUTER JOIN oldc o
+      |  ON n.user_id = o.user_id AND n.event_type = o.event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** F15/F16: JSON field access on the events.props payload (the
+    * reference's nested-JSON path reads, app/main.py:529-531, 812-817).
+    */
+  def q12Json(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")
+      )
+      .filter(col("k").isNotNull)
+      .orderBy(col("event_id"))
+
+  val q12Oracle: String =
+    """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** S7-analogue: the one nested→flat generator (explode) — word counts
+    * over exploded document tokens.
+    */
+  def q13Explode(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+
+  val q13Oracle: String =
+    """SELECT word, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word
+      |ORDER BY n DESC, word
+      |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** F7-F10: timestamp battery — calendar truncation, field extraction,
+    * epoch seconds (exact, from the ns long), interval arithmetic.
+    */
+  def q14Timestamps(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).cast("long").as("hour_of_day"),
+        expr("ts_ns div 1000000000").as("epoch_s"),
+        date_format(col("ts") + expr("INTERVAL 6 HOURS"), "yyyy-MM-dd HH:mm:ss").as("plus6h")
+      )
+      .orderBy(col("event_id"))
+
+  val q14Oracle: String =
+    """SELECT event_id,
+      |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+      |  epoch_ns(ts) // 1000000000 AS epoch_s,
+      |  strftime(ts + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS plus6h
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** F1-F6, F11, F17: scalar string battery (lower/upper/trim/substring/
+    * regexp_replace/contains/split/length/concat/round).
+    */
+  def q15Strings(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(s, dir)
+      .select(
+        col("p_partkey"),
+        col("p_name"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_brand")).as("ubrand"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        col("p_type").contains("STANDARD").as("is_standard"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        size(split(col("p_name"), " ")).cast("long").as("n_words"),
+        round(col("p_retailprice") * 1.1, 2).as("inflated")
+      )
+      .orderBy(col("p_partkey"), col("p_name"))
+
+  val q15Oracle: String =
+    """SELECT p_partkey, p_name,
+      |  lower(p_name) AS lname,
+      |  upper(p_brand) AS ubrand,
+      |  substring(p_name, 1, 5) AS prefix5,
+      |  regexp_replace(p_name, ' ', '_', 'g') AS snake,
+      |  contains(p_type, 'STANDARD') AS is_standard,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  p_brand || ':' || p_type AS brand_type,
+      |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+      |  round(p_retailprice * 1.1, 2) AS inflated
+      |FROM part
+      |ORDER BY p_partkey, p_name""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** J1 (fact side): lineitem ⋈ part ⋈ supplier, both dims broadcast;
+    * revenue rollup by brand.
+    */
+  def q16JoinParts(s: SparkSession, dir: String): DataFrame =
+    Enrich
+      .lineitemParts(Tables.lineitem(s, dir), Tables.part(s, dir), Tables.supplier(s, dir))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")
+      )
+      .orderBy(col("p_brand"))
+
+  val q16Oracle: String =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** A2: count by source/group (reference app/main.py:1205-1209). */
+  def q17CountBy(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("source"), col("lang"))
+
+  val q17Oracle: String =
+    """SELECT source, lang, COUNT(*) AS n
+      |FROM documents
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -197,7 +447,17 @@ object Queries {
     "q4_watermark" -> (q4Watermark _),
     "q5_dedup" -> (q5Dedup _),
     "q6_latest" -> (q6Latest _),
-    "q7_hourly" -> (q7Hourly _)
+    "q7_hourly" -> (q7Hourly _),
+    "q8_union" -> (q8Union _),
+    "q9_topk" -> (q9Topk _),
+    "q10_upsert" -> (q10Upsert _),
+    "q11_greatest" -> (q11Greatest _),
+    "q12_json" -> (q12Json _),
+    "q13_explode" -> (q13Explode _),
+    "q14_timestamps" -> (q14Timestamps _),
+    "q15_strings" -> (q15Strings _),
+    "q16_join_parts" -> (q16JoinParts _),
+    "q17_count_by" -> (q17CountBy _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -207,6 +467,16 @@ object Queries {
     "q4_watermark" -> q4Oracle,
     "q5_dedup" -> q5Oracle,
     "q6_latest" -> q6Oracle,
-    "q7_hourly" -> q7Oracle
+    "q7_hourly" -> q7Oracle,
+    "q8_union" -> q8Oracle,
+    "q9_topk" -> q9Oracle,
+    "q10_upsert" -> q10Oracle,
+    "q11_greatest" -> q11Oracle,
+    "q12_json" -> q12Oracle,
+    "q13_explode" -> q13Oracle,
+    "q14_timestamps" -> q14Oracle,
+    "q15_strings" -> q15Oracle,
+    "q16_join_parts" -> q16Oracle,
+    "q17_count_by" -> q17Oracle
   )
 }

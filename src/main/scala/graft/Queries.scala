@@ -439,6 +439,192 @@ object Queries {
       |GROUP BY source, lang
       |ORDER BY source, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q18
+  /** F7: lenient multi-format timestamp parsing round-trip. Raw strings in
+    * three formats (ISO-'Z', ISO-naive, space-separated — the reference's
+    * three inbound shapes, app/main.py:166-181, 1134) plus unparseable
+    * garbage, pushed through Normalize.lenientTimestamp.
+    */
+  def q18ParseTs(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        when(col("event_id") % 97 === 0, lit("not-a-date"))
+          .when(col("event_id") % 3 === 0, concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")))
+          .when(col("event_id") % 3 === 1, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .as("ts_raw")
+      )
+    raw
+      .select(
+        col("event_id"),
+        date_format(Normalize.lenientTimestamp(col("ts_raw")), "yyyy-MM-dd HH:mm:ss").as("parsed")
+      )
+      .orderBy(col("event_id"))
+  }
+
+  val q18Oracle: String =
+    """WITH raw AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 97 = 0 THEN 'not-a-date'
+      |         WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z'
+      |         WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+      |         ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_raw
+      |  FROM events
+      |)
+      |SELECT event_id,
+      |  strftime(COALESCE(
+      |    TRY_STRPTIME(ts_raw, '%Y-%m-%dT%H:%M:%SZ'),
+      |    TRY_STRPTIME(ts_raw, '%Y-%m-%dT%H:%M:%S'),
+      |    TRY_STRPTIME(ts_raw, '%Y-%m-%d %H:%M:%S')), '%Y-%m-%d %H:%M:%S') AS parsed
+      |FROM raw
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** P1/P3/P5/P6/F13: the full measurement normalization pipeline — raw
+    * string-typed rows with fallback chains, invalid numerics, a
+    * disallowed pollutant, and mixed-format timestamps, normalized via
+    * Normalize.toMeasurements (the reference's record builders,
+    * app/main.py:769-783/902-916/1139-1153).
+    */
+  def q19Normalize(s: SparkSession, dir: String): DataFrame = {
+    val pollByMod = when(col("event_id") % 13 === 0, lit(" PM2.5 "))
+      .when(col("event_id") % 9 === 0, lit("pm25"))
+      .when(col("event_id") % 9 === 1, lit("pm10"))
+      .when(col("event_id") % 9 === 2, lit("NO2"))
+      .when(col("event_id") % 9 === 3, lit("o3"))
+      .when(col("event_id") % 9 === 4, lit("nox"))
+      .when(col("event_id") % 9 === 5, lit("no"))
+      .when(col("event_id") % 9 === 6, lit("co"))
+      .when(col("event_id") % 9 === 7, lit("so2"))
+      .otherwise(lit("benzene"))
+    val raw = Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        concat(lit("ST"), (col("user_id") % 100).cast("string")).as("station_id"),
+        pollByMod.as("pollutant"),
+        when(col("event_id") % 50 === 0, lit("N/A"))
+          .otherwise(col("value").cast("string"))
+          .as("value"),
+        when(col("user_id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("city_"), (col("user_id") % 10).cast("string")))
+          .as("city"),
+        when(col("user_id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("loc_"), col("user_id").cast("string")))
+          .as("location_name"),
+        when(col("event_id") % 41 === 0, lit("bad"))
+          .otherwise((lit(50.0) + (col("user_id") % 100).cast("double") * 0.01).cast("string"))
+          .as("lat"),
+        (lit(19.0) + (col("user_id") % 100).cast("double") * 0.01).cast("string").as("lon"),
+        when(col("event_id") % 3 === 0, concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .as("ts_raw")
+      )
+    Normalize
+      .toMeasurements(raw, source = "de", country = "DE", naiveZone = "UTC")
+      .select(
+        col("station_id"),
+        col("pollutant"),
+        col("value"),
+        col("unit"),
+        col("country"),
+        col("city"),
+        col("location_name"),
+        col("lat"),
+        col("lon"),
+        date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("source")
+      )
+      .orderBy(col("station_id"), col("pollutant"), col("ts"), col("value"), col("location_name"))
+  }
+
+  val q19Oracle: String =
+    """WITH raw AS (
+      |  SELECT event_id,
+      |    'ST' || CAST(user_id % 100 AS VARCHAR) AS station_id,
+      |    CASE WHEN event_id % 13 = 0 THEN ' PM2.5 '
+      |         WHEN event_id % 9 = 0 THEN 'pm25'
+      |         WHEN event_id % 9 = 1 THEN 'pm10'
+      |         WHEN event_id % 9 = 2 THEN 'NO2'
+      |         WHEN event_id % 9 = 3 THEN 'o3'
+      |         WHEN event_id % 9 = 4 THEN 'nox'
+      |         WHEN event_id % 9 = 5 THEN 'no'
+      |         WHEN event_id % 9 = 6 THEN 'co'
+      |         WHEN event_id % 9 = 7 THEN 'so2'
+      |         ELSE 'benzene' END AS pollutant,
+      |    CASE WHEN event_id % 50 = 0 THEN 'N/A' ELSE CAST("value" AS VARCHAR) END AS val_raw,
+      |    CASE WHEN user_id % 10 = 0 THEN NULL ELSE 'city_' || CAST(user_id % 10 AS VARCHAR) END AS city,
+      |    CASE WHEN user_id % 5 = 0 THEN NULL ELSE 'loc_' || CAST(user_id AS VARCHAR) END AS location_name,
+      |    CASE WHEN event_id % 41 = 0 THEN 'bad'
+      |         ELSE CAST(50.0 + CAST(user_id % 100 AS DOUBLE) * 0.01 AS VARCHAR) END AS lat_raw,
+      |    CAST(19.0 + CAST(user_id % 100 AS DOUBLE) * 0.01 AS VARCHAR) AS lon_raw,
+      |    CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z'
+      |         ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS ts_raw
+      |  FROM events
+      |)
+      |SELECT station_id,
+      |  regexp_replace(lower(trim(pollutant)), 'pm2\.5', 'pm25') AS pollutant,
+      |  TRY_CAST(val_raw AS DOUBLE) AS "value",
+      |  'ug/m3' AS unit,
+      |  'DE' AS country,
+      |  city,
+      |  COALESCE(location_name, city) AS location_name,
+      |  TRY_CAST(lat_raw AS DOUBLE) AS lat,
+      |  TRY_CAST(lon_raw AS DOUBLE) AS lon,
+      |  strftime(COALESCE(
+      |    TRY_STRPTIME(ts_raw, '%Y-%m-%dT%H:%M:%SZ'),
+      |    TRY_STRPTIME(ts_raw, '%Y-%m-%dT%H:%M:%S'),
+      |    TRY_STRPTIME(ts_raw, '%Y-%m-%d %H:%M:%S')), '%Y-%m-%d %H:%M:%S') AS ts,
+      |  'de' AS source
+      |FROM raw
+      |WHERE TRY_CAST(val_raw AS DOUBLE) IS NOT NULL
+      |  AND regexp_replace(lower(trim(pollutant)), 'pm2\.5', 'pm25') IN
+      |      ('pm25','pm10','no2','o3','nox','no','co','so2')
+      |ORDER BY station_id, pollutant, ts, "value", location_name""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** P2/P4/P7: station-catalog normalization — coordinate null-island drop
+    * and the PL automatic-stations-only predicate (reference
+    * app/main.py:400-401, 592-595).
+    */
+  def q20Stations(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables
+      .supplier(s, dir)
+      .select(
+        concat(lit("S"), col("s_suppkey").cast("string")).as("station_id"),
+        when(col("s_suppkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(lit(50.0) + (col("s_suppkey") % 90).cast("double"))
+          .as("lat"),
+        (lit(19.0) + (col("s_suppkey") % 90).cast("double")).as("lon"),
+        when(col("s_suppkey") % 3 === 0, lit("Automatyczna"))
+          .when(col("s_suppkey") % 3 === 1, lit("automatic"))
+          .otherwise(lit("manual"))
+          .as("station_type")
+      )
+    Normalize
+      .onlyAutomatic(Normalize.dropNullIsland(raw))
+      .orderBy(col("station_id"))
+  }
+
+  val q20Oracle: String =
+    """WITH raw AS (
+      |  SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS station_id,
+      |    CASE WHEN s_suppkey % 7 = 0 THEN NULL
+      |         ELSE 50.0 + CAST(s_suppkey % 90 AS DOUBLE) END AS lat,
+      |    19.0 + CAST(s_suppkey % 90 AS DOUBLE) AS lon,
+      |    CASE WHEN s_suppkey % 3 = 0 THEN 'Automatyczna'
+      |         WHEN s_suppkey % 3 = 1 THEN 'automatic'
+      |         ELSE 'manual' END AS station_type
+      |  FROM supplier
+      |)
+      |SELECT station_id, lat, lon, station_type
+      |FROM raw
+      |WHERE lat IS NOT NULL AND lon IS NOT NULL
+      |  AND contains(lower(station_type), 'automat')
+      |ORDER BY station_id""".stripMargin
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -457,7 +643,10 @@ object Queries {
     "q14_timestamps" -> (q14Timestamps _),
     "q15_strings" -> (q15Strings _),
     "q16_join_parts" -> (q16JoinParts _),
-    "q17_count_by" -> (q17CountBy _)
+    "q17_count_by" -> (q17CountBy _),
+    "q18_parse_ts" -> (q18ParseTs _),
+    "q19_normalize" -> (q19Normalize _),
+    "q20_stations" -> (q20Stations _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -477,6 +666,9 @@ object Queries {
     "q14_timestamps" -> q14Oracle,
     "q15_strings" -> q15Oracle,
     "q16_join_parts" -> q16Oracle,
-    "q17_count_by" -> q17Oracle
+    "q17_count_by" -> q17Oracle,
+    "q18_parse_ts" -> q18Oracle,
+    "q19_normalize" -> q19Oracle,
+    "q20_stations" -> q20Oracle
   )
 }

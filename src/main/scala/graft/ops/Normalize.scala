@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas
+
+/** Record normalization (SURVEY.md §2.2 P1-P8, §2.8 F7/F8/F13).
+  *
+  * The reference normalizes three unstable upstream schemas into one flat
+  * measurement record with fallback chains, null-on-error numeric
+  * coercion, lower-cased enum values, an allowlist filter, and three
+  * timestamp normalization paths. All of that is column-level expression
+  * composition here — fully codegen'd, no UDFs.
+  */
+object Normalize {
+
+  /** F7: lenient multi-format timestamp parse (reference
+    * app/main.py:166-181). Accepts, in priority order:
+    *   ISO-8601 with offset or 'Z' (app/main.py:175-176),
+    *   ISO-8601 'T'-separated naive,
+    *   space-separated 'yyyy-MM-dd HH:mm:ss' (PL format,
+    *     app/main.py:1134).
+    * Naive inputs are interpreted in `naiveZone` then converted to UTC
+    * (the reference's localize-then-convert path, app/main.py:184-206).
+    * Unparseable → null (fail-open callers decide what to do).
+    *
+    * Expression tree of built-in `to_timestamp`/`coalesce` — ANSI off
+    * makes each failed format yield null instead of raising.
+    */
+  def lenientTimestamp(c: Column, naiveZone: String = "UTC"): Column = {
+    val iso = to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ssXXX")
+    val isoMicros = to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    val naiveT = to_utc_timestamp(to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ss"), naiveZone)
+    val naiveSpace = to_utc_timestamp(to_timestamp(c, "yyyy-MM-dd HH:mm:ss"), naiveZone)
+    coalesce(iso, isoMicros, naiveT, naiveSpace)
+  }
+
+  /** P3: numeric coercion with null on error (`float(str(x))` else null,
+    * reference app/main.py:395-399). ANSI-off cast gives exactly this.
+    */
+  def toDoubleOrNull(c: Column): Column = c.cast("string").cast("double")
+
+  /** P1: raw API shape → 11-field measurement record. Expects raw columns
+    * (possibly null / string-typed): station_id, pollutant, value, city,
+    * location_name, lat, lon, ts_raw, plus constants per source. Applies:
+    *  - fallback chains via coalesce (F13),
+    *  - pollutant lower-case normalization + pm2.5→pm25 rewrite + allowlist
+    *    (P6, reference app/main.py:1045-1052),
+    *  - null-value drop (P5), null-island drop is station-side (P4),
+    *  - lenient UTC timestamp normalization (F7/F8).
+    */
+  def toMeasurements(raw: DataFrame, source: String, country: String, naiveZone: String): DataFrame =
+    raw
+      .select(
+        col("station_id").cast("string").as("station_id"),
+        regexp_replace(lower(trim(col("pollutant"))), "pm2\\.5", "pm25").as("pollutant"),
+        toDoubleOrNull(col("value")).as("value"),
+        lit("ug/m3").as("unit"),
+        lit(country).as("country"),
+        col("city").cast("string").as("city"),
+        coalesce(col("location_name"), col("city")).cast("string").as("location_name"),
+        toDoubleOrNull(col("lat")).as("lat"),
+        toDoubleOrNull(col("lon")).as("lon"),
+        lenientTimestamp(col("ts_raw"), naiveZone).as("timestamp"),
+        lit(source).as("source")
+      )
+      .filter(col("value").isNotNull)
+      .filter(col("pollutant").isin(Schemas.pollutants: _*))
+      .filter(col("timestamp").isNotNull)
+
+  /** P4: drop stations without coordinates (reference app/main.py:400-401). */
+  def dropNullIsland(stations: DataFrame): DataFrame =
+    stations.filter(col("lat").isNotNull && col("lon").isNotNull)
+
+  /** P7: PL "automatic stations only" predicate (reference
+    * app/main.py:592-595).
+    */
+  def onlyAutomatic(stations: DataFrame): DataFrame =
+    stations.filter(lower(col("station_type")).contains("automat"))
+}

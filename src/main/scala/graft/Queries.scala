@@ -625,6 +625,219 @@ object Queries {
       |  AND contains(lower(station_type), 'automat')
       |ORDER BY station_id""".stripMargin
 
+  // ---------------------------------------------------------------- q21
+  /** Text quality scoring: per-doc token/uniqueness/stopword features and
+    * the composite score (training-data pipeline extension).
+    */
+  def q21TextQuality(s: SparkSession, dir: String): DataFrame =
+    TextStats
+      .withQuality(Tables.documents(s, dir), "text")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_uniq"),
+        col("stop_count"),
+        col("uniq_ratio"),
+        col("stop_ratio"),
+        col("mean_token_len"),
+        col("quality_score")
+      )
+      .orderBy(col("doc_id"))
+
+  val q21Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), f AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+      |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS BIGINT) AS stop_count,
+      |    CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum') AS BIGINT) AS sum_len
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tokens, n_uniq, stop_count,
+      |  CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS uniq_ratio,
+      |  CAST(stop_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+      |  CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+      |  0.4 * (CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+      |  0.3 * (1.0 - CAST(stop_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+      |  0.3 * least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) AS quality_score
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Language-ID heuristic: marker-token counts with fixed-precedence
+    * argmax (training-data pipeline extension).
+    */
+  def q22LangId(s: SparkSession, dir: String): DataFrame =
+    TextStats
+      .withLangId(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("cnt_en"), col("cnt_es"), col("cnt_de"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  val q22Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), c AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS cnt_en,
+      |    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS BIGINT) AS cnt_es,
+      |    CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS cnt_de
+      |  FROM t
+      |)
+      |SELECT doc_id, cnt_en, cnt_es, cnt_de,
+      |  CASE WHEN cnt_en >= cnt_es AND cnt_en >= cnt_de AND cnt_en > 0 THEN 'en'
+      |       WHEN cnt_es >= cnt_de AND cnt_es > 0 THEN 'es'
+      |       WHEN cnt_de > 0 THEN 'de'
+      |       ELSE 'unknown' END AS lang_pred
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Document fingerprinting: whitespace-normalized md5 (engine-portable;
+    * the rolling-hash variant is engine-native and spec-tested).
+    */
+  def q23Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val q23Oracle: String =
+    """SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Exact text dedup at scale: hash-groupBy on the fingerprint, keep the
+    * smallest doc_id per group (one shuffle on the 32-char key, not the
+    * full document).
+    */
+  def q24DedupText(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .groupBy(TextStats.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper"))
+
+  val q24Oracle: String =
+    """SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
+      |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY keeper""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Similarity search, exact baseline: cosine top-5 for 10 query vectors
+    * over the embedding corpus (broadcast queries, ranked on cosine
+    * rounded to 4 decimals for cross-engine determinism).
+    */
+  def q25KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity
+      .bruteTopK(e, e.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q25Oracle: String =
+    """SELECT query_id, rank, neighbor_id, sim FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS sim,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY q.vec_id
+      |      ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+      |               c.vec_id) AS rank
+      |  FROM embeddings c, embeddings q
+      |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Token counting: whitespace tokens vs BPE-ish regex pre-tokenization. */
+  def q26TokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_ws"),
+        size(TextStats.bpeishTokens(col("text"))).cast("long").as("n_bpe"),
+        col("n_chars")
+      )
+      .orderBy(col("doc_id"))
+
+  val q26Oracle: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+      |  n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** MinHash+LSH near-dup detection (no SQL oracle — LSH banding is not
+    * sanely expressible in ANSI SQL; verified by DedupExtSpec instead).
+    * Candidates from 8 bands × 8 rows, verified at token-set Jaccard ≥ 0.9.
+    */
+  def q27MinhashDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup
+      .nearDupsMinhash(Tables.documents(s, dir), "doc_id", "text", threshold = 0.9)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---------------------------------------------------------------- q28
+  /** SimHash signatures (engine-native murmur3 bit votes; no oracle). */
+  def q28Simhash(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), TextDedup.simhash64(TextDedup.tokenSet(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- q29
+  /** Bigram-shingle Jaccard near-dups with source-blocked pairing. */
+  def q29NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    TextDedup
+      .nearDupsNgram(Tables.documents(s, dir), "doc_id", "text", "source", n = 2, threshold = 0.5)
+      .select(col("source"), col("id_a"), col("id_b"), col("jac"))
+      .orderBy(col("source"), col("id_a"), col("id_b"))
+
+  val q29Oracle: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+      |      i -> array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+2], ' '))) AS sh
+      |  FROM documents
+      |)
+      |SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+      |  CAST(len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jac
+      |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+      |      CAST(len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) >= 0.5
+      |ORDER BY 1, id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** ANN top-k via random-hyperplane LSH over 8 tables (approximate scale
+    * path; recall vs brute force asserted in SimilaritySpec; no oracle).
+    */
+  def q30AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity
+      .annTopK(e, e.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** Embedding near-duplicate pairs at cosine ≥ 0.35 via shared LSH
+    * buckets (no oracle; LSH candidate set is engine-native).
+    */
+  def q31EmbedNearDups(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .nearDupsEmbedding(Tables.embeddings(s, dir), threshold = 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -646,7 +859,18 @@ object Queries {
     "q17_count_by" -> (q17CountBy _),
     "q18_parse_ts" -> (q18ParseTs _),
     "q19_normalize" -> (q19Normalize _),
-    "q20_stations" -> (q20Stations _)
+    "q20_stations" -> (q20Stations _),
+    "q21_text_quality" -> (q21TextQuality _),
+    "q22_lang_id" -> (q22LangId _),
+    "q23_fingerprint" -> (q23Fingerprint _),
+    "q24_dedup_text" -> (q24DedupText _),
+    "q25_knn_brute" -> (q25KnnBrute _),
+    "q26_token_counts" -> (q26TokenCounts _),
+    "q27_minhash_dedup" -> (q27MinhashDedup _),
+    "q28_simhash" -> (q28Simhash _),
+    "q29_ngram_jaccard" -> (q29NgramJaccard _),
+    "q30_ann_lsh" -> (q30AnnLsh _),
+    "q31_embed_neardups" -> (q31EmbedNearDups _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -669,6 +893,13 @@ object Queries {
     "q17_count_by" -> q17Oracle,
     "q18_parse_ts" -> q18Oracle,
     "q19_normalize" -> q19Oracle,
-    "q20_stations" -> q20Oracle
+    "q20_stations" -> q20Oracle,
+    "q21_text_quality" -> q21Oracle,
+    "q22_lang_id" -> q22Oracle,
+    "q23_fingerprint" -> q23Oracle,
+    "q24_dedup_text" -> q24Oracle,
+    "q25_knn_brute" -> q25Oracle,
+    "q26_token_counts" -> q26Oracle,
+    "q29_ngram_jaccard" -> q29Oracle
   )
 }

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star extension).
+  *
+  * Two paths:
+  *  - `bruteTopK`: exact cosine top-k — the correctness baseline. The
+  *    query side is broadcast (queries are few), so the corpus never
+  *    shuffles: scan → broadcast-nested-loop → per-partition top-k via
+  *    the ranking window. At 100 TB this is one corpus pass per query
+  *    batch.
+  *  - `lshBuckets`/`annTopK`: random-hyperplane LSH (sign sketches) —
+  *    the approximate scale path: candidates only from matching buckets
+  *    across L tables, one shuffle on the bucket key.
+  *
+  * Dot products are composed `zip_with` + `aggregate` expressions over
+  * double-cast arrays — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * (it is broadcast). Ranking is on cosine rounded to 4 decimals with an
+    * id tie-break, so results are deterministic and oracle-comparable.
+    */
+  def bruteTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = corpus
+      .join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col(idCol).as("neighbor_id"),
+        round(cosine(col(vecCol), col("qvec")), 4).as("sim")
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane j is
+    * derived from a hash of (seed, j, d), mapped to [-1, 1]. Constant
+    * folded into the plan — no data collect.
+    */
+  private def planes(nbits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nbits, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-sketch bucket id (one LSH table): nbits sign bits of the
+    * hyperplane dot products, folded into a long.
+    */
+  def lshBucket(vecCol: Column, nbits: Int, dim: Int, seed: Long): Column = {
+    val ps = planes(nbits, dim, seed)
+    ps.zipWithIndex.foldLeft(lit(0L)) { case (acc, (plane, j)) =>
+      val planeCol = array(plane.map(lit).toIndexedSeq: _*)
+      val d = dot(vecCol, planeCol)
+      acc + when(d > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+  }
+
+  /** Approximate top-k: candidates = corpus vectors sharing an LSH bucket
+    * with the query in ANY of `tables` independent tables, then exact
+    * cosine rank over the candidate set only.
+    */
+  def annTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nbits: Int = 6,
+      tables: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(
+        col(id),
+        col(vec),
+        explode(
+          array((0 until tables).map { t =>
+            struct(lit(t).as("tbl"), lshBucket(col(vec), nbits, dim, seed = 7700 + t).as("bucket"))
+          }.toIndexedSeq: _*)
+        ).as("bk")
+      ).select(col(id), col(vec), col("bk.tbl"), col("bk.bucket"))
+
+    val c = withBuckets(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("tbl"), col("bucket"))
+    val q = withBuckets(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("tbl"), col("bucket"))
+    val cands = c
+      .join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("cvec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cands
+      .select(col("query_id"), col("neighbor_id"), round(cosine(col("cvec"), col("qvec")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
+    * shared LSH buckets (no O(n²) cross join).
+    */
+  def nearDupsEmbedding(
+      corpus: DataFrame,
+      threshold: Double,
+      nbits: Int = 6,
+      tables: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val banded = corpus.select(
+      col(idCol),
+      col(vecCol),
+      explode(
+        array((0 until tables).map { t =>
+          struct(lit(t).as("tbl"), lshBucket(col(vecCol), nbits, dim, seed = 7700 + t).as("bucket"))
+        }.toIndexedSeq: _*)
+      ).as("bk")
+    ).select(col(idCol), col(vecCol), col("bk.tbl"), col("bk.bucket"))
+    val a = banded.select(col("tbl"), col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = banded.select(col("tbl"), col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline extension
+  * (north star in BASELINE.json): token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` column expressions —
+  * no UDFs — so the whole stage stays inside WholeStageCodegen and scales
+  * linearly with the corpus (pure map-side work, zero shuffles until an
+  * aggregation asks for one).
+  */
+object TextStats {
+
+  /** Whitespace tokenization (the corpus is space-separated). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish regex tokenization: runs of letters, runs of digits, single
+    * other symbols — the classic pre-tokenizer shape.
+    */
+  def bpeishTokens(c: Column): Column =
+    expr(s"regexp_extract_all(${c.toString}, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** Per-document quality features + a deterministic composite score.
+    * Mirrors the usual length/stopword/uniqueness heuristics. Expression
+    * structure is kept identical to the SQL oracle so doubles match
+    * bit-for-bit (same operation order).
+    */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn(
+        "stop_count",
+        size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("long")
+      )
+      .withColumn(
+        "sum_token_len",
+        aggregate(transform(col("toks"), t => length(t).cast("long")), lit(0L), (a, b) => a + b)
+      )
+      .withColumn("uniq_ratio", col("n_uniq").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio", col("stop_count").cast("double") / col("n_tokens").cast("double"))
+      .withColumn(
+        "mean_token_len",
+        col("sum_token_len").cast("double") / col("n_tokens").cast("double")
+      )
+      .withColumn(
+        "quality_score",
+        lit(0.4) * col("uniq_ratio") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(col("n_tokens").cast("double") / lit(200.0), lit(1.0))
+      )
+      .drop("toks")
+  }
+
+  /** Marker-word language-ID heuristic (n-gram-lite): count per-language
+    * marker tokens, argmax with a fixed precedence. Deterministic and
+    * SQL-expressible; a real model would slot in behind the same column
+    * contract.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist")
+  )
+
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val cnt = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*))).cast("long")
+    }
+    df.withColumn("cnt_en", cnt("en"))
+      .withColumn("cnt_es", cnt("es"))
+      .withColumn("cnt_de", cnt("de"))
+      .withColumn(
+        "lang_pred",
+        when(col("cnt_en") >= col("cnt_es") && col("cnt_en") >= col("cnt_de") && col("cnt_en") > 0, "en")
+          .when(col("cnt_es") >= col("cnt_de") && col("cnt_es") > 0, "es")
+          .when(col("cnt_de") > 0, "de")
+          .otherwise("unknown")
+      )
+  }
+
+  /** Whitespace-normalized md5 document fingerprint — stable across
+    * engines (md5 is md5 everywhere), used as the exact-dedup key.
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Polynomial rolling-hash fingerprint over tokens (base-31 mod 2^61-1).
+    * Engine-native (uses Spark's murmur3 `hash` per token) — covered by
+    * unit tests rather than the cross-engine oracle.
+    */
+  def rollingFingerprint(c: Column): Column = {
+    val p = lit(2305843009213693951L) // 2^61 - 1
+    aggregate(
+      transform(tokens(c), t => hash(t).cast("long")),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(31L) + h, p)
+    )
+  }
+}

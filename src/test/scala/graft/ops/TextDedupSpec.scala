@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Near-dup detection on planted duplicates: MinHash+LSH must find the
+  * planted pairs (high Jaccard) and reject unrelated docs; SimHash
+  * hamming distance must separate near-dups from strangers.
+  */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // d1/d2 differ by one token out of 12 (Jaccard 11/13 ≈ 0.85 on sets);
+  // d3 is a verbatim copy of d1; d4 shares nothing.
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (4L, "one two three four five six seven eight nine ten eleven twelve")
+  ).toDF("doc_id", "text")
+
+  test("minhash near-dups: verbatim copy found at threshold 0.99") {
+    val pairs = TextDedup
+      .nearDupsMinhash(docs, "doc_id", "text", threshold = 0.99)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs == Set((1L, 3L)))
+  }
+
+  test("minhash near-dups: one-token-off pair found at 0.8, stranger excluded") {
+    val pairs = TextDedup
+      .nearDupsMinhash(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccard expression matches hand computation") {
+    val j = docs
+      .filter(col("doc_id").isin(1L, 2L))
+      .agg(collect_list(col("text")))
+      .as[Seq[String]]
+      .collect()
+      .head
+    val sets = j.map(_.split(" ").toSet)
+    val expected = sets(0).intersect(sets(1)).size.toDouble / sets(0).union(sets(1)).size
+    val got = Seq((docs.filter(col("doc_id") === 1L).select("text").as[String].head(),
+                   docs.filter(col("doc_id") === 2L).select("text").as[String].head()))
+      .toDF("a", "b")
+      .select(TextDedup.jaccard(TextDedup.tokenSet(col("a")), TextDedup.tokenSet(col("b"))))
+      .as[Double]
+      .collect()
+      .head
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("simhash: identical docs equal, near-dups close, strangers far") {
+    val sigs = docs
+      .select(col("doc_id"), TextDedup.simhash64(TextDedup.tokenSet(col("text"))).as("sh"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(1L) == sigs(3L))
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(4L)))
+    assert(ham(sigs(1L), sigs(2L)) <= 16)
+  }
+
+  test("ngram near-dups: copy found within block, cross-block pair ignored") {
+    val blocked = docs.withColumn("src", when(col("doc_id") <= 3, "s1").otherwise("s2"))
+    val pairs = TextDedup
+      .nearDupsNgram(blocked, "doc_id", "text", "src", n = 2, threshold = 0.9)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("rolling fingerprint: equal for identical, differs for different docs") {
+    val fps = docs
+      .select(col("doc_id"), TextStats.rollingFingerprint(col("text")).as("fp"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+    assert(fps(1L) != fps(4L))
+  }
+}

@@ -838,6 +838,26 @@ object Queries {
       .nearDupsEmbedding(Tables.embeddings(s, dir), threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---------------------------------------------------------------- q32
+  /** Multimodal pipeline: documents as opaque binary media → frame-sample
+    * explode → per-frame fixed-dim features → per-media rollup. Decode
+    * kernels are deterministic stubs (no codecs in the container); the
+    * schema/explode/feature plumbing is real (no oracle — engine-native
+    * hashes; contracts asserted in MultimodalSpec).
+    */
+  def q32Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "image")
+    val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 48)
+    Multimodal
+      .featureExtract(frames.withColumn("bytes", col("frame_bytes")), dim = 8)
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        max(col("meta.n_bytes")).as("n_bytes")
+      )
+      .orderBy(col("media_id"))
+  }
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -870,7 +890,8 @@ object Queries {
     "q28_simhash" -> (q28Simhash _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
     "q30_ann_lsh" -> (q30AnnLsh _),
-    "q31_embed_neardups" -> (q31EmbedNearDups _)
+    "q31_embed_neardups" -> (q31EmbedNearDups _),
+    "q32_multimodal" -> (q32Multimodal _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantics (SURVEY.md §2.9): per-key watermark state across
+  * micro-batches, strict `>`, commit-after-emit cursor ordering.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  case class Ev(station_id: String, pollutant: String, ts: Timestamp, value: Double, arrival: Long)
+
+  test("PerKeyWatermark: state survives batches; equal ts dropped; per-key independence") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = PerKeyWatermark.filterNew(input.toDF(), Seq("station_id", "pollutant"), "ts")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("pkw_out")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("pkw_ckpt").toString)
+      .start()
+    try {
+      // batch 1: st1 advances to 12:00; st2 advances to 10:00
+      input.addData(
+        Ev("st1", "pm25", ts("2024-01-01 12:00:00"), 1.0, 1),
+        Ev("st2", "pm25", ts("2024-01-01 10:00:00"), 2.0, 2)
+      )
+      q.processAllAvailable()
+      // batch 2: equal ts for st1 → drop; newer for st1 → pass;
+      // st2 older → drop; st3 unseen ancient → pass (fail-open)
+      input.addData(
+        Ev("st1", "pm25", ts("2024-01-01 12:00:00"), 3.0, 3),
+        Ev("st1", "pm25", ts("2024-01-01 12:30:00"), 4.0, 4),
+        Ev("st2", "pm25", ts("2024-01-01 09:00:00"), 5.0, 5),
+        Ev("st3", "o3", ts("2000-01-01 00:00:00"), 6.0, 6)
+      )
+      q.processAllAvailable()
+      val vals = spark.table("pkw_out").select("value").as[Double].collect().sorted.toSeq
+      assert(vals == Seq(1.0, 2.0, 4.0, 6.0))
+    } finally q.stop()
+  }
+
+  test("ProducerLoop.processBatch: emit-then-commit, watermark enforced across batches") {
+    val dir = Files.createTempDirectory("producer").toString
+    val sink = s"$dir/sink"
+    val cursors = s"$dir/cursors"
+    val keys = Seq("station_id", "pollutant")
+
+    val b1 = Seq(
+      ("st1", "pm25", ts("2024-01-01 12:00:00"), 1.0, 1L),
+      ("st1", "pm25", ts("2024-01-01 12:00:00"), 99.0, 2L), // in-batch dup (same key+ts) → dropped
+      ("st2", "o3", ts("2024-01-01 10:00:00"), 2.0, 3L)
+    ).toDF("station_id", "pollutant", "ts", "value", "arrival")
+    ProducerLoop.processBatch(b1, keys, "ts", "arrival", sink, cursors)
+
+    val emitted1 = spark.read.parquet(sink).count()
+    assert(emitted1 == 2) // dup dropped in-batch
+    val cur1 = spark.read.parquet(cursors).collect().map(r => (r.getString(0), r.getString(1)) -> r.getTimestamp(2)).toMap
+    assert(cur1(("st1", "pm25")) == ts("2024-01-01 12:00:00"))
+
+    // batch 2: replay of batch-1 record (equal ts) → dropped; newer → kept
+    val b2 = Seq(
+      ("st1", "pm25", ts("2024-01-01 12:00:00"), 1.0, 4L),
+      ("st1", "pm25", ts("2024-01-01 13:00:00"), 5.0, 5L)
+    ).toDF("station_id", "pollutant", "ts", "value", "arrival")
+    ProducerLoop.processBatch(b2, keys, "ts", "arrival", sink, cursors)
+
+    assert(spark.read.parquet(sink).count() == 3)
+    val cur2 = spark.read.parquet(cursors).collect().map(r => (r.getString(0), r.getString(1)) -> r.getTimestamp(2)).toMap
+    assert(cur2(("st1", "pm25")) == ts("2024-01-01 13:00:00"))
+    assert(cur2(("st2", "o3")) == ts("2024-01-01 10:00:00")) // untouched key survives merge
+  }
+
+  test("ProducerLoop.start: end-to-end over MemoryStream with AvailableNow-style trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("producer2").toString
+    val input = MemoryStream[Ev]
+    input.addData(
+      Ev("st1", "pm25", ts("2024-01-01 12:00:00"), 1.0, 1),
+      Ev("st1", "pm25", ts("2024-01-01 12:30:00"), 2.0, 2)
+    )
+    val q = ProducerLoop.start(
+      input.toDF(),
+      Seq("station_id", "pollutant"),
+      "ts",
+      "arrival",
+      s"$dir/sink",
+      s"$dir/cursors",
+      s"$dir/ckpt",
+      Trigger.ProcessingTime("1 second")
+    )
+    try {
+      q.processAllAvailable()
+      val n = spark.read.parquet(s"$dir/sink").count()
+      assert(n == 2)
+      // the sink rows carry the Kafka JSON envelope
+      val v = spark.read.parquet(s"$dir/sink").columns.toSeq
+      assert(v == Seq("value"))
+    } finally q.stop()
+  }
+}

@@ -12,9 +12,14 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // drop persisted intermediates between queries: operators persist
+      // self-join inputs; letting them pile up across 30+ queries skews
+      // later timings with GC pressure
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

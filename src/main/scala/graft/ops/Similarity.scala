@@ -93,32 +93,46 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(
-        col(id),
-        col(vec),
-        explode(
-          array((0 until tables).map { t =>
-            struct(lit(t).as("tbl"), lshBucket(col(vec), nbits, dim, seed = 7700 + t).as("bucket"))
-          }.toIndexedSeq: _*)
-        ).as("bk")
-      ).select(col(id), col(vec), col("bk.tbl"), col("bk.bucket"))
-
-    val c = withBuckets(corpus, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("tbl"), col("bucket"))
-    val q = withBuckets(queries, idCol, vecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("tbl"), col("bucket"))
+    // Candidate generation is NARROW: only (id, tbl, bucket) rows move
+    // through the bucket join and the dedup; the 64-float vectors are
+    // attached afterwards, once per surviving candidate pair.
+    val c = bucketRows(corpus, idCol, vecCol, nbits, tables, dim)
+      .select(col(idCol).as("neighbor_id"), col("tbl"), col("bucket"))
+    val q = bucketRows(queries, idCol, vecCol, nbits, tables, dim)
+      .select(col(idCol).as("query_id"), col("tbl"), col("bucket"))
     val cands = c
       .join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qvec"), col("cvec"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     cands
+      .join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
       .select(col("query_id"), col("neighbor_id"), round(cosine(col("cvec"), col("qvec")), 4).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Narrow (id, tbl, bucket) rows — one per (vector, LSH table). */
+  private def bucketRows(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nbits: Int,
+      tables: Int,
+      dim: Int
+  ): DataFrame =
+    df.select(
+      col(idCol),
+      explode(
+        array((0 until tables).map { t =>
+          struct(lit(t).as("tbl"), lshBucket(col(vecCol), nbits, dim, seed = 7700 + t).as("bucket"))
+        }.toIndexedSeq: _*)
+      ).as("bk")
+    ).select(col(idCol), col("bk.tbl"), col("bk.bucket"))
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
     * shared LSH buckets (no O(n²) cross join).
@@ -132,20 +146,22 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val banded = corpus.select(
-      col(idCol),
-      col(vecCol),
-      explode(
-        array((0 until tables).map { t =>
-          struct(lit(t).as("tbl"), lshBucket(col(vecCol), nbits, dim, seed = 7700 + t).as("bucket"))
-        }.toIndexedSeq: _*)
-      ).as("bk")
-    ).select(col(idCol), col(vecCol), col("bk.tbl"), col("bk.bucket"))
-    val a = banded.select(col("tbl"), col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = banded.select(col("tbl"), col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, Seq("tbl", "bucket"))
+    // narrow candidate generation (ids only through the bucket self-join
+    // and the distinct), vectors attached once per surviving pair
+    val banded = bucketRows(corpus, idCol, vecCol, nbits, tables, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = banded.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
+    val b = banded.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
+    val cands = a
+      .join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    cands
+      .join(va, "id_a")
+      .join(vb, "id_b")
       .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }

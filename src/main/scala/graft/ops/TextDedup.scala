@@ -57,12 +57,53 @@ object TextDedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
-  /** LSH candidate pairs: explode each doc's signature into `bands` band
-    * keys (`rows` hashes concatenated), self-join on the band key.
-    * Returns distinct (id_a, id_b) with id_a < id_b.
-    *
-    * The self-join on (band, sig) is the scalable form: Spark shuffles
-    * both sides by the band key, so bucket joins are partition-local.
+  /** Banded signature rows: (id, band, bsig, sz) — one row per (doc,
+    * band). `sz` (the set size) rides along so candidate pairs can be
+    * size-ratio-prefiltered before any array is shuffled.
+    */
+  private def bandedSigs(
+      df: DataFrame,
+      idCol: String,
+      setCol: String,
+      bands: Int,
+      rows: Int,
+      seed: Long
+  ): DataFrame = {
+    // Each band key is built DIRECTLY from its own `rows` hash functions
+    // (not by slicing a full-signature array column: projection collapse
+    // would inline the whole bands×rows signature computation once per
+    // band — a bands× blowup). The key is one long (xxhash64 of the
+    // band's minima) — an 8-byte join key; hash collisions are harmless
+    // because exact verification follows.
+    val cs = coeffs(bands * rows, seed)
+    val base = transform(col(setCol), t => hash(t).cast("long"))
+    df.select(col(idCol), size(col(setCol)).as("sz"), base.as("__hs"))
+      .select(
+        col(idCol),
+        col("sz"),
+        explode(
+          array((0 until bands).map { b =>
+            struct(
+              lit(b).as("band"),
+              xxhash64(
+                array((0 until rows).map { r =>
+                  val (a, bb) = cs(b * rows + r)
+                  array_min(transform(col("__hs"), h => pmod(lit(a) * h + lit(bb), lit(PRIME))))
+                }.toIndexedSeq: _*)
+              ).as("bsig")
+            )
+          }.toIndexedSeq: _*)
+        ).as("bk")
+      )
+      .select(col(idCol), col("sz"), col("bk.band"), col("bk.bsig"))
+  }
+
+  /** LSH candidate pairs: self-join on the band key — the scalable form:
+    * one shuffle on (band, bsig), bucket joins partition-local. Returns
+    * distinct (id_a, id_b, sz_a, sz_b) with id_a < id_b, ALREADY
+    * size-ratio-filtered: Jaccard >= t implies min(|A|,|B|)/max >= t, so
+    * pairs failing the ratio are dropped before the distinct and before
+    * any token array moves.
     */
   def lshCandidates(
       df: DataFrame,
@@ -70,33 +111,32 @@ object TextDedup {
       setCol: String,
       bands: Int = 8,
       rows: Int = 8,
-      seed: Long = 1337L
+      seed: Long = 1337L,
+      sizeRatio: Double = 0.0
   ): DataFrame = {
-    val sig = minhashSignature(col(setCol), bands * rows, seed)
-    val banded = df
-      .select(col(idCol), sig.as("sig"))
-      .select(
-        col(idCol),
-        explode(
-          array((0 until bands).map { b =>
-            struct(
-              lit(b).as("band"),
-              concat_ws("_", transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))).as("bsig")
-            )
-          }.toIndexedSeq: _*)
-        ).as("bk")
-      )
-      .select(col(idCol), col("bk.band"), col("bk.bsig"))
-    val l = banded.select(col("band"), col("bsig"), col(idCol).as("id_a"))
-    val r = banded.select(col("band"), col("bsig"), col(idCol).as("id_b"))
+    // persist: the self-join consumes `banded` twice; without a
+    // materialization barrier the whole signature lineage runs once per
+    // side. n×bands narrow rows — MEMORY_AND_DISK is safe at any scale.
+    val banded = bandedSigs(df, idCol, setCol, bands, rows, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = banded.select(col("band"), col("bsig"), col(idCol).as("id_a"), col("sz").as("sz_a"))
+    val r = banded.select(col("band"), col("bsig"), col(idCol).as("id_b"), col("sz").as("sz_b"))
     l.join(r, Seq("band", "bsig"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+      .filter(
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          greatest(col("sz_a"), col("sz_b")).cast("double") * sizeRatio
+      )
+      .select("id_a", "id_b", "sz_a", "sz_b")
       .distinct()
   }
 
-  /** Full MinHash near-dup pipeline: candidates via LSH banding, verified
-    * with exact token-set Jaccard >= `threshold`.
+  /** Full MinHash near-dup pipeline: candidates via LSH banding (with the
+    * size-ratio prefilter), verified with exact token-set Jaccard >=
+    * `threshold`, computed with ONE array_intersect
+    * (|A∪B| = |A|+|B|−|A∩B|). Banding density should match the
+    * threshold: 8×8 holds recall down to ~0.8; use 16×16 for 0.9+
+    * (fewer mid-similarity candidates → far less join volume).
     */
   def nearDupsMinhash(
       df: DataFrame,
@@ -106,15 +146,50 @@ object TextDedup {
       bands: Int = 8,
       rows: Int = 8
   ): DataFrame = {
+    // persist: `sets` feeds candidate generation AND both verify sides
     val sets = df.select(col(idCol), tokenSet(col(textCol)).as("toks"))
-    val cands = lshCandidates(sets, idCol, "toks", bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(sets, idCol, "toks", bands, rows, sizeRatio = threshold)
     val a = sets.select(col(idCol).as("id_a"), col("toks").as("toks_a"))
     val b = sets.select(col(idCol).as("id_b"), col("toks").as("toks_b"))
     cands
       .join(a, "id_a")
       .join(b, "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("toks_a"), col("toks_b")).as("jac"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jac")
+      )
       .filter(col("jac") >= threshold)
+  }
+
+  /** The 100 TB dedup shape: per-document KEEP/DROP assignment with
+    * LINEAR output (one row per doc), not the quadratic all-pairs audit.
+    * A document's representative is the smallest doc id it shares any
+    * LSH band bucket with (one-hop min-propagation — the standard
+    * single-pass approximation of the connected-component closure).
+    * Cost: one shuffle to min() per bucket + one to min() per doc.
+    */
+  def dedupAssignments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 16,
+      rows: Int = 16,
+      seed: Long = 1337L
+  ): DataFrame = {
+    val sets = df.select(col(idCol), tokenSet(col(textCol)).as("toks"))
+    val banded = bandedSigs(sets, idCol, "toks", bands, rows, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketMin = banded
+      .groupBy(col("band"), col("bsig"))
+      .agg(min(col(idCol)).as("bucket_min"))
+    banded
+      .join(bucketMin, Seq("band", "bsig"))
+      .groupBy(col(idCol))
+      .agg(min(col("bucket_min")).as("rep_id"))
+      .withColumn("is_kept", col("rep_id") === col(idCol))
   }
 
   /** 64-bit SimHash over the token set: per bit, majority vote of the
@@ -159,12 +234,38 @@ object TextDedup {
       n: Int,
       threshold: Double
   ): DataFrame = {
-    val sets = df.select(col(blockCol), col(idCol), shingles(col(textCol), n).as("sh"))
-    val a = sets.select(col(blockCol), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = sets.select(col(blockCol), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq(blockCol))
+    val sets = df.select(
+      col(blockCol),
+      col(idCol),
+      shingles(col(textCol), n).as("sh")
+    ).withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Phase 1: pair NARROW rows (block, id, size) only — the shingle
+    // arrays stay out of the O(pairs) join. The size-ratio prefilter
+    // (jac >= t forces min/max size >= t) rejects most pairs here.
+    val na = sets.select(col(blockCol), col(idCol).as("id_a"), col("sz").as("sz_a"))
+    val nb = sets.select(col(blockCol), col(idCol).as("id_b"), col("sz").as("sz_b"))
+    val pairs = na
+      .join(nb, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
-      .select(col(blockCol), col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          greatest(col("sz_a"), col("sz_b")).cast("double") * threshold
+      )
+    // Phase 2: attach arrays only for surviving pairs; ONE intersect,
+    // union derived as |A|+|B|−|A∩B|.
+    val a = sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    pairs
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .select(
+        col(blockCol),
+        col("id_a"),
+        col("id_b"),
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jac")
+      )
       .filter(col("jac") >= threshold)
   }
 }

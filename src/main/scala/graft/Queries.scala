@@ -840,6 +840,23 @@ object Queries {
       .nearDupsEmbedding(Tables.embeddings(s, dir), threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---------------------------------------------------------------- q34
+  /** Housekeeping retention predicate (reference app/housekeeping.py:15-17)
+    * with a fixed cutoff: keep rows >= cutoff. The job form
+    * (filter-and-overwrite) is jobs.Jobs.housekeeping.
+    */
+  def q34Retention(s: SparkSession, dir: String): DataFrame =
+    graft.jobs.Jobs
+      .retention(Tables.events(s, dir), "ts", java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  val q34Oracle: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- q33
   /** The linear-output dedup shape for 100 TB: per-doc KEEP/DROP
     * assignment via one-hop min-propagation over LSH buckets (no
@@ -904,7 +921,8 @@ object Queries {
     "q30_ann_lsh" -> (q30AnnLsh _),
     "q31_embed_neardups" -> (q31EmbedNearDups _),
     "q32_multimodal" -> (q32Multimodal _),
-    "q33_dedup_assign" -> (q33DedupAssign _)
+    "q33_dedup_assign" -> (q33DedupAssign _),
+    "q34_retention" -> (q34Retention _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -934,6 +952,7 @@ object Queries {
     "q24_dedup_text" -> q24Oracle,
     "q25_knn_brute" -> q25Oracle,
     "q26_token_counts" -> q26Oracle,
-    "q29_ngram_jaccard" -> q29Oracle
+    "q29_ngram_jaccard" -> q29Oracle,
+    "q34_retention" -> q34Oracle
   )
 }

@@ -1,0 +1,58 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Normalize, Upsert}
+
+/** The reference's job surface (SURVEY.md §3) as thin compositions of the
+  * operator library over parquet snapshot tables:
+  *
+  *  - CatalogRefresh  ↔ app/{de,nl,pl}_stations.py: normalize a raw
+  *    catalog scan, COALESCE-merge into the stations snapshot.
+  *  - OneShotIngest   ↔ app/{de,nl,pl}_measurements.py: one producer
+  *    cycle over a batch input (graft.streaming.ProducerLoop.processBatch
+  *    is the same cycle behind a streaming trigger).
+  *  - Housekeeping    ↔ app/housekeeping.py: retention delete on the
+  *    curated table (filter-and-overwrite; on Delta this is DELETE FROM).
+  *
+  * Snapshot persistence is read-merge-overwrite on parquet, keeping the
+  * harness dependency-free; production notes: Delta MERGE INTO / DELETE.
+  */
+object Jobs {
+
+  /** Retention: keep only rows with `tsCol` >= cutoff (the reference
+    * deletes `observed_at < now() - interval Nd`, app/housekeeping.py:15-17).
+    */
+  def retention(df: DataFrame, tsCol: String, cutoff: java.sql.Timestamp): DataFrame =
+    df.filter(col(tsCol) >= lit(cutoff))
+
+  /** Run retention in place over a parquet snapshot dir. */
+  def housekeeping(spark: SparkSession, tableDir: String, tsCol: String, cutoff: java.sql.Timestamp): Long = {
+    val kept = retention(spark.read.parquet(tableDir), tsCol, cutoff)
+    val tmp = tableDir + "__tmp"
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val out = spark.read.parquet(tmp)
+    val n = out.count()
+    out.write.mode(SaveMode.Overwrite).parquet(tableDir)
+    n
+  }
+
+  /** Catalog refresh: normalized station rows COALESCE-merged into the
+    * stations snapshot (new non-null wins; reference app/main.py:633-648).
+    */
+  def catalogRefresh(spark: SparkSession, rawStations: DataFrame, catalogDir: String): Long = {
+    val normalized = Normalize.dropNullIsland(rawStations)
+    val merged =
+      if (new java.io.File(catalogDir).exists() && new java.io.File(catalogDir).list().nonEmpty) {
+        val existing = spark.read.parquet(catalogDir)
+        Upsert.coalesceMerge(existing, normalized.select(existing.columns.map(col).toIndexedSeq: _*), "station_id")
+      } else normalized
+    val deduped = Dedup.firstWins(merged, Seq("station_id"), Seq("station_id"))
+    val tmp = catalogDir + "__tmp"
+    deduped.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val out = spark.read.parquet(tmp)
+    val n = out.count()
+    out.write.mode(SaveMode.Overwrite).parquet(catalogDir)
+    n
+  }
+}

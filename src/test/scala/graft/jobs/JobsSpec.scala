@@ -1,0 +1,41 @@
+package graft.jobs
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.SparkSpec
+
+class JobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("housekeeping drops rows older than the cutoff, keeps the rest") {
+    val dir = Files.createTempDirectory("hk").toString + "/curated"
+    Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("b", Timestamp.valueOf("2024-01-08 00:00:00")),
+      ("c", Timestamp.valueOf("2024-01-09 00:00:00"))
+    ).toDF("k", "observed_at").write.parquet(dir)
+    val kept = Jobs.housekeeping(spark, dir, "observed_at", Timestamp.valueOf("2024-01-08 00:00:00"))
+    assert(kept == 2)
+    val out = spark.read.parquet(dir).select("k").as[String].collect().sorted.toSeq
+    assert(out == Seq("b", "c"))
+  }
+
+  test("catalogRefresh: bootstrap then coalesce-merge update") {
+    val dir = Files.createTempDirectory("cat").toString + "/stations"
+    val first = Seq(
+      ("s1", Some("cityA"), Some(1.0), Some(2.0)),
+      ("s2", None: Option[String], Some(3.0), Some(4.0)),
+      ("s3", Some("x"), None: Option[Double], Some(1.0)) // null lat → dropped (P4)
+    ).toDF("station_id", "city", "lat", "lon")
+    assert(Jobs.catalogRefresh(spark, first, dir) == 2)
+
+    val update = Seq(
+      ("s1", None: Option[String], Some(9.0), Some(9.0)), // null city keeps cityA
+      ("s9", Some("new"), Some(5.0), Some(6.0))
+    ).toDF("station_id", "city", "lat", "lon")
+    assert(Jobs.catalogRefresh(spark, update, dir) == 3)
+    val rows = spark.read.parquet(dir).orderBy("station_id").collect()
+    val s1 = rows.find(_.getString(0) == "s1").get
+    assert(s1.getString(1) == "cityA" && s1.getDouble(2) == 9.0)
+  }
+}

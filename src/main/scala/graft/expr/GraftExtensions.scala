@@ -1,0 +1,22 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the engine's native expressions for SQL
+  * use (`SELECT cosine_sim(a, b) ...`). Installed by graft.Sessions via
+  * `builder.withExtensions(new GraftExtensions)`; external users can set
+  * `spark.sql.extensions=graft.expr.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (
+        FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
+        (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))
+      )
+    )
+  }
+}

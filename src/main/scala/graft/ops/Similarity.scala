@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
+  /** Sequential-fold dot product of two float-array columns, in double.
+    * (Composed higher-order-function form — interpreted; kept as the
+    * reference implementation and for ad-hoc use on non-float arrays.)
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -31,7 +34,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composed cosine (bit-identical to the native expression). */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native codegen'd cosine (graft.expr.CosineSimilarity) — the hot-path
+    * form used by every similarity operator.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.expr.CosineSimilarity(GraftShim.expression(a), GraftShim.expression(b)))
+  }
 
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * (it is broadcast). Ranking is on cosine rounded to 4 decimals with an

@@ -840,6 +840,20 @@ object Queries {
       .nearDupsEmbedding(Tables.embeddings(s, dir), threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---------------------------------------------------------------- q35
+  /** IVF approximate nearest-neighbor: k-means coarse quantizer (fit as
+    * DataFrame algebra), nprobe=2 cell probing (no oracle — approximate;
+    * recall vs brute force asserted in IvfSpec).
+    */
+  def q35Ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cents = Ivf.fitCentroids(e, k = 16, iters = 2)
+    Ivf
+      .topK(e, e.filter(col("vec_id") < 10), cents, k = 5, nprobe = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- q34
   /** Housekeeping retention predicate (reference app/housekeeping.py:15-17)
     * with a fixed cutoff: keep rows >= cutoff. The job form
@@ -922,7 +936,8 @@ object Queries {
     "q31_embed_neardups" -> (q31EmbedNearDups _),
     "q32_multimodal" -> (q32Multimodal _),
     "q33_dedup_assign" -> (q33DedupAssign _),
-    "q34_retention" -> (q34Retention _)
+    "q34_retention" -> (q34Retention _),
+    "q35_ivf" -> (q35Ivf _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor search: a k-means
+  * coarse quantizer partitions the corpus into `k` cells; a query probes
+  * only its `nprobe` nearest cells.
+  *
+  * Everything is DataFrame algebra:
+  *  - training: Lloyd iterations where assignment is a broadcast join
+  *    against the (tiny) centroid set and the update step is
+  *    posexplode → per-(cluster, dim) mean → re-assemble;
+  *  - indexing: one corpus pass to tag each vector with its cell;
+  *  - search: query × nprobe cells, candidates only from those cells.
+  *
+  * 100 TB posture: centroids are always broadcast-sized (k ≤ thousands);
+  * training on the full corpus is one broadcast join per iteration —
+  * or fit on a sample and only the final assignment pass touches
+  * everything. The search shuffle is keyed by cell id, so a probe reads
+  * ~nprobe/k of the corpus.
+  */
+object Ivf {
+
+  /** Deterministic Lloyd's k-means over an array<float> column.
+    * Returns (cluster_id, centroid array<double>). Init = first k rows
+    * by id (deterministic; k-means++ on a sample is the production note).
+    */
+  def fitCentroids(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    var centroids = corpus
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(
+        (row_number().over(Window.orderBy(col(idCol))) - 1).as("cluster_id"),
+        transform(col(vecCol), _.cast("double")).as("centroid")
+      )
+    for (_ <- 1 to iters) {
+      val assigned = assign(corpus, centroids, idCol, vecCol)
+      centroids = assigned
+        .select(col("cluster_id"), posexplode(col(vecCol)))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("cluster_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+        .select(col("cluster_id"), transform(col("pairs"), p => p.getField("m")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Tag each vector with its nearest centroid (cosine). One broadcast
+    * join + a ranking window over k rows per vector.
+    */
+  def assign(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(centroids))
+      .withColumn(
+        "sim",
+        Similarity.cosine(col(vecCol), transform(col("centroid"), _.cast("float")))
+      )
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cluster_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cluster_id"))
+  }
+
+  /** IVF top-k: probe the query's `nprobe` nearest cells only. */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val indexed = assign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), col("cluster_id"))
+    val qScored = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn(
+        "sim",
+        Similarity.cosine(col(vecCol), transform(col("centroid"), _.cast("float")))
+      )
+    val wq = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cluster_id"))
+    val probes = qScored
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("cluster_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    indexed
+      .join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(Similarity.cosine(col("cvec"), col("qvec")), 4).as("sim")
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -78,6 +78,42 @@ class StreamingSpec extends SparkSpec {
     assert(cur2(("st2", "o3")) == ts("2024-01-01 10:00:00")) // untouched key survives merge
   }
 
+  test("T5 streaming: watermarked tumbling-window rollup over MemoryStream") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = input
+      .toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("pollutant"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("t5_out")
+      .outputMode("complete")
+      .option("checkpointLocation", Files.createTempDirectory("t5_ckpt").toString)
+      .start()
+    try {
+      input.addData(
+        Ev("s1", "pm25", ts("2024-01-01 12:10:00"), 1.0, 1),
+        Ev("s1", "pm25", ts("2024-01-01 12:50:00"), 2.0, 2),
+        Ev("s1", "o3", ts("2024-01-01 13:05:00"), 4.0, 3)
+      )
+      q.processAllAvailable()
+      val rows = spark
+        .table("t5_out")
+        .select(col("window.start").cast("string"), col("pollutant"), col("n"), col("v"))
+        .as[(String, String, Long, Double)]
+        .collect()
+        .sortBy(r => (r._1, r._2))
+        .toSeq
+      assert(rows == Seq(
+        ("2024-01-01 12:00:00", "pm25", 2L, 3.0),
+        ("2024-01-01 13:00:00", "o3", 1L, 4.0)
+      ))
+    } finally q.stop()
+  }
+
   test("ProducerLoop.start: end-to-end over MemoryStream with AvailableNow-style trigger") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("producer2").toString

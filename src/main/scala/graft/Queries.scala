@@ -840,6 +840,89 @@ object Queries {
       .nearDupsEmbedding(Tables.embeddings(s, dir), threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---------------------------------------------------------------- q36
+  /** Grouping-set rollup + exact distinct aggregate: subtotal/grand-total
+    * rows via ROLLUP (beyond the reference's flat aggregates — an engine
+    * capability a downstream analyst expects).
+    */
+  def q36Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("nd_parts")
+      )
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val q36Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n,
+      |  COUNT(DISTINCT l_partkey) AS nd_parts
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** Sessionization: a new session starts when the gap to the previous
+    * event of the same user exceeds 30 minutes (LAG + cumulative sum —
+    * the batch form of session windows). Gap math on the exact ns longs.
+    */
+  def q37Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .withColumn(
+        "is_new",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > 1800000000000L, 1L).otherwise(0L)
+      )
+      .groupBy(col("user_id"))
+      .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q37Oracle: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > 1800000000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |)
+      |SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM g
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Pivot: event counts per user wide by event type (groupBy.pivot with
+    * an explicit value list — codegen'd conditional aggregation).
+    */
+  def q38Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na
+      .fill(0L)
+      .orderBy(col("user_id"))
+
+  val q38Oracle: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q35
   /** IVF approximate nearest-neighbor: k-means coarse quantizer (fit as
     * DataFrame algebra), nprobe=2 cell probing (no oracle — approximate;
@@ -937,7 +1020,10 @@ object Queries {
     "q32_multimodal" -> (q32Multimodal _),
     "q33_dedup_assign" -> (q33DedupAssign _),
     "q34_retention" -> (q34Retention _),
-    "q35_ivf" -> (q35Ivf _)
+    "q35_ivf" -> (q35Ivf _),
+    "q36_rollup" -> (q36Rollup _),
+    "q37_sessionize" -> (q37Sessionize _),
+    "q38_pivot" -> (q38Pivot _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -968,6 +1054,9 @@ object Queries {
     "q25_knn_brute" -> q25Oracle,
     "q26_token_counts" -> q26Oracle,
     "q29_ngram_jaccard" -> q29Oracle,
-    "q34_retention" -> q34Oracle
+    "q34_retention" -> q34Oracle,
+    "q36_rollup" -> q36Oracle,
+    "q37_sessionize" -> q37Oracle,
+    "q38_pivot" -> q38Oracle
   )
 }

@@ -840,6 +840,77 @@ object Queries {
       .nearDupsEmbedding(Tables.embeddings(s, dir), threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---------------------------------------------------------------- q39
+  /** Native session windows (Spark's session_window generator) — the
+    * declarative form of q37's LAG+cumsum sessionization. Both engines
+    * compute boundaries on exact microseconds (Spark's ts is ns-truncated
+    * micros; the oracle derives micros via epoch_ns//1000).
+    */
+  def q39SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"),
+        col("sum_value")
+      )
+      .orderBy(col("user_id"), col("session_start"))
+
+  val q39Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, "value", epoch_ns(ts) // 1000 AS us FROM events
+      |), g AS (
+      |  SELECT user_id, "value", us,
+      |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |), sess AS (
+      |  SELECT user_id, "value", us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+      |                      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g
+      |)
+      |SELECT user_id,
+      |  strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST("value" AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** Custom typed Aggregator: bounded top-k per group (a k-element
+    * buffer per key — constant memory per group at any scale, unlike
+    * sort-based ranking). Verified against the relational window form.
+    */
+  def q40TopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables
+      .events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)]
+    val agg = new graft.expr.TopKByScore(3).toColumn
+    ev.groupByKey(_._1)
+      .agg(agg.name("topk"))
+      .flatMap { case (et, topk) =>
+        topk.zipWithIndex.map { case ((v, id), i) => (et, i + 1, id, v) }
+      }
+      .toDF("event_type", "rank", "event_id", "value")
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  val q40Oracle: String =
+    """SELECT event_type, rank, event_id, "value" FROM (
+      |  SELECT event_type, event_id, "value",
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY "value" DESC, event_id) AS rank
+      |  FROM events) t
+      |WHERE rank <= 3
+      |ORDER BY event_type, rank""".stripMargin
+
   // ---------------------------------------------------------------- q36
   /** Grouping-set rollup + exact distinct aggregate: subtotal/grand-total
     * rows via ROLLUP (beyond the reference's flat aggregates — an engine
@@ -1023,7 +1094,9 @@ object Queries {
     "q35_ivf" -> (q35Ivf _),
     "q36_rollup" -> (q36Rollup _),
     "q37_sessionize" -> (q37Sessionize _),
-    "q38_pivot" -> (q38Pivot _)
+    "q38_pivot" -> (q38Pivot _),
+    "q39_session_window" -> (q39SessionWindow _),
+    "q40_topk_per_group" -> (q40TopkPerGroup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1057,6 +1130,8 @@ object Queries {
     "q34_retention" -> q34Oracle,
     "q36_rollup" -> q36Oracle,
     "q37_sessionize" -> q37Oracle,
-    "q38_pivot" -> q38Oracle
+    "q38_pivot" -> q38Oracle,
+    "q39_session_window" -> q39Oracle,
+    "q40_topk_per_group" -> q40Oracle
   )
 }

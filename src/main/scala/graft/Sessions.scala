@@ -30,6 +30,8 @@ object Sessions {
       // reader rejects; read the raw int64 nanos and let Tables.events
       // derive both a precise `ts_ns` long and a micros TimestampType.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf; keeps saveAsTable output out of the repo checkout
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests. */

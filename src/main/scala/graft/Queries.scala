@@ -840,6 +840,30 @@ object Queries {
       .nearDupsEmbedding(Tables.embeddings(s, dir), threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---------------------------------------------------------------- q41
+  /** Exact percentiles (linear interpolation): Spark `percentile` vs
+    * DuckDB `quantile_cont` — same definition, cross-checked bit-level.
+    */
+  def q41Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n")
+      )
+      .orderBy(col("l_returnflag"))
+
+  val q41Oracle: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q39
   /** Native session windows (Spark's session_window generator) — the
     * declarative form of q37's LAG+cumsum sessionization. Both engines
@@ -1096,7 +1120,8 @@ object Queries {
     "q37_sessionize" -> (q37Sessionize _),
     "q38_pivot" -> (q38Pivot _),
     "q39_session_window" -> (q39SessionWindow _),
-    "q40_topk_per_group" -> (q40TopkPerGroup _)
+    "q40_topk_per_group" -> (q40TopkPerGroup _),
+    "q41_percentiles" -> (q41Percentiles _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1132,6 +1157,7 @@ object Queries {
     "q37_sessionize" -> q37Oracle,
     "q38_pivot" -> q38Oracle,
     "q39_session_window" -> q39Oracle,
-    "q40_topk_per_group" -> q40Oracle
+    "q40_topk_per_group" -> q40Oracle,
+    "q41_percentiles" -> q41Oracle
   )
 }

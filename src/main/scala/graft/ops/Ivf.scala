@@ -55,8 +55,20 @@ object Ivf {
     centroids
   }
 
-  /** Tag each vector with its nearest centroid (cosine). One broadcast
-    * join + a ranking window over k rows per vector.
+  /** Materialize the centroid table as plan constants. Centroids are
+    * broadcast-scale by construction (k×dim doubles — the same class of
+    * constant as LSH hyperplanes), so this is not a data collect.
+    */
+  private def centroidArrays(centroids: DataFrame): Array[(Int, Array[Float])] =
+    centroids
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
+      .sortBy(_._1)
+
+  /** Tag each vector with its nearest centroid (cosine) — ZERO-SHUFFLE:
+    * all k similarities are computed in one map-side projection and the
+    * argmax folds over a struct array. (The window-ranking formulation
+    * would shuffle n×k rows just to pick a max — wrong shape at scale.)
     */
   def assign(
       corpus: DataFrame,
@@ -64,17 +76,19 @@ object Ivf {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val scored = corpus
-      .crossJoin(broadcast(centroids))
-      .withColumn(
-        "sim",
-        Similarity.cosine(col(vecCol), transform(col("centroid"), _.cast("float")))
+    val cents = centroidArrays(centroids)
+    val scored = array(cents.map { case (cid, c) =>
+      val cCol = array(c.map(v => lit(v)).toIndexedSeq: _*)
+      struct(
+        Similarity.cosine(col(vecCol), cCol).as("sim"),
+        lit(-cid).as("neg_cid") // ties: smaller cluster_id wins under max
       )
-    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cluster_id"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cluster_id"))
+    }.toIndexedSeq: _*)
+    corpus.select(
+      col(idCol),
+      col(vecCol),
+      (-array_max(scored).getField("neg_cid")).cast("int").as("cluster_id")
+    )
   }
 
   /** IVF top-k: probe the query's `nprobe` nearest cells only. */

@@ -81,6 +81,11 @@ object Similarity {
 
   /** Sign-sketch bucket id (one LSH table): nbits sign bits of the
     * hyperplane dot products, folded into a long.
+    *
+    * Scale note: `nbits` must grow with the corpus — target
+    * nbits ≈ log2(n / desired_bucket_size); the 6-bit default suits the
+    * 10³-10⁴-row fixtures. A fixed nbits at 10⁹+ rows means giant
+    * buckets and a quadratic bucket join.
     */
   def lshBucket(vecCol: Column, nbits: Int, dim: Int, seed: Long): Column = {
     val ps = planes(nbits, dim, seed)

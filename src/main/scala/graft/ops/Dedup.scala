@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact deduplication operators (SURVEY.md §2.4 A3).
@@ -23,13 +22,20 @@ object Dedup {
   def exact(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 
-  /** A3 (deterministic): keep the first row per key ordered by `priority`.
-    * `priority` columns replace the reference's implicit union order.
+  /** A3 (deterministic): keep the first row per key ordered by `priority`
+    * (the reference's implicit union order made explicit). Implemented as
+    * min_by over the priority struct instead of a ranking window: plans
+    * as partial+final SortAggregate, so a duplicate-heavy batch collapses
+    * map-side and only one row per key per partition reaches the shuffle
+    * (the window form shuffles every input row).
     */
-  def firstWins(df: DataFrame, keys: Seq[String], priority: Seq[String]): DataFrame = {
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(priority.map(col(_).asc): _*)
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-  }
+  def firstWins(df: DataFrame, keys: Seq[String], priority: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        min_by(
+          struct(df.columns.map(col).toIndexedSeq: _*),
+          struct(priority.map(col): _*)
+        ).as("__row")
+      )
+      .select(col("__row.*"))
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation / rollup operators (SURVEY.md §2.4, §2.5, T5).
@@ -37,13 +36,21 @@ object Rollup {
       sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value")
     )
 
-  /** §2.5: latest row per key via ranking window — "latest value per key".
-    * Deterministic tie-break on idCol so re-runs and the DuckDB oracle agree.
+  /** §2.5: latest row per key — "latest value per key". Implemented as
+    * max_by over a (ts, id) ordering struct rather than a ranking window.
+    * Plans as partial+final SortAggregate (struct buffers aren't
+    * hash-aggregable): the map-side partial reduces the shuffle to ONE
+    * row per key per partition, where the window form shuffles every
+    * input row before ranking — the difference that matters on a
+    * duplicate-heavy 100 TB batch. Deterministic tie-break on idCol.
     */
-  def latestPerKey(df: DataFrame, keys: Seq[String], tsCol: String, idCol: String): DataFrame = {
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).desc, col(idCol).desc)
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-  }
+  def latestPerKey(df: DataFrame, keys: Seq[String], tsCol: String, idCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        max_by(
+          struct(df.columns.map(col).toIndexedSeq: _*),
+          struct(col(tsCol), col(idCol))
+        ).as("__row")
+      )
+      .select(col("__row.*"))
 }

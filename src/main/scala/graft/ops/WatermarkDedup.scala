@@ -22,13 +22,19 @@ object WatermarkDedup {
 
   /** Keep rows of `incoming` whose `tsCol` is strictly newer than the
     * cursor for their key; rows whose key has no cursor pass (fail-open).
+    *
+    * Join strategy is left to Catalyst/AQE on purpose: a cursor snapshot
+    * is one row per key, which is broadcastable for most deployments but
+    * can reach hundreds of MB at 10M+ keys — forcing `broadcast` here
+    * would trade a shuffle for driver/executor OOM. AQE broadcasts it
+    * automatically whenever it is actually small.
     */
   def filterNew(incoming: DataFrame, cursors: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
     val cur = cursors.select(
       (keys.map(col) :+ col("last_observed_at").as("__cursor_ts")): _*
     )
     incoming
-      .join(broadcast(cur), keys, "left")
+      .join(cur, keys, "left")
       .filter(col("__cursor_ts").isNull || col(tsCol) > col("__cursor_ts"))
       .drop("__cursor_ts")
   }

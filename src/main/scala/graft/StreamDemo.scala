@@ -56,6 +56,35 @@ object StreamDemo {
     runPass("pass2") // same input, fresh checkpoint: watermark must drop everything
     val sample = spark.read.parquet(s"$dir/sink").limit(2).collect().map(_.getString(0))
     sample.foreach(s => println(s"sample=$s"))
+
+    // streaming sessionization over the same real events (30-min gap);
+    // AvailableNow drains the file, the final watermark closes sessions
+    val src2 = spark.readStream
+      .schema(rawSchema)
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "0 seconds")
+    val sessions = graft.streaming.SessionizeStream
+      .sessions(src2, Seq("user_id", "event_type"), "ts", gapMs = 30 * 60 * 1000)
+    val sq = sessions.writeStream
+      .format("memory")
+      .queryName("demo_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/sess_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    val emitted = spark.table("demo_sessions").count()
+    // same-grain batch ground truth: sessions per (user_id, event_type).
+    // The stream emits all CLOSED sessions; sessions whose last event is
+    // within `gap` of the final watermark stay open awaiting more data.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("ts_ns"))
+    val batchSessions = Tables.events(spark, sfDir)
+      .withColumn("prev", lag(col("ts_ns"), 1).over(w))
+      .withColumn("is_new", when(col("prev").isNull || col("ts_ns") - col("prev") > 1800000000000L, 1L).otherwise(0L))
+      .agg(sum(col("is_new"))).collect()(0).getLong(0)
+    println(s"stream_sessions_emitted=$emitted batch_total_sessions=$batchSessions (open sessions at final watermark stay pending)")
     spark.stop()
   }
 }

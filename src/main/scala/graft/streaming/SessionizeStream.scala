@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming sessionization with per-key gap semantics: events of the
+  * same key belong to one session while consecutive event times are
+  * within `gapMs`; a session CLOSES (and is emitted) when the event-time
+  * watermark passes its end + gap — the flatMapGroupsWithState +
+  * EventTimeTimeout pattern (the streaming twin of the batch
+  * sessionization in Queries.q37/q39).
+  *
+  * State per key is one (start, last, count) triple — constant size,
+  * partitioned by key in the state store, checkpointable; 100 TB of
+  * events with 100M active keys is a few GB of cluster-wide state.
+  */
+object SessionizeStream {
+
+  case class SessionState(startMs: Long, lastMs: Long, count: Long)
+  case class SessionOut(key: String, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** `df` must carry a watermark on `tsCol` (withWatermark) — timeouts
+    * fire when the watermark passes lastEvent + gap.
+    */
+  def sessions(df: DataFrame, keys: Seq[String], tsCol: String, gapMs: Long): Dataset[SessionOut] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .select(
+        concat_ws("", keys.map(k => col(k).cast("string")): _*).as("key"),
+        col(tsCol).as("ts")
+      )
+      .as[(String, Timestamp)]
+
+    keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[(String, Timestamp)], state: GroupState[SessionState]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: close and emit the session
+            val s = state.get
+            out += SessionOut(key, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.count)
+            state.remove()
+          } else {
+            var cur = state.getOption
+            rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), count = s.count + 1))
+                case Some(s) =>
+                  // gap exceeded inside the stream: emit the closed
+                  // session immediately, start a new one
+                  out += SessionOut(key, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.count)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+          }
+          out.iterator
+        }
+      )
+  }
+}

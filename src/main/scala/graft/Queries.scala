@@ -840,6 +840,43 @@ object Queries {
       .nearDupsEmbedding(Tables.embeddings(s, dir), threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---------------------------------------------------------------- q42
+  /** As-of join: each event picks up the most recent order state
+    * (right.ts <= event.ts) of the same key — union + carry-forward, one
+    * shuffle over |L|+|R| (ops.AsOf). Oracle: DuckDB's native ASOF JOIN.
+    * Orders deduped to one row per (custkey, orderdate) for tie
+    * determinism in both engines.
+    */
+  def q42AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables
+      .orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .withColumnRenamed("o_custkey", "user_id")
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    AsOf
+      .joinAsOf(ev, ord, key = "user_id", leftTs = "ts", rightTs = "o_orderdate",
+        rightCols = Seq("o_orderkey", "o_orderdate"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od")
+      )
+      .orderBy(col("event_id"))
+  }
+
+  val q42Oracle: String =
+    """WITH ord AS (
+      |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate
+      |)
+      |SELECT e.event_id, e.user_id, o.o_orderkey,
+      |  strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
+      |FROM events e ASOF LEFT JOIN ord o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- q41
   /** Exact percentiles (linear interpolation): Spark `percentile` vs
     * DuckDB `quantile_cont` — same definition, cross-checked bit-level.
@@ -1121,7 +1158,8 @@ object Queries {
     "q38_pivot" -> (q38Pivot _),
     "q39_session_window" -> (q39SessionWindow _),
     "q40_topk_per_group" -> (q40TopkPerGroup _),
-    "q41_percentiles" -> (q41Percentiles _)
+    "q41_percentiles" -> (q41Percentiles _),
+    "q42_asof_join" -> (q42AsofJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1158,6 +1196,7 @@ object Queries {
     "q38_pivot" -> q38Oracle,
     "q39_session_window" -> q39Oracle,
     "q40_topk_per_group" -> q40Oracle,
-    "q41_percentiles" -> q41Oracle
+    "q41_percentiles" -> q41Oracle,
+    "q42_asof_join" -> q42Oracle
   )
 }

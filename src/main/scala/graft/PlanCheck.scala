@@ -10,7 +10,7 @@ object PlanCheck {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = Sessions.local(4)
-    val interesting = Seq("q1_agg", "q2_filter", "q3_enrich", "q4_watermark", "q9_topk", "q16_join_parts", "q5_dedup", "q6_latest")
+    val interesting = Seq("q1_agg", "q2_filter", "q3_enrich", "q4_watermark", "q9_topk", "q16_join_parts", "q5_dedup", "q6_latest", "q43_range_join")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString

@@ -840,6 +840,45 @@ object Queries {
       .nearDupsEmbedding(Tables.embeddings(s, dir), threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---------------------------------------------------------------- q43
+  /** Interval join: events vs per-user 3-day activity windows (derived
+    * from the events themselves — each day's events open a [day, day+2d]
+    * window carrying that day's count). Bucketized to an equi join
+    * (ops.RangeJoin) vs the BETWEEN theta join DuckDB runs directly;
+    * every event matches 1-3 windows. Aggregated per event.
+    */
+  def q43RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val ranges = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("start_ts"))
+      .agg(count(lit(1)).as("day_n"))
+      .withColumn("end_ts", col("start_ts") + expr("INTERVAL 2 DAYS"))
+    RangeJoin
+      .bucketed(ev, ranges, "user_id", "ts", "start_ts", "end_ts", bucketMs = 24L * 3600 * 1000)
+      .groupBy(col("event_id"))
+      .agg(
+        count(lit(1)).as("n_active_windows"),
+        sum(col("day_n")).as("sum_window_events")
+      )
+      .orderBy(col("event_id"))
+  }
+
+  val q43Oracle: String =
+    """WITH r AS (
+      |  SELECT user_id, date_trunc('day', ts) AS start_ts, COUNT(*) AS day_n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT e.event_id,
+      |  COUNT(*) AS n_active_windows,
+      |  CAST(SUM(r.day_n) AS BIGINT) AS sum_window_events
+      |FROM events e
+      |JOIN r ON e.user_id = r.user_id
+      |      AND e.ts >= r.start_ts
+      |      AND e.ts <= r.start_ts + INTERVAL 2 DAY
+      |GROUP BY e.event_id
+      |ORDER BY e.event_id""".stripMargin
+
   // ---------------------------------------------------------------- q42
   /** As-of join: each event picks up the most recent order state
     * (right.ts <= event.ts) of the same key — union + carry-forward, one
@@ -1159,7 +1198,8 @@ object Queries {
     "q39_session_window" -> (q39SessionWindow _),
     "q40_topk_per_group" -> (q40TopkPerGroup _),
     "q41_percentiles" -> (q41Percentiles _),
-    "q42_asof_join" -> (q42AsofJoin _)
+    "q42_asof_join" -> (q42AsofJoin _),
+    "q43_range_join" -> (q43RangeJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1197,6 +1237,7 @@ object Queries {
     "q39_session_window" -> q39Oracle,
     "q40_topk_per_group" -> q40Oracle,
     "q41_percentiles" -> q41Oracle,
-    "q42_asof_join" -> q42Oracle
+    "q42_asof_join" -> q42Oracle,
+    "q43_range_join" -> q43Oracle
   )
 }

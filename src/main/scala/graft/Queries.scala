@@ -840,6 +840,20 @@ object Queries {
       .nearDupsEmbedding(Tables.embeddings(s, dir), threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---------------------------------------------------------------- q44
+  /** HLL distinct sketch (graft.expr.HllSketch, TypedImperativeAggregate,
+    * 4 KB state per group at any scale). Deterministic (xxhash64) but
+    * approximate — no SQL oracle; accuracy bounded in HllSketchSpec
+    * (<3% overall, <5% per group vs exact).
+    */
+  def q44HllSketch(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_hll")
+    s.sql(
+      """SELECT l_returnflag, hll_distinct(l_partkey) AS approx_parts, COUNT(*) AS n
+        |FROM li_hll GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    )
+  }
+
   // ---------------------------------------------------------------- q43
   /** Interval join: events vs per-user 3-day activity windows (derived
     * from the events themselves — each day's events open a [day, day+2d]
@@ -1199,7 +1213,8 @@ object Queries {
     "q40_topk_per_group" -> (q40TopkPerGroup _),
     "q41_percentiles" -> (q41Percentiles _),
     "q42_asof_join" -> (q42AsofJoin _),
-    "q43_range_join" -> (q43RangeJoin _)
+    "q43_range_join" -> (q43RangeJoin _),
+    "q44_hll_sketch" -> (q44HllSketch _)
   )
 
   val oracles: Map[String, String] = Map(

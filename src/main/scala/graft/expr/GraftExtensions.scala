@@ -18,5 +18,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))
       )
     )
+    e.injectFunction(
+      (
+        FunctionIdentifier("hll_distinct"),
+        new ExpressionInfo(classOf[HllSketch].getCanonicalName, "hll_distinct"),
+        (exprs: Seq[Expression]) => HllSketch(exprs.head).toAggregateExpression()
+      )
+    )
   }
 }

@@ -144,10 +144,14 @@ object TextDedup {
       textCol: String,
       threshold: Double,
       bands: Int = 8,
-      rows: Int = 8
+      rows: Int = 8,
+      shingleSize: Int = 1
   ): DataFrame = {
+    // set unit: distinct tokens (shingleSize=1, right for tiny-vocab
+    // corpora) or word n-gram shingles (order-sensitive near-dup)
+    val setExpr = if (shingleSize <= 1) tokenSet(col(textCol)) else shingles(col(textCol), shingleSize)
     // persist: `sets` feeds candidate generation AND both verify sides
-    val sets = df.select(col(idCol), tokenSet(col(textCol)).as("toks"))
+    val sets = df.select(col(idCol), setExpr.as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(sets, idCol, "toks", bands, rows, sizeRatio = threshold)
     val a = sets.select(col(idCol).as("id_a"), col("toks").as("toks_a"))

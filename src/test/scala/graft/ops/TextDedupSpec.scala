@@ -71,6 +71,24 @@ class TextDedupSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(2L)) <= 16)
   }
 
+  test("shingle-mode minhash: reordered doc is NOT a near-dup of the original") {
+    // same token set, different order: token-set minhash calls them
+    // identical; 3-shingle minhash must reject
+    val docs2 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "mu lambda kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val tokenPairs = TextDedup
+      .nearDupsMinhash(docs2, "doc_id", "text", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tokenPairs == Set((1L, 2L), (1L, 3L), (2L, 3L))) // sets identical
+    val shinglePairs = TextDedup
+      .nearDupsMinhash(docs2, "doc_id", "text", threshold = 0.9, shingleSize = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(shinglePairs == Set((1L, 3L))) // only the verbatim copy
+  }
+
   test("ngram near-dups: copy found within block, cross-block pair ignored") {
     val blocked = docs.withColumn("src", when(col("doc_id") <= 3, "s1").otherwise("s2"))
     val pairs = TextDedup

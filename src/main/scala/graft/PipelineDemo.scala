@@ -21,6 +21,8 @@ import graft.streaming.ProducerLoop
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cfg = PipelineConfig.fromEnv(sys.env)
+    println(s"config=$cfg")
     val spark = Sessions.local(4)
     val work = Files.createTempDirectory("pipeline").toString
 
@@ -88,6 +90,22 @@ object PipelineDemo {
     cycle("cycle2") // same feed: watermark must drop everything
     val sample = spark.read.parquet(s"$work/sink").limit(1).collect()(0).getString(0)
     println(s"sample=$sample")
+
+    // downstream-consumer leg: parse the Kafka envelope back into the
+    // curated table (S11 → measurements_curated) and run the retention
+    // job with the configured window, cutoff pinned to the fixture's
+    // data era so the demo stays deterministic
+    val curatedDir = s"$work/curated"
+    val curSchema = graft.schema.Schemas.measurementSchema
+    spark.read
+      .parquet(s"$work/sink")
+      .select(from_json(col("value"), curSchema).as("m"))
+      .select(col("m.*"))
+      .write
+      .parquet(curatedDir)
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val kept = jobs.Jobs.housekeeping(spark, curatedDir, "timestamp", cutoff)
+    println(s"retention_days=${cfg.retentionDays} curated_kept=$kept")
     spark.stop()
   }
 }

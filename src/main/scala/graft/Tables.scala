@@ -11,8 +11,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * callers `.select`/`.filter` on the returned DataFrame.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+
+  /** Defensive hardening for sessions NOT built via graft.Sessions (e.g.
+    * a harness-created vanilla session): these three confs are
+    * runtime-settable and required for correct reads/oracle parity —
+    * nanosAsLong (events is TIMESTAMP(NANOS) parquet), UTC session TZ,
+    * ANSI off (null-on-error casts). Idempotent, cheap.
+    */
+  private def harden(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    harden(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")

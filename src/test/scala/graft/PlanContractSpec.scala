@@ -1,0 +1,42 @@
+package graft
+
+/** Plan contracts: the physical-plan shapes the 100 TB design depends on,
+  * asserted so a future refactor can't silently regress them.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast (never sort-merge): q3, q16") {
+    Seq("q3_enrich", "q16_join_parts").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to sort-merge:\n${p.take(500)}")
+    }
+  }
+
+  test("top-k plans TakeOrderedAndProject (no global sort): q9") {
+    assert(plan("q9_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("latest-per-key and first-wins have no Window operator: q5, q6") {
+    Seq("q5_dedup", "q6_latest").foreach { q =>
+      assert(!plan(q).contains("Window"), s"$q reintroduced a ranking window")
+    }
+  }
+
+  test("range join is an equi join (no nested loop): q43") {
+    val p = plan("q43_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q43 degenerated to a nested loop")
+    assert(p.contains("__bucket"), "q43 lost its bucket key")
+  }
+
+  test("filters and pruning reach the lineitem scan: q1") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // pruned read schema: no l_orderkey/l_partkey columns for this query
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"), read)
+  }
+}

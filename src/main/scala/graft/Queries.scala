@@ -826,7 +826,9 @@ object Queries {
   def q30AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity
-      .annTopK(e, e.filter(col("vec_id") < 10), k = 5)
+      // 4-bit × 12 tables: shallow buckets for a corpus whose nearest
+      // neighbors sit at low cosine (see q31/q45 recall analysis)
+      .annTopK(e, e.filter(col("vec_id") < 10), k = 5, nbits = 4, tables = 12)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
       .orderBy(col("query_id"), col("rank"))
   }

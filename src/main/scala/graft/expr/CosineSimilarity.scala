@@ -36,10 +36,18 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
+  // Guard rails (result is null, matching the composed form's null on
+  // mismatched zip_with lengths, and preventing NaN from poisoning
+  // top-k ordering — Spark sorts NaN above every double):
+  //  - mismatched vector lengths → null (dimension bugs surface)
+  //  - zero-norm input → null (0/0 would be NaN)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -52,7 +60,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
       nb += yf * yf
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,14 +69,22 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
       ctx,
       ev,
       (a, b) => s"""
-        |int n = Math.min($a.numElements(), $b.numElements());
-        |double dot = 0.0, na = 0.0, nb = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  double xf = $a.getFloat(i);
-        |  double yf = $b.getFloat(i);
-        |  dot += xf * yf; na += xf * xf; nb += yf * yf;
+        |int n = $a.numElements();
+        |if (n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double dot = 0.0, na = 0.0, nb = 0.0;
+        |  for (int i = 0; i < n; i++) {
+        |    double xf = $a.getFloat(i);
+        |    double yf = $b.getFloat(i);
+        |    dot += xf * yf; na += xf * xf; nb += yf * yf;
+        |  }
+        |  if (na == 0.0 || nb == 0.0) {
+        |    ${ev.isNull} = true;
+        |  } else {
+        |    ${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
+        |  }
         |}
-        |${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
         |""".stripMargin
     )
 

@@ -47,7 +47,10 @@ object Jobs {
         val existing = spark.read.parquet(catalogDir)
         Upsert.coalesceMerge(existing, normalized.select(existing.columns.map(col).toIndexedSeq: _*), "station_id")
       } else normalized
-    val deduped = Dedup.firstWins(merged, Seq("station_id"), Seq("station_id"))
+    // deterministic within-batch dedup: priority over ALL columns so two
+    // pages carrying the same station with different payloads resolve
+    // the same way every run (priority = the key alone would tie)
+    val deduped = Dedup.firstWins(merged, Seq("station_id"), merged.columns.toSeq)
     val tmp = catalogDir + "__tmp"
     deduped.write.mode(SaveMode.Overwrite).parquet(tmp)
     val out = spark.read.parquet(tmp)

@@ -46,6 +46,9 @@ object AsOf {
           lit(null).cast(rStructType).as("__r")): _*
       )
     val r = right
+      // SQL join semantics: null keys never match — a null-key right row
+      // must not carry into null-key left rows sharing the partition
+      .filter(col(key).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select(

@@ -26,6 +26,11 @@ object Normalize {
     *
     * Expression tree of built-in `to_timestamp`/`coalesce` — ANSI off
     * makes each failed format yield null instead of raising.
+    *
+    * REQUIRES a UTC session timezone (graft.Sessions sets it; Tables
+    * hardens foreign sessions): `to_timestamp` parses naive strings in
+    * the SESSION zone, so a non-UTC session would double-shift the
+    * naive paths.
     */
   def lenientTimestamp(c: Column, naiveZone: String = "UTC"): Column = {
     val iso = to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ssXXX")

@@ -18,10 +18,12 @@ object TextStats {
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   /** BPE-ish regex tokenization: runs of letters, runs of digits, single
-    * other symbols — the classic pre-tokenizer shape.
+    * other symbols — the classic pre-tokenizer shape. Built with
+    * call_function (never SQL-string interpolation of Column.toString,
+    * which breaks on qualified/computed columns).
     */
   def bpeishTokens(c: Column): Column =
-    expr(s"regexp_extract_all(${c.toString}, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    call_function("regexp_extract_all", c, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
 
@@ -91,12 +93,14 @@ object TextStats {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(trim(c), "\\s+", " "))
 
-  /** Polynomial rolling-hash fingerprint over tokens (base-31 mod 2^61-1).
-    * Engine-native (uses Spark's murmur3 `hash` per token) — covered by
-    * unit tests rather than the cross-engine oracle.
+  /** Polynomial rolling-hash fingerprint over tokens (base-31 mod
+    * 2^31-1). The modulus is sized so acc*31 + h stays inside a Long
+    * (acc < 2^31, |h| < 2^31 → |acc*31 + h| < 2^37): the arithmetic is
+    * genuinely the stated polynomial hash, reproducible in any 64-bit
+    * integer engine, with no silent two's-complement wrap.
     */
   def rollingFingerprint(c: Column): Column = {
-    val p = lit(2305843009213693951L) // 2^61 - 1
+    val p = lit(2147483647L) // 2^31 - 1
     aggregate(
       transform(tokens(c), t => hash(t).cast("long")),
       lit(0L),

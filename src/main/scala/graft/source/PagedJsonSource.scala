@@ -84,13 +84,17 @@ class PagedJsonScanBuilder(tableSchema: StructType, path: String)
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
 
-  /** Accept equality and not-null predicates (the shapes the reference
-    * pushes as query params / WHERE clauses); everything else is
-    * returned for Spark to evaluate.
+  /** Accept STRING equality and not-null predicates (the shapes the
+    * reference pushes as query params / WHERE clauses); everything else
+    * is returned for Spark to evaluate. Numeric equality is deliberately
+    * NOT accepted: the reader compares JSON text, and "52.50" vs 52.5
+    * would silently drop matching rows — Spark trusts accepted filters
+    * and never re-checks them.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
-      case _: EqualTo | _: IsNotNull => true
+      case EqualTo(_, v) => v.isInstanceOf[String]
+      case _: IsNotNull => true
       case _ => false
     }
     pushed = accepted

@@ -42,7 +42,9 @@ object PerKeyWatermark {
       .select(
         concat_ws("", keys.map(k => col(k).cast("string")): _*).as("key"),
         col(tsCol).as("ts"),
-        to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("payload")
+        // micros timestampFormat: the default JSON format writes millis
+        // and would truncate event times through the envelope round-trip
+        to_json(struct(df.columns.map(col).toIndexedSeq: _*), jsonOpts).as("payload")
       )
       .as[Keyed]
 
@@ -66,7 +68,9 @@ object PerKeyWatermark {
 
     passed
       .toDF("payload")
-      .select(from_json(col("payload"), schema).as("r"))
+      .select(from_json(col("payload"), schema, jsonOpts).as("r"))
       .select("r.*")
   }
+
+  private val jsonOpts = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
 }

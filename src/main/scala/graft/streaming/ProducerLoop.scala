@@ -63,9 +63,15 @@ object ProducerLoop {
     )
     val emitted = fresh.drop(kcols: _*).cache()
     try {
-      // 1. EMIT first (Kafka envelope shape) ...
+      // 1. EMIT first (Kafka envelope shape; micros timestampFormat so
+      // the envelope preserves event-time precision) ...
       emitted
-        .select(to_json(struct(emitted.columns.map(col).toIndexedSeq: _*)).as("value"))
+        .select(
+          to_json(
+            struct(emitted.columns.map(col).toIndexedSeq: _*),
+            Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+          ).as("value")
+        )
         .write
         .mode(SaveMode.Append)
         .parquet(sinkDir)

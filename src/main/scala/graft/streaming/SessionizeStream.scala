@@ -48,15 +48,26 @@ object SessionizeStream {
             var cur = state.getOption
             rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
               cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), count = s.count + 1))
-                case Some(s) =>
-                  // gap exceeded inside the stream: emit the closed
-                  // session immediately, start a new one
-                  out += SessionOut(key, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.count)
-                  cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
+                case Some(s) if t > s.lastMs =>
+                  if (t - s.lastMs <= gapMs)
+                    cur = Some(s.copy(lastMs = t, count = s.count + 1))
+                  else {
+                    // forward gap exceeded: close and start a new session
+                    out += SessionOut(key, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.count)
+                    cur = Some(SessionState(t, t, 1))
+                  }
+                case Some(s) if t >= s.startMs =>
+                  // late event inside the current span: absorbed
+                  cur = Some(s.copy(count = s.count + 1))
+                case Some(s) if s.startMs - t <= gapMs =>
+                  // late event within gap BEFORE the span: extend backward
+                  cur = Some(s.copy(startMs = t, count = s.count + 1))
+                case Some(_) =>
+                  // far-past late event: its own already-closed session
+                  // (must NOT be folded into the current one)
+                  out += SessionOut(key, new Timestamp(t), new Timestamp(t), 1)
               }
             }
             cur.foreach { s =>

@@ -68,24 +68,38 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
     nullSafeCodeGen(
       ctx,
       ev,
-      (a, b) => s"""
-        |int n = $a.numElements();
-        |if (n != $b.numElements()) {
+      (a, b) => {
+        // Locals MUST come from ctx.freshName: with two non-nullable
+        // children nullSafeExec emits no scoping braces, so two
+        // cosine_sim calls in one generated scope would otherwise
+        // redeclare `n`/`dot`/... — a Janino CompileException that Spark
+        // silently absorbs as interpreted fallback.
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i")
+        val xf = ctx.freshName("xf")
+        val yf = ctx.freshName("yf")
+        s"""
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
         |  ${ev.isNull} = true;
         |} else {
-        |  double dot = 0.0, na = 0.0, nb = 0.0;
-        |  for (int i = 0; i < n; i++) {
-        |    double xf = $a.getFloat(i);
-        |    double yf = $b.getFloat(i);
-        |    dot += xf * yf; na += xf * xf; nb += yf * yf;
+        |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double $xf = $a.getFloat($i);
+        |    double $yf = $b.getFloat($i);
+        |    $dot += $xf * $yf; $na += $xf * $xf; $nb += $yf * $yf;
         |  }
-        |  if (na == 0.0 || nb == 0.0) {
+        |  if ($na == 0.0 || $nb == 0.0) {
         |    ${ev.isNull} = true;
         |  } else {
-        |    ${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
+        |    ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
         |  }
         |}
         |""".stripMargin
+      }
     )
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

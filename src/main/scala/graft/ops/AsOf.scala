@@ -57,9 +57,14 @@ object AsOf {
           struct(rightCols.map(col): _*).as("__r")): _*
       )
     val u = l.unionByName(r)
+    // __r as the final sort key: when several right rows share (key, ts),
+    // last(ignoreNulls) would otherwise pick whichever the (unstable)
+    // sort happened to place last — nondeterministic across runs. Struct
+    // ordering is field-by-field, so ties resolve to the max payload
+    // deterministically. (Requires orderable payload types — no maps.)
     val w = Window
       .partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)

@@ -69,33 +69,47 @@ object TextDedup {
       rows: Int,
       seed: Long
   ): DataFrame = {
-    // Each band key is built DIRECTLY from its own `rows` hash functions
-    // (not by slicing a full-signature array column: projection collapse
-    // would inline the whole bands×rows signature computation once per
-    // band — a bands× blowup). The key is one long (xxhash64 of the
-    // band's minima) — an 8-byte join key; hash collisions are harmless
-    // because exact verification follows.
+    // Codegen-shape note (round-2 fix): the obvious formulation — one
+    // projection holding bands×rows array_min(transform(...)) expressions
+    // (256 at 16×16) — overflows Janino (InternalCompilerError in
+    // BENCH_r01) and silently falls back to interpreted, 2-3× slower.
+    // Instead: explode the band index FIRST, then compute each band's
+    // `rows` minima per band-row with the permutation coefficients looked
+    // up from two array literals. Codegen then emits one small nested
+    // loop regardless of bands×rows. The token-hash array `__hs` is
+    // materialized below the Generate, so it is computed once per doc,
+    // not once per band. The key is one long (xxhash64 of the band's
+    // minima) — an 8-byte join key; hash collisions are harmless because
+    // exact verification follows.
     val cs = coeffs(bands * rows, seed)
+    val aArr = typedLit(cs.map(_._1).toSeq)
+    val bArr = typedLit(cs.map(_._2).toSeq)
     val base = transform(col(setCol), t => hash(t).cast("long"))
     df.select(col(idCol), size(col(setCol)).as("sz"), base.as("__hs"))
       .select(
         col(idCol),
         col("sz"),
-        explode(
-          array((0 until bands).map { b =>
-            struct(
-              lit(b).as("band"),
-              xxhash64(
-                array((0 until rows).map { r =>
-                  val (a, bb) = cs(b * rows + r)
-                  array_min(transform(col("__hs"), h => pmod(lit(a) * h + lit(bb), lit(PRIME))))
-                }.toIndexedSeq: _*)
-              ).as("bsig")
-            )
-          }.toIndexedSeq: _*)
-        ).as("bk")
+        col("__hs"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band")
       )
-      .select(col(idCol), col("sz"), col("bk.band"), col("bk.bsig"))
+      .select(
+        col(idCol),
+        col("sz"),
+        col("band"),
+        xxhash64(
+          transform(
+            // coefficient indices for this band: [band*rows, band*rows+rows)
+            sequence(col("band") * rows, col("band") * rows + lit(rows - 1)),
+            i =>
+              array_min(
+                transform(
+                  col("__hs"),
+                  h => pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(PRIME))
+                )
+              )
+          )
+        ).as("bsig")
+      )
   }
 
   /** LSH candidate pairs: self-join on the band key — the scalable form:

@@ -22,6 +22,11 @@ object WatermarkDedup {
 
   /** Keep rows of `incoming` whose `tsCol` is strictly newer than the
     * cursor for their key; rows whose key has no cursor pass (fail-open).
+    * Rows with a NULL `tsCol` also pass: the reference fail-opens records
+    * whose timestamp failed to parse (it appends them without comparing,
+    * app/main.py `_filter_new_measurements`), and they never advance the
+    * cursor (per-key `max` ignores nulls, so A1 cursor advancement
+    * already excludes them).
     *
     * Join strategy is left to Catalyst/AQE on purpose: a cursor snapshot
     * is one row per key, which is broadcastable for most deployments but
@@ -35,7 +40,7 @@ object WatermarkDedup {
     )
     incoming
       .join(cur, keys, "left")
-      .filter(col("__cursor_ts").isNull || col(tsCol) > col("__cursor_ts"))
+      .filter(col("__cursor_ts").isNull || col(tsCol).isNull || col(tsCol) > col("__cursor_ts"))
       .drop("__cursor_ts")
   }
 

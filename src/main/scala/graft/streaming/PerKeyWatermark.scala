@@ -40,7 +40,11 @@ object PerKeyWatermark {
     val schema = df.schema
     val keyed = df
       .select(
-        concat_ws("", keys.map(k => col(k).cast("string")): _*).as("key"),
+        // JSON-struct key, NOT a joined string: any separator can occur in
+        // the data (colliding distinct tuples), and concat_ws skips null
+        // parts, merging different logical keys into one watermark.
+        // ignoreNullFields=false keeps (null,"x") distinct from ("x",null).
+        to_json(struct(keys.map(col).toIndexedSeq: _*), keyJsonOpts).as("key"),
         col(tsCol).as("ts"),
         // micros timestampFormat: the default JSON format writes millis
         // and would truncate event times through the envelope round-trip
@@ -73,4 +77,9 @@ object PerKeyWatermark {
   }
 
   private val jsonOpts = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+  /** Key-envelope options: null fields must be serialized, or tuples
+    * differing only in WHICH part is null would collide.
+    */
+  private[streaming] val keyJsonOpts = jsonOpts + ("ignoreNullFields" -> "false")
 }

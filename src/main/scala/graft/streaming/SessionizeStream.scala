@@ -23,13 +23,21 @@ object SessionizeStream {
 
   /** `df` must carry a watermark on `tsCol` (withWatermark) — timeouts
     * fire when the watermark passes lastEvent + gap.
+    *
+    * Output: the original key columns (decoded from the internal JSON
+    * key envelope) + session_start / session_end / n_events.
     */
-  def sessions(df: DataFrame, keys: Seq[String], tsCol: String, gapMs: Long): Dataset[SessionOut] = {
+  def sessions(df: DataFrame, keys: Seq[String], tsCol: String, gapMs: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val keySchema = org.apache.spark.sql.types.StructType(keys.map(k => df.schema(k)))
     val keyed = df
       .select(
-        concat_ws("", keys.map(k => col(k).cast("string")): _*).as("key"),
+        // JSON-struct key, NOT a joined string: any separator can occur in
+        // the data (colliding distinct tuples), and concat_ws skips null
+        // parts, merging different logical keys into one watermark.
+        // ignoreNullFields=false keeps (null,"x") distinct from ("x",null).
+        to_json(struct(keys.map(col).toIndexedSeq: _*), PerKeyWatermark.keyJsonOpts).as("key"),
         col(tsCol).as("ts")
       )
       .as[(String, Timestamp)]
@@ -77,6 +85,15 @@ object SessionizeStream {
           }
           out.iterator
         }
+      )
+      // decode the JSON key envelope back to the caller's key columns
+      .select(
+        (from_json(col("key"), keySchema, PerKeyWatermark.keyJsonOpts).as("__k") +:
+          Seq(col("session_start"), col("session_end"), col("n_events"))): _*
+      )
+      .select(
+        (keys.map(k => col(s"__k.`$k`").as(k)) ++
+          Seq(col("session_start"), col("session_end"), col("n_events"))): _*
       )
   }
 }

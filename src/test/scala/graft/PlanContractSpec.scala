@@ -32,6 +32,31 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("__bucket"), "q43 lost its bucket key")
   }
 
+  test("no whole-stage codegen fallback across the full registry") {
+    // BENCH_r01 showed a Janino InternalCompilerError (the 256-expression
+    // minhash band projection) that Spark silently absorbed by falling
+    // back to interpreted execution — 2-3× slower with rc=0. Run every
+    // registry query with the fallback DISABLED so any codegen compile
+    // failure is a hard test failure instead of a silent perf cliff.
+    val conf = spark.conf
+    val prevFallback = conf.get("spark.sql.codegen.fallback", "true")
+    val prevFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+        try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+        catch {
+          case e: Throwable =>
+            fail(s"$q failed under CODEGEN_ONLY (codegen fallback would have hidden this): ${e.getMessage.take(400)}")
+        }
+      }
+    } finally {
+      conf.set("spark.sql.codegen.fallback", prevFallback)
+      conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("filters and pruning reach the lineitem scan: q1") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))

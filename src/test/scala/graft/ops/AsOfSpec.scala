@@ -23,6 +23,25 @@ class AsOfSpec extends SparkSpec {
     (5L, "C", ts("2024-01-01 10:00:00"))  // key with no right rows → nulls
   ).toDF("trade_id", "k", "tts")
 
+  test("ties on (key, ts) resolve deterministically to the max payload struct") {
+    // several right rows share (key, ts): without a payload tiebreak the
+    // carried row depends on sort instability. The struct-ordered
+    // tiebreak must always pick the max (price, quote_id) struct.
+    val dupQuotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Some(99.0), "qa"),
+      ("A", ts("2024-01-01 10:00:00"), Some(101.0), "qb"),
+      ("A", ts("2024-01-01 10:00:00"), Some(100.0), "qc")
+    ).toDF("k", "qts", "price", "quote_id")
+    val oneTrade = Seq((1L, "A", ts("2024-01-01 10:30:00"))).toDF("trade_id", "k", "tts")
+    (1 to 5).foreach { _ =>
+      val r = AsOf
+        .joinAsOf(oneTrade, dupQuotes.repartition(7), "k", "tts", "qts", Seq("price", "quote_id"))
+        .collect()
+        .head
+      assert(r.getDouble(3) == 101.0 && r.getString(4) == "qb")
+    }
+  }
+
   test("as-of join picks the latest right row at or before each left ts") {
     val out = AsOf
       .joinAsOf(trades, quotes, "k", "tts", "qts", Seq("quote_id", "price"))

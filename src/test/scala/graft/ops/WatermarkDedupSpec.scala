@@ -50,6 +50,22 @@ class WatermarkDedupSpec extends SparkSpec {
     assert(second.count() == 0)
   }
 
+  test("null timestamp fails open even when a cursor exists; never advances the cursor") {
+    // reference appends records with unparseable timestamps without
+    // comparing (app/main.py _filter_new_measurements) — they must pass
+    // the cursor filter AND stay out of cursor advancement.
+    val incoming = Seq(
+      ("st1", "pm25", Some(ts("2024-01-01 13:00:00")), 1.0), // newer → keep
+      ("st1", "pm25", None: Option[Timestamp], 2.0), // unparseable ts → keep (fail-open)
+      ("st1", "pm25", Some(ts("2024-01-01 11:00:00")), 3.0) // behind cursor → drop
+    ).toDF("station_id", "pollutant", "ts", "value")
+    val out = WatermarkDedup.filterNew(incoming, cursors, Seq("station_id", "pollutant"), "ts")
+    assert(out.select("value").as[Double].collect().toSeq.sorted == Seq(1.0, 2.0))
+    // cursor advancement (per-key max) ignores the null-ts row
+    val adv = Rollup.maxTsPerKey(out, Seq("station_id", "pollutant"), "ts").collect()
+    assert(adv.length == 1 && adv.head.getTimestamp(2) == ts("2024-01-01 13:00:00"))
+  }
+
   test("in-batch composite keeps earliest arrival per (key, ts) then applies cursor") {
     val incoming = Seq(
       ("st1", "pm25", ts("2024-01-01 13:00:00"), 1L, 10.0), // first arrival → keep

@@ -47,6 +47,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PerKeyWatermark: concatenation-colliding key tuples are independent keys") {
+    // ("ab","c") and ("a","bc") concatenate identically; ("x",null) skips
+    // the null under concat_ws. The JSON-struct key must keep all three
+    // as separate watermarks (regression for the concat_ws key).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val out = PerKeyWatermark.filterNew(input.toDF(), Seq("station_id", "pollutant"), "ts")
+    val q = out.writeStream
+      .format("memory")
+      .queryName("pkw_collide")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("pkw_ckpt2").toString)
+      .start()
+    try {
+      input.addData(Ev("ab", "c", ts("2024-01-01 12:00:00"), 1.0, 1))
+      q.processAllAvailable()
+      // same concat, different tuple, OLDER ts: must still pass
+      input.addData(
+        Ev("a", "bc", ts("2024-01-01 09:00:00"), 2.0, 2),
+        Ev("ab", "c", ts("2024-01-01 11:00:00"), 3.0, 3), // genuinely older same-key → drop
+        Ev("a", null, ts("2024-01-01 08:00:00"), 4.0, 4) // null part ≠ ("a","bc")
+      )
+      q.processAllAvailable()
+      val vals = spark.table("pkw_collide").select("value").as[Double].collect().sorted.toSeq
+      assert(vals == Seq(1.0, 2.0, 4.0))
+    } finally q.stop()
+  }
+
   test("ProducerLoop.processBatch: emit-then-commit, watermark enforced across batches") {
     val dir = Files.createTempDirectory("producer").toString
     val sink = s"$dir/sink"
@@ -142,7 +170,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val rows = spark
         .table("sess_out")
-        .select(col("key"), col("session_start").cast("string"), col("session_end").cast("string"), col("n_events"))
+        .select(col("station_id"), col("session_start").cast("string"), col("session_end").cast("string"), col("n_events"))
         .as[(String, String, String, Long)]
         .collect()
         .toSeq

@@ -871,6 +871,128 @@ object Queries {
       |  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Exact token-set Jaccard >= 0.9 pairs on a BOUNDED slice (doc_id <
+    * 500, i.e. sf0.01-sized regardless of SF) — the text-space exact
+    * baseline that grounds the LSH-approximate q27, the way q45 grounds
+    * q31. O(n²) on the slice by design (audit scale only). Oracle:
+    * DuckDB list_filter-intersect pairwise Jaccard (the q29 pattern).
+    */
+  def q46TextNearDupsExact(s: SparkSession, dir: String): DataFrame =
+    TextDedup
+      .nearDupsExact(
+        Tables.documents(s, dir).filter(col("doc_id") < 500),
+        "doc_id",
+        "text",
+        threshold = 0.9
+      )
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q46Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(string_split_regex(trim(text), '\s+')) AS tk
+      |  FROM documents WHERE doc_id < 500
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) /
+      |  CAST(len(a.tk) + len(b.tk) - len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) AS jac
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) /
+      |      CAST(len(a.tk) + len(b.tk) - len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** In-registry recall of the LSH minhash path (q27's 16×16 banding at
+    * threshold 0.9) against the exact q46 baseline, on the same bounded
+    * slice. One row: (n_exact, n_found, recall). The LSH side verifies
+    * candidates with exact Jaccard, so found ⊆ exact — no false
+    * positives; recall is the only degree of freedom. No SQL oracle (the
+    * LSH side is engine-native); the driver records rows-only, and the
+    * recall value itself is the audit artifact.
+    */
+  def q48MinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.documents(s, dir).filter(col("doc_id") < 500)
+    val exact = TextDedup
+      .nearDupsExact(slice, "doc_id", "text", threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+    val found = TextDedup
+      .nearDupsMinhash(slice, "doc_id", "text", threshold = 0.9, bands = 16, rows = 16)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    exact
+      .join(found, Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_found")
+      )
+      .select(
+        col("n_exact"),
+        col("n_found"),
+        round(col("n_found").cast("double") / col("n_exact").cast("double"), 4).as("recall")
+      )
+  }
+
+  // ---------------------------------------------------------------- q47
+  /** F8 DST path: naive local timestamps interpreted in Europe/Berlin and
+    * converted to UTC across BOTH 2024 DST boundaries (spring-forward
+    * 2024-03-31, fall-back 2024-10-27; reference app/main.py:184-206 —
+    * localize then convert). Sample times avoid the nonexistent
+    * (02:00-03:00 on 03-31) and ambiguous (02:00-03:00 on 10-27) local
+    * hours, where engines legitimately disagree; everything else must
+    * match DuckDB's ICU conversion exactly. Both naive formats ('T' and
+    * space separated) exercised.
+    */
+  def q47Tz(s: SparkSession, dir: String): DataFrame = {
+    val date = when(col("event_id") % 4 === 0, lit("2024-01-15"))
+      .when(col("event_id") % 4 === 1, lit("2024-03-31"))
+      .when(col("event_id") % 4 === 2, lit("2024-07-01"))
+      .otherwise(lit("2024-10-27"))
+    val hour = when(col("event_id") % 3 === 0, lit("01"))
+      .when(col("event_id") % 3 === 1, lit("03"))
+      .otherwise(lit("12"))
+    val sep = when(col("event_id") % 2 === 0, lit("T")).otherwise(lit(" "))
+    val raw = Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        concat(
+          date, sep, hour,
+          lit(":"), lpad((col("event_id") % 60).cast("string"), 2, "0"),
+          lit(":"), lpad((col("user_id") % 60).cast("string"), 2, "0")
+        ).as("ts_raw")
+      )
+    raw
+      .select(
+        col("event_id"),
+        col("ts_raw"),
+        date_format(
+          Normalize.lenientTimestamp(col("ts_raw"), naiveZone = "Europe/Berlin"),
+          "yyyy-MM-dd HH:mm:ss"
+        ).as("utc")
+      )
+      .orderBy(col("event_id"))
+  }
+
+  val q47Oracle: String =
+    """WITH raw AS (
+      |  SELECT event_id,
+      |    (CASE event_id % 4 WHEN 0 THEN '2024-01-15' WHEN 1 THEN '2024-03-31'
+      |                       WHEN 2 THEN '2024-07-01' ELSE '2024-10-27' END)
+      |    || (CASE WHEN event_id % 2 = 0 THEN 'T' ELSE ' ' END)
+      |    || (CASE event_id % 3 WHEN 0 THEN '01' WHEN 1 THEN '03' ELSE '12' END)
+      |    || ':' || lpad(CAST(event_id % 60 AS VARCHAR), 2, '0')
+      |    || ':' || lpad(CAST(user_id % 60 AS VARCHAR), 2, '0') AS ts_raw
+      |  FROM events
+      |)
+      |SELECT event_id, ts_raw,
+      |  strftime(
+      |    timezone('UTC', timezone('Europe/Berlin', COALESCE(
+      |      TRY_STRPTIME(ts_raw, '%Y-%m-%dT%H:%M:%S'),
+      |      TRY_STRPTIME(ts_raw, '%Y-%m-%d %H:%M:%S')))),
+      |    '%Y-%m-%d %H:%M:%S') AS utc
+      |FROM raw
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- q44
   /** HLL distinct sketch (graft.expr.HllSketch, TypedImperativeAggregate,
     * 4 KB state per group at any scale). Deterministic (xxhash64) but
@@ -1246,7 +1368,10 @@ object Queries {
     "q42_asof_join" -> (q42AsofJoin _),
     "q43_range_join" -> (q43RangeJoin _),
     "q44_hll_sketch" -> (q44HllSketch _),
-    "q45_embed_neardups_exact" -> (q45EmbedNearDupsExact _)
+    "q45_embed_neardups_exact" -> (q45EmbedNearDupsExact _),
+    "q46_text_neardups_exact" -> (q46TextNearDupsExact _),
+    "q47_tz" -> (q47Tz _),
+    "q48_minhash_recall" -> (q48MinhashRecall _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1286,6 +1411,8 @@ object Queries {
     "q41_percentiles" -> q41Oracle,
     "q42_asof_join" -> q42Oracle,
     "q43_range_join" -> q43Oracle,
-    "q45_embed_neardups_exact" -> q45Oracle
+    "q45_embed_neardups_exact" -> q45Oracle,
+    "q46_text_neardups_exact" -> q46Oracle,
+    "q47_tz" -> q47Oracle
   )
 }

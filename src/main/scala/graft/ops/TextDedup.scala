@@ -210,6 +210,36 @@ object TextDedup {
       .withColumn("is_kept", col("rep_id") === col(idCol))
   }
 
+  /** Exact all-pairs token-set Jaccard — the O(n²) AUDIT baseline that
+    * grounds the LSH paths (the text twin of the embedding-space q45):
+    * never point it at a full corpus. Its job is recall measurement on a
+    * bounded slice, where the quadratic pair count is affordable and an
+    * ANSI-SQL oracle can verify every pair.
+    */
+  def nearDupsExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double
+  ): DataFrame = {
+    // persist: both cross-join sides share this lineage
+    val sets = df
+      .select(col(idCol), tokenSet(col(textCol)).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sets.select(col(idCol).as("id_a"), col("toks").as("toks_a"), col("sz").as("sz_a"))
+    val b = sets.select(col(idCol).as("id_b"), col("toks").as("toks_b"), col("sz").as("sz_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jac")
+      )
+      .filter(col("jac") >= threshold)
+  }
+
   /** 64-bit SimHash over the token set: per bit, majority vote of the
     * token hashes' bits (+1/-1), folded into one long. Pure nested
     * higher-order-function expression — no UDF, fully distributed.

@@ -101,6 +101,12 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("q48 in-registry recall: 16x16 minhash finds >=95% of exact pairs, zero false positives") {
+    val r = graft.Queries.q48MinhashRecall(spark, "/root/testdata/sf0.01").collect().head
+    assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_exact"), s"false positives: $r")
+    assert(r.getAs[Double]("recall") >= 0.95, s"recall regressed: $r")
+  }
+
   test("rolling fingerprint: equal for identical, differs for different docs") {
     val fps = docs
       .select(col("doc_id"), TextStats.rollingFingerprint(col("text")).as("fp"))

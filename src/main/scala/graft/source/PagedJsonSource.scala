@@ -14,7 +14,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DSv2 batch connector for the reference's paged HTTP catalog sources
-  * (SURVEY.md §2.1 S1-S6).
+  * (SURVEY.md §2.1 S1-S6, §2.6 L2/L3, §2.9 T7).
   *
   * The reference fetches station catalogs page by page
   * (`page <= last_page` loops, reference app/main.py:444-487, 571-625)
@@ -30,15 +30,36 @@ import org.apache.spark.unsafe.types.UTF8String
   *    predicates are accepted by the source and applied while reading
   *    the page (an HTTP implementation would turn them into request
   *    parameters); everything else stays in the Spark plan;
-  *  - COLUMN PRUNING ↔ `SupportsPushDownRequiredColumns`.
+  *  - COLUMN PRUNING ↔ `SupportsPushDownRequiredColumns`;
+  *  - REQUEST BUDGET (L2) ↔ planning-time page cap: the reference stops
+  *    fetching and RETURNS WHAT IT HAS once its request counter reaches
+  *    NL_REQUEST_LIMIT=280 (app/main.py:416, 460-470). A sequential
+  *    counter does not exist across executors, so the distributed
+  *    translation enforces the same contract — at most `requestBudget`
+  *    page requests, output truncated not failed — where the engine
+  *    actually controls request count: partition planning;
+  *  - 429 RETRY/BACKOFF (T7) ↔ per-fetch retry loop in the
+  *    PartitionReader, on the executor: sleep base + step·retry between
+  *    attempts (reference base_sleep=1.0 growing by 0.5 per retry,
+  *    app/main.py:447-481, 518-528), give up after `maxRetries`
+  *    (reference: 5 for list pages) and fail the task;
+  *  - PACING (T7) ↔ optional fixed `paceMs` sleep before each page fetch
+  *    (reference time.sleep(0.1) between pages, 0.03-0.05 between detail
+  *    requests, app/main.py:619, 626, 1103, 1154). Per-partition pacing
+  *    bounds per-executor-slot request rate, the distributed analog of
+  *    the reference's single-loop pacing.
   *
   * Pages live as local JSONL files (`page-*.jsonl`) — the zero-egress
-  * stand-in for HTTP responses; the paging/backoff/budget logic of a
-  * live connector (reference L2/T7) belongs in the PartitionReader's
-  * fetch, outside the planner, exactly as SURVEY §2.1 prescribes.
+  * stand-in for HTTP responses. A 429 burst is simulated by a sidecar
+  * file `page-NNNN.jsonl.429` whose content is the number of consecutive
+  * 429 responses the "server" returns before succeeding; the reader's
+  * retry loop treats each as a live 429.
   *
   * Usage: spark.read.format("graft.source.PagedJsonSource")
-  *   .schema(schema).option("path", pagesDir).load()
+  *   .schema(schema).option("path", pagesDir)
+  *   .option("requestBudget", "280").option("maxRetries", "5")
+  *   .option("backoffBaseMs", "1000").option("backoffStepMs", "500")
+  *   .option("paceMs", "100").load()
   */
 class PagedJsonSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -67,16 +88,37 @@ object PagedJsonSource {
   )
 }
 
+/** Fetch-discipline knobs (L2/T7), serialized to executors with the
+  * reader factory. Defaults mirror the reference's published numbers.
+  */
+case class FetchConfig(
+    requestBudget: Int = Int.MaxValue, // reference: NL_REQUEST_LIMIT = 280
+    maxRetries: Int = 5, // reference: retries < 5 for list pages
+    backoffBaseMs: Long = 1000L, // reference: base_sleep = 1.0 s
+    backoffStepMs: Long = 500L, // reference: +0.5 s per retry
+    paceMs: Long = 0L // reference: 0.03-0.1 s between requests
+)
+
+object FetchConfig {
+  def fromOptions(options: CaseInsensitiveStringMap): FetchConfig = FetchConfig(
+    requestBudget = options.getInt("requestBudget", Int.MaxValue),
+    maxRetries = options.getInt("maxRetries", 5),
+    backoffBaseMs = options.getLong("backoffBaseMs", 1000L),
+    backoffStepMs = options.getLong("backoffStepMs", 500L),
+    paceMs = options.getLong("paceMs", 0L)
+  )
+}
+
 class PagedJsonTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
   override def name(): String = s"paged_json($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedJsonScanBuilder(tableSchema, path)
+    new PagedJsonScanBuilder(tableSchema, path, FetchConfig.fromOptions(options))
 }
 
-class PagedJsonScanBuilder(tableSchema: StructType, path: String)
+class PagedJsonScanBuilder(tableSchema: StructType, path: String, cfg: FetchConfig)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -106,49 +148,93 @@ class PagedJsonScanBuilder(tableSchema: StructType, path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PagedJsonScan(required, path, pushed)
+  override def build(): Scan = new PagedJsonScan(required, path, pushed, cfg)
 }
 
-class PagedJsonScan(readSchema: StructType, path: String, pushed: Array[Filter])
+class PagedJsonScan(readSchema: StructType, path: String, pushed: Array[Filter], cfg: FetchConfig)
     extends Scan
-    with Batch {
+    with Batch
+    with org.apache.spark.internal.Logging {
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"PagedJsonScan(path=$path, pushed=${pushed.mkString(",")})"
+    s"PagedJsonScan(path=$path, pushed=${pushed.mkString(",")}, budget=${cfg.requestBudget})"
 
-  /** One partition per page file — the pagination ↔ partition mapping. */
+  /** One partition per page file — the pagination ↔ partition mapping.
+    * The L2 request budget caps how many pages are planned at all: like
+    * the reference at its 280-request limit, a budgeted scan returns the
+    * prefix it could afford instead of failing.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
     val pages = Option(new java.io.File(path).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("page-") && f.getName.endsWith(".jsonl"))
       .sortBy(_.getName)
-    pages.map(f => PageInputPartition(f.getAbsolutePath): InputPartition)
+    if (pages.length > cfg.requestBudget) {
+      logWarning(
+        s"request budget reached: planning ${cfg.requestBudget} of ${pages.length} " +
+          s"pages from $path (reference semantics: truncate, don't fail)")
+    }
+    pages.take(cfg.requestBudget).map(f => PageInputPartition(f.getAbsolutePath): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PageReaderFactory(readSchema, pushed)
+    new PageReaderFactory(readSchema, pushed, cfg)
 }
 
 case class PageInputPartition(file: String) extends InputPartition
 
-class PageReaderFactory(readSchema: StructType, pushed: Array[Filter])
+class PageReaderFactory(readSchema: StructType, pushed: Array[Filter], cfg: FetchConfig)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PageReader(partition.asInstanceOf[PageInputPartition].file, readSchema, pushed)
+    new PageReader(partition.asInstanceOf[PageInputPartition].file, readSchema, pushed, cfg)
 }
 
-/** Reads one page. A live HTTP connector performs the GET (+ retry/
-  * backoff/budget, reference app/main.py:447-481) right here, once per
-  * partition, on the executor.
+object PageReader {
+  /** Local-mode diagnostics for specs: total simulated-429 retries and
+    * paced fetches observed in this JVM. In cluster mode these are
+    * per-executor numbers (a live connector would report them as custom
+    * task metrics instead).
+    */
+  val retried429 = new java.util.concurrent.atomic.AtomicLong()
+  val fetches = new java.util.concurrent.atomic.AtomicLong()
+}
+
+/** Reads one page. The "fetch" happens here, once per partition, on the
+  * executor — pacing first, then the 429 retry/backoff loop (reference
+  * app/main.py:447-481): sleep backoffBase + backoffStep·retry between
+  * attempts, fail the task after `maxRetries` consecutive 429s exactly
+  * as the reference re-raises after its retry cap.
   */
-class PageReader(file: String, readSchema: StructType, pushed: Array[Filter])
+class PageReader(file: String, readSchema: StructType, pushed: Array[Filter], cfg: FetchConfig)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines = scala.io.Source.fromFile(file)
+  private val lines = fetch()
   private val it = lines.getLines().map(mapper.readTree).filter(matches)
   private var current: JsonNode = _
+
+  private def fetch(): scala.io.Source = {
+    if (cfg.paceMs > 0) Thread.sleep(cfg.paceMs)
+    PageReader.fetches.incrementAndGet()
+    // sidecar protocol: "<page>.429" holds the number of consecutive 429
+    // responses the simulated server returns before this page succeeds
+    val sidecar = new java.io.File(file + ".429")
+    val burst =
+      if (sidecar.exists()) scala.io.Source.fromFile(sidecar).mkString.trim.toInt else 0
+    var got429 = 0
+    while (got429 < burst) {
+      val retry = got429 + 1
+      if (retry > cfg.maxRetries)
+        throw new java.io.IOException(
+          s"HTTP 429 for page $file: gave up after ${cfg.maxRetries} retries " +
+            "(reference app/main.py:447-481 re-raises past its retry cap)")
+      PageReader.retried429.incrementAndGet()
+      Thread.sleep(cfg.backoffBaseMs + cfg.backoffStepMs * retry)
+      got429 += 1
+    }
+    scala.io.Source.fromFile(file)
+  }
 
   private def matches(node: JsonNode): Boolean = pushed.forall {
     case EqualTo(attr, value) =>

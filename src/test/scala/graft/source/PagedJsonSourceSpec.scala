@@ -62,6 +62,64 @@ class PagedJsonSourceSpec extends SparkSpec {
     assert(scanLine.nonEmpty)
   }
 
+  test("L2 request budget: scan plans only the first N pages and truncates, not fails") {
+    // reference semantics at NL_REQUEST_LIMIT (app/main.py:416, 460-470):
+    // budget reached → return what was fetched so far
+    val df = spark.read
+      .format("graft.source.PagedJsonSource")
+      .schema(PagedJsonSource.defaultSchema)
+      .option("path", dir)
+      .option("requestBudget", "2")
+      .load()
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.select("station_id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("DE1", "DE2", "NL1", "NL2"))
+  }
+
+  test("T7 backoff: a 429 burst below maxRetries is retried to success") {
+    val d = Files.createTempDirectory("pages429").toString
+    Files.writeString(
+      Paths.get(d, "page-0001.jsonl"),
+      """{"station_id":"A1","source":"de","city":"X","lat":1.0,"lon":2.0}
+        |""".stripMargin
+    )
+    Files.writeString(Paths.get(d, "page-0001.jsonl.429"), "2")
+    val before = PageReader.retried429.get()
+    val df = spark.read
+      .format("graft.source.PagedJsonSource")
+      .schema(PagedJsonSource.defaultSchema)
+      .option("path", d)
+      .option("maxRetries", "5")
+      .option("backoffBaseMs", "1")
+      .option("backoffStepMs", "1")
+      .option("paceMs", "1")
+      .load()
+    assert(df.count() == 1) // two simulated 429s, then success
+    assert(PageReader.retried429.get() - before == 2)
+  }
+
+  test("T7 backoff: a 429 burst past maxRetries fails the read (reference re-raises)") {
+    val d = Files.createTempDirectory("pages429x").toString
+    Files.writeString(
+      Paths.get(d, "page-0001.jsonl"),
+      """{"station_id":"A1","source":"de","city":"X","lat":1.0,"lon":2.0}
+        |""".stripMargin
+    )
+    Files.writeString(Paths.get(d, "page-0001.jsonl.429"), "7")
+    val df = spark.read
+      .format("graft.source.PagedJsonSource")
+      .schema(PagedJsonSource.defaultSchema)
+      .option("path", d)
+      .option("maxRetries", "2")
+      .option("backoffBaseMs", "1")
+      .option("backoffStepMs", "0")
+      .load()
+    val e = intercept[Exception] { df.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("429")), s"unexpected failure: $e")
+  }
+
   test("feeds the catalog-refresh job end-to-end (null island dropped)") {
     val out = Files.createTempDirectory("cat").toString + "/stations"
     val n = graft.jobs.Jobs.catalogRefresh(spark, read(), out)

@@ -932,6 +932,42 @@ object Queries {
       )
   }
 
+  // ---------------------------------------------------------------- q49
+  /** ANN with ADAPTIVE LSH parameters: (nbits, tables) derived from the
+    * corpus size and cosine regime by Similarity.lshParams instead of
+    * fixture-tuned constants — the policy that keeps recall stable from
+    * sf0.001 to 1000× without retuning. Output is a one-row audit:
+    * corpus size, derived params, and recall vs the exact brute-force
+    * top-5 (q25's form). No SQL oracle (LSH is engine-native); the
+    * driver records rows-only and the recall value is the artifact.
+    */
+  def q49AnnAdaptiveRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val n = e.count()
+    val (nbits, tables) = Similarity.lshParams(n, targetCosine = 0.4)
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity
+      .bruteTopK(e, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity
+      .annTopK(e, queries, k = 5, nbits = nbits, tables = tables)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_found")
+      )
+      .select(
+        lit(n).as("n_vectors"),
+        lit(nbits).as("nbits"),
+        lit(tables).as("tables"),
+        col("n_exact"),
+        col("n_found"),
+        round(col("n_found").cast("double") / col("n_exact").cast("double"), 4).as("recall")
+      )
+  }
+
   // ---------------------------------------------------------------- q47
   /** F8 DST path: naive local timestamps interpreted in Europe/Berlin and
     * converted to UTC across BOTH 2024 DST boundaries (spring-forward
@@ -1371,7 +1407,8 @@ object Queries {
     "q45_embed_neardups_exact" -> (q45EmbedNearDupsExact _),
     "q46_text_neardups_exact" -> (q46TextNearDupsExact _),
     "q47_tz" -> (q47Tz _),
-    "q48_minhash_recall" -> (q48MinhashRecall _)
+    "q48_minhash_recall" -> (q48MinhashRecall _),
+    "q49_ann_adaptive" -> (q49AnnAdaptiveRecall _)
   )
 
   val oracles: Map[String, String] = Map(

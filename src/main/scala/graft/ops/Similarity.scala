@@ -48,6 +48,15 @@ object Similarity {
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * (it is broadcast). Ranking is on cosine rounded to 4 decimals with an
     * id tie-break, so results are deterministic and oracle-comparable.
+    *
+    * Shuffle shape: the rank-filter pattern is recognized by Catalyst's
+    * InferWindowGroupLimit, which plants a PARTIAL WindowGroupLimit below
+    * the exchange — each map partition forwards at most k rows per query
+    * (a bounded heap, the same state bound as a hand-written top-k
+    * aggregator) and only n_partitions·q·k rows shuffle, never the n·q
+    * scored set. PlanContractSpec pins this so a refactor can't lose it;
+    * graft.expr.TopKByScore remains the typed-API form of the same
+    * bounded-buffer idea.
     */
   def bruteTopK(
       corpus: DataFrame,
@@ -79,11 +88,59 @@ object Similarity {
     Array.fill(nbits, dim)(rnd.nextDouble() * 2 - 1)
   }
 
+  /** Probability that one random hyperplane puts both vectors of a pair
+    * with cosine `c` on the same side: 1 − θ/π (Goemans–Williamson /
+    * Charikar sign-sketch collision probability).
+    */
+  def bitAgreeProb(c: Double): Double = 1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
+
+  /** Adaptive LSH parameter policy — replaces fixture-tuned constants
+    * with a derivation from corpus stats, so the same call keeps working
+    * across a 1000× corpus-size spread:
+    *
+    *  - `nbits` controls BUCKET SIZE (cost): expected bucket population
+    *    is n/2^nbits for balanced sketches, so nbits ≈ log2(n /
+    *    targetBucket). Too few bits at 10⁹ rows means giant buckets and
+    *    a quadratic bucket join — this is the scale killer the policy
+    *    exists to prevent.
+    *  - `tables` controls RECALL: a pair at cosine `targetCosine` shares
+    *    one table's bucket with probability p^nbits (p = 1 − θ/π), so L
+    *    tables reach recall 1 − (1 − p^nbits)^L; solving for L gives
+    *    ln(1 − targetRecall) / ln(1 − p^nbits).
+    *
+    * RECALL IS THE CONTRACT: if the recall target needs more than
+    * `maxTables` tables at the cost-optimal nbits (low-cosine regimes on
+    * big corpora), nbits backs off one bit at a time — bigger buckets,
+    * more verification work, but the promised recall — rather than
+    * silently under-recalling.
+    */
+  def lshParams(
+      n: Long,
+      targetCosine: Double,
+      targetRecall: Double = 0.85,
+      targetBucket: Int = 64,
+      maxNbits: Int = 20,
+      maxTables: Int = 64
+  ): (Int, Int) = {
+    val p = bitAgreeProb(targetCosine)
+    def tablesFor(nbits: Int): Double = {
+      val pBucket = math.pow(p, nbits.toDouble)
+      if (pBucket >= 1.0) 1.0
+      else math.log(1.0 - targetRecall) / math.log(1.0 - pBucket)
+    }
+    var nbits = math.max(2, math.min(maxNbits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+    while (nbits > 2 && tablesFor(nbits) > maxTables) nbits -= 1
+    val tables = math.max(1, math.min(maxTables, math.ceil(tablesFor(nbits)).toInt))
+    (nbits, tables)
+  }
+
   /** Sign-sketch bucket id (one LSH table): nbits sign bits of the
     * hyperplane dot products, folded into a long.
     *
-    * Scale note: `nbits` must grow with the corpus — target
-    * nbits ≈ log2(n / desired_bucket_size); the 6-bit default suits the
+    * Scale note: `nbits` must grow with the corpus — use `lshParams` to
+    * derive (nbits, tables) from corpus size and the cosine regime of
+    * interest instead of hand-tuning; the 6-bit default suits the
     * 10³-10⁴-row fixtures. A fixed nbits at 10⁹+ rows means giant
     * buckets and a quadratic bucket join.
     */

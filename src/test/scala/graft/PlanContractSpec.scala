@@ -26,6 +26,17 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("brute/ann top-k shuffle only partial top-k rows (WindowGroupLimit): q25, q30") {
+    // InferWindowGroupLimit must keep planting a Partial WindowGroupLimit
+    // below the exchange: each map partition forwards <= k rows per query
+    // instead of shuffling the full n x q scored set.
+    Seq("q25_knn_brute", "q30_ann_lsh").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q lost its WindowGroupLimit top-k pruning")
+      assert(p.contains("Partial"), s"$q lost the map-side partial top-k:\n${p.take(600)}")
+    }
+  }
+
   test("range join is an equi join (no nested loop): q43") {
     val p = plan("q43_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), "q43 degenerated to a nested loop")

@@ -77,6 +77,57 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall@5 = $mean")
   }
 
+  test("adaptive lshParams: recall stable across a 10x corpus-size spread, no retuning") {
+    // identical policy call at 400 and 4000 vectors must hold recall,
+    // and nbits must actually adapt to corpus size, not stay a tuned
+    // constant. (Synthetic clustered corpora: the parquet fixtures only
+    // span 4x — 500 to 2000 vectors — which the q49 test below covers.)
+    val recalls = Seq(400, 4000).map { n =>
+      val corpus = clustered(n).toDF("vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") < 8)
+      val (nbits, tables) = Similarity.lshParams(n.toLong, targetCosine = 0.9)
+      val brute = Similarity
+        .bruteTopK(corpus, queries, k = 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val ann = Similarity
+        .annTopK(corpus, queries, k = 5, nbits = nbits, tables = tables)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = brute.map { case (q, bs) =>
+        ann.get(q).map(as => as.intersect(bs).size.toDouble / bs.size).getOrElse(0.0)
+      }
+      (n, nbits, tables, rs.sum / rs.size)
+    }
+    recalls.foreach { case (n, nbits, tables, recall) =>
+      assert(recall >= 0.6, s"recall $recall below floor at n=$n (nbits=$nbits tables=$tables)")
+    }
+    val Seq((_, bitsSmall, _, _), (_, bitsBig, _, _)) = recalls
+    assert(bitsBig > bitsSmall, "policy stopped adapting nbits to corpus size")
+  }
+
+  test("q49 in-registry adaptive ANN holds recall on the real corpus at 500 and 2000 vectors") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1").foreach { dir =>
+      val r = graft.Queries.q49AnnAdaptiveRecall(spark, dir).collect().head
+      assert(r.getAs[Double]("recall") >= 0.7,
+        s"$dir: recall ${r.getAs[Double]("recall")} (nbits=${r.getAs[Int]("nbits")} tables=${r.getAs[Int]("tables")})")
+    }
+  }
+
+  test("lshParams policy math: buckets track corpus size; table clamp trades cost not recall") {
+    // cost axis: nbits tracks log2(n/targetBucket)
+    assert(Similarity.lshParams(1L << 16, 0.9, targetBucket = 64)._1 == 10)
+    // recall axis: lower target cosine (harder pairs) needs more tables
+    val easy = Similarity.lshParams(100000, 0.9)._2
+    val hard = Similarity.lshParams(100000, 0.4)._2
+    assert(hard > easy)
+    // when the recall target would exceed maxTables, nbits backs off
+    // (bigger buckets) instead of under-recalling
+    val (nbitsHuge, tablesHuge) = Similarity.lshParams(1L << 30, 0.4, maxTables = 64)
+    assert(tablesHuge <= 64)
+    assert(nbitsHuge < 24) // backed off from log2(2^30/64) = 24
+  }
+
   test("embedding near-dups finds planted duplicate pair") {
     val data = clustered(100)
     // plant an exact duplicate of vec 0 with id 1000

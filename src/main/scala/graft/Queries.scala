@@ -932,6 +932,33 @@ object Queries {
       )
   }
 
+  // ---------------------------------------------------------------- q50
+  /** Bloom-prefiltered fact×dim join (ops.BloomJoin): a 2^16-bit Bloom
+    * filter built over the selective dim keys (p_size=1, ~2% of parts)
+    * drops non-matching lineitem rows MAP-SIDE before the join; the
+    * exact join then removes Bloom false positives, so the result — and
+    * the DuckDB oracle — is the plain join. The artifact under test is
+    * row-identity with the unfiltered join plus the prefilter plan shape
+    * (asserted in BloomSpec).
+    */
+  def q50BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey", "l_quantity")
+    val dims = Tables
+      .part(s, dir)
+      .filter(col("p_size") === 1)
+      .select("p_partkey", "p_brand", "p_retailprice")
+    BloomJoin
+      .join(facts, dims, "l_partkey", "p_partkey", log2bits = 16)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("p_brand"), col("p_retailprice"))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("p_brand"), col("p_retailprice"))
+  }
+
+  val q50Oracle: String =
+    """SELECT l_orderkey, l_partkey, l_quantity, p_brand, p_retailprice
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size = 1
+      |ORDER BY l_orderkey, l_partkey, l_quantity, p_brand, p_retailprice""".stripMargin
+
   // ---------------------------------------------------------------- q49
   /** ANN with ADAPTIVE LSH parameters: (nbits, tables) derived from the
     * corpus size and cosine regime by Similarity.lshParams instead of
@@ -1408,7 +1435,8 @@ object Queries {
     "q46_text_neardups_exact" -> (q46TextNearDupsExact _),
     "q47_tz" -> (q47Tz _),
     "q48_minhash_recall" -> (q48MinhashRecall _),
-    "q49_ann_adaptive" -> (q49AnnAdaptiveRecall _)
+    "q49_ann_adaptive" -> (q49AnnAdaptiveRecall _),
+    "q50_bloom_join" -> (q50BloomJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1450,6 +1478,7 @@ object Queries {
     "q43_range_join" -> q43Oracle,
     "q45_embed_neardups_exact" -> q45Oracle,
     "q46_text_neardups_exact" -> q46Oracle,
-    "q47_tz" -> q47Oracle
+    "q47_tz" -> q47Oracle,
+    "q50_bloom_join" -> q50Oracle
   )
 }

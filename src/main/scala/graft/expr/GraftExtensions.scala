@@ -25,5 +25,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => HllSketch(exprs.head).toAggregateExpression()
       )
     )
+    e.injectFunction(
+      (
+        FunctionIdentifier("bloom_agg"),
+        new ExpressionInfo(classOf[BloomSketch].getCanonicalName, "bloom_agg"),
+        (exprs: Seq[Expression]) => BloomSketch(exprs.head).toAggregateExpression()
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("might_contain"),
+        new ExpressionInfo(classOf[BloomMightContain].getCanonicalName, "might_contain"),
+        (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))
+      )
+    )
   }
 }

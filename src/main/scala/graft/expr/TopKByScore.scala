@@ -17,8 +17,12 @@ class TopKByScore(k: Int) extends Aggregator[(String, Long, Double), Seq[(Double
   private def better(a: (Double, Long), b: (Double, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
+  // distinct first: LSH candidate generation can surface the same
+  // (score, id) pair through several tables/batches; a duplicate must
+  // not occupy two of the k slots (makes the aggregator idempotent to
+  // re-delivered candidates — required by the streaming ANN path).
   private def trim(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    buf.sortWith(better).take(k)
+    buf.distinct.sortWith(better).take(k)
 
   override def zero: Seq[(Double, Long)] = Seq.empty
 

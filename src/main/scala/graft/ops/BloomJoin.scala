@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShim
+import graft.expr.{BloomMightContain, BloomSketch}
+
+/** Bloom-prefiltered join — a hand-rolled runtime filter.
+  *
+  * Build a Bloom filter over the build side's join keys (one OR-mergeable
+  * 2^log2bits-bit aggregate), broadcast the single-row result, and drop
+  * probe rows whose key is DEFINITELY absent BEFORE the probe side
+  * shuffles. The exact join afterwards removes Bloom false positives, so
+  * the result is row-identical to the plain join; the win is shuffle
+  * volume — at 1% join selectivity the probe shuffle shrinks ~100×.
+  *
+  * This is what Spark's own InjectRuntimeFilter does for eligible
+  * shuffle-join plans; owning the primitive makes the same trick usable
+  * where the optimizer won't plant it (semantic filters, pre-aggregation
+  * reduction, multi-stage pipelines that reuse the filter).
+  *
+  * Scale notes:
+  *  - the filter is CONSTANT-SIZE state (128 KiB at log2bits=20) built
+  *    with one partial+final aggregate over the build side — no driver
+  *    collect, merged as byte-wise OR;
+  *  - size log2bits ≈ log2(10·n_build) for ~1% false positives at k=7;
+  *  - the probe-side filter is a map-side codegen'd expression
+  *    (graft.expr.BloomMightContain) — zero extra shuffles.
+  */
+object BloomJoin {
+
+  def bloomAgg(key: Column, log2bits: Int = 20, k: Int = 7): Column =
+    GraftShim.column(
+      BloomSketch(GraftShim.expression(key), log2bits, k).toAggregateExpression())
+
+  def mightContain(bloom: Column, key: Column, k: Int = 7): Column =
+    GraftShim.column(
+      BloomMightContain(GraftShim.expression(bloom), GraftShim.expression(key), k))
+
+  /** Drop `probe` rows whose `probeKey` is definitely not in
+    * `build.buildKey`. Output is a superset of the semi join (Bloom
+    * false positives survive) — compose with the exact join for exact
+    * results.
+    */
+  def prefilter(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      log2bits: Int = 20,
+      k: Int = 7
+  ): DataFrame = {
+    val bf = build.agg(bloomAgg(col(buildKey), log2bits, k).as("__bf"))
+    probe
+      .crossJoin(broadcast(bf))
+      .filter(mightContain(col("__bf"), col(probeKey), k))
+      .drop("__bf")
+  }
+
+  /** Exact inner join with the Bloom prefilter planted on the probe side
+    * — row-identical to `probe.join(build, probe(probeKey) ===
+    * build(buildKey))`, minus the shuffled false-negative-free rows.
+    */
+  def join(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      log2bits: Int = 20,
+      k: Int = 7
+  ): DataFrame = {
+    val filtered = prefilter(probe, build, probeKey, buildKey, log2bits, k)
+    filtered.join(build, filtered(probeKey) === build(buildKey))
+  }
+}

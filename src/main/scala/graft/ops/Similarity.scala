@@ -190,6 +190,30 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Public form of the bucket index for stream-static ANN
+    * (graft.streaming.StreamingAnn): the same narrow (id, tbl, bucket)
+    * rows the batch candidate join uses, buildable once over a static
+    * corpus and joined against every micro-batch.
+    */
+  def bucketIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nbits: Int = 6,
+      tables: Int = 8,
+      dim: Int = 64
+  ): DataFrame = bucketRows(df, idCol, vecCol, nbits, tables, dim)
+
+  /** Per-table bucket assignments as an array of (tbl, bucket) structs —
+    * explode for one row per LSH table. Seeds are fixed per table index,
+    * so buckets computed anywhere (including map-side on a stream) join
+    * against a batch-built bucketIndex.
+    */
+  def bucketStructs(vecCol: Column, nbits: Int = 6, tables: Int = 8, dim: Int = 64): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(vecCol, nbits, dim, seed = 7700 + t).as("bucket"))
+    }.toIndexedSeq: _*)
+
   /** Narrow (id, tbl, bucket) rows — one per (vector, LSH table). */
   private def bucketRows(
       df: DataFrame,
@@ -199,14 +223,8 @@ object Similarity {
       tables: Int,
       dim: Int
   ): DataFrame =
-    df.select(
-      col(idCol),
-      explode(
-        array((0 until tables).map { t =>
-          struct(lit(t).as("tbl"), lshBucket(col(vecCol), nbits, dim, seed = 7700 + t).as("bucket"))
-        }.toIndexedSeq: _*)
-      ).as("bk")
-    ).select(col(idCol), col("bk.tbl"), col("bk.bucket"))
+    df.select(col(idCol), explode(bucketStructs(col(vecCol), nbits, tables, dim)).as("bk"))
+      .select(col(idCol), col("bk.tbl"), col("bk.bucket"))
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
     * shared LSH buckets (no O(n²) cross join).

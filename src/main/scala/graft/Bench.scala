@@ -6,17 +6,30 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM+codegen warm-up on the smallest SF so BENCH measures the engine,
-    // not first-call classloading.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+    // Two-stage warm-up so BENCH measures the engine, not the JVM:
+    // sf0.001 loads classes and fills the codegen cache; sf0.01 executes
+    // enough loop iterations that C2 actually compiles the generated
+    // kernels (the tiny pass alone leaves the hot LSH loops in the
+    // interpreter/C1 tier, which showed up as 12 s vs 50 s run-to-run
+    // swings on q27).
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { warmDir =>
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
     }
-    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       // drop persisted intermediates between queries: operators persist
       // self-join inputs; letting them pile up across 30+ queries skews
       // later timings with GC pressure
+      // settle the heap so query N's garbage isn't collected on query
+      // N+1's clock, then give the ContextCleaner a beat to drain the
+      // shuffle/broadcast removals the GC just queued — otherwise the
+      // cleanup RPC storm lands inside the next timed window
+      // (single-JVM sequential bench)
+      System.gc()
+      Thread.sleep(750)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       spark.catalog.clearCache()

@@ -932,6 +932,104 @@ object Queries {
       )
   }
 
+  // ---------------------------------------------------------------- q52
+  /** Deterministic stratified sampling: 10 docs per source in a
+    * reproducible multiplicative-hash order (TextStats.stratifiedSample)
+    * — the quota-sampling shape a training-data pipeline uses for
+    * per-language / per-source balancing. The rank filter plans a
+    * Partial WindowGroupLimit, so only ~groups×10 rows shuffle.
+    */
+  def q52StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    TextStats
+      .stratifiedSample(
+        Tables.documents(s, dir).select(col("source"), col("doc_id")),
+        "source",
+        "doc_id",
+        perGroup = 10
+      )
+      .select(col("source"), col("doc_id"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+
+  val q52Oracle: String =
+    """SELECT source, doc_id, rn FROM (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY source
+      |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
+      |  FROM documents
+      |) WHERE rn <= 10
+      |ORDER BY source, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  /** Text cleaning battery: deterministic dirty text (synthetic email +
+    * phone derived from doc_id) pushed through PII redaction and
+    * whitespace normalization (TextStats.redactPii / normalizeWs) —
+    * pure map-side regexp work, oracled verbatim in DuckDB (shared
+    * Java/RE2 regex subset).
+    */
+  def q53TextClean(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val dirty = concat(
+      col("text"),
+      lit("  contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      lit(" or +1 555 01"), lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(" 999  ")
+    )
+    d.select(
+      col("doc_id"),
+      TextStats.normalizeWs(TextStats.redactPii(dirty)).as("clean")
+    ).orderBy(col("doc_id"))
+  }
+
+  val q53Oracle: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        text || '  contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |             || ' or +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' 999  ',
+      |        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |      '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'),
+      |    '\s+', ' ', 'g')) AS clean
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  /** Near-dup CLUSTERS: connected components over the exact-pair graph
+    * of the q46 audit slice (ops.Components, iterative min-label
+    * propagation — the closure dedupAssignments one-hops). Oracle:
+    * DuckDB recursive CTE computing min-reachable-id per node — an
+    * exact, independent formulation of the same closure.
+    */
+  def q51ConnectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.nearDupsExact(
+      Tables.documents(s, dir).filter(col("doc_id") < 500),
+      "doc_id",
+      "text",
+      threshold = 0.9
+    )
+    Components.connectedComponents(pairs).orderBy(col("id"))
+  }
+
+  val q51Oracle: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS tk
+      |  FROM documents WHERE doc_id < 500
+      |), edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) /
+      |        CAST(len(a.tk) + len(b.tk) - len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) >= 0.9
+      |), sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM edges
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM edges
+      |), reach(id, comp) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+      |)
+      |SELECT id, MIN(comp) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   // ---------------------------------------------------------------- q50
   /** Bloom-prefiltered fact×dim join (ops.BloomJoin): a 2^16-bit Bloom
     * filter built over the selective dim keys (p_size=1, ~2% of parts)
@@ -1436,7 +1534,10 @@ object Queries {
     "q47_tz" -> (q47Tz _),
     "q48_minhash_recall" -> (q48MinhashRecall _),
     "q49_ann_adaptive" -> (q49AnnAdaptiveRecall _),
-    "q50_bloom_join" -> (q50BloomJoin _)
+    "q50_bloom_join" -> (q50BloomJoin _),
+    "q51_connected_components" -> (q51ConnectedComponents _),
+    "q52_stratified_sample" -> (q52StratifiedSample _),
+    "q53_text_clean" -> (q53TextClean _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1479,6 +1580,9 @@ object Queries {
     "q45_embed_neardups_exact" -> q45Oracle,
     "q46_text_neardups_exact" -> q46Oracle,
     "q47_tz" -> q47Oracle,
-    "q50_bloom_join" -> q50Oracle
+    "q50_bloom_join" -> q50Oracle,
+    "q51_connected_components" -> q51Oracle,
+    "q52_stratified_sample" -> q52Oracle,
+    "q53_text_clean" -> q53Oracle
   )
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the exact closure
+  * that [[TextDedup.dedupAssignments]] approximates in one hop. Used to
+  * turn near-duplicate PAIRS into duplicate CLUSTERS (one representative
+  * per component keeps; everything else drops).
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labelled with itself; each round every node takes the minimum label
+  * across itself and its neighbors; fixpoint in O(component diameter)
+  * rounds. Near-dup graphs are clique-ish (diameter 1-3), so 2-4 rounds
+  * close the overwhelming majority of real corpora.
+  *
+  * Scale shape: each round is one equi join (labels × edges, shuffled on
+  * the edge key) + one groupBy-min — no collect of nodes or edges, state
+  * is one (id, label) row per node. The only driver-side value per round
+  * is the scalar `changed` count that decides convergence, the same
+  * pattern as any iterative DataFrame algorithm (GraphX/Pregel does the
+  * same under the hood). Persisted per round, previous round unpersisted.
+  */
+object Components {
+
+  /** @param edges two-column DataFrame of undirected edges
+    * @return (id, component) — component is the min node id reachable;
+    *         isolated nodes absent from `edges` are absent here too
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String = "id_a",
+      dstCol: String = "id_b",
+      maxIter: Int = 20
+  ): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // localCheckpoint, not persist: every round's frame is derived from
+    // the previous round's, so the LOGICAL plan doubles per iteration —
+    // a cached-but-uncheckpointed loop spends exponentially growing time
+    // in analysis/codegen even though the data is tiny (the standard
+    // iterative-DataFrame pitfall; GraphFrames checkpoints for the same
+    // reason). localCheckpoint materializes AND truncates lineage.
+    var labels = sym
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node's new label: min over (its label, its neighbors' labels)
+      val viaNeighbors = labels
+        .join(sym, labels("id") === sym("src"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels
+        .select(col("id"), col("comp"))
+        .unionByName(viaNeighbors)
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev"))
+        .count() // scalar convergence check — the one driver-side value
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist(blocking = false)
+    labels.select(col("id"), col("comp").as("component"))
+  }
+}

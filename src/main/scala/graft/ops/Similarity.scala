@@ -242,6 +242,7 @@ object Similarity {
     // and the distinct), vectors attached once per surviving pair
     val banded = bucketRows(corpus, idCol, vecCol, nbits, tables, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count() // eager: the self-join's sides race to fill this cache
     val a = banded.select(col("tbl"), col("bucket"), col(idCol).as("id_a"))
     val b = banded.select(col("tbl"), col("bucket"), col(idCol).as("id_b"))
     val cands = a

@@ -133,6 +133,10 @@ object TextDedup {
     // side. n×bands narrow rows — MEMORY_AND_DISK is safe at any scale.
     val banded = bandedSigs(df, idCol, setCol, bands, rows, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: AQE materializes the self-join's two shuffle stages
+    // concurrently; unmaterialized, both race to fill this cache and
+    // serialize on block locks (observed as random 2-6x stalls)
+    banded.count()
     val l = banded.select(col("band"), col("bsig"), col(idCol).as("id_a"), col("sz").as("sz_a"))
     val r = banded.select(col("band"), col("bsig"), col(idCol).as("id_b"), col("sz").as("sz_b"))
     l.join(r, Seq("band", "bsig"))
@@ -161,25 +165,61 @@ object TextDedup {
       rows: Int = 8,
       shingleSize: Int = 1
   ): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // set unit: distinct tokens (shingleSize=1, right for tiny-vocab
     // corpora) or word n-gram shingles (order-sensitive near-dup)
     val setExpr = if (shingleSize <= 1) tokenSet(col(textCol)) else shingles(col(textCol), shingleSize)
-    // persist: `sets` feeds candidate generation AND both verify sides
-    val sets = df.select(col(idCol), setExpr.as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(sets, idCol, "toks", bands, rows, sizeRatio = threshold)
-    val a = sets.select(col(idCol).as("id_a"), col("toks").as("toks_a"))
-    val b = sets.select(col(idCol).as("id_b"), col("toks").as("toks_b"))
-    cands
+    // EXACT-DUPLICATE COLLAPSE before any LSH: identical documents are
+    // the common case in real corpora (20% here, classes up to ~5% of
+    // the corpus), and a g-doc identical class lands g rows in EVERY
+    // band bucket it touches — a g²·bands blowup in the band join for
+    // pairs that need no LSH at all (identical sets ⇒ jac = 1.0 by
+    // construction, recall 1.0 guaranteed). Classes are keyed by the
+    // sorted set itself (no hash, no collision risk).
+    val sets = df.select(col(idCol), sort_array(setExpr).as("toks")).persist(MEMORY_AND_DISK)
+    // eager: broadcast-build futures and main stages otherwise race to
+    // fill this cache concurrently and serialize on block locks
+    sets.count()
+    val reps = sets.groupBy(col("toks")).agg(min(col(idCol)).as("__rep"))
+    val members = sets
+      .join(reps, "toks")
+      .select(col("__rep"), col(idCol))
+      .persist(MEMORY_AND_DISK)
+    // (a) intra-class pairs: identity, exact, complete
+    val ma = members.select(col("__rep"), col(idCol).as("id_a"))
+    val mb = members.select(col("__rep"), col(idCol).as("id_b"))
+    val intra = ma
+      .join(mb, "__rep")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jac"))
+    // (b) inter-class pairs: the LSH pipeline over DISTINCT sets only
+    val repSets = reps
+      .select(col("__rep").as(idCol), col("toks"))
+      .persist(MEMORY_AND_DISK)
+    val cands = lshCandidates(repSets, idCol, "toks", bands, rows, sizeRatio = threshold)
+    val a = repSets.select(col(idCol).as("id_a"), col("toks").as("toks_a"))
+    val b = repSets.select(col(idCol).as("id_b"), col("toks").as("toks_b"))
+    val repPairs = cands
       .join(a, "id_a")
       .join(b, "id_b")
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
       .select(
-        col("id_a"),
-        col("id_b"),
+        col("id_a").as("rep_a"),
+        col("id_b").as("rep_b"),
         (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jac")
       )
       .filter(col("jac") >= threshold)
+    // expand rep pairs to member pairs (classes are disjoint, so no
+    // self-pairs; normalize orientation since member ids interleave)
+    val inter = repPairs
+      .join(members.select(col("__rep").as("rep_a"), col(idCol).as("__da")), "rep_a")
+      .join(members.select(col("__rep").as("rep_b"), col(idCol).as("__db")), "rep_b")
+      .select(
+        least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"),
+        col("jac")
+      )
+    intra.unionByName(inter)
   }
 
   /** The 100 TB dedup shape: per-document KEEP/DROP assignment with
@@ -197,16 +237,34 @@ object TextDedup {
       rows: Int = 16,
       seed: Long = 1337L
   ): DataFrame = {
-    val sets = df.select(col(idCol), tokenSet(col(textCol)).as("toks"))
-    val banded = bandedSigs(sets, idCol, "toks", bands, rows, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Exact-duplicate collapse (same as nearDupsMinhash): all members of
+    // an identical-set class share every bucket, so banding runs over
+    // one representative (the class min id) per distinct set. The
+    // bucket-min over rep ids EQUALS the bucket-min over doc ids — the
+    // minimum doc in a bucket is the min member of the minimal class,
+    // which is that class's rep — so the output is identical to the
+    // uncollapsed form, minus the g²·bands bucket blowup.
+    val sets = df.select(col(idCol), sort_array(tokenSet(col(textCol))).as("toks"))
+      .persist(MEMORY_AND_DISK)
+    sets.count() // eager: see nearDupsMinhash
+    val reps = sets.groupBy(col("toks")).agg(min(col(idCol)).as("__rep"))
+    val members = sets.join(reps, "toks").select(col("__rep"), col(idCol))
+    val repSets = reps.select(col("__rep").as(idCol), col("toks"))
+    val banded = bandedSigs(repSets, idCol, "toks", bands, rows, seed)
+      .persist(MEMORY_AND_DISK)
+    banded.count() // eager: see lshCandidates
     val bucketMin = banded
       .groupBy(col("band"), col("bsig"))
       .agg(min(col(idCol)).as("bucket_min"))
-    banded
+    val repAssign = banded
       .join(bucketMin, Seq("band", "bsig"))
       .groupBy(col(idCol))
       .agg(min(col("bucket_min")).as("rep_id"))
+      .select(col(idCol).as("__rep"), col("rep_id"))
+    members
+      .join(repAssign, "__rep")
+      .select(col(idCol), col("rep_id"))
       .withColumn("is_kept", col("rep_id") === col(idCol))
   }
 
@@ -227,6 +285,7 @@ object TextDedup {
       .select(col(idCol), tokenSet(col(textCol)).as("toks"))
       .withColumn("sz", size(col("toks")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count() // eager: both cross-join sides race to fill this cache
     val a = sets.select(col(idCol).as("id_a"), col("toks").as("toks_a"), col("sz").as("sz_a"))
     val b = sets.select(col(idCol).as("id_b"), col("toks").as("toks_b"), col("sz").as("sz_b"))
     a.crossJoin(b)
@@ -282,38 +341,76 @@ object TextDedup {
       n: Int,
       threshold: Double
   ): DataFrame = {
+    // Exact-duplicate collapse per block (see nearDupsMinhash): docs
+    // with identical shingle sets pair at jac = 1.0 by identity; the
+    // pairwise verification runs over one representative per class.
     val sets = df.select(
       col(blockCol),
       col(idCol),
-      shingles(col(textCol), n).as("sh")
+      sort_array(shingles(col(textCol), n)).as("sh")
     ).withColumn("sz", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Phase 1: pair NARROW rows (block, id, size) only — the shingle
-    // arrays stay out of the O(pairs) join. The size-ratio prefilter
-    // (jac >= t forces min/max size >= t) rejects most pairs here.
-    val na = sets.select(col(blockCol), col(idCol).as("id_a"), col("sz").as("sz_a"))
-    val nb = sets.select(col(blockCol), col(idCol).as("id_b"), col("sz").as("sz_b"))
+    sets.count() // eager: the consumers below race to fill this cache
+    val reps = sets.groupBy(col(blockCol), col("sh")).agg(min(col(idCol)).as("__rep"))
+    val members = sets
+      .join(reps, Seq(blockCol, "sh"))
+      .select(col(blockCol), col("__rep"), col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    members.count() // eager
+    // (a) intra-class pairs: identical shingle sets, jac = 1.0 exactly
+    val ia = members.select(col(blockCol), col("__rep"), col(idCol).as("id_a"))
+    val ib = members.select(col(blockCol), col("__rep"), col(idCol).as("id_b"))
+    val intra = ia
+      .join(ib, Seq(blockCol, "__rep"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col(blockCol), col("id_a"), col("id_b"), lit(1.0).as("jac"))
+    // (b) inter-class pairs over representatives only.
+    // Phase 1: pair NARROW rows (block, rep, size) — the shingle arrays
+    // stay out of the O(pairs) join. The size-ratio prefilter (jac >= t
+    // forces min/max size >= t) rejects most pairs here.
+    val repSets = reps
+      .select(col(blockCol), col("__rep"), col("sh"), size(col("sh")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    repSets.count() // eager
+    val na = repSets.select(col(blockCol), col("__rep").as("rep_a"), col("sz").as("sz_a"))
+    val nb = repSets.select(col(blockCol), col("__rep").as("rep_b"), col("sz").as("sz_b"))
     val pairs = na
       .join(nb, Seq(blockCol))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("rep_a") < col("rep_b"))
       .filter(
         least(col("sz_a"), col("sz_b")).cast("double") >=
           greatest(col("sz_a"), col("sz_b")).cast("double") * threshold
       )
     // Phase 2: attach arrays only for surviving pairs; ONE intersect,
     // union derived as |A|+|B|−|A∩B|.
-    val a = sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    pairs
-      .join(a, "id_a")
-      .join(b, "id_b")
+    val a = repSets.select(col("__rep").as("rep_a"), col("sh").as("sh_a"))
+    val b = repSets.select(col("__rep").as("rep_b"), col("sh").as("sh_b"))
+    val repPairs = pairs
+      .join(a, "rep_a")
+      .join(b, "rep_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .select(
         col(blockCol),
-        col("id_a"),
-        col("id_b"),
+        col("rep_a"),
+        col("rep_b"),
         (col("inter") / (col("sz_a") + col("sz_b") - col("inter"))).as("jac")
       )
       .filter(col("jac") >= threshold)
+    // expand rep pairs to member pairs (classes disjoint, orientation
+    // normalized since member ids interleave across classes)
+    val inter = repPairs
+      .join(
+        members.select(col(blockCol), col("__rep").as("rep_a"), col(idCol).as("__da")),
+        Seq(blockCol, "rep_a"))
+      .join(
+        members.select(col(blockCol), col("__rep").as("rep_b"), col(idCol).as("__db")),
+        Seq(blockCol, "rep_b"))
+      .select(
+        col(blockCol),
+        least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"),
+        col("jac")
+      )
+    intra.unionByName(inter)
   }
 }

@@ -93,6 +93,38 @@ object TextStats {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(trim(c), "\\s+", " "))
 
+  /** PII redaction: emails then phone-shaped digit runs replaced with
+    * typed placeholder tokens. Patterns stay inside the regex subset
+    * both Java and RE2 engines share (no backrefs, no lookaround), so
+    * the DuckDB oracle replays them verbatim. Map-side, codegen'd.
+    */
+  def redactPii(c: Column): Column = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\+?[0-9][0-9 -]{7,}[0-9]"
+    regexp_replace(regexp_replace(c, email, "<EMAIL>"), phone, "<PHONE>")
+  }
+
+  /** Whitespace normalization: collapse runs, trim ends. */
+  def normalizeWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  /** Deterministic stratified sample: the first `perGroup` rows of each
+    * group in a pseudo-random-but-reproducible order (multiplicative
+    * hash of the id, exact integer arithmetic — replayable in any
+    * 64-bit engine, unlike rand(seed) which is engine-private).
+    *
+    * Scale shape: the rank filter plans a map-side Partial
+    * WindowGroupLimit — each partition forwards at most `perGroup` rows
+    * per group, so the shuffle carries ~groups·perGroup rows, not the
+    * corpus.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String, perGroup: Int): DataFrame = {
+    val skey = pmod(col(idCol) * lit(2654435761L), lit(1000003L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(skey, col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= perGroup)
+  }
+
   /** Polynomial rolling-hash fingerprint over tokens (base-31 mod
     * 2^31-1). The modulus is sized so acc*31 + h stays inside a Long
     * (acc < 2^31, |h| < 2^31 → |acc*31 + h| < 2^37): the arithmetic is

@@ -30,7 +30,7 @@ class PlanContractSpec extends SparkSpec {
     // InferWindowGroupLimit must keep planting a Partial WindowGroupLimit
     // below the exchange: each map partition forwards <= k rows per query
     // instead of shuffling the full n x q scored set.
-    Seq("q25_knn_brute", "q30_ann_lsh").foreach { q =>
+    Seq("q25_knn_brute", "q30_ann_lsh", "q52_stratified_sample").foreach { q =>
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"), s"$q lost its WindowGroupLimit top-k pruning")
       assert(p.contains("Partial"), s"$q lost the map-side partial top-k:\n${p.take(600)}")

@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Connected components: multi-hop closure, component separation,
+  * clique + chain topologies.
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chain needs multi-hop propagation; separate components stay separate") {
+    // chain 1-2-3-4-5 (diameter 4) + triangle 10-11-12 + pair 20-21
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val got = Components
+      .connectedComponents(edges)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert((1L to 5L).forall(got(_) == 1L), s"chain not closed: $got")
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L).forall(got(_) == 20L))
+    assert(got.size == 10)
+  }
+
+  test("one-hop dedupAssignments under-merges a chain; connectedComponents closes it") {
+    // two docs that are both near-dups of a middle doc but not of each
+    // other can land in different one-hop reps; the closure must not.
+    val edges = Seq((100L, 200L), (200L, 300L)).toDF("id_a", "id_b")
+    val comps = Components.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(comps.values.toSet.size == 1, s"chain split into ${comps.values.toSet}")
+  }
+}

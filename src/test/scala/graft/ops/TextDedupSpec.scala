@@ -107,6 +107,23 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") >= 0.95, s"recall regressed: $r")
   }
 
+  test("dedupAssignments: identical docs share one rep, only reps kept, rep_id <= doc_id") {
+    val df = Seq(
+      (10L, "a b c"), (11L, "a b c"), (13L, "a b c"), // identical class
+      (12L, "x y z"), // its own class
+      (14L, "a b c d e f g h i j k l m n o p") // long unrelated doc
+    ).toDF("doc_id", "text")
+    val out = TextDedup
+      .dedupAssignments(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(Seq(10L, 11L, 13L).forall(out(_)._1 == 10L), s"class split: $out")
+    assert(out(10L)._2 && !out(11L)._2 && !out(13L)._2)
+    assert(out(12L) == (12L, true) && out(14L) == (14L, true))
+    assert(out.forall { case (id, (rep, kept)) => rep <= id && kept == (rep == id) })
+  }
+
   test("rolling fingerprint: equal for identical, differs for different docs") {
     val fps = docs
       .select(col("doc_id"), TextStats.rollingFingerprint(col("text")).as("fp"))

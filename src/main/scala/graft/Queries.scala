@@ -932,6 +932,56 @@ object Queries {
       )
   }
 
+  // ---------------------------------------------------------------- q54
+  /** End-to-end MEDIA DEDUP: binary payloads → typed media rows →
+    * fixed-dim feature vectors (stub featurizer, deterministic — a model
+    * server slots into the same column contract) → embedding-space
+    * near-dup pairs via adaptive LSH → one-row audit vs the exact
+    * all-pairs baseline on the same features. This is the multimodal
+    * integration path: Multimodal feeds Similarity the way an image
+    * pipeline feeds its dedup stage; identical payloads land at cosine
+    * 1.0 and must all be found (expected recall 1.0 on this corpus).
+    * The corpus plants RE-UPLOADS — byte-identical copies under new ids
+    * (the dominant real-world media-dup mode; the raw fixture has no
+    * byte-identical rows). No SQL oracle (binary featurization is
+    * engine-native); driver records rows-only, the recall value is the
+    * artifact.
+    */
+  def q54MediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).filter(col("doc_id") < 250).select(col("doc_id"), col("text"))
+    val reuploads = base.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val media = Multimodal.asMedia(base.unionByName(reuploads), "doc_id", "text", "image")
+    val feats = Multimodal
+      .featureExtract(media)
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    feats.count() // eager: exact + LSH consumers below share this cache
+    val n = feats.count()
+    val (nbits, tables) = Similarity.lshParams(n, targetCosine = 0.9)
+    val a = feats.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = feats.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a
+      .crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(Similarity.cosine(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= 0.9)
+      .select("id_a", "id_b")
+    val approx = Similarity
+      .nearDupsEmbedding(feats, threshold = 0.9, nbits = nbits, tables = tables)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    exact
+      .join(approx, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_found"))
+      .select(
+        lit(n).as("n_media"),
+        lit(nbits).as("nbits"),
+        lit(tables).as("tables"),
+        col("n_exact"),
+        col("n_found"),
+        round(col("n_found").cast("double") / col("n_exact").cast("double"), 4).as("recall")
+      )
+  }
+
   // ---------------------------------------------------------------- q52
   /** Deterministic stratified sampling: 10 docs per source in a
     * reproducible multiplicative-hash order (TextStats.stratifiedSample)
@@ -1537,7 +1587,8 @@ object Queries {
     "q50_bloom_join" -> (q50BloomJoin _),
     "q51_connected_components" -> (q51ConnectedComponents _),
     "q52_stratified_sample" -> (q52StratifiedSample _),
-    "q53_text_clean" -> (q53TextClean _)
+    "q53_text_clean" -> (q53TextClean _),
+    "q54_media_dedup" -> (q54MediaDedup _)
   )
 
   val oracles: Map[String, String] = Map(

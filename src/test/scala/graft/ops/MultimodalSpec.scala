@@ -52,6 +52,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q54 media-dedup integration: identical payloads all found via the embedding path") {
+    val r = graft.Queries.q54MediaDedup(spark, "/root/testdata/sf0.001").collect().head
+    assert(r.getAs[Long]("n_exact") > 0, "corpus lost its identical payloads")
+    assert(r.getAs[Double]("recall") == 1.0,
+      s"identical media payloads (cosine 1.0, identical buckets) must all be found: $r")
+  }
+
+  test("frame-level dedup: shared frames across different media found by fingerprint join") {
+    // two videos that share a middle segment + one unrelated
+    val vids = Seq(
+      (1L, "AAAABBBBCCCC"),
+      (2L, "XXXXBBBBZZZZ"), // shares frame "BBBB" with 1
+      (3L, "MMMMNNNNOOOO")
+    ).toDF("doc_id", "text")
+    val frames = Multimodal
+      .frameSample(Multimodal.asMedia(vids, "doc_id", "text", "video"), frameBytes = 4, stride = 4)
+      .select(col("media_id"), col("frame_idx"), md5(col("frame_bytes")).as("fp"))
+    val a = frames.select(col("media_id").as("m_a"), col("frame_idx").as("i_a"), col("fp"))
+    val b = frames.select(col("media_id").as("m_b"), col("frame_idx").as("i_b"), col("fp"))
+    val shared = a
+      .join(b, "fp")
+      .filter(col("m_a") < col("m_b"))
+      .select("m_a", "m_b", "i_a", "i_b")
+      .as[(Long, Long, Int, Int)]
+      .collect()
+      .toSet
+    assert(shared == Set((1L, 2L, 1, 1)), s"got $shared")
+  }
+
   test("decodeBatchStub: per-partition batched kernel computes stable checksums") {
     val out = Multimodal.decodeBatchStub(media).collect().toMap
     assert(out(1L) == "abcdefghij".getBytes.map(_ & 0xff).map(_.toLong).sum)

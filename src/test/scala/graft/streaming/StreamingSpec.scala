@@ -106,6 +106,30 @@ class StreamingSpec extends SparkSpec {
     assert(cur2(("st2", "o3")) == ts("2024-01-01 10:00:00")) // untouched key survives merge
   }
 
+  test("custom sketch aggregates run in streaming aggregations (hll_distinct)") {
+    // the TypedImperativeAggregate state (a byte-array register set)
+    // must merge incrementally across micro-batches like any built-in
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = input.toDF().groupBy(col("pollutant")).agg(expr("hll_distinct(station_id)").as("n"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("hll_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", Files.createTempDirectory("hll_ckpt").toString)
+      .start()
+    try {
+      input.addData((1 to 40).map(i => Ev(s"st$i", "pm25", ts("2024-01-01 12:00:00"), 1.0, i)): _*)
+      q.processAllAvailable()
+      input.addData((21 to 60).map(i => Ev(s"st$i", "pm25", ts("2024-01-01 13:00:00"), 1.0, i)): _*)
+      q.processAllAvailable()
+      val n = spark.table("hll_stream").select("n").as[Long].collect().head
+      // 60 distinct stations seen across both batches; HLL err < 3%
+      assert(math.abs(n - 60L) <= 2, s"hll_distinct over stream = $n, want ~60")
+    } finally q.stop()
+  }
+
   test("T5 streaming: watermarked tumbling-window rollup over MemoryStream") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext

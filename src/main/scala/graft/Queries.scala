@@ -932,6 +932,108 @@ object Queries {
       )
   }
 
+  // ---------------------------------------------------------------- q55
+  /** SCD2 dimension history: collapse each user's event stream into
+    * versioned validity intervals — a new version opens whenever the
+    * tracked attribute (event_type) changes; valid_to is the next
+    * version's valid_from (null = current). The lag-filter-lead window
+    * composition every warehouse uses for slowly-changing dimensions.
+    * One shuffle (partitionBy user); change-point filtering happens
+    * before the second window pass, so version numbering runs over the
+    * (much smaller) change rows only.
+    */
+  def q55Scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // micros, not nanos: DuckDB's epoch_ns on this table yields
+    // micro-precision values (the q39/q41 parity recipe), so validity
+    // bounds and window order run on exact micros on BOTH sides
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val changes = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    changes
+      .withColumn("version", row_number().over(w2))
+      // open versions use -1, not null: nullable int64 decays to float64
+      // in arrow/pandas on one side of the differential compare
+      .withColumn("valid_to_us", coalesce(lead(col("ts_us"), 1).over(w2), lit(-1L)))
+      .select(
+        col("user_id"),
+        col("version"),
+        col("event_type"),
+        col("ts_us").as("valid_from_us"),
+        col("valid_to_us")
+      )
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q55Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, event_id FROM events
+      |), marked AS (
+      |  SELECT user_id, event_type, ts_us, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+      |  FROM ev
+      |), changes AS (
+      |  SELECT user_id, event_type, ts_us, event_id FROM marked
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |)
+      |SELECT user_id,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS version,
+      |  event_type,
+      |  ts_us AS valid_from_us,
+      |  COALESCE(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id), -1) AS valid_to_us
+      |FROM changes
+      |ORDER BY user_id, version""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  /** Data-quality expectation battery — the constraint checks a
+    * training-data pipeline runs before trusting a snapshot: null
+    * counts, duplicate keys, referential orphans, domain violations.
+    * One row per check with its violation count (0 = pass), computed in
+    * one pass per table (conditional aggregation) plus one anti-join
+    * for the FK orphan check.
+    */
+  def q56DqChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val liChecks = li.agg(
+      sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("li_null_orderkey"),
+      sum(when(col("l_quantity") < 0, 1).otherwise(0)).as("li_negative_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1).otherwise(0)).as("li_discount_domain")
+    )
+    val dupKeys = ord
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(count(lit(1)).as("ord_dup_keys"))
+    val orphans = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("li_orphan_orderkeys"))
+    liChecks
+      .crossJoin(dupKeys)
+      .crossJoin(orphans)
+      .select(
+        // long/stable one-row layout: one column per expectation
+        col("li_null_orderkey").cast("long"),
+        col("li_negative_qty").cast("long"),
+        col("li_discount_domain").cast("long"),
+        col("ord_dup_keys").cast("long"),
+        col("li_orphan_orderkeys").cast("long")
+      )
+  }
+
+  val q56Oracle: String =
+    """SELECT
+      |  (SELECT CAST(COALESCE(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem) AS li_null_orderkey,
+      |  (SELECT CAST(COALESCE(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem) AS li_negative_qty,
+      |  (SELECT CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem) AS li_discount_domain,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)) AS ord_dup_keys,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS li_orphan_orderkeys""".stripMargin
+
   // ---------------------------------------------------------------- q54
   /** End-to-end MEDIA DEDUP: binary payloads → typed media rows →
     * fixed-dim feature vectors (stub featurizer, deterministic — a model
@@ -1588,7 +1690,9 @@ object Queries {
     "q51_connected_components" -> (q51ConnectedComponents _),
     "q52_stratified_sample" -> (q52StratifiedSample _),
     "q53_text_clean" -> (q53TextClean _),
-    "q54_media_dedup" -> (q54MediaDedup _)
+    "q54_media_dedup" -> (q54MediaDedup _),
+    "q55_scd2" -> (q55Scd2 _),
+    "q56_dq_checks" -> (q56DqChecks _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1634,6 +1738,8 @@ object Queries {
     "q50_bloom_join" -> q50Oracle,
     "q51_connected_components" -> q51Oracle,
     "q52_stratified_sample" -> q52Oracle,
-    "q53_text_clean" -> q53Oracle
+    "q53_text_clean" -> q53Oracle,
+    "q55_scd2" -> q55Oracle,
+    "q56_dq_checks" -> q56Oracle
   )
 }

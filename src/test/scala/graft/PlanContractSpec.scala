@@ -37,6 +37,12 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("bloom prefilter is map-side: partial bloom_agg + might_contain before the join: q50") {
+    val p = plan("q50_bloom_join")
+    assert(p.contains("partial_bloom_agg"), "bloom build lost its partial aggregation")
+    assert(p.contains("might_contain"), "probe side lost the bloom prefilter")
+  }
+
   test("range join is an equi join (no nested loop): q43") {
     val p = plan("q43_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), "q43 degenerated to a nested loop")

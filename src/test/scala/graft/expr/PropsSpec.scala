@@ -1,0 +1,68 @@
+package graft.expr
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.ops.Similarity
+
+/** Property-based checks (ScalaCheck) for the pure-JVM kernels — the
+  * math the distributed operators lean on, exercised across thousands
+  * of generated inputs instead of a handful of fixtures.
+  */
+object BloomProps extends Properties("Bloom") {
+
+  private val keysGen = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+
+  property("no false negatives for any key set") = forAll(keysGen) { keys =>
+    val bits = new Array[Byte](1 << 14) // 2^17 bits
+    keys.foreach(k => Bloom.set(bits, Bloom.hash64(k), 7))
+    keys.forall(k => Bloom.mightContainHashed(bits, Bloom.hash64(k), 7))
+  }
+
+  property("empty filter contains nothing") = forAll(keysGen) { keys =>
+    val bits = new Array[Byte](1 << 14)
+    keys.forall(k => !Bloom.mightContainHashed(bits, Bloom.hash64(k), 7))
+  }
+
+  property("typed probes agree with boxed probes") = forAll(keysGen) { keys =>
+    val bits = new Array[Byte](1 << 10)
+    keys.foreach(k => Bloom.set(bits, Bloom.hash64(k), 5))
+    keys.forall(k => Bloom.mightContainLong(bits, k, 5) ==
+      Bloom.mightContainHashed(bits, Bloom.hash64(k), 5))
+  }
+}
+
+object LshParamProps extends Properties("lshParams") {
+
+  private val nGen = Gen.chooseNum(1L, 1L << 40)
+  private val cosGen = Gen.chooseNum(0.05, 0.99)
+
+  property("bitAgreeProb is a probability, monotone in cosine") =
+    forAll(cosGen, cosGen) { (a, b) =>
+      val (lo, hi) = if (a < b) (a, b) else (b, a)
+      val pl = Similarity.bitAgreeProb(lo)
+      val ph = Similarity.bitAgreeProb(hi)
+      pl >= 0.0 && ph <= 1.0 && pl <= ph
+    }
+
+  property("tables within bound; nbits within [2, maxNbits]") =
+    forAll(nGen, cosGen) { (n, c) =>
+      val (nbits, tables) = Similarity.lshParams(n, c)
+      nbits >= 2 && nbits <= 20 && tables >= 1 && tables <= 64
+    }
+
+  property("unclamped configurations meet the recall target") =
+    forAll(nGen, cosGen) { (n, c) =>
+      val (nbits, tables) = Similarity.lshParams(n, c, targetRecall = 0.85)
+      val pBucket = math.pow(Similarity.bitAgreeProb(c), nbits.toDouble)
+      val expectedRecall = 1.0 - math.pow(1.0 - pBucket, tables.toDouble)
+      // when the table clamp did not bind, the derived pair must reach
+      // the target (tiny epsilon for float rounding)
+      tables == 64 || expectedRecall >= 0.85 - 1e-9
+    }
+
+  property("nbits never decreases with corpus size at fixed cosine") =
+    forAll(nGen, nGen, cosGen) { (n1, n2, c) =>
+      val (lo, hi) = if (n1 < n2) (n1, n2) else (n2, n1)
+      Similarity.lshParams(lo, c)._1 <= Similarity.lshParams(hi, c)._1
+    }
+}

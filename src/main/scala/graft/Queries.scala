@@ -1000,18 +1000,25 @@ object Queries {
   def q56DqChecks(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val ord = Tables.orders(s, dir)
+    // coalesce: an empty snapshot must report 0 violations, not null
     val liChecks = li.agg(
-      sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("li_null_orderkey"),
-      sum(when(col("l_quantity") < 0, 1).otherwise(0)).as("li_negative_qty"),
-      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1).otherwise(0)).as("li_discount_domain")
+      coalesce(sum(when(col("l_orderkey").isNull, 1).otherwise(0)), lit(0)).as("li_null_orderkey"),
+      coalesce(sum(when(col("l_quantity") < 0, 1).otherwise(0)), lit(0)).as("li_negative_qty"),
+      coalesce(sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1).otherwise(0)), lit(0)).as("li_discount_domain")
     )
     val dupKeys = ord
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .agg(count(lit(1)).as("ord_dup_keys"))
+    // orphan = NON-NULL key with no parent: null keys are already the
+    // li_null_orderkey check, and keeping them out makes the semantics
+    // identical to the oracle's NOT IN (which silently drops null-key
+    // rows and degenerates entirely if orders ever held a null key)
     val orphans = li
-      .join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+      .filter(col("l_orderkey").isNotNull)
+      .join(ord.filter(col("o_orderkey").isNotNull),
+        li("l_orderkey") === ord("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("li_orphan_orderkeys"))
     liChecks
       .crossJoin(dupKeys)
@@ -1032,7 +1039,9 @@ object Queries {
       |  (SELECT CAST(COALESCE(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem) AS li_negative_qty,
       |  (SELECT CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem) AS li_discount_domain,
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)) AS ord_dup_keys,
-      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS li_orphan_orderkeys""".stripMargin
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |     WHERE l_orderkey IS NOT NULL
+      |       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) AS li_orphan_orderkeys""".stripMargin
 
   // ---------------------------------------------------------------- q54
   /** End-to-end MEDIA DEDUP: binary payloads → typed media rows →
@@ -1057,8 +1066,7 @@ object Queries {
       .featureExtract(media)
       .select(col("media_id").as("vec_id"), col("features").as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    feats.count() // eager: exact + LSH consumers below share this cache
-    val n = feats.count()
+    val n = feats.count() // eager (exact + LSH consumers share this cache) AND the corpus size
     val (nbits, tables) = Similarity.lshParams(n, targetCosine = 0.9)
     val a = feats.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = feats.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
@@ -1139,7 +1147,7 @@ object Queries {
       |      regexp_replace(
       |        text || '  contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
       |             || ' or +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' 999  ',
-      |        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |        '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
       |      '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'),
       |    '\s+', ' ', 'g')) AS clean
       |FROM documents

@@ -41,6 +41,15 @@ object BloomJoin {
     * `build.buildKey`. Output is a superset of the semi join (Bloom
     * false positives survive) — compose with the exact join for exact
     * results.
+    *
+    * EAGER: the one-row filter aggregate is collected to the driver and
+    * planted as a BinaryType literal (2^log2bits/8 bytes — 128 KiB at
+    * the default — the same broadcast-scale constant class as the LSH
+    * hyperplanes / IVF centroids). The column-reference alternative
+    * (crossJoin a one-row frame) makes codegen's bound reference COPY
+    * the whole filter per probe row — ~0.7 TB of allocation over a 6M-
+    * row probe at default size. Spark's own runtime-filter rewrite
+    * caches the deserialized filter for the same reason.
     */
   def prefilter(
       probe: DataFrame,
@@ -50,11 +59,11 @@ object BloomJoin {
       log2bits: Int = 20,
       k: Int = 7
   ): DataFrame = {
-    val bf = build.agg(bloomAgg(col(buildKey), log2bits, k).as("__bf"))
-    probe
-      .crossJoin(broadcast(bf))
-      .filter(mightContain(col("__bf"), col(probeKey), k))
-      .drop("__bf")
+    val bf = build
+      .agg(bloomAgg(col(buildKey), log2bits, k).as("__bf"))
+      .collect()(0)
+      .getAs[Array[Byte]](0)
+    probe.filter(mightContain(lit(bf), col(probeKey), k))
   }
 
   /** Exact inner join with the Bloom prefilter planted on the probe side

@@ -32,7 +32,7 @@ object Components {
       edges: DataFrame,
       srcCol: String = "id_a",
       dstCol: String = "id_b",
-      maxIter: Int = 20
+      maxIter: Int = 50
   ): DataFrame = {
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -73,6 +73,14 @@ object Components {
       iter += 1
     }
     sym.unpersist(blocking = false)
+    // a silent partial result would return SPLIT components (multiple
+    // "representatives" per true cluster) — refuse instead; min-label
+    // closes one hop per round, so maxIter bounds the component
+    // diameter the caller is prepared to pay for
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "a component has diameter > maxIter; raise maxIter")
     labels.select(col("id"), col("comp").as("component"))
   }
 }

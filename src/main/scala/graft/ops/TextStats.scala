@@ -99,7 +99,9 @@ object TextStats {
     * the DuckDB oracle replays them verbatim. Map-side, codegen'd.
     */
   def redactPii(c: Column): Column = {
-    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    // (?i): emails are case-insensitive on the wire; both Java and RE2
+    // support the inline flag, so the oracle replays it verbatim
+    val email = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phone = "\\+?[0-9][0-9 -]{7,}[0-9]"
     regexp_replace(regexp_replace(c, email, "<EMAIL>"), phone, "<PHONE>")
   }

@@ -221,7 +221,19 @@ class PageReader(file: String, readSchema: StructType, pushed: Array[Filter], cf
     // responses the simulated server returns before this page succeeds
     val sidecar = new java.io.File(file + ".429")
     val burst =
-      if (sidecar.exists()) scala.io.Source.fromFile(sidecar).mkString.trim.toInt else 0
+      if (!sidecar.exists()) 0
+      else {
+        val src = scala.io.Source.fromFile(sidecar)
+        try {
+          val raw = src.mkString.trim
+          try raw.toInt
+          catch {
+            case _: NumberFormatException =>
+              throw new java.io.IOException(
+                s"malformed 429 sidecar ${sidecar.getPath}: expected an int, got '$raw'")
+          }
+        } finally src.close()
+      }
     var got429 = 0
     while (got429 < burst) {
       val retry = got429 + 1

@@ -59,10 +59,17 @@ object PerKeyWatermark {
           var maxSeen = state.getOption.getOrElse(Long.MinValue)
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
           rows.foreach { r =>
-            val t = r.ts.getTime * 1000 + (r.ts.getNanos / 1000) % 1000
-            if (t > maxSeen) { // strict >: equal timestamps are duplicates
+            if (r.ts == null) {
+              // fail-open like the batch twin (WatermarkDedup) and the
+              // reference: unparseable-timestamp rows pass through and
+              // never advance the watermark
               out += r.payload
-              maxSeen = t
+            } else {
+              val t = r.ts.getTime * 1000 + (r.ts.getNanos / 1000) % 1000
+              if (t > maxSeen) { // strict >: equal timestamps are duplicates
+                out += r.payload
+                maxSeen = t
+              }
             }
           }
           if (maxSeen != Long.MinValue) state.update(maxSeen)

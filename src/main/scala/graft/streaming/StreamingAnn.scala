@@ -68,12 +68,17 @@ object StreamingAnn {
         round(Similarity.cosine(col("cvec"), col("qvec")), 4).as("sim")
       )
       .as[(String, Long, Double)]
+    val idType = queries.schema(idCol).dataType
     scored
       .groupByKey(_._1)
       .agg(new TopKByScore(k).toColumn.name("topk"))
       .flatMap { case (qid, topk) =>
-        topk.zipWithIndex.map { case ((sim, nid), i) => (qid.toLong, i + 1, nid, sim) }
+        topk.zipWithIndex.map { case ((sim, nid), i) => (qid, i + 1, nid, sim) }
       }
       .toDF("query_id", "rank", "neighbor_id", "sim")
+      // restore the caller's id type (the key travelled as a string only
+      // to satisfy the aggregator's input shape — don't constrain the
+      // public API to numeric ids)
+      .withColumn("query_id", col("query_id").cast(idType))
   }
 }

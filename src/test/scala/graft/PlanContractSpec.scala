@@ -37,10 +37,13 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
-  test("bloom prefilter is map-side: partial bloom_agg + might_contain before the join: q50") {
+  test("bloom prefilter is a plain map-side Filter on the probe scan: q50") {
+    // the filter bytes are planted as a literal, so the probe side is
+    // Filter(might_contain) directly over the scan — no cross join, no
+    // per-row filter copy
     val p = plan("q50_bloom_join")
-    assert(p.contains("partial_bloom_agg"), "bloom build lost its partial aggregation")
     assert(p.contains("might_contain"), "probe side lost the bloom prefilter")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "bloom filter regressed to a cross join")
   }
 
   test("range join is an equi join (no nested loop): q43") {

@@ -26,6 +26,14 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size == 10)
   }
 
+  test("refuses to return split components when maxIter is too small for the diameter") {
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b") // diameter 9
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(chain, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("one-hop dedupAssignments under-merges a chain; connectedComponents closes it") {
     // two docs that are both near-dups of a middle doc but not of each
     // other can land in different one-hop reps; the closure must not.

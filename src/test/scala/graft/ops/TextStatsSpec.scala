@@ -13,12 +13,14 @@ class TextStatsSpec extends SparkSpec {
     val rows = Seq(
       "write a@b.io or c.d_e@mail-srv.co.uk today",
       "call +49 30 123456 or 555-123-4567 now",
-      "no pii here at all"
+      "no pii here at all",
+      "mixed-case John.Doe@Example.COM leaks otherwise"
     ).toDF("t")
     val out = rows.select(TextStats.redactPii(col("t")).as("r")).as[String].collect().toSeq
     assert(out(0) == "write <EMAIL> or <EMAIL> today")
     assert(out(1) == "call <PHONE> or <PHONE> now")
     assert(out(2) == "no pii here at all")
+    assert(out(3) == "mixed-case <EMAIL> leaks otherwise")
   }
 
   test("stratifiedSample: exact quota per group, deterministic across runs") {

@@ -67,11 +67,12 @@ class StreamingSpec extends SparkSpec {
       input.addData(
         Ev("a", "bc", ts("2024-01-01 09:00:00"), 2.0, 2),
         Ev("ab", "c", ts("2024-01-01 11:00:00"), 3.0, 3), // genuinely older same-key → drop
-        Ev("a", null, ts("2024-01-01 08:00:00"), 4.0, 4) // null part ≠ ("a","bc")
+        Ev("a", null, ts("2024-01-01 08:00:00"), 4.0, 4), // null part ≠ ("a","bc")
+        Ev("ab", "c", null, 5.0, 5) // null ts: fail-open, no state advance
       )
       q.processAllAvailable()
       val vals = spark.table("pkw_collide").select("value").as[Double].collect().sorted.toSeq
-      assert(vals == Seq(1.0, 2.0, 4.0))
+      assert(vals == Seq(1.0, 2.0, 4.0, 5.0))
     } finally q.stop()
   }
 

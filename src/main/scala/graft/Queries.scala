@@ -820,15 +820,18 @@ object Queries {
       |ORDER BY 1, id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q30
-  /** ANN top-k via random-hyperplane LSH over 8 tables (approximate scale
-    * path; recall vs brute force asserted in SimilaritySpec; no oracle).
+  /** ANN top-k via random-hyperplane LSH (approximate scale path;
+    * recall vs brute force asserted in SimilaritySpec and audited
+    * in-registry by q49; no oracle). (nbits, tables) derived by
+    * Similarity.lshParams at this corpus's neighbor-cosine regime
+    * (~0.4) — round-1 hand-tuned 4×12; the policy reproduces that
+    * class of configuration and keeps scaling it with the corpus.
     */
   def q30AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
+    val (nbits, tables) = Similarity.lshParams(e.count(), targetCosine = 0.4)
     Similarity
-      // 4-bit × 12 tables: shallow buckets for a corpus whose nearest
-      // neighbors sit at low cosine (see q31/q45 recall analysis)
-      .annTopK(e, e.filter(col("vec_id") < 10), k = 5, nbits = 4, tables = 12)
+      .annTopK(e, e.filter(col("vec_id") < 10), k = 5, nbits = nbits, tables = tables)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -836,15 +839,20 @@ object Queries {
   // ---------------------------------------------------------------- q31
   /** Embedding near-duplicate pairs at cosine ≥ 0.35 via shared LSH
     * buckets (no oracle; LSH candidate set is engine-native — the exact
-    * baseline is q45, against which this parameterization measures
-    * ~0.9 recall with zero false positives). 4-bit buckets × 12 tables:
-    * this corpus's near-dups sit at cosine 0.35-0.5, where sign-sketch
-    * bits agree only ~63% of the time — shallow buckets, more tables.
+    * baseline is q45, against which recall is measured in
+    * SimilaritySpec). (nbits, tables) come from Similarity.lshParams at
+    * the query's own threshold — the corpus's near-dups sit at cosine
+    * 0.35-0.5 where sign-sketch bits agree only ~61% of the time, so
+    * the policy picks shallow buckets and many tables, and keeps doing
+    * so correctly as the corpus grows (round-1 used hand-tuned 4×12).
     */
-  def q31EmbedNearDups(s: SparkSession, dir: String): DataFrame =
+  def q31EmbedNearDups(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val (nbits, tables) = Similarity.lshParams(e.count(), targetCosine = 0.35)
     Similarity
-      .nearDupsEmbedding(Tables.embeddings(s, dir), threshold = 0.35, nbits = 4, tables = 12)
+      .nearDupsEmbedding(e, threshold = 0.35, nbits = nbits, tables = tables)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   // ---------------------------------------------------------------- q45
   /** Exact embedding near-dup pairs (cosine >= 0.35) — the brute-force

@@ -34,6 +34,30 @@ class ComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("largeStarSmallStar agrees with min-label CC on random graphs (5 seeds)") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+      val simple = Components.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      val lsss = Components.largeStarSmallStar(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(lsss == simple, s"seed $seed: ${lsss.size} vs ${simple.size} labels")
+    }
+  }
+
+  test("largeStarSmallStar closes a 120-hop chain in O(log n) rounds (min-label cannot)") {
+    val chain = (1L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(chain, maxIter = 15).collect() // diameter 119 >> 15
+    }
+    val comps = Components.largeStarSmallStar(chain, maxIter = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size == 120 && comps.values.forall(_ == 1L), "chain not fully contracted")
+  }
+
   test("one-hop dedupAssignments under-merges a chain; connectedComponents closes it") {
     // two docs that are both near-dups of a middle doc but not of each
     // other can land in different one-hop reps; the closure must not.

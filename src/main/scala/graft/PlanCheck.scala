@@ -10,20 +10,37 @@ object PlanCheck {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = Sessions.local(4)
-    val interesting = Seq("q1_agg", "q2_filter", "q3_enrich", "q4_watermark", "q9_topk", "q16_join_parts", "q5_dedup", "q6_latest", "q43_range_join")
+    val interesting = Seq(
+      "q1_agg", "q2_filter", "q3_enrich", "q4_watermark", "q9_topk",
+      "q16_join_parts", "q5_dedup", "q6_latest", "q43_range_join",
+      // round-2 additions with scale-relevant plan shapes
+      "q25_knn_brute", "q27_minhash_dedup", "q50_bloom_join",
+      "q52_stratified_sample", "q55_scd2"
+    )
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
+      // drive THIS queryExecution's physical plan (count()/foreach both
+      // wrap df in a NEW execution and leave this one's AQE
+      // un-finalized): the final plan — with its WholeStageCodegen
+      // spans — only exists after the adaptive plan actually runs
+      df.queryExecution.executedPlan.execute().count()
       val plan = df.queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toList
       val schemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
       val joins = plan.linesIterator.filter(l => l.contains("Join")).map(_.trim.take(90)).toList
-      val wsc = plan.linesIterator.count(_.contains("WholeStageCodegen"))
+      // codegen ids (*(n)) only print in explain's simple mode
+      val simple = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      val wsc = "\\*\\(\\d+\\)".r.findAllIn(simple).map(_.toString).toSet.size
       println(s"=== $name")
       pushed.foreach(p => println(s"  $p"))
       schemas.foreach(s => println(s"  ${s.take(120)}"))
       joins.foreach(j => println(s"  JOIN: $j"))
       println(s"  wholestage_codegen_nodes=$wsc")
       println(s"  topk=" + plan.linesIterator.find(_.contains("TakeOrdered")).map(_.trim.take(90)).getOrElse("-"))
+      // map-side per-group top-k pruning (rank filters, stratified sample)
+      plan.linesIterator.find(_.contains("WindowGroupLimit")).foreach(l => println(s"  wgl=${l.trim.take(90)}"))
+      // bloom prefilter placement (q50)
+      plan.linesIterator.find(_.contains("might_contain")).foreach(l => println(s"  bloom=${l.trim.take(90)}"))
     }
     spark.stop()
   }

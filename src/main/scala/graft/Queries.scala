@@ -997,6 +997,63 @@ object Queries {
       |FROM changes
       |ORDER BY user_id, version""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** Training sequence PACKING: lay each source's documents end-to-end
+    * (doc_id order) into fixed 512-token windows and report, per doc,
+    * its token offset and first/last pack — the bookkeeping an LLM
+    * pretraining pipeline runs to turn ragged documents into fixed-
+    * length sequences. Running sums are PARTITIONED BY SOURCE (the
+    * per-shard packing real pipelines use), so the window parallelizes
+    * across sources instead of serializing the corpus through one
+    * global ordering.
+    */
+  def q57SeqPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packTokens = 512
+    val d = Tables
+      .documents(s, dir)
+      .select(
+        col("source"),
+        col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens")
+      )
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+      .select(
+        col("source"),
+        col("doc_id"),
+        col("n_tokens"),
+        col("tok_start"),
+        // `div`, not `/`: integer division like the oracle's `//`
+        // (long / int in Spark is double true-division)
+        expr(s"tok_start div $packTokens").as("pack_first"),
+        expr(s"(tok_end - 1) div $packTokens").as("pack_last")
+      )
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val q57Oracle: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+      |  FROM d
+      |)
+      |SELECT source, doc_id, n_tokens,
+      |  tok_end - n_tokens AS tok_start,
+      |  (tok_end - n_tokens) // 512 AS pack_first,
+      |  (tok_end - 1) // 512 AS pack_last
+      |FROM c
+      |ORDER BY source, doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q56
   /** Data-quality expectation battery — the constraint checks a
     * training-data pipeline runs before trusting a snapshot: null
@@ -1708,7 +1765,8 @@ object Queries {
     "q53_text_clean" -> (q53TextClean _),
     "q54_media_dedup" -> (q54MediaDedup _),
     "q55_scd2" -> (q55Scd2 _),
-    "q56_dq_checks" -> (q56DqChecks _)
+    "q56_dq_checks" -> (q56DqChecks _),
+    "q57_seq_pack" -> (q57SeqPack _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1756,6 +1814,7 @@ object Queries {
     "q52_stratified_sample" -> q52Oracle,
     "q53_text_clean" -> q53Oracle,
     "q55_scd2" -> q55Oracle,
-    "q56_dq_checks" -> q56Oracle
+    "q56_dq_checks" -> q56Oracle,
+    "q57_seq_pack" -> q57Oracle
   )
 }

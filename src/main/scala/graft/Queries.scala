@@ -997,6 +997,42 @@ object Queries {
       |FROM changes
       |ORDER BY user_id, version""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Gopher-style repetition quality signals per document: duplicated
+    * 3-gram fraction + most-frequent-token share
+    * (TextStats.withRepetition) — the boilerplate/spam detectors the
+    * published LLM corpus-quality rules use alongside length/stopword
+    * heuristics (q21). Doubles round to 6 for cross-engine stability.
+    */
+  def q58Repetition(s: SparkSession, dir: String): DataFrame =
+    TextStats
+      .withRepetition(Tables.documents(s, dir), "text", n = 3)
+      .select(
+        col("doc_id"),
+        round(col("dup_ngram_ratio"), 6).as("dup_ngram_ratio"),
+        round(col("top_token_ratio"), 6).as("top_token_ratio")
+      )
+      .orderBy(col("doc_id"))
+
+  val q58Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, toks,
+      |    list_transform(
+      |      range(0, greatest(len(toks) - 3, 0) + 1),
+      |      i -> array_to_string(toks[i+1:i+3], ' ')) AS grams
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE), 6) AS dup_ngram_ratio,
+      |  round(CAST(list_max(list_transform(list_distinct(toks),
+      |          u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) /
+      |        CAST(len(toks) AS DOUBLE), 6) AS top_token_ratio
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q57
   /** Training sequence PACKING: lay each source's documents end-to-end
     * (doc_id order) into fixed 512-token windows and report, per doc,
@@ -1766,7 +1802,8 @@ object Queries {
     "q54_media_dedup" -> (q54MediaDedup _),
     "q55_scd2" -> (q55Scd2 _),
     "q56_dq_checks" -> (q56DqChecks _),
-    "q57_seq_pack" -> (q57SeqPack _)
+    "q57_seq_pack" -> (q57SeqPack _),
+    "q58_repetition" -> (q58Repetition _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1815,6 +1852,7 @@ object Queries {
     "q53_text_clean" -> q53Oracle,
     "q55_scd2" -> q55Oracle,
     "q56_dq_checks" -> q56Oracle,
-    "q57_seq_pack" -> q57Oracle
+    "q57_seq_pack" -> q57Oracle,
+    "q58_repetition" -> q58Oracle
   )
 }

@@ -127,6 +127,40 @@ object TextStats {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= perGroup)
   }
 
+  /** Repetition signals in the style of the published LLM corpus-quality
+    * rules (Gopher/MassiveText): the fraction of duplicated word
+    * n-grams and the share of the most frequent token. High values mark
+    * boilerplate/spam documents that length or stopword heuristics
+    * miss. Pure array expressions — map-side, codegen'd, oracle-
+    * replayable.
+    */
+  def withRepetition(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))
+    )
+    df.withColumn("__toks", toks)
+      .withColumn("__grams", grams)
+      .withColumn(
+        "dup_ngram_ratio",
+        lit(1.0) - size(array_distinct(col("__grams"))).cast("double") /
+          size(col("__grams")).cast("double")
+      )
+      .withColumn(
+        // share of the most frequent token: max over distinct tokens of
+        // its occurrence count, over the token total
+        "top_token_ratio",
+        array_max(
+          transform(
+            array_distinct(col("__toks")),
+            t => size(filter(col("__toks"), x => x === t))
+          )
+        ).cast("double") / size(col("__toks")).cast("double")
+      )
+      .drop("__toks", "__grams")
+  }
+
   /** Polynomial rolling-hash fingerprint over tokens (base-31 mod
     * 2^31-1). The modulus is sized so acc*31 + h stays inside a Long
     * (acc < 2^31, |h| < 2^31 → |acc*31 + h| < 2^37): the arithmetic is

@@ -829,6 +829,7 @@ object Queries {
     */
   def q30AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
+    // construction-time count = parquet metadata read (see q31)
     val (nbits, tables) = Similarity.lshParams(e.count(), targetCosine = 0.4)
     Similarity
       .annTopK(e, e.filter(col("vec_id") < 10), k = 5, nbits = nbits, tables = tables)
@@ -848,6 +849,8 @@ object Queries {
     */
   def q31EmbedNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
+    // the corpus count at construction time is a parquet metadata read
+    // (footer row counts), not a data scan — the price of adaptivity
     val (nbits, tables) = Similarity.lshParams(e.count(), targetCosine = 0.35)
     Similarity
       .nearDupsEmbedding(e, threshold = 0.35, nbits = nbits, tables = tables)

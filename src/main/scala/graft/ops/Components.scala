@@ -97,9 +97,10 @@ object Components {
     * of its closed neighborhood; both are one groupBy-min + one join —
     * the same two-shuffle cost as a min-label round, so the log-round
     * bound is the whole win. Convergence is detected with a count +
-    * order-independent hash-sum fingerprint of the edge set (an extra
-    * confirming round in the astronomically-unlikely collision case is
-    * harmless: converged edge sets are fixpoints).
+    * order-independent hash-sum fingerprint of the edge set; a
+    * fingerprint match is then CONFIRMED with an exact two-sided
+    * anti-join equality check (runs once, at convergence), so a 64-bit
+    * collision can cost an extra round but never a wrong answer.
     */
   def largeStarSmallStar(
       edges: DataFrame,
@@ -128,9 +129,16 @@ object Components {
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct()
 
-    var e = canon(
-      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-    ).localCheckpoint(true)
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    // every node mentioned in the input — canon() drops self-loops, so
+    // self-loop-only nodes must be restored as singletons at the end
+    // (connectedComponents labels them; a drop-in replacement must too)
+    val nodes = raw
+      .select(col("u").as("id"))
+      .unionByName(raw.select(col("v").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    var e = canon(raw).localCheckpoint(true)
     var fp = fingerprint(e)
     var iter = 0
     var converged = false
@@ -140,16 +148,24 @@ object Components {
       val ls = canon(
         s1.join(minNbr(s1), "u").filter(col("v") > col("u")).select(col("v").as("u"), col("m").as("v"))
       ).localCheckpoint(true)
-      // small star: neighbors v <= u (and u itself) attach to the min
+      // small star: neighbors v <= u (and u itself) attach to the min.
+      // The join runs ONCE (checkpointed) and both union branches read
+      // the materialized result — the docstring's two-shuffle round cost
+      // would otherwise be paid twice.
       val s2 = sym(ls)
+      val j = s2.join(minNbr(s2), "u").localCheckpoint(true)
       val ss = canon(
-        s2.join(minNbr(s2), "u")
-          .filter(col("v") < col("u"))
+        j.filter(col("v") < col("u"))
           .select(col("v").as("u"), col("m").as("v"))
-          .unionByName(s2.join(minNbr(s2), "u").select(col("u"), col("m").as("v")))
+          .unionByName(j.select(col("u"), col("m").as("v")))
       ).localCheckpoint(true)
       val fpNext = fingerprint(ss)
-      converged = fpNext == fp
+      if (fpNext == fp) {
+        // confirm the fingerprint match exactly — a hash collision must
+        // cost a round, never a silently split component
+        converged =
+          ss.except(e).isEmpty && e.except(ss).isEmpty
+      }
       fp = fpNext
       e = ss
       iter += 1
@@ -157,9 +173,14 @@ object Components {
     if (!converged)
       throw new IllegalStateException(
         s"largeStarSmallStar did not converge in $maxIter rounds")
-    // fixpoint edges are stars (node, root); roots label themselves
+    // fixpoint edges are stars (node, root); roots label themselves,
+    // and nodes with no surviving edges (self-loop-only) are singletons
     val s = sym(e)
-    s.groupBy(col("u")).agg(min(col("v")).as("component"))
+    val labeled = s
+      .groupBy(col("u")).agg(min(col("v")).as("component"))
       .select(col("u").as("id"), least(col("u"), col("component")).as("component"))
+    nodes
+      .join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 }

@@ -148,15 +148,31 @@ object TextStats {
           size(col("__grams")).cast("double")
       )
       .withColumn(
-        // share of the most frequent token: max over distinct tokens of
-        // its occurrence count, over the token total
-        "top_token_ratio",
-        array_max(
-          transform(
-            array_distinct(col("__toks")),
-            t => size(filter(col("__toks"), x => x === t))
+        // share of the most frequent token: sort, then one run-length
+        // pass tracking the longest run — O(len·log len) per doc. (The
+        // obvious distinct×filter formulation is O(distinct·len): ~10⁸
+        // comparisons on a 10k-token high-entropy web page.)
+        "top_token_ratio", {
+          val sorted = array_sort(col("__toks"))
+          val best = aggregate(
+            sorted,
+            struct(
+              lit(null).cast("string").as("prev"),
+              lit(0).as("run"),
+              lit(0).as("best")
+            ),
+            (acc, t) => {
+              val run = when(t === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+              struct(
+                t.as("prev"),
+                run.as("run"),
+                greatest(acc.getField("best"), run).as("best")
+              )
+            },
+            acc => acc.getField("best")
           )
-        ).cast("double") / size(col("__toks")).cast("double")
+          best.cast("double") / size(col("__toks")).cast("double")
+        }
       )
       .drop("__toks", "__grams")
   }

@@ -34,6 +34,14 @@ class ComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("largeStarSmallStar keeps self-loop-only nodes as singletons (parity with min-label)") {
+    val edges = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
+    val simple = Components.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    val lsss = Components.largeStarSmallStar(edges).as[(Long, Long)].collect().toMap
+    assert(simple == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+    assert(lsss == simple, s"self-loop node lost: $lsss")
+  }
+
   test("largeStarSmallStar agrees with min-label CC on random graphs (5 seeds)") {
     (1 to 5).foreach { seed =>
       val rnd = new scala.util.Random(seed)

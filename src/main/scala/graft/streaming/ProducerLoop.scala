@@ -26,6 +26,23 @@ import graft.ops.{Dedup, Rollup, Upsert, WatermarkDedup}
   */
 object ProducerLoop {
 
+  /** The exact frame `.format("kafka")` consumes: `key` (stable
+    * per-record-key partitioning, so per-key ordering survives the
+    * topic) + `value` (full-record JSON envelope, micros timestamps).
+    * The connector jar is not on this offline classpath, so the sink
+    * writes this frame to parquet — KafkaFrameSpec pins the schema
+    * contract so the production swap is `.format("kafka")
+    * .option("topic", ...)` and nothing else.
+    */
+  def kafkaFrame(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.select(
+      to_json(struct(keys.map(col).toIndexedSeq: _*), PerKeyWatermark.keyJsonOpts).as("key"),
+      to_json(
+        struct(df.columns.map(col).toIndexedSeq: _*),
+        Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      ).as("value")
+    )
+
   /** Read the cursor snapshot if it exists, else an empty frame. */
   def readCursors(spark: SparkSession, cursorDir: String, keys: Seq[String]): DataFrame =
     if (Files.exists(Paths.get(cursorDir)) && new java.io.File(cursorDir).list().nonEmpty)

@@ -824,15 +824,18 @@ object Queries {
     * recall vs brute force asserted in SimilaritySpec and audited
     * in-registry by q49; no oracle). (nbits, tables) derived by
     * Similarity.lshParams at this corpus's neighbor-cosine regime
-    * (~0.4) — round-1 hand-tuned 4×12; the policy reproduces that
-    * class of configuration and keeps scaling it with the corpus.
+    * (~0.4), with radius-1 multiprobe on the query side — same recall
+    * contract from ~4-5× fewer tables than exact-bucket probing, so the
+    * corpus-side explode (the cost that scales with n) shrinks by the
+    * same factor.
     */
   def q30AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     // construction-time count = parquet metadata read (see q31)
-    val (nbits, tables) = Similarity.lshParams(e.count(), targetCosine = 0.4)
+    val (nbits, tables) =
+      Similarity.lshParams(e.count(), targetCosine = 0.4, probeHamming = 1)
     Similarity
-      .annTopK(e, e.filter(col("vec_id") < 10), k = 5, nbits = nbits, tables = tables)
+      .annTopK(e, e.filter(col("vec_id") < 10), k = 5, nbits = nbits, tables = tables, probes = 1)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -846,14 +849,17 @@ object Queries {
     * 0.35-0.5 where sign-sketch bits agree only ~61% of the time, so
     * the policy picks shallow buckets and many tables, and keeps doing
     * so correctly as the corpus grows (round-1 used hand-tuned 4×12).
+    * Radius-1 multiprobe on one self-join side cuts the table count
+    * ~4× at the same recall target.
     */
   def q31EmbedNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     // the corpus count at construction time is a parquet metadata read
     // (footer row counts), not a data scan — the price of adaptivity
-    val (nbits, tables) = Similarity.lshParams(e.count(), targetCosine = 0.35)
+    val (nbits, tables) =
+      Similarity.lshParams(e.count(), targetCosine = 0.35, probeHamming = 1)
     Similarity
-      .nearDupsEmbedding(e, threshold = 0.35, nbits = nbits, tables = tables)
+      .nearDupsEmbedding(e, threshold = 0.35, nbits = nbits, tables = tables, probes = 1)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -1087,9 +1093,9 @@ object Queries {
       |  FROM d
       |)
       |SELECT source, doc_id, n_tokens,
-      |  tok_end - n_tokens AS tok_start,
-      |  (tok_end - n_tokens) // 512 AS pack_first,
-      |  (tok_end - 1) // 512 AS pack_last
+      |  CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+      |  CAST((tok_end - n_tokens) // 512 AS BIGINT) AS pack_first,
+      |  CAST((tok_end - 1) // 512 AS BIGINT) AS pack_last
       |FROM c
       |ORDER BY source, doc_id""".stripMargin
 
@@ -1171,7 +1177,7 @@ object Queries {
       .select(col("media_id").as("vec_id"), col("features").as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = feats.count() // eager (exact + LSH consumers share this cache) AND the corpus size
-    val (nbits, tables) = Similarity.lshParams(n, targetCosine = 0.9)
+    val (nbits, tables) = Similarity.lshParams(n, targetCosine = 0.9, probeHamming = 1)
     val a = feats.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = feats.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     val exact = a
@@ -1181,7 +1187,7 @@ object Queries {
       .filter(col("sim") >= 0.9)
       .select("id_a", "id_b")
     val approx = Similarity
-      .nearDupsEmbedding(feats, threshold = 0.9, nbits = nbits, tables = tables)
+      .nearDupsEmbedding(feats, threshold = 0.9, nbits = nbits, tables = tables, probes = 1)
       .select(col("id_a"), col("id_b"), lit(1).as("hit"))
     exact
       .join(approx, Seq("id_a", "id_b"), "left")
@@ -1333,13 +1339,13 @@ object Queries {
   def q49AnnAdaptiveRecall(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val n = e.count()
-    val (nbits, tables) = Similarity.lshParams(n, targetCosine = 0.4)
+    val (nbits, tables) = Similarity.lshParams(n, targetCosine = 0.4, probeHamming = 1)
     val queries = e.filter(col("vec_id") < 10)
     val exact = Similarity
       .bruteTopK(e, queries, k = 5)
       .select(col("query_id"), col("neighbor_id"))
     val approx = Similarity
-      .annTopK(e, queries, k = 5, nbits = nbits, tables = tables)
+      .annTopK(e, queries, k = 5, nbits = nbits, tables = tables, probes = 1)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     exact
       .join(approx, Seq("query_id", "neighbor_id"), "left")

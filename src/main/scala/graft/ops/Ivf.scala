@@ -35,13 +35,29 @@ object Ivf {
       vecCol: String = "embedding"
   ): DataFrame = {
     val spark = corpus.sparkSession
-    var centroids = corpus
+    // Init rows land on the driver as a k×dim constant — the same
+    // broadcast-scale class as centroidArrays (which collects every
+    // iteration's centroids anyway), NOT a data collect. This replaces a
+    // row_number over an empty-partition Window, whose WindowExec warning
+    // ("moving all data to a single partition") invited misdiagnosis even
+    // though it only ever ranked the k limited rows.
+    val init = corpus
       .orderBy(col(idCol))
       .limit(k)
-      .select(
-        (row_number().over(Window.orderBy(col(idCol))) - 1).as("cluster_id"),
-        transform(col(vecCol), _.cast("double")).as("centroid")
-      )
+      .select(transform(col(vecCol), _.cast("double")).as("centroid"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => org.apache.spark.sql.Row(i, r.getSeq[Double](0)) }
+    val initSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "cluster_id", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "centroid",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+        nullable = true)
+    ))
+    var centroids =
+      spark.createDataFrame(java.util.Arrays.asList(init: _*), initSchema)
     for (_ <- 1 to iters) {
       val assigned = assign(corpus, centroids, idCol, vecCol)
       centroids = assigned

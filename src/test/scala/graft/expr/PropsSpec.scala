@@ -60,6 +60,27 @@ object LshParamProps extends Properties("lshParams") {
       tables == 64 || expectedRecall >= 0.85 - 1e-9
     }
 
+  property("multiprobe dominates: larger buckets kept or fewer tables needed") =
+    forAll(nGen, cosGen) { (n, c) =>
+      // pHit(radius 1) >= pHit(radius 0) at every nbits, so the policy
+      // either keeps a larger (cost-optimal) nbits that exact-bucket
+      // probing had to back off from, or needs no more tables at the
+      // same nbits.
+      val (b0, t0) = Similarity.lshParams(n, c)
+      val (b1, t1) = Similarity.lshParams(n, c, probeHamming = 1)
+      b1 > b0 || t1 <= t0
+    }
+
+  property("unclamped multiprobe configurations meet the recall target") =
+    forAll(nGen, cosGen) { (n, c) =>
+      val (nbits, tables) = Similarity.lshParams(n, c, targetRecall = 0.85, probeHamming = 1)
+      val p = Similarity.bitAgreeProb(c)
+      val pHit = math.pow(p, nbits.toDouble) +
+        nbits * math.pow(p, (nbits - 1).toDouble) * (1 - p)
+      val expectedRecall = 1.0 - math.pow(1.0 - math.min(1.0, pHit), tables.toDouble)
+      tables == 64 || expectedRecall >= 0.85 - 1e-9
+    }
+
   property("nbits never decreases with corpus size at fixed cosine") =
     forAll(nGen, nGen, cosGen) { (n1, n2, c) =>
       val (lo, hi) = if (n1 < n2) (n1, n2) else (n2, n1)

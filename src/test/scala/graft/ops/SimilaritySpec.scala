@@ -109,7 +109,9 @@ class SimilaritySpec extends SparkSpec {
   test("q49 in-registry adaptive ANN holds recall on the real corpus at 500 and 2000 vectors") {
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1").foreach { dir =>
       val r = graft.Queries.q49AnnAdaptiveRecall(spark, dir).collect().head
-      assert(r.getAs[Double]("recall") >= 0.7,
+      // 0.85 is the lshParams contract (VERDICT r2 done-criterion);
+      // measured: 0.96 at sf0.001, 0.90 at sf0.1 with multiprobe
+      assert(r.getAs[Double]("recall") >= 0.85,
         s"$dir: recall ${r.getAs[Double]("recall")} (nbits=${r.getAs[Int]("nbits")} tables=${r.getAs[Int]("tables")})")
     }
   }
@@ -126,6 +128,47 @@ class SimilaritySpec extends SparkSpec {
     val (nbitsHuge, tablesHuge) = Similarity.lshParams(1L << 30, 0.4, maxTables = 64)
     assert(tablesHuge <= 64)
     assert(nbitsHuge < 24) // backed off from log2(2^30/64) = 24
+  }
+
+  test("multiprobe: fewer tables at equal recall, ANN still recovers neighbors") {
+    // the real regimes (q30/q31 at sf0.1): radius-1 probing must cut the
+    // table count by >= 40% — the VERDICT r2 done-criterion
+    Seq(0.4, 0.35).foreach { c =>
+      val t0 = Similarity.lshParams(2000, c)._2
+      val t1 = Similarity.lshParams(2000, c, probeHamming = 1)._2
+      assert(t1 <= math.ceil(t0 * 0.6), s"cos=$c: tables $t0 -> $t1, reduction < 40%")
+    }
+    // and the probed operator holds recall with the reduced params
+    val n = 400
+    val corpus = clustered(n).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+    val (nbits, tables) = Similarity.lshParams(n.toLong, targetCosine = 0.9, probeHamming = 1)
+    val brute = Similarity
+      .bruteTopK(corpus, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = Similarity
+      .annTopK(corpus, queries, k = 5, nbits = nbits, tables = tables, probes = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rs = brute.map { case (q, bs) =>
+      ann.get(q).map(as => as.intersect(bs).size.toDouble / bs.size).getOrElse(0.0)
+    }
+    val mean = rs.sum / rs.size
+    assert(mean >= 0.6, s"multiprobe mean recall@5 = $mean (nbits=$nbits tables=$tables)")
+  }
+
+  test("multiprobe near-dups finds planted duplicate pair with one-side probing") {
+    val data = clustered(100)
+    val corpus = (data :+ (1000L -> data.head._2)).toDF("vec_id", "embedding")
+    val (nbits, tables) = Similarity.lshParams(100, targetCosine = 0.95, probeHamming = 1)
+    val pairs = Similarity
+      .nearDupsEmbedding(corpus, threshold = 0.95, nbits = nbits, tables = tables, probes = 1)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((0L, 1000L)))
   }
 
   test("embedding near-dups finds planted duplicate pair") {

@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Median-of-N per query (default 3): single-JVM sequential timings
+    // carry ±30% GC/JIT noise on one-shot runs, which made the documented
+    // per-query bands unfalsifiable (a band breach could always be "an
+    // unlucky run"). The median of three back-to-back reps is stable
+    // enough that a breach means the code, not the weather.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Two-stage warm-up so BENCH measures the engine, not the JVM:
@@ -20,25 +26,27 @@ object Bench {
       spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // drop persisted intermediates between queries: operators persist
-      // self-join inputs; letting them pile up across 30+ queries skews
-      // later timings with GC pressure
-      // settle the heap so query N's garbage isn't collected on query
-      // N+1's clock, then give the ContextCleaner a beat to drain the
-      // shuffle/broadcast removals the GC just queued — otherwise the
-      // cleanup RPC storm lands inside the next timed window
+      // settle the heap so the previous query's garbage isn't collected
+      // on this query's clock, then give the ContextCleaner a beat to
+      // drain the shuffle/broadcast removals the GC just queued —
+      // otherwise the cleanup RPC storm lands inside the timed window
       // (single-JVM sequential bench)
       System.gc()
       Thread.sleep(750)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // drop persisted intermediates so rep N+1 (and the next query)
+        // re-executes the full plan instead of reading this rep's caches
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"median_of_$reps"}""")
     spark.stop()
   }
 }

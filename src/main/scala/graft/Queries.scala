@@ -788,12 +788,42 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
 
   // ---------------------------------------------------------------- q28
-  /** SimHash signatures (engine-native murmur3 bit votes; no oracle). */
-  def q28Simhash(s: SparkSession, dir: String): DataFrame =
-    Tables
+  /** SimHash signatures (engine-native xxhash64 bit votes; no SQL oracle
+    * possible). SELF-AUDITING (the q48/q49 pattern): every row carries
+    * `audit_ham_jac_corr`, the Pearson correlation between pairwise
+    * simhash Hamming distance and exact token-set Jaccard over the
+    * bounded doc_id<500 slice. SimHash's contract is exactly that
+    * Hamming distance tracks set overlap, so a sound implementation
+    * shows a strong NEGATIVE correlation (measured −0.79 on this
+    * corpus); a broken bit-vote would push it toward 0. The driver's
+    * rows-only record still pins a readable pass/fail figure.
+    */
+  def q28Simhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables
       .documents(s, dir)
       .select(col("doc_id"), TextDedup.simhash64(TextDedup.tokenSet(col("text"))).as("simhash"))
-      .orderBy(col("doc_id"))
+    val slice = Tables
+      .documents(s, dir)
+      .filter(col("doc_id") < 500)
+      .select(
+        col("doc_id"),
+        TextDedup.tokenSet(col("text")).as("toks"),
+        TextDedup.simhash64(TextDedup.tokenSet(col("text"))).as("sh")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    slice.count() // eager: both cross-join sides race to fill this cache
+    val a = slice.select(col("doc_id").as("id_a"), col("toks").as("toks_a"), col("sh").as("sh_a"))
+    val b = slice.select(col("doc_id").as("id_b"), col("toks").as("toks_b"), col("sh").as("sh_b"))
+    val audit = a
+      .crossJoin(b) // bounded audit baseline: 500×500 slice pairs by construction
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        TextDedup.hamming64(col("sh_a"), col("sh_b")).cast("double").as("ham"),
+        TextDedup.jaccard(col("toks_a"), col("toks_b")).as("jac")
+      )
+      .agg(round(corr(col("ham"), col("jac")), 4).as("audit_ham_jac_corr"))
+    sigs.crossJoin(broadcast(audit)).orderBy(col("doc_id"))
+  }
 
   // ---------------------------------------------------------------- q29
   /** Bigram-shingle Jaccard near-dups with source-blocked pairing. */
@@ -1280,6 +1310,25 @@ object Queries {
     Components.connectedComponents(pairs).orderBy(col("id"))
   }
 
+  // ---------------------------------------------------------------- q60
+  /** The SAME component closure as q51, computed by the O(log n)
+    * large-star/small-star contraction (Components.largeStarSmallStar —
+    * the planet-scale path, round count independent of component
+    * diameter) instead of O(diameter) min-label propagation. Shares
+    * q51's recursive-CTE oracle: both algorithms must land on the
+    * identical (id, min-reachable-id) labelling, which gives the
+    * log-round path driver-visible correctness evidence.
+    */
+  def q60ConnectedComponentsLogRounds(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.nearDupsExact(
+      Tables.documents(s, dir).filter(col("doc_id") < 500),
+      "doc_id",
+      "text",
+      threshold = 0.9
+    )
+    Components.largeStarSmallStar(pairs).orderBy(col("id"))
+  }
+
   val q51Oracle: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS tk
@@ -1428,13 +1477,23 @@ object Queries {
   /** HLL distinct sketch (graft.expr.HllSketch, TypedImperativeAggregate,
     * 4 KB state per group at any scale). Deterministic (xxhash64) but
     * approximate — no SQL oracle; accuracy bounded in HllSketchSpec
-    * (<3% overall, <5% per group vs exact).
+    * (<3% overall, <5% per group vs exact). SELF-AUDITING: each group
+    * row carries the exact distinct count and `audit_rel_err` =
+    * |approx−exact|/exact, so the driver's rows-only record pins the
+    * accuracy figure (<0.03 on every group at sf0.1).
     */
   def q44HllSketch(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir).createOrReplaceTempView("li_hll")
     s.sql(
-      """SELECT l_returnflag, hll_distinct(l_partkey) AS approx_parts, COUNT(*) AS n
-        |FROM li_hll GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      """SELECT l_returnflag, approx_parts, exact_parts, n,
+        |  round(abs(approx_parts - exact_parts) / exact_parts, 4) AS audit_rel_err
+        |FROM (
+        |  SELECT l_returnflag,
+        |    hll_distinct(l_partkey) AS approx_parts,
+        |    CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS exact_parts,
+        |    COUNT(*) AS n
+        |  FROM li_hll GROUP BY l_returnflag
+        |) ORDER BY l_returnflag""".stripMargin
     )
   }
 
@@ -1537,6 +1596,40 @@ object Queries {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  /** t-digest percentile SKETCH (graft.expr.TDigestQuantile,
+    * TypedImperativeAggregate, ~2δ centroids ≈ 3 KB state per group at
+    * any scale) — the streaming/100 TB complement to the exact q41,
+    * whose `percentile` buffers every value per group. No SQL oracle
+    * (the sketch is engine-native); SELF-AUDITING per the q44 pattern:
+    * each group row carries the exact percentiles and the worst
+    * relative error across p50/p90/p99, bounded < 1% at sf0.1
+    * (asserted in TDigestSpec; merge associativity property-checked in
+    * PropsSpec).
+    */
+  def q59TdigestPercentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_td")
+    s.sql(
+      """SELECT l_returnflag, approx_p50, approx_p90, approx_p99,
+        |  exact_p50, exact_p90, exact_p99, n,
+        |  round(greatest(
+        |    abs(approx_p50 - exact_p50) / exact_p50,
+        |    abs(approx_p90 - exact_p90) / exact_p90,
+        |    abs(approx_p99 - exact_p99) / exact_p99), 4) AS audit_max_rel_err
+        |FROM (
+        |  SELECT l_returnflag,
+        |    tdigest_quantile(l_extendedprice, 0.5) AS approx_p50,
+        |    tdigest_quantile(l_extendedprice, 0.9) AS approx_p90,
+        |    tdigest_quantile(l_extendedprice, 0.99) AS approx_p99,
+        |    percentile(l_extendedprice, 0.5) AS exact_p50,
+        |    percentile(l_extendedprice, 0.9) AS exact_p90,
+        |    percentile(l_extendedprice, 0.99) AS exact_p99,
+        |    COUNT(*) AS n
+        |  FROM li_td GROUP BY l_returnflag
+        |) ORDER BY l_returnflag""".stripMargin
+    )
+  }
 
   // ---------------------------------------------------------------- q39
   /** Native session windows (Spark's session_window generator) — the
@@ -1694,16 +1787,34 @@ object Queries {
 
   // ---------------------------------------------------------------- q35
   /** IVF approximate nearest-neighbor: k-means coarse quantizer (fit as
-    * DataFrame algebra), nprobe=2 cell probing (no oracle — approximate;
-    * recall vs brute force asserted in IvfSpec).
+    * DataFrame algebra), nprobe cell probing (no oracle — approximate;
+    * recall vs brute force asserted in IvfSpec). SELF-AUDITING: every
+    * row carries `audit_recall_vs_brute`, the recall@5 of the probed
+    * search against the exact brute-force top-5 on the same corpus —
+    * the honest figure for scanning ~nprobe/k of the corpus per query.
     */
   def q35Ivf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val cents = Ivf.fitCentroids(e, k = 16, iters = 2)
-    Ivf
-      .topK(e, e.filter(col("vec_id") < 10), cents, k = 5, nprobe = 2)
+    val queries = e.filter(col("vec_id") < 10)
+    val ivf = Ivf
+      .topK(e, queries, cents, k = 5, nprobe = 2)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
-      .orderBy(col("query_id"), col("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivf.count() // eager: result + audit consumers share this cache
+    val exact = Similarity
+      .bruteTopK(e, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val audit = exact
+      .join(ivf.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        round(
+          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)).cast("double"),
+          4
+        ).as("audit_recall_vs_brute")
+      )
+    ivf.crossJoin(broadcast(audit)).orderBy(col("query_id"), col("rank"))
   }
 
   // ---------------------------------------------------------------- q34
@@ -1727,11 +1838,40 @@ object Queries {
   /** The linear-output dedup shape for 100 TB: per-doc KEEP/DROP
     * assignment via one-hop min-propagation over LSH buckets (no
     * quadratic pair materialization; no oracle — LSH is engine-native).
+    * SELF-AUDITING: every row carries the corpus-level violation counts
+    * of the two assignment invariants — a representative is never a
+    * larger id than its member (min-propagation law), and an
+    * identical-token-set class is never split across representatives
+    * (the exact-dup-collapse law the 2-3× LSH speedup rests on). Both
+    * audit_* columns must be 0.
     */
-  def q33DedupAssign(s: SparkSession, dir: String): DataFrame =
-    TextDedup
-      .dedupAssignments(Tables.documents(s, dir), "doc_id", "text")
+  def q33DedupAssign(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val assign = TextDedup
+      .dedupAssignments(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assign.count() // eager: audit consumers share this cache
+    val repOrder = assign.agg(
+      coalesce(sum(when(col("rep_id") > col("doc_id"), 1).otherwise(0)), lit(0))
+        .as("audit_rep_gt_id")
+    )
+    val fp = docs.select(
+      col("doc_id"),
+      xxhash64(concat_ws(" ", sort_array(TextDedup.tokenSet(col("text"))))).as("fp")
+    )
+    val splitClasses = assign
+      .join(fp, "doc_id")
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("rep_id")).as("nreps"))
+      .agg(
+        coalesce(sum(when(col("nreps") > 1, 1).otherwise(0)), lit(0))
+          .as("audit_split_dup_classes")
+      )
+    assign
+      .crossJoin(broadcast(repOrder))
+      .crossJoin(broadcast(splitClasses))
       .orderBy(col("doc_id"))
+  }
 
   // ---------------------------------------------------------------- q32
   /** Multimodal pipeline: documents as opaque binary media → frame-sample
@@ -1743,12 +1883,41 @@ object Queries {
   def q32Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "image")
     val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 48)
+    // SELF-AUDITING (decode kernels are stubs, but the Spark plumbing is
+    // the deliverable and IS checkable): per media, violations of the
+    // frame laws — every frame's length must equal
+    // min(frameBytes, n_bytes − idx·stride), the frame count must match
+    // the generator's closed form, and every feature vector must be the
+    // declared fixed dim with values in [−1, 1). All audit_* columns
+    // must be 0; the driver's rows-only record pins them.
     Multimodal
       .featureExtract(frames.withColumn("bytes", col("frame_bytes")), dim = 8)
       .groupBy(col("media_id"))
       .agg(
         count(lit(1)).as("n_frames"),
-        max(col("meta.n_bytes")).as("n_bytes")
+        max(col("meta.n_bytes")).as("n_bytes"),
+        sum(
+          when(
+            length(col("frame_bytes")) =!=
+              least(lit(64), col("meta.n_bytes") - col("frame_idx") * 48),
+            1
+          ).otherwise(0)
+        ).as("audit_bad_frame_len"),
+        sum(
+          when(
+            size(col("features")) =!= 8 ||
+              exists(col("features"), v => v < -1.0f || v >= 1.0f),
+            1
+          ).otherwise(0)
+        ).as("audit_bad_features")
+      )
+      .withColumn(
+        "audit_bad_frame_count",
+        when(
+          col("n_frames") =!=
+            greatest(floor((col("n_bytes") - 64).cast("double") / 48).cast("int") + 1, lit(1)),
+          1
+        ).otherwise(0)
       )
       .orderBy(col("media_id"))
   }
@@ -1812,7 +1981,9 @@ object Queries {
     "q55_scd2" -> (q55Scd2 _),
     "q56_dq_checks" -> (q56DqChecks _),
     "q57_seq_pack" -> (q57SeqPack _),
-    "q58_repetition" -> (q58Repetition _)
+    "q58_repetition" -> (q58Repetition _),
+    "q59_tdigest" -> (q59TdigestPercentiles _),
+    "q60_cc_log_rounds" -> (q60ConnectedComponentsLogRounds _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1862,6 +2033,8 @@ object Queries {
     "q55_scd2" -> q55Oracle,
     "q56_dq_checks" -> q56Oracle,
     "q57_seq_pack" -> q57Oracle,
-    "q58_repetition" -> q58Oracle
+    "q58_repetition" -> q58Oracle,
+    // q60 runs a different algorithm to the same answer — q51's oracle
+    "q60_cc_log_rounds" -> q51Oracle
   )
 }

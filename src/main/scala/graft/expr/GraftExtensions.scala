@@ -39,5 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))
       )
     )
+    e.injectFunction(
+      (
+        FunctionIdentifier("tdigest_quantile"),
+        new ExpressionInfo(classOf[TDigestQuantile].getCanonicalName, "tdigest_quantile"),
+        (exprs: Seq[Expression]) => TDigestQuantile(exprs(0), exprs(1)).toAggregateExpression()
+      )
+    )
   }
 }

@@ -31,6 +31,68 @@ object BloomProps extends Properties("Bloom") {
   }
 }
 
+object TDigestProps extends Properties("tdigest") {
+
+  private val dataGen =
+    Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6)).suchThat(_.nonEmpty)
+  private val qGen = Gen.chooseNum(0.01, 0.99)
+
+  private def digestOf(xs: Seq[Double]): TDigestBuffer = {
+    val d = new TDigestBuffer(100.0)
+    xs.foreach(d.add(_, 1.0))
+    d
+  }
+
+  private def exactQ(xs: Seq[Double], q: Double): Double = {
+    val s = xs.sorted
+    s(math.min(s.length - 1, math.max(0, math.ceil(q * s.length).toInt - 1)))
+  }
+
+  /** Rank-space tolerance: the estimate must land within ~2·4/δ of the
+    * requested rank (the t-digest bound, with slack for interpolation),
+    * plus 1/n — on tiny inputs a between-points interpolation is off by
+    * up to one rank position, which is granularity, not error.
+    */
+  private def rankClose(xs: Seq[Double], q: Double, est: Double): Boolean = {
+    val s = xs.sorted
+    val below = s.count(_ <= est)
+    math.abs(below.toDouble / s.length - q) <= 0.1 + 1.0 / s.length ||
+    est == exactQ(xs, q)
+  }
+
+  property("quantile lands at the requested rank (single digest)") =
+    forAll(dataGen, qGen) { (xs, q) =>
+      rankClose(xs, q, digestOf(xs).quantile(q))
+    }
+
+  property("merge associativity: (a+b)+c vs a+(b+c) agree in rank space") =
+    forAll(dataGen, dataGen, dataGen, qGen) { (a, b, c, q) =>
+      val left = digestOf(a)
+      left.absorb(digestOf(b))
+      left.absorb(digestOf(c))
+      val bc = digestOf(b)
+      bc.absorb(digestOf(c))
+      val right = digestOf(a)
+      right.absorb(bc)
+      val all = a ++ b ++ c
+      rankClose(all, q, left.quantile(q)) && rankClose(all, q, right.quantile(q))
+    }
+
+  property("serialize/deserialize round-trips the quantile function") =
+    forAll(dataGen, qGen) { (xs, q) =>
+      val d = digestOf(xs)
+      val r = TDigestBuffer.deserialize(d.serialized)
+      d.quantile(q) == r.quantile(q)
+    }
+
+  property("merged digest equals union in rank space (partition independence)") =
+    forAll(dataGen, dataGen, qGen) { (a, b, q) =>
+      val d = digestOf(a)
+      d.absorb(digestOf(b))
+      rankClose(a ++ b, q, d.quantile(q))
+    }
+}
+
 object LshParamProps extends Properties("lshParams") {
 
   private val nGen = Gen.chooseNum(1L, 1L << 40)

@@ -1,0 +1,62 @@
+package graft.expr
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** t-digest sketch: accuracy vs exact percentiles (including the p99
+  * tail), merge across partitions, and the in-registry q59 audit bound.
+  */
+class TDigestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tdigest_quantile within 1% of exact across p50/p90/p99 (merged across 8 partitions)") {
+    // skewed continuous data: exponential-ish via -log(uniform), the
+    // shape where equi-width histograms fail and tails matter
+    val rnd = new scala.util.Random(7)
+    Seq.fill(50000)(-math.log(rnd.nextDouble()) * 100.0)
+      .toDF("x")
+      .repartition(8)
+      .createOrReplaceTempView("td")
+    Seq(0.5, 0.9, 0.99).foreach { q =>
+      val (a, e) = spark
+        .sql(s"SELECT tdigest_quantile(x, $q), percentile(x, $q) FROM td")
+        .as[(Double, Double)]
+        .head()
+      val err = math.abs(a - e) / e
+      assert(err < 0.01, s"q=$q approx=$a exact=$e err=$err")
+    }
+  }
+
+  test("q59 in-registry audit: max relative error < 1% per group at sf0.01") {
+    val rows = graft.Queries
+      .q59TdigestPercentiles(spark, "/root/testdata/sf0.01")
+      .select(col("l_returnflag"), col("audit_max_rel_err"))
+      .as[(String, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, err) =>
+      assert(err < 0.01, s"group $flag: audit_max_rel_err=$err")
+    }
+  }
+
+  test("empty and single-value groups are handled (null / the value itself)") {
+    Seq((1, 5.0)).toDF("g", "x").createOrReplaceTempView("td_one")
+    val one = spark.sql("SELECT tdigest_quantile(x, 0.5) FROM td_one").as[Double].head()
+    assert(one == 5.0)
+    val nul = spark
+      .sql("SELECT tdigest_quantile(x, 0.5) FROM td_one WHERE x > 100")
+      .collect()
+      .head
+    assert(nul.isNullAt(0))
+  }
+
+  test("buffer state stays bounded: <= ~2*compression centroids on 100k points") {
+    val d = new TDigestBuffer(100.0)
+    val rnd = new scala.util.Random(11)
+    (1 to 100000).foreach(_ => d.add(rnd.nextGaussian(), 1.0))
+    d.compress()
+    assert(d.means.length <= 250, s"centroids=${d.means.length}")
+    // serialized size is the shuffle cost per (group, partition)
+    assert(d.serialized.length <= 12 + 16 * 250)
+  }
+}

@@ -7,9 +7,9 @@ object Bench {
     // Median-of-N per query (default 3): single-JVM sequential timings
     // carry ±30% GC/JIT noise on one-shot runs, which made the documented
     // per-query bands unfalsifiable (a band breach could always be "an
-    // unlucky run"). The median of three back-to-back reps is stable
-    // enough that a breach means the code, not the weather.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // unlucky run"). The median of three reps is stable enough that a
+    // breach means the code, not the weather.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Two-stage warm-up so BENCH measures the engine, not the JVM:
@@ -26,14 +26,16 @@ object Bench {
       spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // settle the heap so the previous query's garbage isn't collected
-      // on this query's clock, then give the ContextCleaner a beat to
-      // drain the shuffle/broadcast removals the GC just queued —
-      // otherwise the cleanup RPC storm lands inside the timed window
-      // (single-JVM sequential bench)
-      System.gc()
-      Thread.sleep(750)
       val times = (1 to reps).map { _ =>
+        // settle the heap BEFORE EVERY REP so the previous execution's
+        // garbage isn't collected on this rep's clock, then give the
+        // ContextCleaner a beat to drain the shuffle/broadcast removals
+        // the GC just queued — otherwise the cleanup RPC storm lands
+        // inside the timed window (single-JVM sequential bench). Without
+        // the per-rep settle the median absorbs GC bias on the
+        // allocation-heavy queries (q27 measured 15 s vs its true ~8 s).
+        System.gc()
+        Thread.sleep(750)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         // drop persisted intermediates so rep N+1 (and the next query)
@@ -41,7 +43,10 @@ object Bench {
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.size / 2)
+      val median =
+        if (reps % 2 == 1) times(reps / 2)
+        else (times(reps / 2 - 1) + times(reps / 2)) / 2
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -805,11 +805,10 @@ object Queries {
     val slice = Tables
       .documents(s, dir)
       .filter(col("doc_id") < 500)
-      .select(
-        col("doc_id"),
-        TextDedup.tokenSet(col("text")).as("toks"),
-        TextDedup.simhash64(TextDedup.tokenSet(col("text"))).as("sh")
-      )
+      .select(col("doc_id"), TextDedup.tokenSet(col("text")).as("toks"))
+      // second select so simhash reads the materialized toks attribute —
+      // one tokenization per row, and both columns provably share it
+      .select(col("doc_id"), col("toks"), TextDedup.simhash64(col("toks")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     slice.count() // eager: both cross-join sides race to fill this cache
     val a = slice.select(col("doc_id").as("id_a"), col("toks").as("toks_a"), col("sh").as("sh_a"))
@@ -1218,17 +1217,15 @@ object Queries {
       .select("id_a", "id_b")
     val approx = Similarity
       .nearDupsEmbedding(feats, threshold = 0.9, nbits = nbits, tables = tables, probes = 1)
-      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
-    exact
-      .join(approx, Seq("id_a", "id_b"), "left")
-      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0))).as("n_found"))
+    Similarity
+      .recallAudit(exact, approx, Seq("id_a", "id_b"))
       .select(
         lit(n).as("n_media"),
         lit(nbits).as("nbits"),
         lit(tables).as("tables"),
         col("n_exact"),
         col("n_found"),
-        round(col("n_found").cast("double") / col("n_exact").cast("double"), 4).as("recall")
+        col("recall")
       )
   }
 
@@ -1395,20 +1392,15 @@ object Queries {
       .select(col("query_id"), col("neighbor_id"))
     val approx = Similarity
       .annTopK(e, queries, k = 5, nbits = nbits, tables = tables, probes = 1)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-    exact
-      .join(approx, Seq("query_id", "neighbor_id"), "left")
-      .agg(
-        count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0))).as("n_found")
-      )
+    Similarity
+      .recallAudit(exact, approx, Seq("query_id", "neighbor_id"))
       .select(
         lit(n).as("n_vectors"),
         lit(nbits).as("nbits"),
         lit(tables).as("tables"),
         col("n_exact"),
         col("n_found"),
-        round(col("n_found").cast("double") / col("n_exact").cast("double"), 4).as("recall")
+        col("recall")
       )
   }
 
@@ -1805,15 +1797,9 @@ object Queries {
     val exact = Similarity
       .bruteTopK(e, queries, k = 5)
       .select(col("query_id"), col("neighbor_id"))
-    val audit = exact
-      .join(ivf.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
-        Seq("query_id", "neighbor_id"), "left")
-      .agg(
-        round(
-          sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)).cast("double"),
-          4
-        ).as("audit_recall_vs_brute")
-      )
+    val audit = Similarity
+      .recallAudit(exact, ivf, Seq("query_id", "neighbor_id"))
+      .select(col("recall").as("audit_recall_vs_brute"))
     ivf.crossJoin(broadcast(audit)).orderBy(col("query_id"), col("rank"))
   }
 

@@ -1,6 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
@@ -15,10 +16,11 @@ import org.apache.spark.sql.types._
   * tail quantiles (p99 and beyond) accurate from ≤ δ centroids while
   * an equi-width histogram would need unbounded bins.
   *
-  * State is ≤ ~2δ centroids ≈ 3 KB at δ=100 regardless of group size —
-  * the same constant-shuffle-cost story as [[HllSketch]], which is what
-  * makes per-group percentile monitoring affordable at 100 TB (the
-  * exact `percentile` aggregate buffers EVERY value per group).
+  * State is ≤ ~δ centroids regardless of group size (≈ 6.4 KB
+  * serialized at the SQL-registered default δ=200) — the same
+  * constant-shuffle-cost story as [[HllSketch]], which is what makes
+  * per-group percentile monitoring affordable at 100 TB (the exact
+  * `percentile` aggregate buffers EVERY value per group).
   */
 final class TDigestBuffer(val compression: Double) extends Serializable {
   var means: Array[Double] = Array.emptyDoubleArray
@@ -159,7 +161,9 @@ object TDigestBuffer {
 
 /** `tdigest_quantile(value, q)` — approximate percentile from O(δ)
   * aggregation state (see [[TDigestBuffer]]). `q` must be a foldable
-  * probability in [0, 1]. Registered for SQL by [[GraftExtensions]].
+  * probability in [0, 1]; both requirements are enforced at analysis
+  * time (checkInputDataTypes), not discovered as executor-side
+  * failures. Registered for SQL by [[GraftExtensions]].
   */
 case class TDigestQuantile(
     child: Expression,
@@ -169,29 +173,51 @@ case class TDigestQuantile(
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[TDigestBuffer] {
 
-  private lazy val q: Double = qExpr.eval(InternalRow.empty) match {
+  private def toDouble(v: Any): Double = v match {
     case d: Double => d
     case f: Float => f.toDouble
     case n: Number => n.doubleValue()
     case decimal: org.apache.spark.sql.types.Decimal => decimal.toDouble
     case other =>
-      throw new IllegalArgumentException(s"tdigest_quantile probability must be numeric, got $other")
+      // unreachable after checkInputDataTypes; fail loudly, never skip
+      throw new IllegalStateException(s"tdigest_quantile: non-numeric value $other")
   }
+
+  // manual input check (ExpectsInputTypes' AbstractDataType is
+  // private[sql] in Spark 4, so the trait can't be implemented from an
+  // external package — the CosineSimilarity pattern)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val numeric = Seq(child.dataType, qExpr.dataType).forall {
+      case _: NumericType => true
+      case _ => false
+    }
+    if (!numeric) {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires numeric (value, probability) arguments, got " +
+          s"${child.dataType.catalogString} and ${qExpr.dataType.catalogString}")
+    } else if (!qExpr.foldable) {
+      TypeCheckResult.TypeCheckFailure(
+        "tdigest_quantile probability must be a constant (foldable) expression")
+    } else {
+      qExpr.eval(InternalRow.empty) match {
+        case null =>
+          TypeCheckResult.TypeCheckFailure("tdigest_quantile probability must not be null")
+        case v =>
+          val d = toDouble(v)
+          if (d >= 0.0 && d <= 1.0) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"tdigest_quantile probability must be in [0, 1], got $d")
+      }
+    }
+  }
+
+  private lazy val q: Double = toDouble(qExpr.eval(InternalRow.empty))
 
   override def createAggregationBuffer(): TDigestBuffer = new TDigestBuffer(compression)
 
   override def update(buffer: TDigestBuffer, input: InternalRow): TDigestBuffer = {
     val v = child.eval(input)
-    if (v != null) {
-      val x = v match {
-        case d: Double => d
-        case f: Float => f.toDouble
-        case n: Number => n.doubleValue()
-        case decimal: org.apache.spark.sql.types.Decimal => decimal.toDouble
-        case other => return buffer // non-numeric input: skip (mirrors percentile's null-skip)
-      }
-      buffer.add(x, 1.0)
-    }
+    if (v != null) buffer.add(toDouble(v), 1.0)
     buffer
   }
 

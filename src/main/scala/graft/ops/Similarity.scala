@@ -184,10 +184,21 @@ object Similarity {
     * buckets at Hamming distance 1 (one sign bit flipped). Applied AFTER
     * the bucket attribute is materialized by the bucketRows explode, so
     * the expansion is nbits cheap XORs per row — the hyperplane dot
-    * products are never recomputed. Probing happens on the SMALL side of
-    * each bucket join (queries; one side of the self-join), so the big
-    * side's row count still scales with `tables` alone — and multiprobe
-    * lets `lshParams` pick ~4-5× fewer tables at equal recall.
+    * products are never recomputed.
+    *
+    * Cost model, honestly: in the QUERY case (annTopK) only the tiny
+    * query side expands, so the corpus-side work — tables× explode AND
+    * tables×nbits hyperplane dot products per vector — drops with the
+    * ~4× table cut: a pure win. In the SELF-JOIN case
+    * (nearDupsEmbedding) the probed side expands ×(nbits+1), which
+    * roughly cancels the table cut in NARROW KEY ROWS shuffled (16-byte
+    * rows; q31 at sf0.1: 6·6n + 6n vs 21n + 21n); the real wins there
+    * are the ~4× fewer hyperplane evaluations per vector and — at big n
+    * — that the policy can KEEP the cost-optimal nbits instead of
+    * backing buckets off to honor maxTables: exact-bucket probing at
+    * n=10⁹/cos 0.35 backs off to nbits=7 (n/128-row buckets → quadratic
+    * bucket-join blowup) while multiprobe holds nbits=10 at fewer
+    * tables. Bucket depth, not row count, is what kills LSH at scale.
     */
   private def probedBuckets(bucket: Column, nbits: Int): Column =
     array((bucket +: (0 until nbits).map(j => bucket.bitwiseXOR(lit(1L << j)))).toIndexedSeq: _*)
@@ -276,6 +287,27 @@ object Similarity {
   ): DataFrame =
     df.select(col(idCol), explode(bucketStructs(col(vecCol), nbits, tables, dim)).as("bk"))
       .select(col(idCol), col("bk.tbl"), col("bk.bucket"))
+
+  /** One-row recall audit shared by the in-registry self-audits (q35,
+    * q49, q54): |approx ∩ exact| / |exact| over the given key columns.
+    * Keeping the hit-join in one place means a tie-handling or dedup fix
+    * applies to every audit at once instead of drifting per query.
+    */
+  def recallAudit(exact: DataFrame, approx: DataFrame, keys: Seq[String]): DataFrame =
+    exact
+      .join(
+        approx.select(keys.map(col).toIndexedSeq: _*).dropDuplicates(keys).withColumn("hit", lit(1)),
+        keys,
+        "left"
+      )
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_found")
+      )
+      .withColumn(
+        "recall",
+        round(col("n_found").cast("double") / col("n_exact").cast("double"), 4)
+      )
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
     * shared LSH buckets (no O(n²) cross join). `probes` is the multiprobe

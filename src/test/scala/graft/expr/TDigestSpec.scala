@@ -50,6 +50,20 @@ class TDigestSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("misuse fails at analysis, not at runtime: column q, out-of-range q, string input") {
+    Seq((1.0, 0.5, "a"), (2.0, 0.9, "b")).toDF("x", "p", "s").createOrReplaceTempView("td_bad")
+    Seq(
+      "SELECT tdigest_quantile(x, p) FROM td_bad", // non-foldable probability
+      "SELECT tdigest_quantile(x, 1.5) FROM td_bad", // out of [0, 1]
+      "SELECT tdigest_quantile(s, 0.5) FROM td_bad" // non-numeric value column
+    ).foreach { sql =>
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(
+        e.getMessage.contains("tdigest_quantile") || e.getMessage.contains("DATATYPE_MISMATCH"),
+        s"$sql: unexpected error ${e.getMessage.take(200)}")
+    }
+  }
+
   test("buffer state stays bounded: <= ~2*compression centroids on 100k points") {
     val d = new TDigestBuffer(100.0)
     val rnd = new scala.util.Random(11)

@@ -15,7 +15,10 @@ object PlanCheck {
       "q16_join_parts", "q5_dedup", "q6_latest", "q43_range_join",
       // round-2 additions with scale-relevant plan shapes
       "q25_knn_brute", "q27_minhash_dedup", "q50_bloom_join",
-      "q52_stratified_sample", "q55_scd2"
+      "q52_stratified_sample", "q55_scd2",
+      // round-3: multiprobe ANN (bucket join stays broadcast on the
+      // probed query side) and the t-digest ObjectHashAggregate
+      "q30_ann_lsh", "q59_tdigest"
     )
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

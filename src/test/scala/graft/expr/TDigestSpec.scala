@@ -50,6 +50,33 @@ class TDigestSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("streaming: tdigest_quantile merges incrementally across micro-batches") {
+    // the buffer must serialize into state and absorb each batch like
+    // any built-in — the "streaming-friendly complement to exact
+    // percentile" claim, executed
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Double]
+    val agg = input.toDF().agg(expr("tdigest_quantile(value, 0.5)").as("p50"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("td_stream")
+      .outputMode("complete")
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("td_ckpt").toString)
+      .start()
+    try {
+      input.addData((1 to 5000).map(_.toDouble): _*)
+      q.processAllAvailable()
+      input.addData((5001 to 10000).map(_.toDouble): _*)
+      q.processAllAvailable()
+      val p50 = spark.table("td_stream").select("p50").as[Double].collect().head
+      // true median of 1..10000 is 5000.5; t-digest rank error < 1%
+      assert(math.abs(p50 - 5000.5) / 5000.5 < 0.01, s"streamed p50 = $p50")
+    } finally q.stop()
+  }
+
   test("misuse fails at analysis, not at runtime: column q, out-of-range q, string input") {
     Seq((1.0, 0.5, "a"), (2.0, 0.9, "b")).toDF("x", "p", "s").createOrReplaceTempView("td_bad")
     Seq(

@@ -1307,6 +1307,181 @@ object Queries {
     Components.connectedComponents(pairs).orderBy(col("id"))
   }
 
+  // ---------------------------------------------------------------- q61
+  /** Benchmark DECONTAMINATION — the n-gram collision check every LLM
+    * pretraining pipeline runs before training (flag training docs that
+    * share a long n-gram with an eval/benchmark set, the GPT-3/PaLM
+    * decontamination shape). Benchmark = docs 0-49; corpus = the rest;
+    * a 5-gram collision marks the doc contaminated. Scale shape: the
+    * benchmark shingle set is SMALL by nature (eval sets are thousands
+    * of docs, not billions) — it broadcasts, so the corpus side is one
+    * map-side explode + hash-probe and one groupBy on doc_id; the
+    * corpus never shuffles its text.
+    */
+  def q61Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ngrams = TextDedup.shingles(col("text"), 5)
+    val bench = docs
+      .filter(col("doc_id") < 50)
+      .select(explode(ngrams).as("ng"))
+      .distinct()
+    val corpusNg = docs
+      .filter(col("doc_id") >= 50)
+      .select(col("doc_id"), explode(ngrams).as("ng"))
+    val hits = corpusNg
+      .join(broadcast(bench), Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ng")).as("n_contaminated"))
+    docs
+      .filter(col("doc_id") >= 50)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).as("is_contaminated")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  val q61Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(toks) - 4, 1)),
+      |    i -> array_to_string(toks[i+1:i+5], ' '))) AS ngs
+      |  FROM d
+      |), ex AS (
+      |  SELECT doc_id, unnest(ngs) AS ng FROM sh
+      |), bench AS (
+      |  SELECT DISTINCT ng FROM ex WHERE doc_id < 50
+      |), hits AS (
+      |  SELECT e.doc_id, CAST(count(DISTINCT e.ng) AS BIGINT) AS n_contaminated
+      |  FROM ex e JOIN bench b ON e.ng = b.ng
+      |  WHERE e.doc_id >= 50 GROUP BY e.doc_id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+      |  COALESCE(h.n_contaminated, 0) > 0 AS is_contaminated
+      |FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id >= 50
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** Data-MIXTURE weights: per-source token counts → temperature-scaled
+    * sampling weights w_s ∝ (n_s/N)^α (α=0.7, the multilingual/
+    * multi-corpus mixing rule) — the step that decides how often each
+    * source is drawn during pretraining. Two tiny aggregates (one per
+    * normalization constant) over a 10-row per-source frame; the corpus
+    * is scanned once. Double sums accumulate in decimal so the
+    * normalizers are order-independent.
+    */
+  def q62MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables
+      .documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextStats.tokens(col("text"))).cast("long")).as("n_tokens")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bySource.count() // eager: both normalizer consumers share this cache
+    val total = bySource.agg(sum(col("n_tokens")).as("total_tokens"))
+    val powed = bySource
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("powed", pow(col("share"), lit(0.7)))
+    val z = powed.agg(sum(col("powed").cast("decimal(38,18)")).cast("double").as("z"))
+    powed
+      .crossJoin(broadcast(z))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("powed") / col("z"), 6).as("weight")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q62Oracle: String =
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), t AS (
+      |  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total FROM s
+      |), p AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(n_tokens AS DOUBLE) / t.total AS share,
+      |    pow(CAST(n_tokens AS DOUBLE) / t.total, 0.7) AS powed
+      |  FROM s, t
+      |), z AS (
+      |  SELECT CAST(SUM(CAST(powed AS DECIMAL(38,18))) AS DOUBLE) AS z FROM p
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  round(share, 6) AS share,
+      |  round(powed / z.z, 6) AS weight
+      |FROM p, z ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** Context-window CHUNKING with overlap (window 16 tokens, stride 12)
+    * — the chunker feeding RAG indexing and fixed-window pretraining:
+    * per doc, overlapping token spans with offsets plus the
+    * materialized chunk text. Generator shape: one map-side explode per
+    * doc (the frameSample pattern on tokens instead of bytes), chunk
+    * count from the exact integer ceil form so the tail tokens are
+    * always covered. No shuffle at all until the output sort.
+    */
+  def q63Chunk(s: SparkSession, dir: String): DataFrame = {
+    val win = 16
+    val stride = 12
+    val d = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // integer ceil((n-win)/stride)+1, never a float: engines disagree
+      // on float ceil edge cases, ints they agree on
+      .withColumn(
+        "n_chunks",
+        when(col("n_tokens") <= win, lit(1L))
+          .otherwise(expr(s"(n_tokens - $win + ${stride - 1}) div $stride + 1"))
+      )
+    d.select(
+      col("doc_id"),
+      col("n_tokens"),
+      col("toks"),
+      explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx")
+    ).select(
+        col("doc_id"),
+        col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(col("chunk_idx") * stride + win, col("n_tokens")).as("tok_end"),
+        concat_ws(" ", slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(win)))
+          .as("chunk_text")
+      )
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val q63Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), c AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CASE WHEN len(toks) <= 16 THEN 1
+      |         ELSE (len(toks) - 16 + 11) // 12 + 1 END AS n_chunks
+      |  FROM d
+      |), e AS (
+      |  SELECT doc_id, toks, n_tokens, unnest(range(0, n_chunks)) AS i FROM c
+      |)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      |  CAST(i * 12 AS BIGINT) AS tok_start,
+      |  CAST(least(i * 12 + 16, n_tokens) AS BIGINT) AS tok_end,
+      |  array_to_string(toks[i*12+1 : i*12+16], ' ') AS chunk_text
+      |FROM e
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---------------------------------------------------------------- q60
   /** The SAME component closure as q51, computed by the O(log n)
     * large-star/small-star contraction (Components.largeStarSmallStar —
@@ -1969,7 +2144,10 @@ object Queries {
     "q57_seq_pack" -> (q57SeqPack _),
     "q58_repetition" -> (q58Repetition _),
     "q59_tdigest" -> (q59TdigestPercentiles _),
-    "q60_cc_log_rounds" -> (q60ConnectedComponentsLogRounds _)
+    "q60_cc_log_rounds" -> (q60ConnectedComponentsLogRounds _),
+    "q61_decontaminate" -> (q61Decontaminate _),
+    "q62_mixture_weights" -> (q62MixtureWeights _),
+    "q63_chunking" -> (q63Chunk _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2021,6 +2199,9 @@ object Queries {
     "q57_seq_pack" -> q57Oracle,
     "q58_repetition" -> q58Oracle,
     // q60 runs a different algorithm to the same answer — q51's oracle
-    "q60_cc_log_rounds" -> q51Oracle
+    "q60_cc_log_rounds" -> q51Oracle,
+    "q61_decontaminate" -> q61Oracle,
+    "q62_mixture_weights" -> q62Oracle,
+    "q63_chunking" -> q63Oracle
   )
 }

@@ -1368,6 +1368,44 @@ object Queries {
       |WHERE d.doc_id >= 50
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** q61's decontamination with a BLOOM-PREFILTERED probe — the shape
+    * for eval suites too big to broadcast raw: the benchmark shingle
+    * set compresses to a constant-size Bloom filter (8 KiB at
+    * log2bits=16 vs megabytes of strings), the corpus side drops
+    * definitely-clean n-grams MAP-SIDE before any join, and the exact
+    * join afterwards removes Bloom false positives — output is
+    * row-identical to q61 and shares its oracle. Composition of
+    * ops.BloomJoin with the decontamination semantics; at 100 TB the
+    * probe shuffle carries only probable hits (~selectivity of the
+    * contamination rate) instead of every corpus n-gram.
+    */
+  def q64DecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ngrams = TextDedup.shingles(col("text"), 5)
+    val bench = docs
+      .filter(col("doc_id") < 50)
+      .select(explode(ngrams).as("bng"))
+      .distinct()
+    val corpusNg = docs
+      .filter(col("doc_id") >= 50)
+      .select(col("doc_id"), explode(ngrams).as("ng"))
+    val hits = BloomJoin
+      .join(corpusNg, bench, "ng", "bng", log2bits = 16)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ng")).as("n_contaminated"))
+    docs
+      .filter(col("doc_id") >= 50)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).as("is_contaminated")
+      )
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q62
   /** Data-MIXTURE weights: per-source token counts → temperature-scaled
     * sampling weights w_s ∝ (n_s/N)^α (α=0.7, the multilingual/
@@ -2147,7 +2185,8 @@ object Queries {
     "q60_cc_log_rounds" -> (q60ConnectedComponentsLogRounds _),
     "q61_decontaminate" -> (q61Decontaminate _),
     "q62_mixture_weights" -> (q62MixtureWeights _),
-    "q63_chunking" -> (q63Chunk _)
+    "q63_chunking" -> (q63Chunk _),
+    "q64_decontaminate_bloom" -> (q64DecontaminateBloom _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2202,6 +2241,8 @@ object Queries {
     "q60_cc_log_rounds" -> q51Oracle,
     "q61_decontaminate" -> q61Oracle,
     "q62_mixture_weights" -> q62Oracle,
-    "q63_chunking" -> q63Oracle
+    "q63_chunking" -> q63Oracle,
+    // q64 is q61 with a Bloom-prefiltered probe — identical output
+    "q64_decontaminate_bloom" -> q61Oracle
   )
 }

@@ -17,8 +17,10 @@ object PlanCheck {
       "q25_knn_brute", "q27_minhash_dedup", "q50_bloom_join",
       "q52_stratified_sample", "q55_scd2",
       // round-3: multiprobe ANN (bucket join stays broadcast on the
-      // probed query side) and the t-digest ObjectHashAggregate
-      "q30_ann_lsh", "q59_tdigest"
+      // probed query side), the t-digest ObjectHashAggregate, the
+      // broadcast/Bloom decontamination pair, and the chunker generator
+      "q30_ann_lsh", "q59_tdigest", "q61_decontaminate",
+      "q64_decontaminate_bloom", "q63_chunking"
     )
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

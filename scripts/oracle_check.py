@@ -48,6 +48,9 @@ def main(outdir: str, sfdir: str) -> int:
     for name in sorted(oracle):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
+            import os
+            if os.environ.get("ORACLE_CHECK_PARTIAL"):
+                continue  # partial dev-loop dump (Verify <sf> <out> <names>)
             print(f"FAIL {name}: no spark output")
             failures += 1
             continue

@@ -2121,6 +2121,315 @@ object Queries {
       .orderBy(col("media_id"))
   }
 
+  // ---------------------------------------------------------------- q65
+  /** Salted equi-join in-registry (ops.Skew spec-only until now): the
+    * static skew remedy for a hot join key — fact rows get a uniform
+    * content-hash salt, the dim side is replicated `salt` times, and the
+    * join key becomes (key, salt), spreading one hot key over `salt`
+    * reducers. The fact side carries a SHUFFLE_MERGE hint so the query
+    * exercises the shuffle-join regime salting exists for (a broadcast
+    * join has no reducer hotspot to spread). Output provably equals the
+    * plain join — the oracle is the unsalted SQL join.
+    */
+  def q65SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables
+      .lineitem(s, dir)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+      .hint("shuffle_merge")
+    val dim = Tables.part(s, dir).select(col("p_partkey").as("l_partkey"), col("p_name"))
+    Skew
+      .saltedJoin(fact, dim, "l_partkey", salt = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"), col("p_name"))
+      .orderBy(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_partkey"),
+        col("l_quantity"),
+        col("p_name")
+      )
+  }
+
+  val q65Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, p_name
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, p_name""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  /** TF-IDF top-3 terms per document — the classic text-weighting shape:
+    * one shuffle on (doc_id, term) for term frequency, a tiny term-level
+    * aggregate for document frequency (broadcast back), and a windowed
+    * top-k that Catalyst executes with a map-side Partial
+    * WindowGroupLimit. Scores round to 6 decimals BEFORE ranking so both
+    * engines rank identical keys (ties break on term).
+    */
+  def q66Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val tf = d
+      .select(col("doc_id"), col("n_tokens"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("term"))
+      .agg(count(lit(1)).as("tc"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "tfidf",
+        round(
+          (col("tc").cast("double") / col("n_tokens").cast("double")) *
+            log(col("n_docs") / col("df").cast("double")),
+          6
+        )
+      )
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tc"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q66Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), t AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, unnest(toks) AS term FROM d
+      |), tf AS (
+      |  SELECT doc_id, n_tokens, term, CAST(count(*) AS BIGINT) AS tc FROM t GROUP BY 1, 2, 3
+      |), n AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+      |), df AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+      |), sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tc,
+      |    round((CAST(tf.tc AS DOUBLE) / CAST(tf.n_tokens AS DOUBLE)) *
+      |          ln(n.n_docs / CAST(df.df AS DOUBLE)), 6) AS tfidf
+      |  FROM tf JOIN df USING (term), n
+      |), r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM sc
+      |)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tc, tfidf
+      |FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  /** End-to-end C4-style CLEANING PIPELINE — the composition the whole
+    * text-extension exists for, as ONE declarative plan: language-ID
+    * gate → quality-score gate → length gate → exact dedup (first-wins
+    * per fingerprint) → PII redaction + whitespace normalization. All
+    * map-side except the dedup window's one shuffle on the 32-char
+    * fingerprint; Catalyst fuses every gate into the scan's
+    * WholeStageCodegen span. At 100 TB the filters run BEFORE the
+    * shuffle, so the dedup exchange carries only survivors.
+    */
+  def q67CleanPipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored =
+      TextStats.withLangId(TextStats.withQuality(Tables.documents(s, dir), "text"), "text")
+    val kept = scored
+      .filter(
+        col("lang_pred") === "en" && col("quality_score") >= 0.55 && col("n_tokens") >= 20
+      )
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    kept
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_tokens"),
+        round(col("quality_score"), 6).as("quality"),
+        TextStats.normalizeWs(TextStats.redactPii(col("text"))).as("clean_text")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  val q67Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), f AS (
+      |  SELECT doc_id, source, text,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+      |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS BIGINT) AS stop_count,
+      |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS cnt_en,
+      |    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS BIGINT) AS cnt_es,
+      |    CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS cnt_de
+      |  FROM t
+      |), q AS (
+      |  SELECT *,
+      |    0.4 * (CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+      |    0.3 * (1.0 - CAST(stop_count AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+      |    0.3 * least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) AS quality_score,
+      |    CASE WHEN cnt_en >= cnt_es AND cnt_en >= cnt_de AND cnt_en > 0 THEN 'en'
+      |         WHEN cnt_es >= cnt_de AND cnt_es > 0 THEN 'es'
+      |         WHEN cnt_de > 0 THEN 'de'
+      |         ELSE 'unknown' END AS lang_pred
+      |  FROM f
+      |), kept AS (
+      |  SELECT *, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+      |  FROM q
+      |  WHERE lang_pred = 'en' AND quality_score >= 0.55 AND n_tokens >= 20
+      |), dedup AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept
+      |)
+      |SELECT doc_id, source, n_tokens, round(quality_score, 6) AS quality,
+      |  trim(regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(text,
+      |        '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |      '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'),
+      |    '\s+', ' ', 'g')) AS clean_text
+      |FROM dedup WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  /** Per-source DEDUPLICATION STATS — the corpus-curation dashboard
+    * numbers: per source, document count, distinct-fingerprint count,
+    * within-source duplicate count/rate, and how many of its documents
+    * also appear (by fingerprint) in at least one other source
+    * (cross-source contamination). Two aggregates over the fingerprint
+    * frame plus one fp-keyed join; the text itself never shuffles — only
+    * 32-char fingerprints move.
+    */
+  def q68SourceDedupStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(s, dir)
+      .select(col("source"), col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // eager: three consumers share this cache
+    val perSrc = d
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_distinct"))
+    val fpSources = d.groupBy(col("fp")).agg(countDistinct(col("source")).as("n_sources"))
+    val crossDocs = d
+      .join(fpSources, Seq("fp"))
+      .filter(col("n_sources") > 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_cross_docs"))
+    perSrc
+      .join(crossDocs, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dup_docs"),
+        round(
+          (col("n_docs") - col("n_distinct")).cast("double") / col("n_docs").cast("double"),
+          6
+        ).as("dup_rate"),
+        coalesce(col("n_cross_docs"), lit(0L)).as("n_cross_docs")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q68Oracle: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+      |  FROM documents
+      |), per_src AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct
+      |  FROM d GROUP BY source
+      |), fps AS (
+      |  SELECT fp, COUNT(DISTINCT source) AS n_sources FROM d GROUP BY fp
+      |), cross_docs AS (
+      |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_cross_docs
+      |  FROM d JOIN fps USING (fp) WHERE fps.n_sources > 1 GROUP BY d.source
+      |)
+      |SELECT p.source, p.n_docs, p.n_distinct,
+      |  p.n_docs - p.n_distinct AS n_dup_docs,
+      |  round(CAST(p.n_docs - p.n_distinct AS DOUBLE) / CAST(p.n_docs AS DOUBLE), 6) AS dup_rate,
+      |  COALESCE(c.n_cross_docs, CAST(0 AS BIGINT)) AS n_cross_docs
+      |FROM per_src p LEFT JOIN cross_docs c ON p.source = c.source
+      |ORDER BY p.source""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** CUBE analytics over events: all four grouping sets of (event_type,
+    * day) in one pass — Spark expands the grouping sets and aggregates
+    * once (no four-scan union). Null group members are disambiguated
+    * from real values via grouping() (rolled-up slots render '<all>'),
+    * the sum accumulates in decimal for order-independence, and gid
+    * orders the sets deterministically in both engines.
+    */
+  def q69Cube(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .events(s, dir)
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+    e.cube(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"),
+        (grouping(col("event_type")) * 2 + grouping(col("day"))).cast("long").as("gid")
+      )
+      .select(
+        col("gid"),
+        coalesce(col("event_type"), lit("<all>")).as("event_type"),
+        coalesce(col("day"), lit("<all>")).as("day"),
+        col("n"),
+        round(col("sum_value"), 6).as("sum_value")
+      )
+      .orderBy(col("gid"), col("event_type"), col("day"))
+  }
+
+  val q69Oracle: String =
+    """SELECT CAST(GROUPING(event_type) * 2 + GROUPING(day_s) AS BIGINT) AS gid,
+      |  COALESCE(event_type, '<all>') AS event_type,
+      |  COALESCE(day_s, '<all>') AS day,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+      |FROM (
+      |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_s, value
+      |  FROM events
+      |)
+      |GROUP BY CUBE (event_type, day_s)
+      |ORDER BY gid, event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** Corpus token frequencies via the Misra–Gries HEAVY-HITTERS sketch
+    * (expr.MisraGries): ≤ k counters of aggregation state per group no
+    * matter how many rows stream through — the mergeable-summary shape
+    * for tracking dominant tokens/domains/URLs at 100 TB without
+    * shuffling the item universe. This corpus' vocabulary (31 terms)
+    * fits inside k=64, so no decrement ever fires and every estimate is
+    * provably exact — the oracle is a plain GROUP BY count. The lossy
+    * regime (k below the distinct count) is property-checked in
+    * FreqSketchSpec against the n/(k+1) error bound.
+    */
+  def q70HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    val toks = Tables
+      .documents(s, dir)
+      .select(explode(TextStats.tokens(col("text"))).as("tok"))
+    val sketch = toks.agg(
+      GraftShim
+        .column(
+          graft.expr
+            .MisraGries(GraftShim.expression(col("tok")), GraftShim.expression(lit(64)))
+            .toAggregateExpression()
+        )
+        .as("hh")
+    )
+    sketch
+      .select(explode(col("hh")).as(Seq("tok", "est_count")))
+      .orderBy(col("tok"))
+  }
+
+  val q70Oracle: String =
+    """SELECT tok, CAST(count(*) AS BIGINT) AS est_count
+      |FROM (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+      |)
+      |GROUP BY tok
+      |ORDER BY tok""".stripMargin
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -2186,7 +2495,13 @@ object Queries {
     "q61_decontaminate" -> (q61Decontaminate _),
     "q62_mixture_weights" -> (q62MixtureWeights _),
     "q63_chunking" -> (q63Chunk _),
-    "q64_decontaminate_bloom" -> (q64DecontaminateBloom _)
+    "q64_decontaminate_bloom" -> (q64DecontaminateBloom _),
+    "q65_salted_join" -> (q65SaltedJoin _),
+    "q66_tfidf" -> (q66Tfidf _),
+    "q67_clean_pipeline" -> (q67CleanPipeline _),
+    "q68_source_dedup_stats" -> (q68SourceDedupStats _),
+    "q69_cube" -> (q69Cube _),
+    "q70_heavy_hitters" -> (q70HeavyHitters _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2243,6 +2558,14 @@ object Queries {
     "q62_mixture_weights" -> q62Oracle,
     "q63_chunking" -> q63Oracle,
     // q64 is q61 with a Bloom-prefiltered probe — identical output
-    "q64_decontaminate_bloom" -> q61Oracle
+    "q64_decontaminate_bloom" -> q61Oracle,
+    "q65_salted_join" -> q65Oracle,
+    "q66_tfidf" -> q66Oracle,
+    "q67_clean_pipeline" -> q67Oracle,
+    "q68_source_dedup_stats" -> q68Oracle,
+    "q69_cube" -> q69Oracle,
+    // q70's k=64 exceeds the corpus vocabulary, so the MG estimates are
+    // provably exact — a plain GROUP BY count is a valid oracle
+    "q70_heavy_hitters" -> q70Oracle
   )
 }

@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("heavy_hitters"),
+        new ExpressionInfo(classOf[MisraGries].getCanonicalName, "heavy_hitters"),
+        (exprs: Seq[Expression]) => MisraGries(exprs(0), exprs(1)).toAggregateExpression()
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("tdigest_quantile"),
         new ExpressionInfo(classOf[TDigestQuantile].getCanonicalName, "tdigest_quantile"),
         (exprs: Seq[Expression]) => TDigestQuantile(exprs(0), exprs(1)).toAggregateExpression()

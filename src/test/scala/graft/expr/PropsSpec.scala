@@ -93,6 +93,61 @@ object TDigestProps extends Properties("tdigest") {
     }
 }
 
+object MisraGriesProps extends Properties("misraGries") {
+
+  private val itemGen = Gen.chooseNum(0, 40).map(i => s"i$i")
+  private val streamGen = Gen.nonEmptyListOf(itemGen)
+  private val kGen = Gen.chooseNum(2, 12)
+
+  private def feed(k: Int, xs: Seq[String]): MGBuffer = {
+    val b = new MGBuffer(k)
+    xs.foreach(b.add)
+    b
+  }
+
+  private def holdsBound(b: MGBuffer, xs: Seq[String], k: Int): Boolean = {
+    val exact = xs.groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+    val bound = xs.size.toLong / (k + 1)
+    val entries = {
+      import scala.jdk.CollectionConverters._
+      b.counts.asScala.map { case (key, v) => key -> v.longValue() }
+    }
+    entries.forall { case (item, est) =>
+      est <= exact(item) && exact(item) - est <= bound
+    } &&
+    exact.forall { case (item, n) => n <= bound || entries.contains(item) }
+  }
+
+  property("size never exceeds k; stream bound holds") =
+    forAll(streamGen, kGen) { (xs, k) =>
+      val b = feed(k, xs)
+      b.counts.size <= k && holdsBound(b, xs, k)
+    }
+
+  property("merged partitions keep the n/(k+1) bound (any 3-way split)") =
+    forAll(streamGen, streamGen, streamGen, kGen) { (a, b, c, k) =>
+      val m = feed(k, a)
+      m.absorb(feed(k, b))
+      m.absorb(feed(k, c))
+      m.counts.size <= k && holdsBound(m, a ++ b ++ c, k)
+    }
+
+  property("serialize/deserialize round-trips the counter set") =
+    forAll(streamGen, kGen) { (xs, k) =>
+      val b = feed(k, xs)
+      val r = MGBuffer.deserialize(b.serialized)
+      r.k == b.k && r.counts == b.counts
+    }
+
+  property("exact when k covers the item universe") =
+    forAll(streamGen) { xs =>
+      val b = feed(64, xs) // itemGen draws from ≤ 41 distinct items
+      val exact = xs.groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+      import scala.jdk.CollectionConverters._
+      b.counts.asScala.map { case (key, v) => key -> v.longValue() }.toMap == exact
+    }
+}
+
 object LshParamProps extends Properties("lshParams") {
 
   private val nGen = Gen.chooseNum(1L, 1L << 40)

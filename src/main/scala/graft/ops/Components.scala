@@ -117,10 +117,14 @@ object Components {
         .collect()(0)
       (r.getLong(0), r.getLong(1))
     }
-    // closed-neighborhood minimum per node over the symmetric edge view
-    // (min(u) == u within the group — cleaner than first())
-    def minNbr(sym: DataFrame) =
-      sym.groupBy(col("u")).agg(least(min(col("v")), min(col("u"))).as("m"))
+    // closed-neighborhood minimum per node, attached to every row of the
+    // symmetric edge view via a window — ONE shuffle (the window's
+    // hash-partition on u) where a groupBy-min + join-back costs two and
+    // reads its input twice
+    def withMinNbr(sym: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+      sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+    }
     def sym(e: DataFrame) =
       e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     // canonical undirected edge set: u < v, distinct, no self-loops
@@ -143,21 +147,32 @@ object Components {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // large star: neighbors v > u attach to min of u's closed nbhd
-      val s1 = sym(e)
+      // large star: neighbors v > u attach to min of u's closed nbhd.
+      // (checkpointed: the next step's sym() reads it twice, and the
+      // canon distinct must not replay per consumer)
       val ls = canon(
-        s1.join(minNbr(s1), "u").filter(col("v") > col("u")).select(col("v").as("u"), col("m").as("v"))
+        withMinNbr(sym(e)).filter(col("v") > col("u")).select(col("v").as("u"), col("m").as("v"))
       ).localCheckpoint(true)
       // small star: neighbors v <= u (and u itself) attach to the min.
-      // The join runs ONCE (checkpointed) and both union branches read
-      // the materialized result — the docstring's two-shuffle round cost
-      // would otherwise be paid twice.
-      val s2 = sym(ls)
-      val j = s2.join(minNbr(s2), "u").localCheckpoint(true)
+      // One explode emits both edge kinds in a single pass over the
+      // windowed frame — no intermediate join materialization at all
+      // (the old two-branch union read a checkpointed join twice). The
+      // (u, m) edge repeats once per group row; canon's distinct folds
+      // the copies.
       val ss = canon(
-        j.filter(col("v") < col("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .unionByName(j.select(col("u"), col("m").as("v")))
+        withMinNbr(sym(ls))
+          .select(
+            explode(
+              when(
+                col("v") < col("u"),
+                array(
+                  struct(col("v").as("u"), col("m").as("v")),
+                  struct(col("u"), col("m").as("v"))
+                )
+              ).otherwise(array(struct(col("u"), col("m").as("v"))))
+            ).as("e")
+          )
+          .select(col("e.u").as("u"), col("e.v").as("v"))
       ).localCheckpoint(true)
       val fpNext = fingerprint(ss)
       if (fpNext == fp) {

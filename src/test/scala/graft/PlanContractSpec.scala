@@ -30,11 +30,17 @@ class PlanContractSpec extends SparkSpec {
     // InferWindowGroupLimit must keep planting a Partial WindowGroupLimit
     // below the exchange: each map partition forwards <= k rows per query
     // instead of shuffling the full n x q scored set.
-    Seq("q25_knn_brute", "q30_ann_lsh", "q52_stratified_sample").foreach { q =>
+    Seq("q25_knn_brute", "q30_ann_lsh", "q52_stratified_sample", "q66_tfidf").foreach { q =>
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"), s"$q lost its WindowGroupLimit top-k pruning")
       assert(p.contains("Partial"), s"$q lost the map-side partial top-k:\n${p.take(600)}")
     }
+  }
+
+  test("salted join stays in the shuffle-join regime it exists for: q65") {
+    val p = plan("q65_salted_join")
+    assert(p.contains("SortMergeJoin"), "q65 lost its SHUFFLE_MERGE hint — a broadcast join has no hotspot to salt")
+    assert(p.contains("__salt"), "q65 lost the salt column in the join key")
   }
 
   test("bloom prefilter is a plain map-side Filter on the probe scan: q50") {

@@ -2430,6 +2430,103 @@ object Queries {
       |GROUP BY tok
       |ORDER BY tok""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** MIXTURE MATERIALIZATION — the step after q62's weights: given a
+    * token budget (half the corpus here), convert per-source sampling
+    * weights into per-source EPOCH counts (capped at 4, the usual
+    * repeat-harm ceiling) and emit the actual epoch-expanded training
+    * corpus: each doc repeated floor(epochs) times plus one more with
+    * probability frac(epochs), decided by the same engine-portable
+    * multiplicative hash as q52 (rand() would be engine-private and
+    * unreplayable). Generator shape: per-source scalars broadcast onto
+    * the corpus, one map-side explode — the only shuffles are the two
+    * tiny per-source aggregates; the corpus scans once.
+    */
+  def q71MixtureExpand(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_toks")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count() // eager: the per-source agg and the final join share this
+    val bySource = docs
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("n_tokens"))
+    val total = bySource.agg(sum(col("n_tokens")).as("total_tokens"))
+    val powed = bySource
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("powed", pow(col("share"), lit(0.7)))
+    val z = powed.agg(sum(col("powed").cast("decimal(38,18)")).cast("double").as("z"))
+    val weights = powed
+      .crossJoin(broadcast(z))
+      .withColumn(
+        "epochs",
+        least(
+          lit(4.0),
+          expr("total_tokens div 2").cast("double") * (col("powed") / col("z")) /
+            col("n_tokens").cast("double")
+        )
+      )
+      .select(col("source"), col("epochs"))
+    docs
+      .join(broadcast(weights), Seq("source"))
+      .withColumn(
+        "hash_frac",
+        pmod(col("doc_id") * lit(2654435761L), lit(1000003L)).cast("double") / lit(1000003.0)
+      )
+      .withColumn(
+        "n_repeats",
+        (floor(col("epochs")) +
+          when(col("hash_frac") < col("epochs") - floor(col("epochs")), 1).otherwise(0))
+          .cast("long")
+      )
+      .filter(col("n_repeats") > 0)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_repeats"),
+        explode(sequence(lit(1L), col("n_repeats"))).as("copy_idx")
+      )
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
+  val q71Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+      |  FROM documents
+      |), s AS (
+      |  SELECT source, CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM d GROUP BY source
+      |), t AS (
+      |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM s
+      |), p AS (
+      |  SELECT source, n_tokens,
+      |    pow(CAST(n_tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE), 0.7) AS powed,
+      |    t.total_tokens
+      |  FROM s, t
+      |), z AS (
+      |  SELECT CAST(SUM(CAST(powed AS DECIMAL(38,18))) AS DOUBLE) AS z FROM p
+      |), w AS (
+      |  SELECT source,
+      |    least(4.0, CAST(total_tokens // 2 AS DOUBLE) * (powed / z.z) / CAST(n_tokens AS DOUBLE)) AS epochs
+      |  FROM p, z
+      |), r AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(floor(w.epochs) +
+      |      CASE WHEN (CAST((d.doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003.0)
+      |                < w.epochs - floor(w.epochs)
+      |           THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+      |  FROM d JOIN w USING (source)
+      |)
+      |SELECT doc_id, source, n_repeats,
+      |  CAST(unnest(range(1, n_repeats + 1)) AS BIGINT) AS copy_idx
+      |FROM r WHERE n_repeats > 0
+      |ORDER BY doc_id, copy_idx""".stripMargin
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -2501,7 +2598,8 @@ object Queries {
     "q67_clean_pipeline" -> (q67CleanPipeline _),
     "q68_source_dedup_stats" -> (q68SourceDedupStats _),
     "q69_cube" -> (q69Cube _),
-    "q70_heavy_hitters" -> (q70HeavyHitters _)
+    "q70_heavy_hitters" -> (q70HeavyHitters _),
+    "q71_mixture_expand" -> (q71MixtureExpand _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2566,6 +2664,7 @@ object Queries {
     "q69_cube" -> q69Oracle,
     // q70's k=64 exceeds the corpus vocabulary, so the MG estimates are
     // provably exact — a plain GROUP BY count is a valid oracle
-    "q70_heavy_hitters" -> q70Oracle
+    "q70_heavy_hitters" -> q70Oracle,
+    "q71_mixture_expand" -> q71Oracle
   )
 }

@@ -89,6 +89,38 @@ class FreqSketchSpec extends SparkSpec {
     assert(est <= truth && truth - est <= bound, s"est=$est truth=$truth bound=$bound")
   }
 
+  test("heavy_hitters merges incrementally across streaming micro-batches") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val agg = input.toDF
+      .toDF("tok")
+      .groupBy()
+      .agg(expr("heavy_hitters(tok, 16)").as("hh"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("mg_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", Files.createTempDirectory("mg_ckpt").toString)
+      .start()
+    try {
+      input.addData(Seq.fill(30)("hot") ++ (0 until 10).map(i => s"a$i"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(20)("hot") ++ (0 until 10).map(i => s"b$i"): _*)
+      q.processAllAvailable()
+      val hh = spark
+        .table("mg_stream")
+        .selectExpr("explode(hh)")
+        .as[(String, Long)]
+        .collect()
+        .toMap
+      // 70 items total, k=16 → error ≤ 70/17 = 4; "hot" is 50
+      assert(hh.contains("hot"))
+      assert(hh("hot") >= 50L - 4L && hh("hot") <= 50L)
+    } finally q.stop()
+  }
+
   test("null items are skipped, not counted") {
     Seq(Some("a"), None, Some("a"), None, Some("b"))
       .toDF("tok")

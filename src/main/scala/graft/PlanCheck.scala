@@ -20,7 +20,11 @@ object PlanCheck {
       // probed query side), the t-digest ObjectHashAggregate, the
       // broadcast/Bloom decontamination pair, and the chunker generator
       "q30_ann_lsh", "q59_tdigest", "q61_decontaminate",
-      "q64_decontaminate_bloom", "q63_chunking"
+      "q64_decontaminate_bloom", "q63_chunking",
+      // round-3 batch 2: salted SMJ, tf-idf window limit, Bloom-bypass
+      // anti join, deflate map-side signal
+      "q65_salted_join", "q66_tfidf", "q72_incremental_dedup",
+      "q73_compress_quality"
     )
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

@@ -2527,6 +2527,199 @@ object Queries {
       |FROM r WHERE n_repeats > 0
       |ORDER BY doc_id, copy_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** INCREMENTAL-INGEST dedup: a new batch (docs 0-99) checked against
+    * the historical fingerprint store (everything else) — the daily
+    * shape of a continuously-growing corpus, where re-fingerprinting or
+    * re-shuffling the history per batch would be ruinous. ops.BloomJoin
+    * .antiJoin: history compresses to one constant-size Bloom filter
+    * (built with one aggregate, planted as a literal); batch rows whose
+    * fingerprint is DEFINITELY new bypass the anti-join shuffle
+    * entirely, and only probable duplicates (~dup rate + fpr) shuffle
+    * into the exact anti join that clears Bloom false positives. Output
+    * is row-identical to the plain anti join — which is the oracle.
+    */
+  def q72IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    // token-SET fingerprint (bag-of-words key): the corpus has no exact
+    // text duplicates, but ~20% of docs share an identical token set —
+    // the content-defined key is what incremental dedup would really use
+    val fp = md5(concat_ws(" ", array_sort(array_distinct(TextStats.tokens(col("text"))))))
+    val d = Tables.documents(s, dir).select(col("doc_id"), fp.as("fp"))
+    val history = d.filter(col("doc_id") >= 100).select(col("fp").as("hfp"))
+    val batch = d.filter(col("doc_id") < 100)
+    BloomJoin
+      .antiJoin(batch, history, "fp", "hfp", log2bits = 16)
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q72Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS fp
+      |  FROM documents
+      |)
+      |SELECT n.doc_id, n.fp FROM d n
+      |WHERE n.doc_id < 100
+      |  AND NOT EXISTS (SELECT 1 FROM d h WHERE h.doc_id >= 100 AND h.fp = n.fp)
+      |ORDER BY n.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** COMPRESSIBILITY quality signal (expr.DeflateRatio): compressed/raw
+    * size per document — the corpus-filter signal that catches template
+    * spam and boilerplate token-level heuristics miss (highly repetitive
+    * text deflates far below prose). Map-side native expression, zero
+    * shuffles until the audit aggregate. No SQL oracle (DuckDB has no
+    * deflate); SELF-AUDITING: every row carries the corpus-wide Pearson
+    * correlation between deflate ratio and the independent dup-3-gram
+    * repetition signal (must be strongly NEGATIVE — more repetition ⇒
+    * more compressible) and an out-of-range violation count (= 0).
+    */
+  def q73CompressQuality(s: SparkSession, dir: String): DataFrame = {
+    // plant template boilerplate on every 5th doc (the q53/q54 planted-
+    // defect pattern): the corpus itself is near-uniform 31-word text
+    // with almost no 3-gram repetition, so without a planted spam class
+    // both signals are flat and the correlation audit certifies nothing
+    val spam = " " + Seq.fill(40)("click here to subscribe now").mkString(" ")
+    val dirty = Tables
+      .documents(s, dir)
+      .withColumn(
+        "text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(spam))).otherwise(col("text"))
+      )
+    val scored = TextStats
+      .withRepetition(dirty, "text")
+      .select(
+        col("doc_id"),
+        expr("deflate_ratio(text)").as("compress_ratio"),
+        col("dup_ngram_ratio")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count() // eager: audit aggregate + output share this cache
+    val audit = scored.agg(
+      round(corr(col("compress_ratio"), col("dup_ngram_ratio")), 3).as("audit_corr"),
+      sum(
+        when(col("compress_ratio") <= 0.0 || col("compress_ratio") > 2.0, 1).otherwise(0)
+      ).as("audit_bad_range"),
+      // the planted class must separate cleanly: the most-compressible
+      // clean doc still deflates worse than the least-compressible
+      // spam doc
+      (max(when(col("doc_id") % 5 === 0, col("compress_ratio"))) <
+        min(when(col("doc_id") % 5 =!= 0, col("compress_ratio")))).as("audit_separated")
+    )
+    scored
+      .crossJoin(broadcast(audit))
+      .select(
+        col("doc_id"),
+        round(col("compress_ratio"), 4).as("compress_ratio"),
+        round(col("dup_ngram_ratio"), 6).as("dup_ngram_ratio"),
+        col("audit_corr"),
+        col("audit_bad_range"),
+        col("audit_separated")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- q74
+  /** CDC APPLY (ops.Upsert.applyCdc): fold an I/U/D change batch into a
+    * snapshot — the Delta/Iceberg MERGE INTO semantic as plain DataFrame
+    * algebra (anti join + union, one shuffle per side, no full-outer
+    * wide rows). The change batch is derived deterministically from the
+    * snapshot itself (deletes for keys ≡0 mod 10, balance updates for
+    * ≡1, fresh-key inserts for ≡4) so the oracle replays it exactly.
+    */
+  def q74CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val snap = Tables
+      .customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val changes = snap
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), lit("D").as("op"))
+      .unionByName(
+        snap
+          .filter(col("c_custkey") % 10 === 1)
+          .select(
+            col("c_custkey"),
+            col("c_name"),
+            (col("c_acctbal") + 100).as("c_acctbal"),
+            lit("U").as("op")
+          )
+      )
+      .unionByName(
+        snap
+          .filter(col("c_custkey") % 10 === 4)
+          .select(
+            (col("c_custkey") + 10000000L).as("c_custkey"),
+            concat(lit("new_"), col("c_name")).as("c_name"),
+            lit(0.0).as("c_acctbal"),
+            lit("I").as("op")
+          )
+      )
+    Upsert
+      .applyCdc(snap, changes, "c_custkey", "op")
+      .orderBy(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  val q74Oracle: String =
+    """WITH snap AS (
+      |  SELECT c_custkey, c_name, c_acctbal FROM customer
+      |), changes AS (
+      |  SELECT c_custkey, c_name, c_acctbal, 'D' AS op FROM snap WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal, 'U' AS op FROM snap WHERE c_custkey % 10 = 1
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000 AS c_custkey, 'new_' || c_name AS c_name,
+      |         0.0 AS c_acctbal, 'I' AS op
+      |  FROM snap WHERE c_custkey % 10 = 4
+      |)
+      |SELECT c_custkey, c_name, c_acctbal FROM (
+      |  SELECT s.c_custkey, s.c_name, s.c_acctbal FROM snap s
+      |  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.c_custkey = s.c_custkey)
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal FROM changes WHERE op IN ('I', 'U')
+      |)
+      |ORDER BY c_custkey, c_name, c_acctbal""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+  /** BPE FIRST-MERGE candidates: corpus-wide adjacent-token-pair counts,
+    * top 10 — the inner statistic of byte-pair-encoding vocabulary
+    * construction (each BPE round merges the argmax pair and recounts).
+    * Map-side pair explode → one groupBy on the pair string →
+    * TakeOrderedAndProject top-k (no global sort); ties break on the
+    * pair text so both engines rank identically.
+    */
+  def q75BpePairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val pairs = transform(
+      sequence(lit(0), size(toks) - 2),
+      i => concat_ws(" ", slice(toks, i + 1, lit(2)))
+    )
+    Tables
+      .documents(s, dir)
+      // min doc length in this corpus is 10 tokens, but guard anyway:
+      // sequence(0, -1) would DESCEND, fabricating a pair from 1 token
+      .filter(size(toks) >= 2)
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(10)
+  }
+
+  val q75Oracle: String =
+    """WITH d AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2
+      |), i AS (
+      |  SELECT toks, unnest(range(0, len(toks) - 1)) AS i FROM d
+      |), p AS (
+      |  SELECT toks[i + 1] || ' ' || toks[i + 2] AS pair FROM i
+      |)
+      |SELECT pair, CAST(count(*) AS BIGINT) AS n
+      |FROM p GROUP BY pair
+      |ORDER BY n DESC, pair
+      |LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -2599,7 +2792,11 @@ object Queries {
     "q68_source_dedup_stats" -> (q68SourceDedupStats _),
     "q69_cube" -> (q69Cube _),
     "q70_heavy_hitters" -> (q70HeavyHitters _),
-    "q71_mixture_expand" -> (q71MixtureExpand _)
+    "q71_mixture_expand" -> (q71MixtureExpand _),
+    "q72_incremental_dedup" -> (q72IncrementalDedup _),
+    "q73_compress_quality" -> (q73CompressQuality _),
+    "q74_cdc_apply" -> (q74CdcApply _),
+    "q75_bpe_pairs" -> (q75BpePairs _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2665,6 +2862,9 @@ object Queries {
     // q70's k=64 exceeds the corpus vocabulary, so the MG estimates are
     // provably exact — a plain GROUP BY count is a valid oracle
     "q70_heavy_hitters" -> q70Oracle,
-    "q71_mixture_expand" -> q71Oracle
+    "q71_mixture_expand" -> q71Oracle,
+    "q72_incremental_dedup" -> q72Oracle,
+    "q74_cdc_apply" -> q74Oracle,
+    "q75_bpe_pairs" -> q75Oracle
   )
 }

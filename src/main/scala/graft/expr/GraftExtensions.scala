@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("deflate_ratio"),
+        new ExpressionInfo(classOf[DeflateRatio].getCanonicalName, "deflate_ratio"),
+        (exprs: Seq[Expression]) => DeflateRatio(exprs.head)
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("heavy_hitters"),
         new ExpressionInfo(classOf[MisraGries].getCanonicalName, "heavy_hitters"),
         (exprs: Seq[Expression]) => MisraGries(exprs(0), exprs(1)).toAggregateExpression()

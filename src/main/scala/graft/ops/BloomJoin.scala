@@ -81,4 +81,33 @@ object BloomJoin {
     val filtered = prefilter(probe, build, probeKey, buildKey, log2bits, k)
     filtered.join(build, filtered(probeKey) === build(buildKey))
   }
+
+  /** Exact ANTI join with a Bloom BYPASS — the incremental-ingest dedup
+    * shape: rows whose key is DEFINITELY absent from `right` (no false
+    * negatives, by construction) are keepers that skip the anti-join
+    * shuffle entirely; only the "maybe present" sliver (true matches +
+    * false positives, ~match-rate + fpr of the batch) shuffles into the
+    * exact anti join that removes Bloom false positives. Row-identical
+    * to `left.join(right, ..., "left_anti")`; at a 1% duplicate rate
+    * the anti-join exchange carries ~1% of the batch.
+    */
+  def antiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      log2bits: Int = 20,
+      k: Int = 7
+  ): DataFrame = {
+    val bf = right
+      .agg(bloomAgg(col(rightKey), log2bits, k).as("__bf"))
+      .collect()(0)
+      .getAs[Array[Byte]](0)
+    val probeHit = mightContain(lit(bf), col(leftKey), k)
+    val definitelyNew = left.filter(!probeHit)
+    val maybe = left.filter(probeHit)
+    definitelyNew.unionByName(
+      maybe.join(right, maybe(leftKey) === right(rightKey), "left_anti")
+    )
+  }
 }

@@ -34,6 +34,25 @@ object Upsert {
     merged.select(keyCol +: mergedCols.toIndexedSeq: _*)
   }
 
+  /** CDC APPLY: fold a change batch carrying an op column ('I'nsert /
+    * 'U'pdate / 'D'elete) into a snapshot — the generic change-data-
+    * capture application behind every snapshot-maintaining pipeline
+    * (Delta/Iceberg MERGE INTO express exactly this). Upsert semantics:
+    * U on an absent key inserts; I on a present key replaces; D removes.
+    * Last-writer-wins INSIDE the batch is the caller's job (pre-dedup
+    * per key) — this operator assumes ≤ 1 change row per key.
+    *
+    * Scale shape: one anti join (snapshot keeps rows with no change) +
+    * one union with the surviving changes — each side shuffles once on
+    * the key, or never if snapshot and changes are co-bucketed
+    * (ops.Bucketed). No full-outer wide row, no window.
+    */
+  def applyCdc(snapshot: DataFrame, changes: DataFrame, key: String, opCol: String): DataFrame = {
+    val untouched = snapshot.join(changes.select(col(key)), Seq(key), "left_anti")
+    val upserts = changes.filter(col(opCol).isin("I", "U")).drop(opCol)
+    untouched.unionByName(upserts)
+  }
+
   /** A4: GREATEST-merge of per-key watermarks — the cursor only advances.
     * Missing on either side ⇒ the present value wins (coalesce), both
     * present ⇒ greatest.

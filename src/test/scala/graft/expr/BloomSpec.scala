@@ -71,6 +71,29 @@ class BloomSpec extends SparkSpec {
     assert(kept < total * 0.5, "prefilter dropped nothing — filter is not selective")
   }
 
+  test("BloomJoin.antiJoin is row-identical to the plain anti join; bypass skips most rows") {
+    val left = (0L until 2000L).toDF("k")
+    val right = (0L until 2000L).filter(_ % 50 == 0).toDF("rk") // 2% match rate
+    val got = BloomJoin
+      .antiJoin(left, right, "k", "rk", log2bits = 16)
+      .as[Long]
+      .collect()
+      .sorted
+      .toSeq
+    val want = left
+      .join(right, left("k") === right("rk"), "left_anti")
+      .as[Long]
+      .collect()
+      .sorted
+      .toSeq
+    assert(got == want)
+    // the bypass really fires: definitely-absent keys never reach the
+    // exact anti join (fpr at m≈13n keeps "maybe" near the match rate)
+    val bf = right.agg(BloomJoin.bloomAgg(col("rk"), 16).as("bf")).collect()(0).getAs[Array[Byte]](0)
+    val maybe = left.filter(BloomJoin.mightContain(lit(bf), col("k"))).count()
+    assert(maybe < 200, s"expected ~2% + fpr of 2000 rows in the maybe set, got $maybe")
+  }
+
   test("two might_contain probes in one projection compile under CODEGEN_ONLY") {
     val conf = spark.conf
     val prevFallback = conf.get("spark.sql.codegen.fallback", "true")

@@ -38,4 +38,23 @@ class JobsSpec extends SparkSpec {
     val s1 = rows.find(_.getString(0) == "s1").get
     assert(s1.getString(1) == "cityA" && s1.getDouble(2) == 9.0)
   }
+
+  test("writePartitioned bounds files per partition dir and round-trips rows") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("wp").toString
+    val ev = graft.Tables
+      .events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .repartition(16) // simulate a many-task upstream: naive partitionBy would fan out per task
+      .drop("ts") // ts is int64-nanos-derived; day carries the partition
+    val n = ev.count()
+    Jobs.writePartitioned(ev, out, "day", filesPerPartition = 3)
+    val dayDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("day="))
+    assert(dayDirs.nonEmpty)
+    dayDirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files >= 1 && files <= 3, s"${d.getName}: $files files, want <= 3")
+    }
+    assert(spark.read.parquet(out).count() == n)
+  }
 }

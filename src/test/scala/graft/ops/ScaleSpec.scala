@@ -52,6 +52,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    // one key carries ~95% of the fact — the runtime complement to the
+    // static Skew.saltedJoin: AQE detects the oversized shuffle
+    // partition and splits it across tasks with no query rewrite
+    val conf = spark.conf
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = (1 to 200000)
+        .map(i => (if (i % 20 == 0) (i % 7).toLong + 2L else 1L, s"payload_$i"))
+        .toDF("key", "payload")
+      val dim = (0L to 9L).map(k => (k, s"dim_$k")).toDF("key", "label")
+      val joined = fact.join(dim.hint("merge"), "key")
+      // execute THIS frame (count() would plan a different query and
+      // leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), s"AQE did not mark the skew join:\n${finalPlan.take(800)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("approx_count_distinct (HLL) within 5% of exact") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
     val (approx, exact) = li

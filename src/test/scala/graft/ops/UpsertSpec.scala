@@ -58,4 +58,27 @@ class UpsertSpec extends SparkSpec {
       ("c", ts("2024-01-01 11:00:00"))
     ))
   }
+
+  test("applyCdc: D removes, U updates, I inserts, U-on-absent upserts, D-on-absent no-ops") {
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, "a", 10.0, "D"), // delete present
+      (2L, "b", 99.0, "U"), // update present
+      (4L, "d", 40.0, "I"), // insert fresh
+      (5L, "e", 50.0, "U"), // update absent → upsert-inserts
+      (6L, "f", 0.0, "D") // delete absent → no-op
+    ).toDF("k", "name", "bal", "op")
+    val out = Upsert
+      .applyCdc(snap, changes, "k", "op")
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (2L, "b", 99.0),
+      (3L, "c", 30.0),
+      (4L, "d", 40.0),
+      (5L, "e", 50.0)
+    ))
+  }
 }

@@ -10,6 +10,7 @@ schema shape, and a value hash.  (Local pre-flight only — the driver runs
 its own equivalent.)
 """
 import json
+import os
 import sys
 import glob
 import duckdb
@@ -48,7 +49,6 @@ def main(outdir: str, sfdir: str) -> int:
     for name in sorted(oracle):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
-            import os
             if os.environ.get("ORACLE_CHECK_PARTIAL"):
                 continue  # partial dev-loop dump (Verify <sf> <out> <names>)
             print(f"FAIL {name}: no spark output")

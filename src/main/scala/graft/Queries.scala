@@ -2476,7 +2476,7 @@ object Queries {
       .join(broadcast(weights), Seq("source"))
       .withColumn(
         "hash_frac",
-        pmod(col("doc_id") * lit(2654435761L), lit(1000003L)).cast("double") / lit(1000003.0)
+        TextStats.portableHash(col("doc_id")).cast("double") / lit(1000003.0)
       )
       .withColumn(
         "n_repeats",
@@ -2544,7 +2544,13 @@ object Queries {
     // text duplicates, but ~20% of docs share an identical token set —
     // the content-defined key is what incremental dedup would really use
     val fp = md5(concat_ws(" ", array_sort(array_distinct(TextStats.tokens(col("text"))))))
-    val d = Tables.documents(s, dir).select(col("doc_id"), fp.as("fp"))
+    val d = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), fp.as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // eager: the Bloom build, the anti join, and both bypass
+    // branches all read the fingerprint frame — one tokenize+md5 pass,
+    // not four
     val history = d.filter(col("doc_id") >= 100).select(col("fp").as("hfp"))
     val batch = d.filter(col("doc_id") < 100)
     BloomJoin
@@ -2690,14 +2696,11 @@ object Queries {
     */
   def q75BpePairs(s: SparkSession, dir: String): DataFrame = {
     val toks = TextStats.tokens(col("text"))
-    val pairs = transform(
-      sequence(lit(0), size(toks) - 2),
-      i => concat_ws(" ", slice(toks, i + 1, lit(2)))
-    )
+    val pairs = TextStats.ngrams(toks, 2)
     Tables
       .documents(s, dir)
-      // min doc length in this corpus is 10 tokens, but guard anyway:
-      // sequence(0, -1) would DESCEND, fabricating a pair from 1 token
+      // ngrams' greatest() guard would fabricate a 1-token "pair" from a
+      // 1-token doc — exclude them (min doc length here is 10 anyway)
       .filter(size(toks) >= 2)
       .select(explode(pairs).as("pair"))
       .groupBy(col("pair"))

@@ -76,7 +76,11 @@ final class MGBuffer(val k: Int) extends Serializable {
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      // length-prefixed UTF-8, NOT writeUTF: writeUTF throws on items
+      // over 65535 encoded bytes (a raw document text used as the item)
+      val bytes = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -91,8 +95,10 @@ object MGBuffer {
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val key = in.readUTF()
-      b.counts.put(key, in.readLong())
+      val len = in.readInt()
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      b.counts.put(new String(bytes, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
       i += 1
     }
     b

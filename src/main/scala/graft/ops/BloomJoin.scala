@@ -103,7 +103,11 @@ object BloomJoin {
       .agg(bloomAgg(col(rightKey), log2bits, k).as("__bf"))
       .collect()(0)
       .getAs[Array[Byte]](0)
-    val probeHit = mightContain(lit(bf), col(leftKey), k)
+    // null-safe: a NULL key makes mightContain NULL, and both NOT NULL
+    // and NULL filters would drop the row — but a plain left_anti KEEPS
+    // null-key left rows (null never equals anything), so they must
+    // land in the bypass
+    val probeHit = coalesce(mightContain(lit(bf), col(leftKey), k), lit(false))
     val definitelyNew = left.filter(!probeHit)
     val maybe = left.filter(probeHit)
     definitelyNew.unionByName(

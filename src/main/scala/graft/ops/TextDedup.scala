@@ -31,15 +31,10 @@ object TextDedup {
   def tokenSet(c: Column): Column = array_distinct(split(trim(c), "\\s+"))
 
   /** Word n-gram shingles (distinct). */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = split(trim(c), "\\s+")
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))
-      )
-    )
-  }
+  def shingles(c: Column, n: Int): Column =
+    // linear zip-of-shifts construction (TextStats.ngrams) — the lambda-
+    // slice form re-evaluates the tokenizer per element
+    array_distinct(TextStats.ngrams(split(trim(c), "\\s+"), n))
 
   /** MinHash signature: array of `numHashes` minima over the permuted
     * murmur3 hashes of the elements of `setCol`.

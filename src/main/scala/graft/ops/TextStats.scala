@@ -17,6 +17,38 @@ object TextStats {
   /** Whitespace tokenization (the corpus is space-separated). */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Overlapping word n-grams as strings. Built by zipping n SHIFTED
+    * copies of the token array — NOT `transform(sequence(...), i =>
+    * slice(toks, ...))`: a lambda body referencing `toks` gets the
+    * tokenize expression inlined by CollapseProject and re-evaluated
+    * PER ELEMENT (O(tokens²) per doc — measured 30× on 250-token docs).
+    * Here `toks` appears only in argument positions (n slices + size),
+    * evaluated once per row each; the lambda touches only its own zip
+    * entry. A doc shorter than n yields one truncated gram (arrays_zip
+    * null-pads the short shifts and concat_ws skips nulls — same values
+    * as the old slice form, which its oracles replay).
+    * Shared by the repetition signals (q58/q73), the shingles behind
+    * decontamination (q61/q64), and the BPE pair counts (q75).
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    val len = greatest(size(toks) - (n - 1), lit(1))
+    val shifts = (0 until n).map(k => slice(toks, lit(k + 1), len).as(s"g$k"))
+    transform(
+      arrays_zip(shifts: _*),
+      s => concat_ws(" ", (0 until n).map(k => s.getField(s"g$k")): _*)
+    )
+  }
+
+  /** Engine-portable pseudo-random key in [0, 1000003): multiplicative
+    * hash of an integer id, exact integer arithmetic — replayable in
+    * any 64-bit engine, unlike rand(seed) which is engine-private.
+    * Shared by the stratified sampler (q52) and the mixture expander
+    * (q71); the constant pair must stay in lockstep with the DuckDB
+    * oracles.
+    */
+  def portableHash(idCol: Column): Column =
+    pmod(idCol * lit(2654435761L), lit(1000003L))
+
   /** BPE-ish regex tokenization: runs of letters, runs of digits, single
     * other symbols — the classic pre-tokenizer shape. Built with
     * call_function (never SQL-string interpolation of Column.toString,
@@ -120,7 +152,7 @@ object TextStats {
     * corpus.
     */
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String, perGroup: Int): DataFrame = {
-    val skey = pmod(col(idCol) * lit(2654435761L), lit(1000003L))
+    val skey = portableHash(col(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(skey, col(idCol))
@@ -136,10 +168,7 @@ object TextStats {
     */
   def withRepetition(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
     val toks = tokens(col(textCol))
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))
-    )
+    val grams = ngrams(toks, n)
     df.withColumn("__toks", toks)
       .withColumn("__grams", grams)
       .withColumn(

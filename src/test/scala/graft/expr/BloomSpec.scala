@@ -94,6 +94,19 @@ class BloomSpec extends SparkSpec {
     assert(maybe < 200, s"expected ~2% + fpr of 2000 rows in the maybe set, got $maybe")
   }
 
+  test("antiJoin keeps null-key left rows, exactly like a plain anti join") {
+    // null never equals anything, so left_anti KEEPS null-key rows; the
+    // bloom probe returns NULL for them and a naive NOT-filter would
+    // silently drop them (regression for the null-propagation bug)
+    val left = Seq(Some(1L), Some(2L), None, None).toDF("k")
+    val right = Seq(1L).toDF("rk")
+    val got = BloomJoin.antiJoin(left, right, "k", "rk", log2bits = 10)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
+    val want = left.join(right, left("k") === right("rk"), "left_anti")
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
+    assert(got == want && got == Seq(-1L, -1L, 2L))
+  }
+
   test("two might_contain probes in one projection compile under CODEGEN_ONLY") {
     val conf = spark.conf
     val prevFallback = conf.get("spark.sql.codegen.fallback", "true")

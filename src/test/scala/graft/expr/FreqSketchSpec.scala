@@ -74,6 +74,15 @@ class FreqSketchSpec extends SparkSpec {
     val round = MGBuffer.deserialize(b1.serialized)
     assert(round.k == b1.k && round.counts == b1.counts)
 
+    // items beyond writeUTF's 65535-byte ceiling must survive the
+    // shuffle serialization (regression: raw document text as the item)
+    val big = new MGBuffer(4)
+    val huge = "x" * 70000 + "€" // multi-byte tail: length != byte count
+    Seq(huge, huge, "small").foreach(big.add)
+    val bigRound = MGBuffer.deserialize(big.serialized)
+    assert(bigRound.counts == big.counts)
+    assert(bigRound.counts.get(huge) == 2L)
+
     // absorb must preserve the error bound: feed a stream split in two
     val items = (0 until 500).map(i => s"i${i % 23}") ++ Seq.fill(300)("hot")
     val (s1, s2) = items.splitAt(items.size / 2)

@@ -46,8 +46,15 @@ class BucketedSpec extends SparkSpec {
   }
 
   test("groupBy on the bucket key aggregates without an exchange") {
+    // self-sufficient: don't depend on the join test having run first
+    Bucketed.write(
+      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity")),
+      "li_bkt_agg",
+      "l_orderkey",
+      8
+    )
     val agg = Bucketed
-      .read(spark, "li_bkt")
+      .read(spark, "li_bkt_agg")
       .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("q"))
     assert(shuffleCount(agg) == 0, "bucketed groupBy on the bucket key must not shuffle")

@@ -2723,6 +2723,105 @@ object Queries {
       |ORDER BY n DESC, pair
       |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** WINDOW-FRAME feature engineering over the event stream: per-user
+    * 3-row moving average (ROWS frame, decimal-accumulated then divided
+    * so the value is reduction-order-exact) and a trailing-1-hour event
+    * count (RANGE frame over exact ns — peer-inclusive semantics match
+    * DuckDB's). The per-user window is one hash-partition sort — the
+    * shape that scales by user cardinality, never by total history.
+    */
+  def q76MovingFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRows = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(-2, 0)
+    val wRange = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"))
+      .rangeBetween(-3600L * 1000 * 1000 * 1000, 0)
+    Tables
+      .events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts_ns"))
+      .withColumn("mov_sum", sum(col("value").cast("decimal(38,6)")).over(wRows))
+      .withColumn("mov_n", count(lit(1)).over(wRows))
+      .withColumn("n_1h", count(lit(1)).over(wRange))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        round(col("mov_sum").cast("double") / col("mov_n").cast("double"), 6).as("mov_avg"),
+        col("mov_n"),
+        col("n_1h")
+      )
+      .orderBy(col("event_id"))
+  }
+
+  val q76Oracle: String =
+    """SELECT event_id, user_id,
+      |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w_rows AS DOUBLE) /
+      |        CAST(COUNT(*) OVER w_rows AS DOUBLE), 6) AS mov_avg,
+      |  CAST(COUNT(*) OVER w_rows AS BIGINT) AS mov_n,
+      |  CAST(COUNT(*) OVER w_range AS BIGINT) AS n_1h
+      |FROM events
+      |WINDOW
+      |  w_rows AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      |  w_range AS (PARTITION BY user_id ORDER BY ts
+      |              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+  /** Embedding QUANTIZATION for vector storage at scale: per-vector
+    * symmetric int8 (scale = max |x|, q = round(x/scale·127)) with the
+    * reconstruction error audited in the same pass. 4× smaller vectors
+    * is the difference between an in-memory and a spilling ANN index at
+    * 100 TB. Map-side array expressions only; every lambda touches its
+    * own argument (scale/ed stay multi-referenced attributes, so
+    * CollapseProject cannot inline the aggregates into the lambdas —
+    * the q73 lesson). `within_bound` asserts err ≤ scale/254, the exact
+    * half-ulp bound of the quantizer.
+    */
+  def q77Quantize(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("ed", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("scale", array_max(transform(col("ed"), x => abs(x))))
+      .withColumn("qv", transform(col("ed"), x => round(x / col("scale") * 127)))
+      .withColumn(
+        "max_err",
+        array_max(zip_with(col("ed"), col("qv"), (x, q) => abs(x - q * col("scale") / lit(127))))
+      )
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        round(col("max_err"), 6).as("max_err"),
+        (col("max_err") <= col("scale") / 254 * 1.0000001).as("within_bound")
+      )
+      .orderBy(col("vec_id"))
+  }
+
+  val q77Oracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, ed, list_max(list_transform(ed, x -> abs(x))) AS scale FROM e
+      |), qt AS (
+      |  SELECT vec_id, ed, scale,
+      |    list_transform(ed, x -> round(x / scale * 127)) AS qv
+      |  FROM s
+      |), err AS (
+      |  SELECT vec_id, scale,
+      |    list_max(list_transform(list_zip(ed, qv),
+      |      p -> abs(struct_extract(p, 1) - struct_extract(p, 2) * scale / 127))) AS max_err
+      |  FROM qt
+      |)
+      |SELECT vec_id, round(scale, 6) AS scale, round(max_err, 6) AS max_err,
+      |  max_err <= scale / 254 * 1.0000001 AS within_bound
+      |FROM err
+      |ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -2799,7 +2898,9 @@ object Queries {
     "q72_incremental_dedup" -> (q72IncrementalDedup _),
     "q73_compress_quality" -> (q73CompressQuality _),
     "q74_cdc_apply" -> (q74CdcApply _),
-    "q75_bpe_pairs" -> (q75BpePairs _)
+    "q75_bpe_pairs" -> (q75BpePairs _),
+    "q76_moving_features" -> (q76MovingFeatures _),
+    "q77_quantize" -> (q77Quantize _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -2868,6 +2969,8 @@ object Queries {
     "q71_mixture_expand" -> q71Oracle,
     "q72_incremental_dedup" -> q72Oracle,
     "q74_cdc_apply" -> q74Oracle,
-    "q75_bpe_pairs" -> q75Oracle
+    "q75_bpe_pairs" -> q75Oracle,
+    "q76_moving_features" -> q76Oracle,
+    "q77_quantize" -> q77Oracle
   )
 }

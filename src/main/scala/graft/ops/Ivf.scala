@@ -107,6 +107,41 @@ object Ivf {
     )
   }
 
+  /** SOFT assignment: each vector lands in its `m` nearest cells (the
+    * spill-tree / cluster-overlap trick). Same zero-shuffle map-side
+    * shape as [[assign]] — the argmax generalizes to a sort + slice of
+    * the same scored struct array, then one generator row per cell.
+    * Ties break toward the smaller cluster_id (desc (sim, -cid) order).
+    * Output: one row per (vector, cell) — m rows per vector.
+    */
+  def assignTopM(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      m: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val cents = centroidArrays(centroids)
+    val scored = array(cents.map { case (cid, c) =>
+      val cCol = array(c.map(v => lit(v)).toIndexedSeq: _*)
+      struct(
+        Similarity.cosine(col(vecCol), cCol).as("sim"),
+        lit(-cid).as("neg_cid") // ties: smaller cluster_id ranks first desc
+      )
+    }.toIndexedSeq: _*)
+    corpus
+      .select(
+        col(idCol),
+        col(vecCol),
+        explode(slice(reverse(array_sort(scored)), 1, m)).as("cell")
+      )
+      .select(
+        col(idCol),
+        col(vecCol),
+        (-col("cell").getField("neg_cid")).cast("int").as("cluster_id")
+      )
+  }
+
   /** IVF top-k: probe the query's `nprobe` nearest cells only. */
   def topK(
       corpus: DataFrame,

@@ -125,6 +125,17 @@ object TextStats {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(trim(c), "\\s+", " "))
 
+  /** Token-SET (bag-of-words) md5 fingerprint: the content-defined key
+    * that survives token reordering. The generated corpus has no exact
+    * text duplicates but ~20% of docs share an identical token set —
+    * this is the key incremental dedup (q72) and the cross-source
+    * overlap census (q82) really run on. Oracle mirror:
+    * `md5(array_to_string(list_sort(list_distinct(string_split_regex(
+    * trim(text), '\s+'))), ' '))`.
+    */
+  def tokenSetFingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+
   /** PII redaction: emails then phone-shaped digit runs replaced with
     * typed placeholder tokens. Patterns stay inside the regex subset
     * both Java and RE2 engines share (no backrefs, no lookaround), so

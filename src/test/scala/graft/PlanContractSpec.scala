@@ -52,6 +52,18 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "bloom filter regressed to a cross join")
   }
 
+  test("window-free AUC plans no Window operator: q81") {
+    // the Mann-Whitney AUC is a distribution×distribution join by design —
+    // a global rank window here would single-partition the corpus
+    assert(!plan("q81_quality_auc").contains("Window"), "q81 reintroduced a global rank window")
+  }
+
+  test("dup-span coverage joins on the gram key (no nested loop): q80") {
+    val p = plan("q80_dup_spans")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q80 degenerated to a nested loop")
+    assert(!p.contains("CartesianProduct"), "q80 planned a cartesian join")
+  }
+
   test("range join is an equi join (no nested loop): q43") {
     val p = plan("q43_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), "q43 degenerated to a nested loop")

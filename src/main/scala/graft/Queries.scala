@@ -3328,6 +3328,109 @@ object Queries {
       |FROM j JOIN canon c USING (component)
       |ORDER BY j.id""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Deterministic TRAIN/VAL/TEST split + LEAKAGE census. The split is
+    * the engine-portable multiplicative hash (TextStats.portableHash —
+    * reproducible across engines, reruns, and cluster sizes, unlike
+    * rand()): 80/10/10 by hash range, entirely map-side. The leakage
+    * audit is the check every split ships with: token-set-fingerprint
+    * classes that span more than one split (identical content in train
+    * AND eval = contamination); one fp-keyed aggregate, counted once
+    * corpus-wide and broadcast onto the per-(source, split) profile.
+    */
+  def q85HashSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = TextStats.portableHash(col("doc_id"))
+    val d = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        TextStats.tokenSetFingerprint(col("text")).as("fp"),
+        when(h < 800000, "train").when(h < 900000, "val").otherwise("test").as("split")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // eager: profile + leakage consumers share this cache
+    val leaky = d
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .agg(count(lit(1)).as("n_leaky_classes"))
+    d.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(leaky))
+      .select(col("source"), col("split"), col("n_docs"), col("n_leaky_classes"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val q85Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS fp,
+      |    CASE WHEN (doc_id * 2654435761) % 1000003 < 800000 THEN 'train'
+      |         WHEN (doc_id * 2654435761) % 1000003 < 900000 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents
+      |), l AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_leaky_classes FROM (
+      |    SELECT fp FROM d GROUP BY fp HAVING count(DISTINCT split) > 1
+      |  )
+      |)
+      |SELECT d.source, d.split, CAST(count(*) AS BIGINT) AS n_docs, l.n_leaky_classes
+      |FROM d, l
+      |GROUP BY d.source, d.split, l.n_leaky_classes
+      |ORDER BY source, split""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+  /** Vocabulary COVERAGE / OOV rate: derive the top-16 corpus vocabulary
+    * (count desc, token asc — deterministic at the boundary) and score
+    * every document's out-of-vocabulary token fraction against it — the
+    * tokenizer-coverage check run before committing a vocab. The vocab
+    * is a broadcast-scale constant (16 strings — the same class as LSH
+    * planes / IVF centroids), so the scoring pass is pure map-side HOF
+    * arithmetic: the corpus text never shuffles; the only exchange is
+    * the token-count aggregate that built the vocab.
+    */
+  def q86OovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val docs = Tables.documents(s, dir)
+    val vocab = docs
+      .select(explode(toks).as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t"))
+      .limit(16)
+      .collect()
+      .map(_.getString(0))
+    val vocabLit = array(vocab.map(lit).toIndexedSeq: _*)
+    docs
+      .select(col("doc_id"), toks.as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(filter(col("tk"), t => !array_contains(vocabLit, t))).cast("long").as("n_oov")
+      )
+      .withColumn(
+        "oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  val q86Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+      |), cnt AS (
+      |  SELECT t, count(*) AS n FROM tok GROUP BY t
+      |), vocab AS (
+      |  SELECT t FROM cnt ORDER BY n DESC, t LIMIT 16
+      |)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN tok.t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+      |  round(CAST(SUM(CASE WHEN tok.t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS DOUBLE) /
+      |        CAST(count(*) AS DOUBLE), 6) AS oov_rate
+      |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -3413,7 +3516,9 @@ object Queries {
     "q81_quality_auc" -> (q81QualityAuc _),
     "q82_source_overlap" -> (q82SourceOverlap _),
     "q83_quality_bins" -> (q83QualityBins _),
-    "q84_canonical_pick" -> (q84CanonicalPick _)
+    "q84_canonical_pick" -> (q84CanonicalPick _),
+    "q85_hash_split" -> (q85HashSplit _),
+    "q86_oov_rate" -> (q86OovRate _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3490,6 +3595,8 @@ object Queries {
     "q81_quality_auc" -> q81Oracle,
     "q82_source_overlap" -> q82Oracle,
     "q83_quality_bins" -> q83Oracle,
-    "q84_canonical_pick" -> q84Oracle
+    "q84_canonical_pick" -> q84Oracle,
+    "q85_hash_split" -> q85Oracle,
+    "q86_oov_rate" -> q86Oracle
   )
 }

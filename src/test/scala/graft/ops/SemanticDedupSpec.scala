@@ -64,6 +64,37 @@ class SemanticDedupSpec extends SparkSpec {
     assert(viol == 0L)
   }
 
+  test("m = k keep rule equals a pure-Scala global brute force on random vectors") {
+    // with m = k every vector shares every cell, so the shared-cell rule
+    // must degenerate to the global rule: kept iff no lower-id vector
+    // within tau anywhere; rep = the smallest such id
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 60).map(i => i.toLong -> Array.fill(8)(rnd.nextGaussian().toFloat))
+    val tau = 0.2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.map { case (id, v) =>
+      val lower = vecs.filter { case (j, w) => j < id && cos(w, v) >= tau }.map(_._1)
+      id -> (if (lower.isEmpty) id else lower.min)
+    }.toMap
+    val e = vecs.toDF("vec_id", "embedding")
+    val k = 3
+    val cents = Ivf.fitCentroids(e, k, iters = 2)
+    val assigned = Ivf.assignTopM(e, cents, m = k)
+    val got = SemanticDedup
+      .assignReps(assigned, tau)
+      .select(col("vec_id"), col("rep_id")).as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(got.size == 60)
+    expected.foreach { case (id, rep) =>
+      assert(got(id) == rep, s"vec $id: got rep ${got(id)}, expected $rep")
+    }
+  }
+
   test("agrees with brute force when pairs share cells (soft m covers the corpus)") {
     val e = corpus(80, 2).toDF("vec_id", "embedding")
     val cents = Ivf.fitCentroids(e, k = 2, iters = 3)

@@ -3431,6 +3431,171 @@ object Queries {
       |        CAST(count(*) AS DOUBLE), 6) AS oov_rate
       |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Exact duplicated-substring REMOVAL — q80 detects, this one edits:
+    * every token position covered by a corpus-duplicated 8-gram span is
+    * cut, and the surviving tokens are reassembled in order (the actual
+    * dedup step of Lee et al. 2022, arXiv:2107.06499, re-expressed from
+    * suffix arrays to DataFrame algebra). Shapes, all linear: positioned
+    * grams (map-side posexplode) → one groupBy on the gram (at 100 TB
+    * hash grams to 8 bytes first) → span explode to covered positions →
+    * anti join against token positions → ordered reassembly keyed by
+    * doc_id. Nothing is ever pairwise; the corpus text crosses the wire
+    * only inside the per-doc reassembly aggregate. Docs shorter than
+    * the gram width carry no span and pass through verbatim (modulo
+    * whitespace normalization, which both engines apply by
+    * construction).
+    */
+  def q87DupSpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val toksX = TextStats.tokens(col("text"))
+    val base = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), toksX.as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // eager: gram, token-position, and output consumers share it
+    val grams = base
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(TextStats.ngrams(col("toks"), n)))
+      .select(col("doc_id"), col("pos"), col("col").as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager: count + join consumers share this cache
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_total"))
+    val covered = grams
+      .join(counts.filter(col("n_total") >= 2), Seq("gram"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val tokPos = base.select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
+    val kept = tokPos.join(covered, Seq("doc_id", "p"), "left_anti")
+    val clean = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("p"), col("tok")))),
+            e => e.getField("tok")
+          )
+        ).as("clean_text")
+      )
+    base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(clean, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  val q87Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id, i,
+      |    toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' ||
+      |    toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8] AS gram
+      |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS i FROM d WHERE len(toks) >= 8)
+      |), c AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+      |), cov AS (
+      |  SELECT DISTINCT g.doc_id, g.i + u.u AS p
+      |  FROM g JOIN c USING (gram), (SELECT unnest(range(0, 8)) AS u) u
+      |), tok AS (
+      |  SELECT doc_id, i AS p, toks[i+1] AS tok
+      |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM d)
+      |), kept AS (
+      |  SELECT t.doc_id, t.p, t.tok FROM tok t
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov WHERE cov.doc_id = t.doc_id AND cov.p = t.p)
+      |), cl AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(len(d.toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(d.toks) AS BIGINT) - COALESCE(cl.n_kept, 0) AS n_removed,
+      |  COALESCE(cl.clean_text, '') AS clean_text
+      |FROM d LEFT JOIN cl USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** Per-cluster embedding DISPERSION from sufficient statistics — the
+    * representation-collapse monitor for embedding pipelines: the mean
+    * pairwise dot product within each label group, computed WITHOUT
+    * pairs via E[⟨vᵢ,vⱼ⟩]·n(n−1) = ‖Σv‖² − Σ‖v‖². Two linear
+    * aggregates (per-(label, dim) component sums + per-label squared
+    * norms, both decimal-accumulated so reduction order can't smear the
+    * doubles) replace the O(n²) pairwise pass entirely — the identity
+    * is what makes corpus-dispersion tracking free at 100 TB.
+    */
+  def q88Dispersion(s: SparkSession, dir: String): DataFrame = {
+    val ed = Tables
+      .embeddings(s, dir)
+      .select(
+        col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("ed")
+      )
+      .withColumn(
+        "sq",
+        aggregate(col("ed"), lit(0.0), (acc, x) => acc + x * x)
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ed.count() // eager: both sufficient-stat consumers share this cache
+    val norms = ed
+      .groupBy(col("label"))
+      .agg(
+        sum(col("sq").cast("decimal(38,12)")).cast("double").as("qq"),
+        count(lit(1)).as("n")
+      )
+    val comps = ed
+      .select(col("label"), posexplode(col("ed")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col").cast("decimal(38,12)")).cast("double").as("sd"))
+      .groupBy(col("label"))
+      .agg(sum((col("sd") * col("sd")).cast("decimal(38,12)")).cast("double").as("s2"))
+    norms
+      .join(comps, Seq("label"))
+      .select(
+        col("label"),
+        col("n"),
+        round(
+          (col("s2") - col("qq")) /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0)),
+          6
+        ).as("mean_pair_dot"),
+        round(col("qq") / col("n").cast("double"), 6).as("mean_sq_norm")
+      )
+      .orderBy(col("label"))
+  }
+
+  val q88Oracle: String =
+    """WITH e AS (
+      |  SELECT label, embedding::DOUBLE[] AS ed FROM embeddings
+      |), q AS (
+      |  SELECT label, list_aggregate(list_transform(ed, x -> x * x), 'sum') AS sq FROM e
+      |), norms AS (
+      |  SELECT label, CAST(SUM(CAST(sq AS DECIMAL(38,12))) AS DOUBLE) AS qq,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM q GROUP BY label
+      |), comps AS (
+      |  SELECT label, CAST(SUM(CAST(sd * sd AS DECIMAL(38,12))) AS DOUBLE) AS s2 FROM (
+      |    SELECT label, i, CAST(SUM(CAST(ed[i+1] AS DECIMAL(38,12))) AS DOUBLE) AS sd
+      |    FROM (SELECT label, ed, unnest(range(0, len(ed))) AS i FROM e)
+      |    GROUP BY label, i
+      |  ) GROUP BY label
+      |)
+      |SELECT norms.label, norms.n,
+      |  round((comps.s2 - norms.qq) /
+      |        (CAST(norms.n AS DOUBLE) * (CAST(norms.n AS DOUBLE) - 1.0)), 6) AS mean_pair_dot,
+      |  round(norms.qq / CAST(norms.n AS DOUBLE), 6) AS mean_sq_norm
+      |FROM norms JOIN comps USING (label)
+      |ORDER BY label""".stripMargin
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -3518,7 +3683,9 @@ object Queries {
     "q83_quality_bins" -> (q83QualityBins _),
     "q84_canonical_pick" -> (q84CanonicalPick _),
     "q85_hash_split" -> (q85HashSplit _),
-    "q86_oov_rate" -> (q86OovRate _)
+    "q86_oov_rate" -> (q86OovRate _),
+    "q87_dup_span_removal" -> (q87DupSpanRemoval _),
+    "q88_dispersion" -> (q88Dispersion _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3597,6 +3764,8 @@ object Queries {
     "q83_quality_bins" -> q83Oracle,
     "q84_canonical_pick" -> q84Oracle,
     "q85_hash_split" -> q85Oracle,
-    "q86_oov_rate" -> q86Oracle
+    "q86_oov_rate" -> q86Oracle,
+    "q87_dup_span_removal" -> q87Oracle,
+    "q88_dispersion" -> q88Oracle
   )
 }

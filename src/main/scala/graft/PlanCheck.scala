@@ -24,7 +24,11 @@ object PlanCheck {
       // round-3 batch 2: salted SMJ, tf-idf window limit, Bloom-bypass
       // anti join, deflate map-side signal
       "q65_salted_join", "q66_tfidf", "q72_incremental_dedup",
-      "q73_compress_quality"
+      "q73_compress_quality",
+      // round-3 batch 3: z-order file assignment must stay pure map-side
+      // (no exchange before the per-file agg's own shuffle), compaction
+      // planning is one window over file metadata
+      "q89_zorder_layout", "q90_compaction_plan"
     )
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

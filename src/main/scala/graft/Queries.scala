@@ -3596,6 +3596,176 @@ object Queries {
       |FROM norms JOIN comps USING (label)
       |ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Z-ORDER data layout (ops/Layout.zValue) with a pruning-effectiveness
+    * audit — the file-skipping story for 100 TB multi-dim filters. Every
+    * lineitem row gets a Morton z-value over (l_partkey, l_suppkey)
+    * ranks (8 bits/dim, data-derived closed bounds — the footer-stats
+    * pass at scale, a 4-long scalar constant here) and an equal-WIDTH
+    * z-range file id: pure map-side integer arithmetic, NO global sort —
+    * unlike an ntile layout, this assignment distributes embarrassingly
+    * (the production writer `Layout.zorderRepartition` adds the one
+    * range exchange real files need). Output: per-file min/max extents
+    * on both dims, plus corpus audit columns — expected fraction of
+    * files a point query must scan (= mean normalized extent width) for
+    * the z layout vs an insertion-order (orderkey-range) layout. The
+    * z curve holds BOTH dims narrow; insertion order holds neither.
+    */
+  def q89ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val bits = 8
+    val nFiles = 64
+    val li = Tables.lineitem(s, dir)
+    // closed per-dim bounds: scalar constants (bytes, not data)
+    val b = li
+      .agg(
+        min(col("l_partkey")).as("plo"), max(col("l_partkey")).as("phi"),
+        min(col("l_suppkey")).as("slo"), max(col("l_suppkey")).as("shi")
+      )
+      .head()
+    val (pLo, pHi, sLo, sHi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val z = Layout.zValue(Seq((col("l_partkey"), pLo, pHi), (col("l_suppkey"), sLo, sHi)), bits)
+    val zWidth = (1L << (2 * bits)) / nFiles
+    val linWidth = (pHi - pLo + 1 + nFiles - 1) / nFiles
+    val base = li
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .withColumn("file_z", floor(z / lit(zWidth)))
+      .withColumn("file_lin", floor((col("l_orderkey") % lit(pHi - pLo + 1)) / lit(linWidth)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // eager: both layout aggregates share this cache
+    def scanFrac(fileCol: String): DataFrame = base
+      .groupBy(col(fileCol))
+      .agg(
+        ((max(col("l_partkey")) - min(col("l_partkey")) + 1.0) / (pHi - pLo + 1).toDouble).as("pf"),
+        ((max(col("l_suppkey")) - min(col("l_suppkey")) + 1.0) / (sHi - sLo + 1).toDouble).as("sf")
+      )
+      .agg(
+        round(avg(col("pf")), 6).as("pk"),
+        round(avg(col("sf")), 6).as("sk")
+      )
+    val zf = scanFrac("file_z")
+      .select(col("pk").as("z_scan_frac_pk"), col("sk").as("z_scan_frac_sk"))
+    val lf = scanFrac("file_lin")
+      .select(col("pk").as("lin_scan_frac_pk"), col("sk").as("lin_scan_frac_sk"))
+    base
+      .groupBy(col("file_z").as("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk")
+      )
+      .crossJoin(broadcast(zf))
+      .crossJoin(broadcast(lf))
+      .orderBy(col("file_id"))
+  }
+
+  val q89Oracle: String = {
+    val bits = 8
+    val nFiles = 64
+    val zExpr = graft.ops.Layout.zValueSqlDynamic(
+      Seq(("l_partkey", "b.plo", "b.phi"), ("l_suppkey", "b.slo", "b.shi")), bits)
+    val zWidth = (1L << (2 * bits)) / nFiles
+    s"""WITH b AS (
+       |  SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+       |         min(l_suppkey) AS slo, max(l_suppkey) AS shi
+       |  FROM lineitem
+       |), base AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    CAST(floor($zExpr / $zWidth.0) AS BIGINT) AS file_z,
+       |    CAST(floor((l_orderkey % (b.phi - b.plo + 1)) /
+       |         CAST((b.phi - b.plo + 1 + $nFiles - 1) // $nFiles AS DOUBLE)) AS BIGINT) AS file_lin,
+       |    b.plo, b.phi, b.slo, b.shi
+       |  FROM lineitem, b
+       |), zf AS (
+       |  SELECT round(avg(pf), 6) AS z_scan_frac_pk, round(avg(sf), 6) AS z_scan_frac_sk FROM (
+       |    SELECT (max(l_partkey) - min(l_partkey) + 1.0) / (any_value(phi) - any_value(plo) + 1) AS pf,
+       |           (max(l_suppkey) - min(l_suppkey) + 1.0) / (any_value(shi) - any_value(slo) + 1) AS sf
+       |    FROM base GROUP BY file_z
+       |  )
+       |), lf AS (
+       |  SELECT round(avg(pf), 6) AS lin_scan_frac_pk, round(avg(sf), 6) AS lin_scan_frac_sk FROM (
+       |    SELECT (max(l_partkey) - min(l_partkey) + 1.0) / (any_value(phi) - any_value(plo) + 1) AS pf,
+       |           (max(l_suppkey) - min(l_suppkey) + 1.0) / (any_value(shi) - any_value(slo) + 1) AS sf
+       |    FROM base GROUP BY file_lin
+       |  )
+       |)
+       |SELECT file_z AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk,
+       |  zf.z_scan_frac_pk, zf.z_scan_frac_sk,
+       |  lf.lin_scan_frac_pk, lf.lin_scan_frac_sk
+       |FROM base, zf, lf
+       |GROUP BY file_z, zf.z_scan_frac_pk, zf.z_scan_frac_sk,
+       |         lf.lin_scan_frac_pk, lf.lin_scan_frac_sk
+       |ORDER BY file_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q90
+  /** Small-file COMPACTION planning (ops/Layout.compactionPlan) — the
+    * other half of the 100 TB layout problem: a table ingested in daily
+    * increments accretes under-sized files whose per-file overhead
+    * dominates scans. The file inventory here is simulated from orders
+    * (one "file" per order-day, size = row count, partitioned by month);
+    * the planner bin-packs each partition's files in date order into
+    * ~500-row targets with ONE window (exclusive prefix sum ÷ target) —
+    * file METADATA only, no record ever moves during planning. Output:
+    * per-(month, bin) rewrite manifest plus the before/after small-file
+    * census that justifies the rewrite.
+    */
+  def q90CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val target = 500L
+    val files = Tables
+      .orders(s, dir)
+      .groupBy(
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("part"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("file_day")
+      )
+      .agg(count(lit(1)).as("size_rows"))
+    val planned = Layout
+      .compactionPlan(files, Seq("part"), "file_day", "size_rows", target)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    planned.count() // eager: manifest + census consumers share this cache
+    val census = planned
+      .agg(
+        sum(when(col("size_rows") < target, 1L).otherwise(0L)).as("small_files_before"),
+        count(lit(1)).as("files_before")
+      )
+    planned
+      .groupBy(col("part"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("size_rows")).as("rows_total"),
+        min(col("file_day")).as("first_day"),
+        max(col("file_day")).as("last_day")
+      )
+      .crossJoin(broadcast(census))
+      .orderBy(col("part"), col("bin"))
+  }
+
+  val q90Oracle: String =
+    """WITH files AS (
+      |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS part,
+      |         strftime(o_orderdate, '%Y-%m-%d') AS file_day,
+      |         CAST(count(*) AS BIGINT) AS size_rows
+      |  FROM orders GROUP BY 1, 2
+      |), planned AS (
+      |  SELECT part, file_day, size_rows,
+      |    CAST(floor(COALESCE(SUM(size_rows) OVER (
+      |      PARTITION BY part ORDER BY file_day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500.0) AS BIGINT) AS bin
+      |  FROM files
+      |), census AS (
+      |  SELECT CAST(SUM(CASE WHEN size_rows < 500 THEN 1 ELSE 0 END) AS BIGINT) AS small_files_before,
+      |         CAST(count(*) AS BIGINT) AS files_before
+      |  FROM planned
+      |)
+      |SELECT part, bin, CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(SUM(size_rows) AS BIGINT) AS rows_total,
+      |  MIN(file_day) AS first_day, MAX(file_day) AS last_day,
+      |  census.small_files_before, census.files_before
+      |FROM planned, census
+      |GROUP BY part, bin, census.small_files_before, census.files_before
+      |ORDER BY part, bin""".stripMargin
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -3685,7 +3855,9 @@ object Queries {
     "q85_hash_split" -> (q85HashSplit _),
     "q86_oov_rate" -> (q86OovRate _),
     "q87_dup_span_removal" -> (q87DupSpanRemoval _),
-    "q88_dispersion" -> (q88Dispersion _)
+    "q88_dispersion" -> (q88Dispersion _),
+    "q89_zorder_layout" -> (q89ZorderLayout _),
+    "q90_compaction_plan" -> (q90CompactionPlan _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3766,6 +3938,8 @@ object Queries {
     "q85_hash_split" -> q85Oracle,
     "q86_oov_rate" -> q86Oracle,
     "q87_dup_span_removal" -> q87Oracle,
-    "q88_dispersion" -> q88Oracle
+    "q88_dispersion" -> q88Oracle,
+    "q89_zorder_layout" -> q89Oracle,
+    "q90_compaction_plan" -> q90Oracle
   )
 }

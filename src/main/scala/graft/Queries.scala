@@ -3766,6 +3766,206 @@ object Queries {
       |GROUP BY part, bin, census.small_files_before, census.files_before
       |ORDER BY part, bin""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** HARD-NEGATIVE mining for contrastive training: for every anchor
+    * vector, the most-similar vector with a DIFFERENT label (hardest
+    * negative) and the most-similar with the SAME label (nearest
+    * positive), plus the triplet margin between them — the pair-mining
+    * pass an embedding-model trainer runs per epoch. Deterministic
+    * argmax via max(struct(sim, -id)): highest similarity, then lowest
+    * id on ties — no window needed, one partial-aggregating groupBy.
+    * This is the exact all-pairs form (oracle-checkable, q45's class);
+    * at 100 TB the candidate set comes from the multiprobe-LSH buckets
+    * (q30/q31) and only candidates are scored — same agg, ~k rows per
+    * anchor instead of n.
+    */
+  def q91HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("anchor"), col("embedding").as("va"), col("label").as("la"))
+    val b = e.select(col("vec_id").as("other"), col("embedding").as("vb"), col("label").as("lb"))
+    a.join(b, col("anchor") =!= col("other"))
+      .select(
+        col("anchor"), col("la"), col("other"), col("lb"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("sim")
+      )
+      .groupBy(col("anchor"))
+      .agg(
+        max(when(col("la") === col("lb"), struct(col("sim"), (-col("other")).as("nid")))).as("pos"),
+        max(when(col("la") =!= col("lb"), struct(col("sim"), (-col("other")).as("nid")))).as("neg")
+      )
+      .select(
+        col("anchor"),
+        (-col("pos.nid")).as("pos_id"),
+        col("pos.sim").as("pos_sim"),
+        (-col("neg.nid")).as("neg_id"),
+        col("neg.sim").as("neg_sim"),
+        round(col("pos.sim") - col("neg.sim"), 6).as("margin")
+      )
+      .orderBy(col("anchor"))
+  }
+
+  val q91Oracle: String =
+    """WITH s AS (
+      |  SELECT a.vec_id AS anchor, a.label AS la, b.vec_id AS other, b.label AS lb,
+      |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      |), pos AS (
+      |  SELECT anchor, other AS pos_id, sim AS pos_sim,
+      |    row_number() OVER (PARTITION BY anchor ORDER BY sim DESC, other ASC) AS rn
+      |  FROM s WHERE la = lb
+      |), neg AS (
+      |  SELECT anchor, other AS neg_id, sim AS neg_sim,
+      |    row_number() OVER (PARTITION BY anchor ORDER BY sim DESC, other ASC) AS rn
+      |  FROM s WHERE la <> lb
+      |)
+      |SELECT p.anchor, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+      |  round(p.pos_sim - n.neg_sim, 6) AS margin
+      |FROM pos p JOIN neg n ON p.anchor = n.anchor AND p.rn = 1 AND n.rn = 1
+      |ORDER BY p.anchor""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  /** Ingest FRESHNESS / inter-arrival profile — the lag-monitoring
+    * query a pipeline operator alarms on: per event type, the p50/p95
+    * and max gap between consecutive events. Gaps are computed inside
+    * (event_type, day) window partitions — thousands of small ordered
+    * runs that distribute across executors (a per-type-only window
+    * would serialize each type through one task at 100 TB). The
+    * percentiles are DISCRETE order statistics (value at rank
+    * floor(q·(n−1))+1), not interpolated: interpolating engines
+    * (Spark `percentile`, DuckDB `quantile_cont`) use different
+    * last-ulp formulas — lower+(upper−lower)·f vs a lerp — so their
+    * outputs diverge in the 3rd decimal; a rank-selected VALUE is
+    * bit-identical everywhere. Microsecond longs end to end — DuckDB's
+    * parquet reader TRUNCATES the ns timestamps to µs at scan (probed:
+    * epoch_ns returns µs·1000), so the engine-portable grain is
+    * floor-µs (`ts_ns div 1000`, exactly Tables.events' `ts`); no
+    * float unit conversion ever touches the checked output.
+    */
+  def q92Freshness(s: SparkSession, dir: String): DataFrame = {
+    val wGap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("gap_us"))
+    val wType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    def rankOf(q: Double): org.apache.spark.sql.Column =
+      floor(lit(q) * (col("n") - 1)) + 1
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        to_date(col("ts")).as("day"),
+        expr("ts_ns div 1000").as("ts_us"),
+        col("event_id")
+      )
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(wGap))
+      .filter(col("gap_us").isNotNull)
+      .select(col("event_type"), col("gap_us"))
+      .withColumn("rn", row_number().over(wVal))
+      .withColumn("n", count(lit(1)).over(wType))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        max(when(col("rn") === rankOf(0.5), col("gap_us"))).as("p50_gap_us"),
+        max(when(col("rn") === rankOf(0.95), col("gap_us"))).as("p95_gap_us"),
+        max(col("gap_us")).as("max_gap_us")
+      )
+      .orderBy(col("event_type"))
+  }
+
+  val q92Oracle: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY event_type, CAST(ts AS DATE)
+      |      ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, gap_us,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM g WHERE gap_us IS NOT NULL
+      |)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN gap_us END) AS p50_gap_us,
+      |  MAX(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 THEN gap_us END) AS p95_gap_us,
+      |  MAX(gap_us) AS max_gap_us
+      |FROM r
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q93
+  /** Ordered FUNNEL: users who viewed, then clicked AFTER their first
+    * view, then purchased AFTER that first qualifying click — the
+    * sequential-constraint analytics query (strictly stronger than
+    * "did all three ever": each stage's timestamp must follow the
+    * previous stage's). Three stage aggregates, each a filtered
+    * equi-join on user_id + min() — partial-aggregated map-side, no
+    * window, no per-user event array ever materializes (the
+    * collect_list form would haul every user's full history through
+    * one task's memory at 100 TB). Exact ns ordering via ts_ns.
+    */
+  def q93Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"))
+    val v = ev
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_ns")).as("t_view"))
+    val c = ev
+      .filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts_ns") > col("t_view"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_ns")).as("t_click"))
+    val p = ev
+      .filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts_ns") > col("t_click"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_ns")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_view"),
+        count(col("t_click")).as("n_click_after_view"),
+        count(col("t_purchase")).as("n_purchase_after_click")
+      )
+      .select(
+        col("n_view"),
+        col("n_click_after_view"),
+        col("n_purchase_after_click"),
+        round(col("n_click_after_view") / col("n_view").cast("double"), 6).as("view_to_click"),
+        round(col("n_purchase_after_click") / col("n_click_after_view").cast("double"), 6).as("click_to_purchase")
+      )
+  }
+
+  val q93Oracle: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(epoch_ns(ts)) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t_view
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click
+      |  GROUP BY e.user_id
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_view,
+      |  CAST(count(c.t_click) AS BIGINT) AS n_click_after_view,
+      |  CAST(count(p.t_purchase) AS BIGINT) AS n_purchase_after_click,
+      |  round(count(c.t_click) / CAST(count(*) AS DOUBLE), 6) AS view_to_click,
+      |  round(count(p.t_purchase) / CAST(count(c.t_click) AS DOUBLE), 6) AS click_to_purchase
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -3857,7 +4057,10 @@ object Queries {
     "q87_dup_span_removal" -> (q87DupSpanRemoval _),
     "q88_dispersion" -> (q88Dispersion _),
     "q89_zorder_layout" -> (q89ZorderLayout _),
-    "q90_compaction_plan" -> (q90CompactionPlan _)
+    "q90_compaction_plan" -> (q90CompactionPlan _),
+    "q91_hard_negatives" -> (q91HardNegatives _),
+    "q92_freshness" -> (q92Freshness _),
+    "q93_funnel" -> (q93Funnel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -3940,6 +4143,9 @@ object Queries {
     "q87_dup_span_removal" -> q87Oracle,
     "q88_dispersion" -> q88Oracle,
     "q89_zorder_layout" -> q89Oracle,
-    "q90_compaction_plan" -> q90Oracle
+    "q90_compaction_plan" -> q90Oracle,
+    "q91_hard_negatives" -> q91Oracle,
+    "q92_freshness" -> q92Oracle,
+    "q93_funnel" -> q93Oracle
   )
 }

@@ -3966,6 +3966,94 @@ object Queries {
       |FROM v LEFT JOIN c ON v.user_id = c.user_id
       |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** PQ-ADC approximate similarity search (ops/Pq) with an in-registry
+    * recall audit — the MEMORY story for 100 TB vector search: each
+    * 64-dim float vector (256 B) becomes 16 four-bit codes (8 B packed,
+    * 32×), fitted per-subspace by deterministic Lloyd k-means, scored
+    * by asymmetric distance (exact query subvectors × quantized corpus)
+    * against codebook literals — encode and scoring are pure map-side;
+    * the only shuffle is the WindowGroupLimit-pruned top-k. SELF-
+    * AUDITING (q48/q49 pattern — no SQL oracle, the k-means is engine-
+    * native): one row carrying recall@10 of the raw ADC ranking AND of
+    * the production two-stage path — ADC shortlist (5k) then exact
+    * re-rank of only the shortlisted vectors (the float fetch touches
+    * 5k/n of the corpus per query, the standard PQ serving shape) —
+    * plus the mean |ADC − exact| score error and the compression
+    * ratio. Composes with IVF cells (q35) so a probe scores ~nprobe/k
+    * of the codes at scale.
+    */
+  def q94PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val (m, ksub, iters, nQ, k) = (16, 16, 2, 50, 10)
+    val shortlist = 5 * k
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), Pq.normalize(col("embedding")).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // eager: fit + encode + exact baseline share this cache
+    val dim = 64
+    val codebooks = Pq.fit(e, m, ksub, iters)
+    val encoded = Pq.encode(e, codebooks)
+    val queries = e.filter(col("vec_id") < nQ)
+    val pq = Pq
+      .adcTopK(queries, encoded, codebooks, shortlist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pq.count() // eager: recall + rerank + score-error consumers share this cache
+    // exact baseline on the same normalized vectors (dot == cosine)
+    val q = queries.select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("xscore").desc, col("neighbor_id"))
+    val exact = e
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        dot(col("qvec"), col("vec")).as("xscore")
+      )
+      .withColumn("xrank", row_number().over(wx))
+      .filter(col("xrank") <= k)
+    val recallAdc = pq
+      .filter(col("rank") <= k)
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .agg((count(lit(1)) / (nQ.toDouble * k)).as("recall_adc"))
+    // two-stage serving path: exact dot over the shortlisted floats only
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rscore").desc, col("neighbor_id"))
+    val scoredShortlist = pq
+      .join(e.select(col("vec_id").as("neighbor_id"), col("vec").as("nvec")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scoredShortlist.count() // eager: rerank + score-error consumers share this cache
+    val reranked = scoredShortlist
+      .select(col("query_id"), col("neighbor_id"), dot(col("qvec"), col("nvec")).as("rscore"))
+      .withColumn("rrank", row_number().over(wr))
+      .filter(col("rrank") <= k)
+    val recallRerank = reranked
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .agg((count(lit(1)) / (nQ.toDouble * k)).as("recall_rerank"))
+    // quantization score error across the whole shortlist
+    val err = scoredShortlist
+      .agg(avg(abs(col("score") - dot(col("qvec"), col("nvec")))).as("mean_abs_err"))
+    recallAdc
+      .crossJoin(recallRerank)
+      .crossJoin(err)
+      .select(
+        lit(nQ).as("n_queries"),
+        lit(k).as("k"),
+        lit(shortlist).as("shortlist"),
+        round(col("recall_adc"), 4).as("recall_adc_at_k"),
+        round(col("recall_rerank"), 4).as("recall_rerank_at_k"),
+        round(col("mean_abs_err"), 4).as("mean_abs_score_err"),
+        lit(dim * 4).as("bytes_raw"),
+        lit(m / 2).as("bytes_code"),
+        lit((dim * 4) / (m / 2)).as("compression_x")
+      )
+  }
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -4060,7 +4148,8 @@ object Queries {
     "q90_compaction_plan" -> (q90CompactionPlan _),
     "q91_hard_negatives" -> (q91HardNegatives _),
     "q92_freshness" -> (q92Freshness _),
-    "q93_funnel" -> (q93Funnel _)
+    "q93_funnel" -> (q93Funnel _),
+    "q94_pq_adc" -> (q94PqAdc _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -4054,6 +4054,38 @@ object Queries {
       )
   }
 
+  // ---------------------------------------------------------------- q95
+  /** BPE tokenizer TRAINING (ops/Bpe) — the full greedy merge loop, not
+    * just q75's one-shot pair count: 8 rounds of corpus-wide
+    * most-frequent-adjacent-pair fusion over the frequency-weighted
+    * DISTINCT-WORD table (the corpus text is aggregated once; every
+    * round then touches |vocab| rows — the reason real BPE trainers
+    * pre-aggregate words, and the only shape that survives a
+    * trillion-token corpus). Each round's winner is one collected row
+    * (argmax scalar, not data); the apply step is a map-side fold.
+    * SELF-AUDITING (no SQL oracle — the apply fold has no portable SQL
+    * form): output carries the residual top pair frequency after all
+    * merges and `greedy_ok` — the invariant that no remaining pair
+    * out-counts the last accepted merge (exact greedy order, verified
+    * against hand-computed corpora in BpeSpec).
+    */
+  def q95BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nMerges = 8
+    val (merges, finalWords) = Bpe.trainMerges(Tables.documents(s, dir), "text", nMerges)
+    val residual = Bpe
+      .pairCounts(finalWords, "tokens", "weight")
+      .agg(coalesce(max(col("freq")), lit(0L)))
+      .head()
+      .getLong(0)
+    val lastFreq = merges.lastOption.map(_._4).getOrElse(0L)
+    merges
+      .toDF("step", "left", "right", "freq")
+      .withColumn("residual_top_freq", lit(residual))
+      .withColumn("greedy_ok", lit(residual <= lastFreq))
+      .orderBy(col("step"))
+  }
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -4149,7 +4181,8 @@ object Queries {
     "q91_hard_negatives" -> (q91HardNegatives _),
     "q92_freshness" -> (q92Freshness _),
     "q93_funnel" -> (q93Funnel _),
-    "q94_pq_adc" -> (q94PqAdc _)
+    "q94_pq_adc" -> (q94PqAdc _),
+    "q95_bpe_train" -> (q95BpeTrain _)
   )
 
   val oracles: Map[String, String] = Map(

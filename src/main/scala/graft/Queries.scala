@@ -4086,6 +4086,65 @@ object Queries {
       .orderBy(col("step"))
   }
 
+  // ---------------------------------------------------------------- q96
+  /** PageRank (ops/PageRank) over the part↔supplier co-occurrence graph
+    * — the canonical iterative-graph workload, 3 power-iteration rounds
+    * at d = 0.85 on the symmetrized DISTINCT lineitem edge set. Each
+    * round is one src-keyed join + one dst-keyed decimal-accumulated
+    * aggregate (order-independent sums — engine- and partitioning-
+    * exact), localCheckpointed per round. Oracle: the same three rounds
+    * UNROLLED as DuckDB CTEs, generated by the same Scala loop that
+    * could unroll any round count — query and oracle share the round
+    * definition by construction.
+    */
+  def q96PageRank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val edges = PageRank.symmetrize(
+      li.select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")
+      ).distinct()
+    )
+    PageRank
+      .run(edges, iters = 3, damping = 0.85)
+      .select(col("node"), round(col("r"), 10).as("r"))
+      .orderBy(col("node"))
+  }
+
+  val q96Oracle: String = {
+    // unroll r1..r3 with the same recurrence the Spark loop runs
+    val rounds = (1 to 3)
+      .map { i =>
+        s"""r$i AS (
+           |  SELECT e.dst AS node,
+           |    ((1.0 - 0.85) / any_value(nn.n)) +
+           |    0.85 * CAST(SUM(CAST(p.r / deg.deg AS DECIMAL(38,12))) AS DOUBLE) AS r
+           |  FROM e
+           |  JOIN r${i - 1} p ON e.src = p.node
+           |  JOIN deg ON e.src = deg.src, nn
+           |  GROUP BY e.dst
+           |)""".stripMargin
+      }
+      .mkString(", ")
+    s"""WITH d AS (
+       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+       |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM lineitem
+       |), e AS (
+       |  SELECT src, dst FROM d UNION SELECT dst, src FROM d
+       |), deg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+       |), nodes AS (
+       |  SELECT DISTINCT src AS node FROM e
+       |), nn AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+       |), r0 AS (
+       |  SELECT node, 1.0 / nn.n AS r FROM nodes, nn
+       |), $rounds
+       |SELECT node, round(r, 10) AS r FROM r3
+       |ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -4182,7 +4241,8 @@ object Queries {
     "q92_freshness" -> (q92Freshness _),
     "q93_funnel" -> (q93Funnel _),
     "q94_pq_adc" -> (q94PqAdc _),
-    "q95_bpe_train" -> (q95BpeTrain _)
+    "q95_bpe_train" -> (q95BpeTrain _),
+    "q96_pagerank" -> (q96PageRank _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4268,6 +4328,7 @@ object Queries {
     "q90_compaction_plan" -> q90Oracle,
     "q91_hard_negatives" -> q91Oracle,
     "q92_freshness" -> q92Oracle,
-    "q93_funnel" -> q93Oracle
+    "q93_funnel" -> q93Oracle,
+    "q96_pagerank" -> q96Oracle
   )
 }

@@ -4145,6 +4145,138 @@ object Queries {
        |ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q97
+  /** Robust ANOMALY detection: per event type, flag values beyond
+    * 3 × 1.4826 × MAD of the median (the median-absolute-deviation
+    * rule — outlier-resistant where mean/stddev is not, the standard
+    * robust monitor for pipeline value drift). Both the median and the
+    * MAD are DISCRETE rank-selected order statistics (the q92 recipe —
+    * no interpolation, bit-identical across engines); everything after
+    * the two rank windows is map-side comparison arithmetic. At 100 TB
+    * the exact two-pass form swaps for one t-digest pass (q59) — same
+    * output contract, sketch-grade quantiles.
+    */
+  def q97Anomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rankSel(df: DataFrame, valCol: String, outCol: String): DataFrame = {
+      val wv = Window.partitionBy(col("event_type")).orderBy(col(valCol))
+      val wt = Window.partitionBy(col("event_type"))
+      df.withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(wt))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("rn") === floor(lit(0.5) * (col("n") - 1)) + 1, col(valCol))).as(outCol))
+    }
+    val ev = Tables
+      .events(s, dir)
+      .select(col("event_type"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ev.count() // eager: median + MAD + census consumers share this cache
+    val med = rankSel(ev, "value", "med")
+    val devs = ev
+      .join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = rankSel(devs, "dev", "mad")
+    devs
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med")).as("median"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L)).as("n_outliers")
+      )
+      .select(
+        col("event_type"), col("n"), col("median"), col("mad"), col("n_outliers"),
+        round(col("n_outliers") / col("n").cast("double"), 6).as("outlier_frac")
+      )
+      .orderBy(col("event_type"))
+  }
+
+  val q97Oracle: String =
+    """WITH v AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |), med AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN value END) AS med
+      |  FROM v GROUP BY event_type
+      |), dv AS (
+      |  SELECT v.event_type, v.value, med.med, abs(v.value - med.med) AS dev
+      |  FROM v JOIN med ON v.event_type = med.event_type
+      |), dr AS (
+      |  SELECT event_type, value, med, dev,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dv
+      |), mad AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN dev END) AS mad
+      |  FROM dr GROUP BY event_type
+      |)
+      |SELECT dr.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  MAX(dr.med) AS median, MAX(mad.mad) AS mad,
+      |  CAST(SUM(CASE WHEN dr.dev > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(SUM(CASE WHEN dr.dev > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS outlier_frac
+      |FROM dr JOIN mad ON dr.event_type = mad.event_type
+      |GROUP BY dr.event_type
+      |ORDER BY dr.event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q98
+  /** Event-type TRANSITION matrix: per user in exact ns order, count
+    * (current → next) event-type bigrams and their per-source
+    * probabilities — the first-order Markov profile behind both
+    * sequence-model training data and behavioral drift monitors. One
+    * lead() window partitioned by user (millions of small ordered runs
+    * — distributes; never a per-user collect_list), one aggregate, one
+    * broadcast of the 5-row per-source totals.
+    */
+  def q98Transitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // floor-µs ordering, not raw ns: DuckDB's reader truncates the ns
+    // timestamps to µs, so the engine-portable sort key is ts_ns div
+    // 1000 with the event_id tiebreak (the q92 lesson)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val pairs = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id")
+      )
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs
+      .groupBy(col("from_type"))
+      .agg(sum(col("n")).as("total"))
+    pairs
+      .join(broadcast(totals), Seq("from_type"))
+      .select(
+        col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("total").cast("double"), 6).as("p")
+      )
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q98Oracle: String =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events
+      |), c AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM p WHERE to_type IS NOT NULL
+      |  GROUP BY from_type, to_type
+      |), t AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY from_type
+      |)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  round(c.n / CAST(t.total AS DOUBLE), 6) AS p
+      |FROM c JOIN t ON c.from_type = t.from_type
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -4242,7 +4374,9 @@ object Queries {
     "q93_funnel" -> (q93Funnel _),
     "q94_pq_adc" -> (q94PqAdc _),
     "q95_bpe_train" -> (q95BpeTrain _),
-    "q96_pagerank" -> (q96PageRank _)
+    "q96_pagerank" -> (q96PageRank _),
+    "q97_anomaly" -> (q97Anomaly _),
+    "q98_transitions" -> (q98Transitions _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4329,6 +4463,8 @@ object Queries {
     "q91_hard_negatives" -> q91Oracle,
     "q92_freshness" -> q92Oracle,
     "q93_funnel" -> q93Oracle,
-    "q96_pagerank" -> q96Oracle
+    "q96_pagerank" -> q96Oracle,
+    "q97_anomaly" -> q97Oracle,
+    "q98_transitions" -> q98Oracle
   )
 }

@@ -4277,6 +4277,196 @@ object Queries {
       |FROM c JOIN t ON c.from_type = t.from_type
       |ORDER BY c.from_type, c.to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** Nearest-centroid EVAL: per-label mean embedding (the class
+    * prototype) and the confusion census of assigning every vector to
+    * its nearest prototype — the cheapest trainable-representation
+    * health check (labels separable ⟺ high diagonal mass). Centroids
+    * are one posexplode aggregate (decimal-accumulated per-dim means —
+    * order-independent), then a k×dim broadcast constant; assignment is
+    * the zero-shuffle argmax fold (the Ivf.assign shape). Output: the
+    * label×assigned confusion matrix plus overall accuracy. Oracled:
+    * DuckDB replays the same means (unnest) and argmax (window on
+    * dot/norms) exactly.
+    */
+  def q99NearestCentroid(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .embeddings(s, dir)
+      .select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // eager: centroid fit + assignment share this cache
+    val cents = e
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+      .select(col("label"), transform(col("pairs"), p => p.getField("m")).as("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    // decimal-accumulated dot/norm: double addition is order-sensitive
+    // and the oracle's SUM has no guaranteed order — casting every
+    // product to decimal(38,12) before summing makes both engines exact
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, y) => (x * y).cast("decimal(38,12)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"),
+        // re-cast per step: decimal + widens to (38,11), which would
+        // drift the accumulator type; scale-12 is lossless here (terms
+        // are O(1e-2) with 12-digit truncation)
+        (acc, v) => (acc + v).cast("decimal(38,12)")
+      ).cast("double")
+    def norm(a: org.apache.spark.sql.Column) = sqrt(dot(a, a))
+    val scored = array(cents.map { case (lbl, c) =>
+      val cCol = array(c.map(v => lit(v)).toIndexedSeq: _*)
+      struct(
+        round(dot(col("v"), cCol) / (norm(col("v")) * norm(cCol)), 8).as("sim"),
+        lit(-lbl).as("neg_lbl") // ties: smaller label wins under max
+      )
+    }.toIndexedSeq: _*)
+    val assigned = e
+      .select(
+        col("label"),
+        (-array_max(scored).getField("neg_lbl")).cast("int").as("assigned")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // eager: confusion + accuracy share this cache
+    val acc = assigned
+      .agg((sum(when(col("label") === col("assigned"), 1L).otherwise(0L)) /
+        count(lit(1)).cast("double")).as("a"))
+    assigned
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(acc))
+      .select(
+        col("label"), col("assigned"), col("n"),
+        round(col("a"), 6).as("overall_accuracy")
+      )
+      .orderBy(col("label"), col("assigned"))
+  }
+
+  val q99Oracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |), cent AS (
+      |  SELECT label, pos,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+      |  FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e)
+      |  GROUP BY label, pos
+      |), vn AS (
+      |  SELECT vec_id, sqrt(CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE)) AS vnorm
+      |  FROM (SELECT vec_id, unnest(v) AS y FROM e) GROUP BY vec_id
+      |), cn AS (
+      |  SELECT label AS clabel, sqrt(CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE)) AS cnorm
+      |  FROM cent GROUP BY label
+      |), sims AS (
+      |  SELECT e.vec_id, e.label, cent.label AS clabel,
+      |    CAST(SUM(CAST(e.v[cent.pos] * cent.m AS DECIMAL(38,12))) AS DOUBLE) AS dp
+      |  FROM e JOIN cent ON true
+      |  GROUP BY e.vec_id, e.label, cent.label
+      |), simr AS (
+      |  SELECT s.vec_id, s.label, s.clabel,
+      |    round(s.dp / (vn.vnorm * cn.cnorm), 8) AS sim
+      |  FROM sims s JOIN vn ON s.vec_id = vn.vec_id JOIN cn ON s.clabel = cn.clabel
+      |), pick AS (
+      |  SELECT vec_id, label, clabel AS assigned,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel ASC) AS rn
+      |  FROM simr
+      |), a AS (
+      |  SELECT SUM(CASE WHEN label = assigned THEN 1 ELSE 0 END) /
+      |         CAST(count(*) AS DOUBLE) AS acc
+      |  FROM pick WHERE rn = 1
+      |)
+      |SELECT p.label, p.assigned, CAST(count(*) AS BIGINT) AS n,
+      |  round(a.acc, 6) AS overall_accuracy
+      |FROM pick p, a
+      |WHERE p.rn = 1
+      |GROUP BY p.label, p.assigned, a.acc
+      |ORDER BY p.label, p.assigned""".stripMargin
+
+  // ---------------------------------------------------------------- q100
+  /** Per-source DATA CARD: the one-pass corpus documentation roll-up a
+    * dataset release ships — doc and token counts, exact-dup rate
+    * (distinct fingerprint classes), decimal-accumulated mean quality,
+    * and the modal language (count desc, lang asc — boundary-
+    * deterministic). One wide aggregate over a single corpus scan plus
+    * a 20-row broadcast join for the modal language; every signal
+    * reuses the registry's established engine-portable formulas
+    * (q21 quality, q85 fingerprint, q26 tokens).
+    */
+  def q100DataCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = TextStats
+      .withQuality(Tables.documents(s, dir), "text")
+      .select(
+        col("source"), col("lang"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextStats.tokenSetFingerprint(col("text")).as("fp"),
+        col("quality_score")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // eager: card aggregate + modal language share this cache
+    val base = d
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_total"),
+        countDistinct(col("fp")).as("n_distinct"),
+        (sum(col("quality_score").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("mq")
+      )
+      .select(
+        col("source"), col("n_docs"), col("tokens_total"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_docs").cast("double"), 6).as("dup_rate"),
+        round(col("mq"), 6).as("mean_quality")
+      )
+    val wl = Window.partitionBy(col("source")).orderBy(col("n").desc, col("lang"))
+    val topLang = d
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    base
+      .join(broadcast(topLang), Seq("source"))
+      .orderBy(col("source"))
+  }
+
+  val q100Oracle: String =
+    """WITH t AS (
+      |  SELECT source, lang,
+      |    string_split_regex(trim(text), '\s+') AS toks,
+      |    md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS fp
+      |  FROM documents
+      |), q AS (
+      |  SELECT source, lang, CAST(len(toks) AS BIGINT) AS n_tokens, fp,
+      |    0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) +
+      |    0.3 * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) +
+      |    0.3 * least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) AS quality
+      |  FROM t
+      |), base AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+      |    CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+      |    round(CAST(SUM(CAST(quality AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mean_quality
+      |  FROM q GROUP BY source
+      |), tl AS (
+      |  SELECT source, lang AS top_lang FROM (
+      |    SELECT source, lang,
+      |      row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang ASC) AS rn
+      |    FROM q GROUP BY source, lang
+      |  ) WHERE rn = 1
+      |)
+      |SELECT base.source, base.n_docs, base.tokens_total, base.n_distinct,
+      |  round(1.0 - base.n_distinct / CAST(base.n_docs AS DOUBLE), 6) AS dup_rate,
+      |  base.mean_quality, tl.top_lang
+      |FROM base JOIN tl USING (source)
+      |ORDER BY base.source""".stripMargin
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -4376,7 +4566,9 @@ object Queries {
     "q95_bpe_train" -> (q95BpeTrain _),
     "q96_pagerank" -> (q96PageRank _),
     "q97_anomaly" -> (q97Anomaly _),
-    "q98_transitions" -> (q98Transitions _)
+    "q98_transitions" -> (q98Transitions _),
+    "q99_nearest_centroid" -> (q99NearestCentroid _),
+    "q100_data_card" -> (q100DataCard _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4465,6 +4657,8 @@ object Queries {
     "q93_funnel" -> q93Oracle,
     "q96_pagerank" -> q96Oracle,
     "q97_anomaly" -> q97Oracle,
-    "q98_transitions" -> q98Oracle
+    "q98_transitions" -> q98Oracle,
+    "q99_nearest_centroid" -> q99Oracle,
+    "q100_data_card" -> q100Oracle
   )
 }

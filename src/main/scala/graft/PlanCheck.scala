@@ -28,7 +28,11 @@ object PlanCheck {
       // round-3 batch 3: z-order file assignment must stay pure map-side
       // (no exchange before the per-file agg's own shuffle), compaction
       // planning is one window over file metadata
-      "q89_zorder_layout", "q90_compaction_plan"
+      "q89_zorder_layout", "q90_compaction_plan",
+      // round-3 batch 4: PQ encode/ADC must stay in one codegen'd
+      // projection (codebook literals, no join), PageRank's per-round
+      // join+agg pair, transition matrix's single lead window
+      "q94_pq_adc", "q96_pagerank", "q98_transitions"
     )
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

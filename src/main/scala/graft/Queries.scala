@@ -3986,23 +3986,30 @@ object Queries {
   def q94PqAdc(s: SparkSession, dir: String): DataFrame = {
     val (m, ksub, iters, nQ, k) = (16, 16, 2, 50, 10)
     val shortlist = 5 * k
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
     val e = Tables
       .embeddings(s, dir)
-      .select(col("vec_id"), Pq.normalize(col("embedding")).as("vec"))
+      .select(
+        col("vec_id"),
+        col("embedding"), // raw floats for the codegen'd exact scorer
+        Pq.normalize(col("embedding")).as("vec")
+      )
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count() // eager: fit + encode + exact baseline share this cache
     val dim = 64
-    val codebooks = Pq.fit(e, m, ksub, iters)
+    // codebooks fit on a quarter SAMPLE — the production shape (the
+    // fit never needs the full corpus; only encode does), and the
+    // interpreted HOF argmin pass is 4× cheaper
+    val codebooks = Pq.fit(e.filter(pmod(col("vec_id"), lit(4)) === 0), m, ksub, iters)
     val encoded = Pq.encode(e, codebooks)
     val queries = e.filter(col("vec_id") < nQ)
     val pq = Pq
       .adcTopK(queries, encoded, codebooks, shortlist)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pq.count() // eager: recall + rerank + score-error consumers share this cache
-    // exact baseline on the same normalized vectors (dot == cosine)
-    val q = queries.select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    // exact baseline: native codegen'd cosine on the raw floats — the
+    // same ranking as normalized dot (and the same value), without the
+    // interpreted HOF fold in the hot 100k-pair loop
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
     val wx = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("xscore").desc, col("neighbor_id"))
@@ -4011,7 +4018,7 @@ object Queries {
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        dot(col("qvec"), col("vec")).as("xscore")
+        Similarity.cosine(col("qemb"), col("embedding")).as("xscore")
       )
       .withColumn("xrank", row_number().over(wx))
       .filter(col("xrank") <= k)
@@ -4019,25 +4026,27 @@ object Queries {
       .filter(col("rank") <= k)
       .join(exact, Seq("query_id", "neighbor_id"))
       .agg((count(lit(1)) / (nQ.toDouble * k)).as("recall_adc"))
-    // two-stage serving path: exact dot over the shortlisted floats only
+    // two-stage serving path: exact cosine over the shortlisted floats only
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("rscore").desc, col("neighbor_id"))
     val scoredShortlist = pq
-      .join(e.select(col("vec_id").as("neighbor_id"), col("vec").as("nvec")), Seq("neighbor_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb")), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
+      .withColumn("rscore", Similarity.cosine(col("qemb"), col("nemb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scoredShortlist.count() // eager: rerank + score-error consumers share this cache
     val reranked = scoredShortlist
-      .select(col("query_id"), col("neighbor_id"), dot(col("qvec"), col("nvec")).as("rscore"))
+      .select(col("query_id"), col("neighbor_id"), col("rscore"))
       .withColumn("rrank", row_number().over(wr))
       .filter(col("rrank") <= k)
     val recallRerank = reranked
       .join(exact, Seq("query_id", "neighbor_id"))
       .agg((count(lit(1)) / (nQ.toDouble * k)).as("recall_rerank"))
-    // quantization score error across the whole shortlist
+    // quantization score error across the whole shortlist (ADC
+    // approximates normalized dot == cosine)
     val err = scoredShortlist
-      .agg(avg(abs(col("score") - dot(col("qvec"), col("nvec")))).as("mean_abs_err"))
+      .agg(avg(abs(col("score") - col("rscore"))).as("mean_abs_err"))
     recallAdc
       .crossJoin(recallRerank)
       .crossJoin(err)

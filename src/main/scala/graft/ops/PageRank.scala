@@ -38,15 +38,26 @@ object PageRank {
     * have (src, dst) with every node appearing as a source (no dangling
     * nodes — see [[symmetrize]]). Returns (node, r). */
   def run(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
-    val e = edges.localCheckpoint(true)
+    // pay the src-shuffle ONCE: the checkpointed edge set is physically
+    // hash-partitioned on src (LogicalRDD keeps the partitioning
+    // metadata), so each round's ranks join plans no edge-side
+    // exchange — the local stand-in for bucketing edges by src on a
+    // cluster. Degrees fold into the same pre-join (src, dst, deg)
+    // shape so rounds do one join, not two.
+    val e = edges
+      .repartition(col("src"))
+      .localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = e
+      .join(deg, "src")
+      .repartition(col("src"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
     val n = nodes.count()
     var ranks = nodes.withColumn("r", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      ranks = e
-        .join(ranks, e("src") === ranks("node"))
-        .join(deg, "src")
+      ranks = ed
+        .join(ranks, ed("src") === ranks("node"))
         .select(col("dst"), (col("r") / col("deg")).as("c"))
         .groupBy(col("dst").as("node"))
         .agg(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) for embedding search — the MEMORY story at
   * 100 TB: a 64-dim float vector is 256 bytes; its PQ code is `m` small
-  * integers (here 8 × 4 bits = 4 bytes packed, 32–64× smaller), so the
+  * integers (here 16 × 4 bits = 8 bytes packed, 32× smaller), so the
   * whole corpus index fits where the raw vectors never could, and an
   * approximate scan reads codes, not floats. Public-literature design
   * (Jégou et al., "Product Quantization for Nearest Neighbor Search"):
@@ -16,17 +16,20 @@ import org.apache.spark.sql.functions._
   * computation) — the query's exact subvectors against the corpus's
   * quantized ones.
   *
-  * Everything is map-side DataFrame algebra against codebook CONSTANTS
-  * (m × ksub × dsub floats — the same broadcast class as LSH planes and
-  * IVF centroids):
-  *  - fitting: Lloyd iterations per subspace where assignment is an
-  *    argmin fold over a scored struct array (zero shuffle, the
-  *    Ivf.assign shape with L2 instead of cosine) and the update is
-  *    posexplode → per-(code, dim) mean;
-  *  - encoding: one corpus pass, no shuffle — `m` argmin folds;
-  *  - ADC search: score = Σ_s dot(q_sub_s, codeword(code_s)) computed
-  *    as `m` dot products against element_at lookups into the codebook
-  *    literal; on L2-normalized inputs this approximates cosine.
+  * Everything is map-side DataFrame algebra against ONE codebook
+  * constant: the full m × ksub × dsub codebook travels as a single
+  * nested-array `typedlit` (one Literal node — an unrolled
+  * per-codeword form put thousands of literal nodes in every plan and
+  * made Catalyst analysis the dominant cost), and assignment/scoring
+  * loop over it with nested higher-order functions:
+  *  - fitting: ONE job per Lloyd iteration — every subspace's argmin
+  *    assignment in the same projection, one (subspace, code, pos)
+  *    mean aggregate whose m·ksub·dsub-row result is the next codebook
+  *    constant;
+  *  - encoding: one corpus pass, no shuffle;
+  *  - ADC search: Σ_s dot(q_sub_s, codeword(code_s)) as a fold over
+  *    the codes array; on L2-normalized inputs this approximates
+  *    cosine. The top-k is the only shuffle.
   * At 100 TB the codebooks are fit on a sample, the encode pass is the
   * only full scan, and ADC composes with IVF cells (q35) so a probe
   * scores ~nprobe/k of the codes.
@@ -36,79 +39,36 @@ object Pq {
   private def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
 
+  private def dotC(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
   /** L2-normalize an array<float> column to array<double>. */
   def normalize(v: Column): Column = {
     val n = sqrt(aggregate(transform(v, x => x.cast("double") * x), lit(0.0d), (acc, x) => acc + x))
     transform(v, x => x.cast("double") / n)
   }
 
-  /** Deterministic per-subspace Lloyd's k-means. Input must already be
-    * the sliced subspace (array column of length dsub). Returns
-    * (code_id, codeword array<double>) — ksub rows. Init = first ksub
-    * rows by id (deterministic; sample-based init is the production
-    * note, as in Ivf.fitCentroids).
-    */
-  def fitCodebook(
-      sub: DataFrame,
-      ksub: Int,
-      iters: Int,
-      idCol: String,
-      vecCol: String
-  ): DataFrame = {
-    val spark = sub.sparkSession
-    val init = sub
-      .orderBy(col(idCol))
-      .limit(ksub)
-      .select(transform(col(vecCol), _.cast("double")).as("cw"))
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => org.apache.spark.sql.Row(i, r.getSeq[Double](0)) }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(
-        "code_id", org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField(
-        "cw",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
-        nullable = true)
-    ))
-    var codebook = spark.createDataFrame(java.util.Arrays.asList(init: _*), schema)
-    for (_ <- 1 to iters) {
-      val cws = codebookArrays(codebook)
-      val assigned = sub.select(
-        col(vecCol),
-        argminCode(col(vecCol), cws).as("code_id")
-      )
-      codebook = assigned
-        .select(col("code_id"), posexplode(col(vecCol)))
-        .groupBy(col("code_id"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
-        .groupBy(col("code_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
-        .select(col("code_id"), transform(col("pairs"), p => p.getField("m")).as("cw"))
-    }
-    codebook
+  /** The whole codebook as ONE nested-array literal node. */
+  private def cbLit(codebooks: Array[Array[(Int, Array[Double])]]): Column =
+    typedlit(codebooks.map(_.sortBy(_._1).map(_._2.toSeq).toSeq).toSeq)
+
+  /** Nearest-codeword id (L2, smaller id on ties) for subspace `s`'s
+    * subvector, looping over the codebook constant. */
+  private def argminCode(vec: Column, cb: Column, s: Column, dsub: Int): Column = {
+    val sub = slice(vec, s * dsub + 1, lit(dsub))
+    val scored = zip_with(
+      element_at(cb, s + 1),
+      sequence(lit(0), size(element_at(cb, s + 1)) - 1),
+      (cw, i) => struct(sqDist(sub, cw).as("dist"), i.as("code"))
+    )
+    array_min(scored).getField("code").cast("int")
   }
 
-  /** Materialize one subspace codebook as plan constants (ksub × dsub
-    * doubles — broadcast class, not a data collect). */
-  def codebookArrays(codebook: DataFrame): Array[(Int, Array[Double])] =
-    codebook
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1)
-
-  /** Zero-shuffle argmin: nearest codeword id by L2, smaller id wins
-    * ties (array_min over (dist, code) structs). */
-  private def argminCode(sub: Column, cws: Array[(Int, Array[Double])]): Column = {
-    val scored = array(cws.map { case (cid, cw) =>
-      val cwCol = array(cw.map(v => lit(v)).toIndexedSeq: _*)
-      struct(sqDist(sub, cwCol).as("dist"), lit(cid).as("code"))
-    }.toIndexedSeq: _*)
-    array_min(scored).getField("code")
-  }
-
-  /** Fit all `m` subspace codebooks over a (normalized) corpus.
-    * Returns the in-memory codebooks: codebooks(s)(code) = codeword. */
+  /** Fit all `m` subspace codebooks over a (normalized) corpus in ONE
+    * Spark job per Lloyd iteration (plus one init job). Deterministic
+    * init: subvectors of the first ksub rows by id (sample-based
+    * k-means++ is the production note). Returns
+    * codebooks(s)(code) = codeword. */
   def fit(
       corpus: DataFrame,
       m: Int,
@@ -120,10 +80,44 @@ object Pq {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    (0 until m).toArray.map { s =>
-      val sub = corpus.select(col(idCol), slice(col(vecCol), s * dsub + 1, dsub).as(vecCol))
-      codebookArrays(fitCodebook(sub, ksub, iters, idCol, vecCol))
+    var codebooks: Array[Array[(Int, Array[Double])]] = {
+      val rows = corpus
+        .orderBy(col(idCol))
+        .limit(ksub)
+        .select(transform(col(vecCol), _.cast("double")).as("v"))
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+      (0 until m).toArray.map { s =>
+        rows.zipWithIndex.map { case (v, i) => i -> v.slice(s * dsub, (s + 1) * dsub) }
+      }
     }
+    for (_ <- 1 to iters) {
+      val cb = cbLit(codebooks)
+      val cells = transform(
+        sequence(lit(0), lit(m - 1)),
+        s => struct(
+          s.as("s"),
+          argminCode(col(vecCol), cb, s, dsub).as("code"),
+          slice(col(vecCol), s * dsub + 1, lit(dsub)).as("sv")
+        )
+      )
+      val updated = corpus
+        .select(explode(cells).as("c"))
+        .select(col("c.s").as("s"), col("c.code").as("code"), posexplode(col("c.sv")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("mval"))
+        .collect() // m·ksub·dsub rows — the next codebook CONSTANT
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      codebooks = (0 until m).toArray.map { s =>
+        val bySub = updated.filter(_._1 == s)
+        (0 until ksub).toArray.map { code =>
+          val cw = bySub.filter(_._2 == code).sortBy(_._3).map(_._4)
+          // empty cell keeps its previous codeword (standard k-means)
+          code -> (if (cw.nonEmpty) cw else codebooks(s)(code)._2)
+        }
+      }
+    }
+    codebooks
   }
 
   /** Encode every vector as its `m` codeword ids — one map-side pass,
@@ -136,33 +130,36 @@ object Pq {
   ): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks.head.head._2.length
-    val codes = array((0 until m).map { s =>
-      argminCode(slice(col(vecCol), s * dsub + 1, dsub), codebooks(s)).cast("int")
-    }.toIndexedSeq: _*)
+    val cb = cbLit(codebooks)
+    val codes = transform(
+      sequence(lit(0), lit(m - 1)),
+      s => argminCode(col(vecCol), cb, s, dsub)
+    )
     corpus.select(col(idCol), codes.as("codes"))
   }
 
   /** ADC score of a query vector column against a codes column:
-    * Σ_s dot(q_sub_s, codebooks(s)(code_s)). Each subspace lookup is an
-    * element_at into a codebook literal — pure map-side arithmetic. */
+    * Σ_s dot(q_sub_s, codebooks(s)(code_s)) — a fold over the codes
+    * array against the codebook constant, pure map-side arithmetic. */
   def adcScore(
       qvec: Column,
       codes: Column,
       codebooks: Array[Array[(Int, Array[Double])]]
   ): Column = {
-    val m = codebooks.length
     val dsub = codebooks.head.head._2.length
-    (0 until m).map { s =>
-      val cbLit = array(codebooks(s).map { case (_, cw) =>
-        array(cw.map(v => lit(v)).toIndexedSeq: _*)
-      }.toIndexedSeq: _*)
-      val cw = element_at(cbLit, element_at(codes, s + 1) + 1)
-      aggregate(
-        zip_with(slice(qvec, s * dsub + 1, dsub), cw, (a, b) => a * b),
-        lit(0.0d),
-        (acc, v) => acc + v
-      )
-    }.reduce(_ + _)
+    val cb = cbLit(codebooks)
+    aggregate(
+      zip_with(
+        sequence(lit(0), size(codes) - 1),
+        codes,
+        (s, c) => dotC(
+          slice(qvec, s * dsub + 1, lit(dsub)),
+          element_at(element_at(cb, s + 1), c + 1)
+        )
+      ),
+      lit(0.0d),
+      (acc, v) => acc + v
+    )
   }
 
   /** PQ-ADC top-k: score every (query, code) pair and keep each query's

@@ -4330,14 +4330,18 @@ object Queries {
         (acc, v) => (acc + v).cast("decimal(38,12)")
       ).cast("double")
     def norm(a: org.apache.spark.sql.Column) = sqrt(dot(a, a))
+    // the vector norm is the same for all 10 prototypes — compute it
+    // once per row, not inside every struct (the centroid norms are
+    // literal-foldable and cost nothing at runtime)
     val scored = array(cents.map { case (lbl, c) =>
       val cCol = array(c.map(v => lit(v)).toIndexedSeq: _*)
       struct(
-        round(dot(col("v"), cCol) / (norm(col("v")) * norm(cCol)), 8).as("sim"),
+        round(dot(col("v"), cCol) / (col("vn") * norm(cCol)), 8).as("sim"),
         lit(-lbl).as("neg_lbl") // ties: smaller label wins under max
       )
     }.toIndexedSeq: _*)
     val assigned = e
+      .withColumn("vn", norm(col("v")))
       .select(
         col("label"),
         (-array_max(scored).getField("neg_lbl")).cast("int").as("assigned")

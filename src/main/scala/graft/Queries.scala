@@ -4480,6 +4480,65 @@ object Queries {
       |FROM base JOIN tl USING (source)
       |ORDER BY base.source""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Corpus NOVELTY scoring: per document (in doc_id = arrival order),
+    * the fraction of its distinct 8-grams whose FIRST corpus occurrence
+    * is this document — the marginal-value metric for an incremental
+    * crawl (a snapshot whose docs score near zero adds nothing the
+    * corpus hasn't seen). Same two-shuffle gram shape as q80 (linear
+    * gram build → min-doc aggregate on the gram key → join back →
+    * per-doc aggregate); at 100 TB hash the gram to 8 bytes before the
+    * shuffle and keep the first-occurrence table as the incremental
+    * state between snapshots (the q72 pattern).
+    */
+  def q101Novelty(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val toks = TextStats.tokens(col("text"))
+    val grams = Tables
+      .documents(s, dir)
+      .filter(size(toks) >= n)
+      .select(col("doc_id"), explode(array_distinct(TextStats.ngrams(toks, n))).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // eager: first-occurrence + join consumers share this cache
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    grams
+      .join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel")
+      )
+      .select(
+        col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6).as("novelty")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  val q101Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), f AS (
+      |  SELECT doc_id, toks FROM d WHERE len(toks) >= 8
+      |), i AS (
+      |  SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS i FROM f
+      |), g AS (
+      |  SELECT DISTINCT doc_id,
+      |    toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' ||
+      |    toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8] AS gram
+      |  FROM i
+      |), fo AS (
+      |  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+      |)
+      |SELECT g.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  round(CAST(SUM(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) /
+      |        CAST(count(*) AS DOUBLE), 6) AS novelty
+      |FROM g JOIN fo USING (gram)
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -4581,7 +4640,8 @@ object Queries {
     "q97_anomaly" -> (q97Anomaly _),
     "q98_transitions" -> (q98Transitions _),
     "q99_nearest_centroid" -> (q99NearestCentroid _),
-    "q100_data_card" -> (q100DataCard _)
+    "q100_data_card" -> (q100DataCard _),
+    "q101_novelty" -> (q101Novelty _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4672,6 +4732,7 @@ object Queries {
     "q97_anomaly" -> q97Oracle,
     "q98_transitions" -> q98Oracle,
     "q99_nearest_centroid" -> q99Oracle,
-    "q100_data_card" -> q100Oracle
+    "q100_data_card" -> q100Oracle,
+    "q101_novelty" -> q101Oracle
   )
 }

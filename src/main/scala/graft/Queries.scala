@@ -4539,6 +4539,175 @@ object Queries {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  /** Distribution DRIFT between corpus windows (PSI — population
+    * stability index, the standard model-monitoring metric): split the
+    * corpus into reference (first half by arrival order) and current
+    * (second half), bin two per-doc features — quality score (10
+    * fixed-width bins) and token count (width-32 bins, capped) — and
+    * compute PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref) with
+    * Laplace-smoothed bin shares (no zero-bin blowups, deterministic).
+    * One corpus pass builds both feature histograms (map-side explode
+    * of two (feature, bin) structs per doc); the PSI fold is a 10-row
+    * decimal-accumulated aggregate per feature. Conventional read:
+    * < 0.1 stable, > 0.25 drifted.
+    */
+  def q102PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val bins = 10
+    val d = TextStats
+      .withQuality(Tables.documents(s, dir), "text")
+      .select(
+        col("doc_id"), col("quality_score"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // eager: split scalar + histogram share this cache
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val split = maxId / 2
+    val binned = d.select(
+      (col("doc_id") > split).as("cur"),
+      explode(array(
+        struct(lit("quality").as("feature"),
+          least(floor(col("quality_score") * bins), lit(bins - 1)).cast("int").as("bin")),
+        struct(lit("tokens").as("feature"),
+          least(floor(col("n_tokens") / 32), lit(bins - 1)).cast("int").as("bin"))
+      )).as("fb")
+    ).select(col("cur"), col("fb.feature").as("feature"), col("fb.bin").as("bin"))
+    val wins = d.agg(
+      sum(when(col("doc_id") > split, 1L).otherwise(0L)).as("n_cur"),
+      sum(when(col("doc_id") > split, 0L).otherwise(1L)).as("n_ref")
+    )
+    binned
+      .groupBy(col("feature"), col("bin"))
+      .agg(
+        sum(when(col("cur"), 1L).otherwise(0L)).as("c_cur"),
+        sum(when(col("cur"), 0L).otherwise(1L)).as("c_ref")
+      )
+      .crossJoin(broadcast(wins))
+      .select(
+        col("feature"),
+        ((col("c_cur") + 1).cast("double") / (col("n_cur") + bins).cast("double")).as("pc"),
+        ((col("c_ref") + 1).cast("double") / (col("n_ref") + bins).cast("double")).as("pr"),
+        col("n_cur"), col("n_ref")
+      )
+      .groupBy(col("feature"))
+      .agg(
+        max(col("n_ref")).as("n_ref"),
+        max(col("n_cur")).as("n_cur"),
+        round(
+          sum(((col("pc") - col("pr")) * log(col("pc") / col("pr"))).cast("decimal(38,18)"))
+            .cast("double"),
+          6
+        ).as("psi")
+      )
+      .select(
+        col("feature"), col("n_ref"), col("n_cur"), col("psi"),
+        (col("psi") > 0.25).as("drifted")
+      )
+      .orderBy(col("feature"))
+  }
+
+  val q102Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    0.4 * (CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) +
+      |    0.3 * (1.0 - CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) +
+      |    0.3 * least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 200.0, 1.0) AS q,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), sp AS (
+      |  SELECT MAX(doc_id) // 2 AS split FROM (SELECT doc_id FROM documents)
+      |), b AS (
+      |  SELECT d.doc_id > sp.split AS cur, f.feature, f.bin
+      |  FROM d, sp, LATERAL (
+      |    SELECT 'quality' AS feature,
+      |      CAST(least(floor(d.q * 10), 9) AS INT) AS bin
+      |    UNION ALL
+      |    SELECT 'tokens',
+      |      CAST(least(floor(d.n_tokens / 32.0), 9) AS INT)
+      |  ) f
+      |), w AS (
+      |  SELECT CAST(SUM(CASE WHEN doc_id > sp.split THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+      |         CAST(SUM(CASE WHEN doc_id > sp.split THEN 0 ELSE 1 END) AS BIGINT) AS n_ref
+      |  FROM d, sp
+      |), h AS (
+      |  SELECT feature, bin,
+      |    CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
+      |    CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS c_ref
+      |  FROM b GROUP BY feature, bin
+      |), p AS (
+      |  SELECT feature,
+      |    (c_cur + 1) / CAST(w.n_cur + 10 AS DOUBLE) AS pc,
+      |    (c_ref + 1) / CAST(w.n_ref + 10 AS DOUBLE) AS pr,
+      |    w.n_cur, w.n_ref
+      |  FROM h, w
+      |)
+      |SELECT feature, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+      |  round(CAST(SUM(CAST((pc - pr) * ln(pc / pr) AS DECIMAL(38,18))) AS DOUBLE), 6) AS psi,
+      |  round(CAST(SUM(CAST((pc - pr) * ln(pc / pr) AS DECIMAL(38,18))) AS DOUBLE), 6) > 0.25 AS drifted
+      |FROM p
+      |GROUP BY feature
+      |ORDER BY feature""".stripMargin
+
+  // ---------------------------------------------------------------- q103
+  /** RANKING-quality audit for the multiprobe ANN — recall (q49) says
+    * whether the right neighbors appear; MRR and NDCG@k say whether
+    * they appear in the right ORDER, which is what a retrieval stack
+    * actually serves. Relevance of an ANN hit = k+1 − its exact rank
+    * (0 if outside the exact top-k), so the ideal DCG is a closed-form
+    * constant and NDCG needs no per-query normalizer join. SELF-
+    * AUDITING (no SQL oracle — the LSH side is engine-native; the q49
+    * pattern): one row with n_queries, recall@k, MRR of the exact
+    * top-1, and mean NDCG@k.
+    */
+  def q103AnnRankingQuality(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val e = Tables.embeddings(s, dir)
+    val n = e.count()
+    val (nbits, tables) = Similarity.lshParams(n, targetCosine = 0.4, probeHamming = 1)
+    val queries = e.filter(col("vec_id") < 50)
+    val nQ = 50.0
+    val exact = Similarity
+      .bruteTopK(e, queries, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("xrank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    exact.count() // eager: mrr + ndcg + recall consumers share this cache
+    val approx = Similarity
+      .annTopK(e, queries, k, nbits = nbits, tables = tables, probes = 1)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("arank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    approx.count()
+    val joined = approx.join(exact, Seq("query_id", "neighbor_id"))
+    // MRR: reciprocal ANN rank of each query's exact top-1 (0 if missed)
+    val mrr = joined
+      .filter(col("xrank") === 1)
+      .agg((sum(lit(1.0) / col("arank")) / nQ).as("mrr"))
+    // NDCG@k with rel = k+1-xrank; IDCG = Σ (k+1-i)/log2(i+1) constant
+    val idcg = (1 to k).map(i => (k + 1 - i).toDouble / (math.log(i + 1) / math.log(2))).sum
+    val ndcg = joined
+      .select(
+        col("query_id"),
+        ((lit(k + 1) - col("xrank")).cast("double") /
+          (log(col("arank") + 1) / math.log(2))).as("g")
+      )
+      .groupBy(col("query_id"))
+      .agg((sum(col("g")) / idcg).as("q_ndcg"))
+      .agg((sum(col("q_ndcg")) / nQ).as("ndcg"))
+    val recall = joined.agg((count(lit(1)) / (nQ * k)).as("recall"))
+    recall
+      .crossJoin(mrr)
+      .crossJoin(ndcg)
+      .select(
+        lit(50).as("n_queries"),
+        lit(k).as("k"),
+        lit(nbits).as("nbits"),
+        lit(tables).as("tables"),
+        round(col("recall"), 4).as("recall_at_k"),
+        round(col("mrr"), 4).as("mrr"),
+        round(col("ndcg"), 4).as("ndcg_at_k")
+      )
+  }
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -4641,7 +4810,9 @@ object Queries {
     "q98_transitions" -> (q98Transitions _),
     "q99_nearest_centroid" -> (q99NearestCentroid _),
     "q100_data_card" -> (q100DataCard _),
-    "q101_novelty" -> (q101Novelty _)
+    "q101_novelty" -> (q101Novelty _),
+    "q102_psi_drift" -> (q102PsiDrift _),
+    "q103_ann_ranking" -> (q103AnnRankingQuality _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4733,6 +4904,7 @@ object Queries {
     "q98_transitions" -> q98Oracle,
     "q99_nearest_centroid" -> q99Oracle,
     "q100_data_card" -> q100Oracle,
-    "q101_novelty" -> q101Oracle
+    "q101_novelty" -> q101Oracle,
+    "q102_psi_drift" -> q102Oracle
   )
 }

@@ -4708,6 +4708,120 @@ object Queries {
       )
   }
 
+  // ---------------------------------------------------------------- q104
+  /** Dataset SNAPSHOT DIFF — the release-to-release census a versioned
+    * corpus ships: treating the first half (by arrival order) as the
+    * previous snapshot and the full corpus as the current one, classify
+    * every content fingerprint as carried / added, and count removed
+    * (here structurally zero — append-only simulation, the value is
+    * the shape). One fingerprint-keyed full outer join of the two
+    * distinct-fingerprint sets; text never moves, only 32-char digests
+    * shuffle (the q68/q72 discipline).
+    */
+  def q104SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), TextStats.tokenSetFingerprint(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count() // eager: split scalar + both snapshots share this cache
+    val maxId = d.agg(max(col("doc_id"))).head().getLong(0)
+    val split = maxId / 2
+    val prev = d.filter(col("doc_id") <= split).select(col("fp")).distinct()
+      .withColumn("in_prev", lit(1))
+    val cur = d.select(col("fp")).distinct().withColumn("in_cur", lit(1))
+    prev
+      .join(cur, Seq("fp"), "full_outer")
+      .agg(
+        sum(when(col("in_prev").isNotNull && col("in_cur").isNotNull, 1L).otherwise(0L)).as("carried"),
+        sum(when(col("in_prev").isNull && col("in_cur").isNotNull, 1L).otherwise(0L)).as("added"),
+        sum(when(col("in_prev").isNotNull && col("in_cur").isNull, 1L).otherwise(0L)).as("removed")
+      )
+      .select(
+        col("carried"), col("added"), col("removed"),
+        round(col("added") / (col("carried") + col("added")).cast("double"), 6).as("growth_frac")
+      )
+  }
+
+  val q104Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+'))), ' ')) AS fp
+      |  FROM documents
+      |), sp AS (
+      |  SELECT MAX(doc_id) // 2 AS split FROM d
+      |), prev AS (
+      |  SELECT DISTINCT fp FROM d, sp WHERE doc_id <= sp.split
+      |), cur AS (
+      |  SELECT DISTINCT fp FROM d
+      |), j AS (
+      |  SELECT prev.fp AS pfp, cur.fp AS cfp
+      |  FROM prev FULL OUTER JOIN cur ON prev.fp = cur.fp
+      |)
+      |SELECT
+      |  CAST(SUM(CASE WHEN pfp IS NOT NULL AND cfp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS carried,
+      |  CAST(SUM(CASE WHEN pfp IS NULL AND cfp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+      |  CAST(SUM(CASE WHEN pfp IS NOT NULL AND cfp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+      |  round(SUM(CASE WHEN pfp IS NULL AND cfp IS NOT NULL THEN 1 ELSE 0 END) /
+      |        CAST(SUM(CASE WHEN cfp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6) AS growth_frac
+      |FROM j""".stripMargin
+
+  // ---------------------------------------------------------------- q105
+  /** TEMPORAL split with an EMBARGO gap — time-based train/eval
+    * separation (the leakage-safe alternative to q85's hash split when
+    * examples are time-correlated): events before the 80th-percentile
+    * day train, events after it + a 1-day embargo evaluate, and the
+    * embargoed sliver between is DROPPED so near-boundary correlation
+    * can't leak. The cutoff is a rank-selected day (discrete order
+    * statistic over distinct days — the q92 recipe, engine-exact);
+    * classification is map-side against two broadcast scalars.
+    */
+  def q105TemporalSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ev.count() // eager: cutoff scalar + census share this cache
+    val days = ev.select(col("day")).distinct()
+    val nDays = days.count()
+    val cutIdx = (0.8 * (nDays - 1)).floor.toLong + 1
+    val cutoff = days
+      .select(col("day"))
+      .orderBy(col("day"))
+      .limit(cutIdx.toInt)
+      .agg(max(col("day")))
+      .head()
+      .getDate(0)
+    ev.select(
+        col("event_type"),
+        when(col("day") <= lit(cutoff), "train")
+          .when(col("day") <= date_add(lit(cutoff), 1), "embargo")
+          .otherwise("eval")
+          .as("split")
+      )
+      .groupBy(col("event_type"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("split"))
+  }
+
+  val q105Oracle: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day FROM events
+      |), days AS (
+      |  SELECT day, row_number() OVER (ORDER BY day) AS rn, count(*) OVER () AS n
+      |  FROM (SELECT DISTINCT day FROM d)
+      |), cut AS (
+      |  SELECT day AS cutoff FROM days
+      |  WHERE rn = CAST(floor(0.8 * (n - 1)) AS BIGINT) + 1
+      |)
+      |SELECT d.event_type,
+      |  CASE WHEN d.day <= cut.cutoff THEN 'train'
+      |       WHEN d.day <= cut.cutoff + INTERVAL 1 DAY THEN 'embargo'
+      |       ELSE 'eval' END AS split,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM d, cut
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -4812,7 +4926,9 @@ object Queries {
     "q100_data_card" -> (q100DataCard _),
     "q101_novelty" -> (q101Novelty _),
     "q102_psi_drift" -> (q102PsiDrift _),
-    "q103_ann_ranking" -> (q103AnnRankingQuality _)
+    "q103_ann_ranking" -> (q103AnnRankingQuality _),
+    "q104_snapshot_diff" -> (q104SnapshotDiff _),
+    "q105_temporal_split" -> (q105TemporalSplit _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -4905,6 +5021,8 @@ object Queries {
     "q99_nearest_centroid" -> q99Oracle,
     "q100_data_card" -> q100Oracle,
     "q101_novelty" -> q101Oracle,
-    "q102_psi_drift" -> q102Oracle
+    "q102_psi_drift" -> q102Oracle,
+    "q104_snapshot_diff" -> q104Oracle,
+    "q105_temporal_split" -> q105Oracle
   )
 }

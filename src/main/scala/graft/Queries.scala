@@ -3793,6 +3793,10 @@ object Queries {
         max(when(col("la") === col("lb"), struct(col("sim"), (-col("other")).as("nid")))).as("pos"),
         max(when(col("la") =!= col("lb"), struct(col("sim"), (-col("other")).as("nid")))).as("neg")
       )
+      // an anchor whose label has no second member (or a one-label
+      // corpus) has no positive/negative — drop it, matching the
+      // oracle's inner join of the two rank CTEs
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
       .select(
         col("anchor"),
         (-col("pos.nid")).as("pos_id"),
@@ -3905,28 +3909,31 @@ object Queries {
     * equi-join on user_id + min() — partial-aggregated map-side, no
     * window, no per-user event array ever materializes (the
     * collect_list form would haul every user's full history through
-    * one task's memory at 100 TB). Exact ns ordering via ts_ns.
+    * one task's memory at 100 TB). Stage comparisons run on floor-µs
+    * (`ts_ns div 1000`, the q92 rule): the oracle engine reads the ns
+    * parquet timestamps at µs precision, so raw-ns strict comparisons
+    * would diverge the moment two same-user events share a µs.
     */
   def q93Funnel(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables
       .events(s, dir)
-      .select(col("user_id"), col("event_type"), col("ts_ns"))
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("ts_us"))
     val v = ev
       .filter(col("event_type") === "view")
       .groupBy(col("user_id"))
-      .agg(min(col("ts_ns")).as("t_view"))
+      .agg(min(col("ts_us")).as("t_view"))
     val c = ev
       .filter(col("event_type") === "click")
       .join(v, Seq("user_id"))
-      .filter(col("ts_ns") > col("t_view"))
+      .filter(col("ts_us") > col("t_view"))
       .groupBy(col("user_id"))
-      .agg(min(col("ts_ns")).as("t_click"))
+      .agg(min(col("ts_us")).as("t_click"))
     val p = ev
       .filter(col("event_type") === "purchase")
       .join(c, Seq("user_id"))
-      .filter(col("ts_ns") > col("t_click"))
+      .filter(col("ts_us") > col("t_click"))
       .groupBy(col("user_id"))
-      .agg(min(col("ts_ns")).as("t_purchase"))
+      .agg(min(col("ts_us")).as("t_purchase"))
     v.join(c, Seq("user_id"), "left")
       .join(p, Seq("user_id"), "left")
       .agg(
@@ -3945,17 +3952,17 @@ object Queries {
 
   val q93Oracle: String =
     """WITH v AS (
-      |  SELECT user_id, MIN(epoch_ns(ts)) AS t_view
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t_view
       |  FROM events WHERE event_type = 'view' GROUP BY user_id
       |), c AS (
-      |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_click
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
       |  FROM events e JOIN v ON e.user_id = v.user_id
-      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t_view
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
       |  GROUP BY e.user_id
       |), p AS (
-      |  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_purchase
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
       |  FROM events e JOIN c ON e.user_id = c.user_id
-      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
       |  GROUP BY e.user_id
       |)
       |SELECT CAST(count(*) AS BIGINT) AS n_view,
@@ -4126,7 +4133,7 @@ object Queries {
       .map { i =>
         s"""r$i AS (
            |  SELECT e.dst AS node,
-           |    ((1.0 - 0.85) / any_value(nn.n)) +
+           |    ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / any_value(nn.n)) +
            |    0.85 * CAST(SUM(CAST(p.r / deg.deg AS DECIMAL(38,12))) AS DOUBLE) AS r
            |  FROM e
            |  JOIN r${i - 1} p ON e.src = p.node
@@ -4577,11 +4584,30 @@ object Queries {
       sum(when(col("doc_id") > split, 1L).otherwise(0L)).as("n_cur"),
       sum(when(col("doc_id") > split, 0L).otherwise(1L)).as("n_ref")
     )
-    binned
-      .groupBy(col("feature"), col("bin"))
-      .agg(
-        sum(when(col("cur"), 1L).otherwise(0L)).as("c_cur"),
-        sum(when(col("cur"), 0L).otherwise(1L)).as("c_ref")
+    // the PSI sum runs over ALL 10 fixed bins, including bins empty in
+    // BOTH halves — their smoothed term is nonzero when the halves have
+    // unequal sizes, and silently dropping them understates the metric
+    val frame = s
+      .range(bins)
+      .select(
+        col("id").cast("int").as("bin"),
+        explode(array(lit("quality"), lit("tokens"))).as("feature")
+      )
+    frame
+      .join(
+        binned
+          .groupBy(col("feature"), col("bin"))
+          .agg(
+            sum(when(col("cur"), 1L).otherwise(0L)).as("c_cur0"),
+            sum(when(col("cur"), 0L).otherwise(1L)).as("c_ref0")
+          ),
+        Seq("feature", "bin"),
+        "left"
+      )
+      .select(
+        col("feature"), col("bin"),
+        coalesce(col("c_cur0"), lit(0L)).as("c_cur"),
+        coalesce(col("c_ref0"), lit(0L)).as("c_ref")
       )
       .crossJoin(broadcast(wins))
       .select(
@@ -4630,11 +4656,18 @@ object Queries {
       |  SELECT CAST(SUM(CASE WHEN doc_id > sp.split THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
       |         CAST(SUM(CASE WHEN doc_id > sp.split THEN 0 ELSE 1 END) AS BIGINT) AS n_ref
       |  FROM d, sp
-      |), h AS (
+      |), h0 AS (
       |  SELECT feature, bin,
       |    CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS c_cur,
       |    CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS c_ref
       |  FROM b GROUP BY feature, bin
+      |), frame AS (
+      |  SELECT f.feature, CAST(r.range AS INT) AS bin
+      |  FROM range(0, 10) r, (SELECT 'quality' AS feature UNION ALL SELECT 'tokens') f
+      |), h AS (
+      |  SELECT frame.feature, frame.bin,
+      |    COALESCE(h0.c_cur, 0) AS c_cur, COALESCE(h0.c_ref, 0) AS c_ref
+      |  FROM frame LEFT JOIN h0 ON frame.feature = h0.feature AND frame.bin = h0.bin
       |), p AS (
       |  SELECT feature,
       |    (c_cur + 1) / CAST(w.n_cur + 10 AS DOUBLE) AS pc,

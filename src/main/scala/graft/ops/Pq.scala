@@ -87,6 +87,9 @@ object Pq {
         .select(transform(col(vecCol), _.cast("double")).as("v"))
         .collect()
         .map(_.getSeq[Double](0).toArray)
+      require(rows.length >= ksub,
+        s"corpus has ${rows.length} rows < ksub=$ksub codewords; " +
+          "shrink ksub or enlarge the fit sample")
       (0 until m).toArray.map { s =>
         rows.zipWithIndex.map { case (v, i) => i -> v.slice(s * dsub, (s + 1) * dsub) }
       }
@@ -105,7 +108,12 @@ object Pq {
         .select(explode(cells).as("c"))
         .select(col("c.s").as("s"), col("c.code").as("code"), posexplode(col("c.sv")))
         .groupBy(col("s"), col("code"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("mval"))
+        // decimal-accumulated mean, not avg(): double partial-state
+        // merges are fetch-order-dependent, and a last-ulp codebook
+        // difference can flip a near-tie code assignment and drift the
+        // recorded self-audit figures run to run
+        .agg((sum(col("col").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("mval"))
         .collect() // m·ksub·dsub rows — the next codebook CONSTANT
         .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
       codebooks = (0 until m).toArray.map { s =>

@@ -3849,14 +3849,7 @@ object Queries {
     val wGap = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type"), col("day"))
       .orderBy(col("ts_us"), col("event_id"))
-    val wVal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type"))
-      .orderBy(col("gap_us"))
-    val wType = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type"))
-    def rankOf(q: Double): org.apache.spark.sql.Column =
-      floor(lit(q) * (col("n") - 1)) + 1
-    Tables
+    val gaps = Tables
       .events(s, dir)
       .select(
         col("event_type"),
@@ -3867,14 +3860,17 @@ object Queries {
       .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(wGap))
       .filter(col("gap_us").isNotNull)
       .select(col("event_type"), col("gap_us"))
-      .withColumn("rn", row_number().over(wVal))
-      .withColumn("n", count(lit(1)).over(wType))
-      .groupBy(col("event_type"))
-      .agg(
-        count(lit(1)).as("n_gaps"),
-        max(when(col("rn") === rankOf(0.5), col("gap_us"))).as("p50_gap_us"),
-        max(when(col("rn") === rankOf(0.95), col("gap_us"))).as("p95_gap_us"),
-        max(col("gap_us")).as("max_gap_us")
+    Stats
+      .rankSelect(
+        gaps,
+        Seq("event_type"),
+        "gap_us",
+        Seq(0.5 -> "p50_gap_us", 0.95 -> "p95_gap_us"),
+        extra = Seq(count(lit(1)).as("n_gaps"), max(col("gap_us")).as("max_gap_us"))
+      )
+      .select(
+        col("event_type"), col("n_gaps"),
+        col("p50_gap_us"), col("p95_gap_us"), col("max_gap_us")
       )
       .orderBy(col("event_type"))
   }
@@ -4173,15 +4169,8 @@ object Queries {
     * output contract, sketch-grade quantiles.
     */
   def q97Anomaly(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def rankSel(df: DataFrame, valCol: String, outCol: String): DataFrame = {
-      val wv = Window.partitionBy(col("event_type")).orderBy(col(valCol))
-      val wt = Window.partitionBy(col("event_type"))
-      df.withColumn("rn", row_number().over(wv))
-        .withColumn("n", count(lit(1)).over(wt))
-        .groupBy(col("event_type"))
-        .agg(max(when(col("rn") === floor(lit(0.5) * (col("n") - 1)) + 1, col(valCol))).as(outCol))
-    }
+    def rankSel(df: DataFrame, valCol: String, outCol: String): DataFrame =
+      Stats.rankSelect(df, Seq("event_type"), valCol, Seq(0.5 -> outCol))
     val ev = Tables
       .events(s, dir)
       .select(col("event_type"), col("value"))

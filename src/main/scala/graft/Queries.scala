@@ -2979,26 +2979,44 @@ object Queries {
   def q80DupSpans(s: SparkSession, dir: String): DataFrame = {
     val n = 8
     val toks = TextStats.tokens(col("text"))
-    val grams = Tables
+    // Join-free complement form (round 4): a gram instance is "dup" iff
+    // its gram occurs ≥ 2 times corpus-wide, so
+    //   n_dup(doc) = n_grams(doc) − #(instances of corpus-SINGLETON grams in doc)
+    // and a singleton gram names its one owning doc via min(doc_id).
+    // That turns the old  gram-count ⋈ 1M-instance-rows  join-back into
+    // one aggregate on the gram key plus one per-doc aggregate over the
+    // (much smaller) singleton set. The shuffle key is the 8-byte
+    // xxhash64 of the gram, not the ~70-byte string (the q101 scale
+    // note, implemented): a hash collision merges two gram classes with
+    // probability ≈ D²·2⁻⁶⁵ over D distinct grams — ~10⁻⁹ at 10⁵ grams.
+    val docs = Tables
       .documents(s, dir)
       .filter(size(toks) >= n)
-      .select(col("doc_id"), explode(TextStats.ngrams(toks, n)).as("gram"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    grams.count() // eager: count + join consumers share this cache
-    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_total"))
-    grams
-      .join(counts, Seq("gram"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("n_total") >= 2, 1L).otherwise(0L)).as("n_dup")
+      .select(
+        col("doc_id"),
+        (size(toks) - (n - 1)).cast("long").as("n_grams"),
+        TextStats.ngrams(toks, n).as("grams")
       )
+    val singletons = docs
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_total"), min(col("doc_id")).as("doc_id"))
+      .filter(col("n_total") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_uniq"))
+    docs
+      .select(col("doc_id"), col("n_grams"))
+      .join(singletons, Seq("doc_id"), "left") // per-doc rows both sides: shuffle join at scale, AQE broadcasts when small
       .select(
         col("doc_id"),
         col("n_grams"),
-        col("n_dup"),
-        round(col("n_dup").cast("double") / col("n_grams").cast("double"), 6)
-          .as("dup_frac")
+        (col("n_grams") - coalesce(col("n_uniq"), lit(0L))).as("n_dup"),
+        round(
+          (col("n_grams") - coalesce(col("n_uniq"), lit(0L))).cast("double") /
+            col("n_grams").cast("double"),
+          6
+        ).as("dup_frac")
       )
       .orderBy(col("doc_id"))
   }
@@ -3619,17 +3637,23 @@ object Queries {
     val b = li
       .agg(
         min(col("l_partkey")).as("plo"), max(col("l_partkey")).as("phi"),
-        min(col("l_suppkey")).as("slo"), max(col("l_suppkey")).as("shi")
+        min(col("l_suppkey")).as("slo"), max(col("l_suppkey")).as("shi"),
+        min(col("l_orderkey")).as("olo"), max(col("l_orderkey")).as("ohi")
       )
       .head()
     val (pLo, pHi, sLo, sHi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val (oLo, oHi) = (b.getLong(4), b.getLong(5))
     val z = Layout.zValue(Seq((col("l_partkey"), pLo, pHi), (col("l_suppkey"), sLo, sHi)), bits)
     val zWidth = (1L << (2 * bits)) / nFiles
-    val linWidth = (pHi - pLo + 1 + nFiles - 1) / nFiles
+    // the insertion-order baseline: contiguous ORDERKEY ranges (orderkey
+    // is arrival order in this data), the layout an append-only writer
+    // produces — NOT a hash scramble; equal-width buckets over the
+    // data-derived closed orderkey bounds
+    val linWidth = (oHi - oLo + 1 + nFiles - 1) / nFiles
     val base = li
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
       .withColumn("file_z", floor(z / lit(zWidth)))
-      .withColumn("file_lin", floor((col("l_orderkey") % lit(pHi - pLo + 1)) / lit(linWidth)))
+      .withColumn("file_lin", floor((col("l_orderkey") - lit(oLo)) / lit(linWidth)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count() // eager: both layout aggregates share this cache
     def scanFrac(fileCol: String): DataFrame = base
@@ -3666,13 +3690,14 @@ object Queries {
     val zWidth = (1L << (2 * bits)) / nFiles
     s"""WITH b AS (
        |  SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
-       |         min(l_suppkey) AS slo, max(l_suppkey) AS shi
+       |         min(l_suppkey) AS slo, max(l_suppkey) AS shi,
+       |         min(l_orderkey) AS olo, max(l_orderkey) AS ohi
        |  FROM lineitem
        |), base AS (
        |  SELECT l_partkey, l_suppkey,
        |    CAST(floor($zExpr / $zWidth.0) AS BIGINT) AS file_z,
-       |    CAST(floor((l_orderkey % (b.phi - b.plo + 1)) /
-       |         CAST((b.phi - b.plo + 1 + $nFiles - 1) // $nFiles AS DOUBLE)) AS BIGINT) AS file_lin,
+       |    CAST(floor((l_orderkey - b.olo) /
+       |         CAST((b.ohi - b.olo + 1 + $nFiles - 1) // $nFiles AS DOUBLE)) AS BIGINT) AS file_lin,
        |    b.plo, b.phi, b.slo, b.shi
        |  FROM lineitem, b
        |), zf AS (
@@ -4481,32 +4506,43 @@ object Queries {
     * the fraction of its distinct 8-grams whose FIRST corpus occurrence
     * is this document — the marginal-value metric for an incremental
     * crawl (a snapshot whose docs score near zero adds nothing the
-    * corpus hasn't seen). Same two-shuffle gram shape as q80 (linear
-    * gram build → min-doc aggregate on the gram key → join back →
-    * per-doc aggregate); at 100 TB hash the gram to 8 bytes before the
-    * shuffle and keep the first-occurrence table as the incremental
-    * state between snapshots (the q72 pattern).
+    * corpus hasn't seen). Same gram shape as q80: linear gram build →
+    * min-doc aggregate on the hashed gram key → per-doc count — no
+    * instance-level join-back (see the in-body note). At 100 TB keep
+    * the first-occurrence table as the incremental state between
+    * snapshots (the q72 pattern).
     */
   def q101Novelty(s: SparkSession, dir: String): DataFrame = {
     val n = 8
     val toks = TextStats.tokens(col("text"))
-    val grams = Tables
+    // Join-free first-occurrence form (round 4): a doc's novel-gram count
+    // is how many grams name it as their min(doc_id) — so the
+    // first-occurrence aggregate feeds a per-doc count directly, and the
+    // old  first-occurrence ⋈ full-gram-instance  join-back disappears.
+    // Per-doc distinct-gram totals are map-side (size of the distinct
+    // array). Shuffle key = 8-byte xxhash64 of the gram (the 100 TB note
+    // below, implemented); collision odds as in q80.
+    val docs = Tables
       .documents(s, dir)
       .filter(size(toks) >= n)
-      .select(col("doc_id"), explode(array_distinct(TextStats.ngrams(toks, n))).as("gram"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    grams.count() // eager: first-occurrence + join consumers share this cache
-    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
-    grams
-      .join(first, Seq("gram"))
+      .select(col("doc_id"), array_distinct(TextStats.ngrams(toks, n)).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"), col("grams"))
+    val novel = docs
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+      .groupBy(col("g"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel")
-      )
+      .agg(count(lit(1)).as("n_novel"))
+    docs
+      .select(col("doc_id"), col("n_grams"))
+      .join(novel, Seq("doc_id"), "left") // per-doc rows both sides: shuffle join at scale
       .select(
-        col("doc_id"), col("n_grams"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 6).as("novelty")
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams").cast("double"), 6)
+          .as("novelty")
       )
       .orderBy(col("doc_id"))
   }
@@ -4844,6 +4880,72 @@ object Queries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** PageRank on a DIRECTED graph with dangling nodes — exercises the
+    * two general-graph behaviors q96's symmetrized run never touches:
+    * parts are pure sinks (no out-edges → their rank folds back
+    * uniformly each round) and suppliers are pure sources (no in-edges
+    * → they must keep their teleport share instead of dropping out of
+    * round 2+). Same round algebra as q96; the oracle unrolls the
+    * recurrence INCLUDING the per-round dangling-mass scalar, so the
+    * fold is driver-certified, not just spec-asserted.
+    */
+  def q106PagerankDirected(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val edges = li
+      .select(
+        concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst")
+      )
+      .distinct()
+    PageRank
+      .run(edges, iters = 3, damping = 0.85)
+      .select(col("node"), round(col("r"), 10).as("r"))
+      .orderBy(col("node"))
+  }
+
+  val q106Oracle: String = {
+    // unroll r1..r3 with the same recurrence PageRank.run executes:
+    // csum via decimal(38,12)-staged sums; dm = rank mass on nodes with
+    // no out-edges, folded back as d·dm/N; nodes with no in-edges keep
+    // (1-d)/N + d·dm/N via the LEFT JOIN's NULL csum
+    val rounds = (1 to 3)
+      .map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst AS node,
+           |    CAST(SUM(CAST(p.r / deg.deg AS DECIMAL(38,12))) AS DOUBLE) AS csum
+           |  FROM e
+           |  JOIN r${i - 1} p ON e.src = p.node
+           |  JOIN deg ON e.src = deg.src
+           |  GROUP BY e.dst
+           |), dm$i AS (
+           |  SELECT CAST(COALESCE(SUM(CAST(r AS DECIMAL(38,12))), 0) AS DOUBLE) AS dm
+           |  FROM r${i - 1} WHERE node NOT IN (SELECT src FROM deg)
+           |), r$i AS (
+           |  SELECT n.node,
+           |    ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n) +
+           |    0.85 * (COALESCE(c$i.csum, CAST(0 AS DOUBLE)) + (dm$i.dm / nn.n)) AS r
+           |  FROM nodes n LEFT JOIN c$i ON n.node = c$i.node, nn, dm$i
+           |)""".stripMargin
+      }
+      .mkString(", ")
+    s"""WITH e AS (
+       |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+       |                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+       |  FROM lineitem
+       |), deg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+       |), nodes AS (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e
+       |), nn AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+       |), r0 AS (
+       |  SELECT node, 1.0 / nn.n AS r FROM nodes, nn
+       |), $rounds
+       |SELECT node, round(r, 10) AS r FROM r3
+       |ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -4950,7 +5052,8 @@ object Queries {
     "q102_psi_drift" -> (q102PsiDrift _),
     "q103_ann_ranking" -> (q103AnnRankingQuality _),
     "q104_snapshot_diff" -> (q104SnapshotDiff _),
-    "q105_temporal_split" -> (q105TemporalSplit _)
+    "q105_temporal_split" -> (q105TemporalSplit _),
+    "q106_pagerank_directed" -> (q106PagerankDirected _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -5045,6 +5148,7 @@ object Queries {
     "q101_novelty" -> q101Oracle,
     "q102_psi_drift" -> q102Oracle,
     "q104_snapshot_diff" -> q104Oracle,
-    "q105_temporal_split" -> q105Oracle
+    "q105_temporal_split" -> q105Oracle,
+    "q106_pagerank_directed" -> q106Oracle
   )
 }

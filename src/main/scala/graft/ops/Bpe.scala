@@ -94,9 +94,14 @@ object Bpe {
         case None => exhausted = true // every word is a single token
         case Some((l, r, f)) =>
           merges += ((step, l, r, f))
-          words = words
+          val fused = words
             .select(Bpe.applyMerge(col("tokens"), l, r).as("tokens"), col("weight"))
             .localCheckpoint(true)
+          // free the superseded round's checkpoint (eager materialize
+          // above makes this safe; without it executor storage grows
+          // linearly with nMerges)
+          org.apache.spark.sql.graftshim.GraftShim.unpersistCheckpoint(words)
+          words = fused
           step += 1
       }
     }

@@ -20,10 +20,18 @@ import org.apache.spark.sql.functions._
   * summation recipe), so results are exact across partitionings and
   * engines.
   *
-  * Callers supply DIRECTED edges; use [[symmetrize]] for an undirected
-  * graph — with every node having out-edges there is no dangling-mass
-  * term (the production note for general graphs: fold dangling mass
-  * back uniformly each round).
+  * Correct for GENERAL directed graphs (round 4):
+  *  - the node set is src ∪ dst, so pure sinks hold rank;
+  *  - each round rebuilds ranks on the full node set (a node with no
+  *    in-edges keeps its teleport share instead of silently vanishing
+  *    from later rounds);
+  *  - rank held by DANGLING nodes (no out-edges) folds back uniformly:
+  *    r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)/outdeg(u) + D/N), D = Σ_{dangling} r(u)
+  *    — the standard correction; without it total rank mass leaks every
+  *    round. The fold costs one scalar aggregate per round (bytes to
+  *    the driver — the q51 convergence-check pattern, not a data
+  *    collect). [[symmetrize]] remains the cheap path for undirected
+  *    graphs, where D = 0 exactly and the fold adds nothing.
   */
 object PageRank {
 
@@ -34,10 +42,10 @@ object PageRank {
     fwd.union(rev).distinct()
   }
 
-  /** Run `iters` power-iteration rounds at damping `d`. `edges` must
-    * have (src, dst) with every node appearing as a source (no dangling
-    * nodes — see [[symmetrize]]). Returns (node, r). */
+  /** Run `iters` power-iteration rounds at damping `d` over DIRECTED
+    * (src, dst) edges. Returns (node, r) over src ∪ dst. */
   def run(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShim
     // pay the src-shuffle ONCE: the checkpointed edge set is physically
     // hash-partitioned on src (LogicalRDD keeps the partitioning
     // metadata), so each round's ranks join plans no edge-side
@@ -52,19 +60,43 @@ object PageRank {
       .join(deg, "src")
       .repartition(col("src"))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val nodes = e
+      .select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val srcs = e.select(col("src").as("node")).distinct().localCheckpoint(true)
     val n = nodes.count()
     var ranks = nodes.withColumn("r", lit(1.0 / n))
+    var prevCkpt: DataFrame = null
     for (_ <- 1 to iters) {
-      ranks = ed
-        .join(ranks, ed("src") === ranks("node"))
-        .select(col("dst"), (col("r") / col("deg")).as("c"))
-        .groupBy(col("dst").as("node"))
-        .agg(
+      // dangling mass this round: decimal-exact (order-independent) sum
+      // of rank on nodes with no out-edges; empty anti-join → 0.0
+      val dmRow = ranks
+        .join(srcs, Seq("node"), "left_anti")
+        .agg(sum(col("r").cast("decimal(38,12)")).cast("double"))
+        .head()
+      val dm = if (dmRow.isNullAt(0)) 0.0 else dmRow.getDouble(0)
+      val next = nodes
+        .join(
+          ed.join(ranks, ed("src") === ranks("node"))
+            .select(col("dst"), (col("r") / col("deg")).as("c"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("c").cast("decimal(38,12)")).cast("double").as("csum")),
+          Seq("node"),
+          "left"
+        )
+        .select(
+          col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * sum(col("c").cast("decimal(38,12)")).cast("double")).as("r")
+            lit(damping) * (coalesce(col("csum"), lit(0.0)) + lit(dm / n))).as("r")
         )
         .localCheckpoint(true)
+      // free the superseded round's checkpoint blocks (executor storage
+      // otherwise grows linearly with iters for library callers)
+      if (prevCkpt != null) GraftShim.unpersistCheckpoint(prevCkpt)
+      prevCkpt = next
+      ranks = next
     }
     ranks
   }

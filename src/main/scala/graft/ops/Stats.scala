@@ -28,9 +28,6 @@ object Stats {
     floor(lit(q) * (n - 1)) + 1
 
   /** Append one column per (quantile, name): the group's rank-selected
-    * value of `valCol`. Groups = `keys`; ties in `valCol` are
-    * irrelevant (equal values at a rank select the same value). */
-  /** Append one column per (quantile, name): the group's rank-selected
     * value of `valCol`, plus any `extra` (pre-aliased) aggregates in
     * the same pass. Groups = `keys`; ties in `valCol` are irrelevant
     * (equal values at a rank select the same value). */

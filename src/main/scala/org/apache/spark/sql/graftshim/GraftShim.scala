@@ -12,4 +12,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the executor storage behind a `localCheckpoint(true)`-ed
+    * frame once a newer round supersedes it (iterative operators:
+    * Components / PageRank / Bpe). A checkpointed Dataset's analyzed
+    * plan is a LogicalRDD over the persisted RDD; unpersisting that RDD
+    * is the only way to free it — `Dataset.unpersist` only talks to the
+    * cache manager, which never saw it. No-op for non-checkpointed
+    * frames.
+    */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = df match {
+    case d: org.apache.spark.sql.classic.Dataset[_] =>
+      d.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    case _ => ()
+  }
 }

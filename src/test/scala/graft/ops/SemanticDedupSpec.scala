@@ -95,6 +95,33 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  test("hot-cell salting: degenerate one-cell quantizer, output unchanged, work spread") {
+    // pathological quantizer: EVERY vector lands in one cell — the case
+    // the adaptive salting exists for. With threshold 10 the cell is
+    // hot; salt 4 must spread its pair work while changing nothing.
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map(i => i.toLong -> Array.fill(8)(rnd.nextGaussian().toFloat))
+    val assigned = vecs.map { case (id, v) => (0L, id, v) }.toDF("cluster_id", "vec_id", "embedding")
+    val tau = 0.2
+    val salted = SemanticDedup.assignReps(assigned, tau, hotCellThreshold = 10L, salt = 4)
+    val unsalted = SemanticDedup.assignReps(assigned, tau) // default threshold ≫ 200: no salting
+    assert(salted.count() == 200)
+    assert(salted.except(unsalted).isEmpty && unsalted.except(salted).isEmpty,
+      "salted output must equal the unsalted join exactly")
+    // the probe side of a hot cell partitions by pmod(xxhash64(id), salt):
+    // assert the deterministic salt actually spreads this corpus (every
+    // reducer sees ≤ 2·c/salt probe rows → ≤ 2·c²/salt pair work, not c²)
+    val buckets = assigned
+      .groupBy(pmod(xxhash64(col("vec_id")), lit(4)).as("s"))
+      .count().select("count").as[Long].collect()
+    assert(buckets.length == 4 && buckets.max <= 2 * 200 / 4, s"skewed salt: ${buckets.mkString(",")}")
+    // violations audit runs the same salted join shape — still exact
+    val viol = SemanticDedup
+      .keptViolations(assigned, salted, tau, hotCellThreshold = 10L, salt = 4)
+      .as[Long].head()
+    assert(viol == 0L)
+  }
+
   test("agrees with brute force when pairs share cells (soft m covers the corpus)") {
     val e = corpus(80, 2).toDF("vec_id", "embedding")
     val cents = Ivf.fitCentroids(e, k = 2, iters = 3)

@@ -3998,22 +3998,24 @@ object Queries {
   /** PQ-ADC approximate similarity search (ops/Pq) with an in-registry
     * recall audit — the MEMORY story for 100 TB vector search: each
     * 64-dim float vector (256 B) becomes 16 four-bit codes (8 B packed,
-    * 32×), fitted per-subspace by deterministic Lloyd k-means, scored
+    * 32×), fitted per-subspace by seeded k-means++ with sample-side
+    * Lloyd refinement then distributed Lloyd passes, scored
     * by asymmetric distance (exact query subvectors × quantized corpus)
     * against codebook literals — encode and scoring are pure map-side;
     * the only shuffle is the WindowGroupLimit-pruned top-k. SELF-
     * AUDITING (q48/q49 pattern — no SQL oracle, the k-means is engine-
     * native): one row carrying recall@10 of the raw ADC ranking AND of
-    * the production two-stage path — ADC shortlist (5k) then exact
-    * re-rank of only the shortlisted vectors (the float fetch touches
-    * 5k/n of the corpus per query, the standard PQ serving shape) —
+    * the production two-stage path — ADC shortlist (8k, the usual
+    * 4-32× re-rank multiplier) then exact re-rank of only the
+    * shortlisted vectors (the float fetch touches 8k/n of the corpus
+    * per query, the standard PQ serving shape) —
     * plus the mean |ADC − exact| score error and the compression
     * ratio. Composes with IVF cells (q35) so a probe scores ~nprobe/k
     * of the codes at scale.
     */
   def q94PqAdc(s: SparkSession, dir: String): DataFrame = {
     val (m, ksub, iters, nQ, k) = (16, 16, 2, 50, 10)
-    val shortlist = 5 * k
+    val shortlist = 8 * k
     val e = Tables
       .embeddings(s, dir)
       .select(

@@ -64,10 +64,89 @@ object Pq {
     array_min(scored).getField("code").cast("int")
   }
 
+  /** D²-weighted k-means++ seeding (Arthur & Vassilvitskii, SODA'07)
+    * over an in-driver point sample, with restarts: `tries` independent
+    * seedings, keeping the one with the lowest sample potential
+    * (Σ min-D² — the quantity the D² bound is stated on). O(tries ·
+    * sample · k) scalar work on codebook-sized data, deterministic for
+    * a fixed rng. */
+  private def kppInit(
+      pts: Array[Array[Double]],
+      k: Int,
+      rnd: scala.util.Random,
+      tries: Int = 1
+  ): Array[Array[Double]] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def seedOnce(): (Array[Array[Double]], Double) = {
+      val centers = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(pts.length)))
+      val minD2 = pts.map(p => d2(p, centers(0)))
+      while (centers.length < k) {
+        val total = minD2.sum
+        val next =
+          if (total <= 0) pts(rnd.nextInt(pts.length)) // all-duplicate sample: any point
+          else {
+            val target = rnd.nextDouble() * total
+            var acc = 0.0; var idx = 0
+            while (idx < pts.length - 1 && acc + minD2(idx) < target) { acc += minD2(idx); idx += 1 }
+            pts(idx)
+          }
+        centers += next
+        var i = 0
+        while (i < pts.length) { minD2(i) = math.min(minD2(i), d2(pts(i), next)); i += 1 }
+      }
+      (centers.toArray, minD2.sum)
+    }
+    (1 to tries).map(_ => seedOnce()).minBy(_._2)._1
+  }
+
+  /** Driver-side Lloyd refinement of an initial codebook ON THE SAMPLE
+    * (the faiss-style "train on a sample" shape): cheap scalar work on
+    * ≤ initSample points that hands the distributed iterations a
+    * near-converged codebook, so the expensive full-corpus passes spend
+    * their budget polishing, not recovering from a raw seeding. Empty
+    * cells keep their codeword (standard k-means). Deterministic. */
+  private def lloydOnSample(
+      pts: Array[Array[Double]],
+      init: Array[Array[Double]],
+      iters: Int
+  ): Array[Array[Double]] = {
+    val dsub = init.head.length
+    var centers = init
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centers.length, dsub)(0.0)
+      val counts = Array.fill(centers.length)(0L)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centers.length) {
+          var d = 0.0; var i = 0
+          while (i < dsub) { val x = p(i) - centers(c)(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dsub) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      centers = centers.zipWithIndex.map { case (cw, c) =>
+        if (counts(c) == 0) cw else sums(c).map(_ / counts(c))
+      }
+    }
+    centers
+  }
+
   /** Fit all `m` subspace codebooks over a (normalized) corpus in ONE
     * Spark job per Lloyd iteration (plus one init job). Deterministic
-    * init: subvectors of the first ksub rows by id (sample-based
-    * k-means++ is the production note). Returns
+    * init: seeded k-means++ per subspace on a hash-ordered sample of
+    * `initSample` rows (the D² seeding avoids the first-rows
+    * degeneracy — adjacent ids are often near-duplicates, which seeds
+    * colliding codewords and wastes cells). The sample order is total
+    * (xxhash64 with an id tie-break), so the init — and therefore the
+    * whole fit — is reproducible across partitionings. Returns
     * codebooks(s)(code) = codeword. */
   def fit(
       corpus: DataFrame,
@@ -75,23 +154,29 @@ object Pq {
       ksub: Int,
       iters: Int,
       idCol: String = "vec_id",
-      vecCol: String = "vec"
+      vecCol: String = "vec",
+      seed: Long = 0x9e3779b9L,
+      initSample: Int = 512
   ): Array[Array[(Int, Array[Double])]] = {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     var codebooks: Array[Array[(Int, Array[Double])]] = {
       val rows = corpus
-        .orderBy(col(idCol))
-        .limit(ksub)
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+        .limit(math.max(ksub, initSample))
         .select(transform(col(vecCol), _.cast("double")).as("v"))
         .collect()
         .map(_.getSeq[Double](0).toArray)
       require(rows.length >= ksub,
         s"corpus has ${rows.length} rows < ksub=$ksub codewords; " +
           "shrink ksub or enlarge the fit sample")
+      val rnd = new scala.util.Random(seed)
       (0 until m).toArray.map { s =>
-        rows.zipWithIndex.map { case (v, i) => i -> v.slice(s * dsub, (s + 1) * dsub) }
+        val pts = rows.map(_.slice(s * dsub, (s + 1) * dsub))
+        lloydOnSample(pts, kppInit(pts, ksub, rnd), iters = 8)
+          .zipWithIndex
+          .map { case (cw, i) => i -> cw }
       }
     }
     for (_ <- 1 to iters) {

@@ -65,6 +65,34 @@ class PqSpec extends SparkSpec {
     assert(mse(2) <= mse(0) + 1e-9)
   }
 
+  test("k-means++ init: deterministic per seed, audit contract holds across seeds") {
+    val df = corpus(300, 16, 4).select($"vec_id", Pq.normalize($"embedding").as("vec"))
+      .persist()
+    df.count()
+    def mse(cbs: Array[Array[(Int, Array[Double])]]): Double =
+      df.join(Pq.encode(df, cbs), "vec_id")
+        .select($"vec", $"codes")
+        .as[(Seq[Double], Seq[Int])]
+        .collect()
+        .map { case (vec, codes) =>
+          val recon = codes.zipWithIndex.flatMap { case (c, s) => cbs(s)(c)._2 }
+          vec.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        .sum
+    for (seed <- Seq(1L, 7L, 99L)) {
+      val a = Pq.fit(df, m = 4, ksub = 8, iters = 1, seed = seed)
+      val b = Pq.fit(df, m = 4, ksub = 8, iters = 1, seed = seed)
+      // init-invariance of the contract: same seed → bit-identical fit
+      assert(a.map(_.toSeq.map { case (i, v) => (i, v.toSeq) }).toSeq ==
+        b.map(_.toSeq.map { case (i, v) => (i, v.toSeq) }).toSeq, s"seed $seed not deterministic")
+      // and every seed yields a full, finite, usable codebook
+      assert(a.forall(_.length == 8))
+      assert(a.forall(_.forall(_._2.forall(d => !d.isNaN && !d.isInfinite))))
+      assert(mse(a).isFinite)
+    }
+    df.unpersist()
+  }
+
   test("ADC top-k finds intra-cluster neighbors on clustered data") {
     val df = corpus(400, 16, 8).select($"vec_id", Pq.normalize($"embedding").as("vec"))
       .persist()

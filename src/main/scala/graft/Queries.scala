@@ -1992,11 +1992,23 @@ object Queries {
 
   // ---------------------------------------------------------------- q35
   /** IVF approximate nearest-neighbor: k-means coarse quantizer (fit as
-    * DataFrame algebra), nprobe cell probing (no oracle — approximate;
-    * recall vs brute force asserted in IvfSpec). SELF-AUDITING: every
+    * DataFrame algebra), nprobe cell probing. SELF-AUDITING: every
     * row carries `audit_recall_vs_brute`, the recall@5 of the probed
     * search against the exact brute-force top-5 on the same corpus —
     * the honest figure for scanning ~nprobe/k of the corpus per query.
+    *
+    * Why q35 stays `no_oracle` where q103 got one (round-4 evaluation):
+    * q103's ANN geometry is FIXED seeded hyperplanes, so the oracle
+    * re-derives the same constants and replays the pipeline. q35's
+    * quantizer is TRAINED in-engine — the centroids are data-dependent
+    * intermediates, so a certifying oracle would have to re-implement
+    * distributed Lloyd k-means in SQL (init, per-iteration argmax on
+    * UNROUNDED cosines where a last-ulp fold difference flips a
+    * boundary cell, empty-cell carry, float truncation at assign) —
+    * a re-implementation, not a check. The recall audit column plus
+    * IvfSpec's brute-force assertions are the proportionate contract;
+    * the fit's means are decimal-staged (round 4) so the figures are
+    * at least run-to-run stable.
     */
   def q35Ivf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -4715,16 +4727,36 @@ object Queries {
     * they appear in the right ORDER, which is what a retrieval stack
     * actually serves. Relevance of an ANN hit = k+1 − its exact rank
     * (0 if outside the exact top-k), so the ideal DCG is a closed-form
-    * constant and NDCG needs no per-query normalizer join. SELF-
-    * AUDITING (no SQL oracle — the LSH side is engine-native; the q49
-    * pattern): one row with n_queries, recall@k, MRR of the exact
-    * top-1, and mean NDCG@k.
+    * constant and NDCG needs no per-query normalizer join. ORACLED
+    * since round 4: the generated SQL replays the full pipeline —
+    * hyperplanes, banding, multiprobe, exact ranking, metric
+    * arithmetic — so the one output row (n_queries, recall@k, MRR of
+    * the exact top-1, mean NDCG@k) is a driver-certified hash match.
     */
+  /** Shared constants of q103's ranking-quality arithmetic, used by BOTH
+    * the Spark side and the generated oracle: per-rank DCG weights
+    * 1/log2(r+1) and the ideal DCG are computed ONCE in Scala and enter
+    * each engine as double literals — no ln() call on either side, so
+    * libm last-ulp divergence can't leak into the checked output. */
+  private val q103K = 10
+  private val q103DcgW: IndexedSeq[Double] =
+    (1 to q103K).map(r => 1.0 / (math.log(r + 1) / math.log(2)))
+  private val q103Idcg: Double =
+    (1 to q103K).map(i => (q103K + 1 - i).toDouble * q103DcgW(i - 1)).sum
+
   def q103AnnRankingQuality(s: SparkSession, dir: String): DataFrame = {
-    val k = 10
+    val k = q103K
+    // FROZEN LSH geometry — (nbits, tables) = lshParams at the sf0.1
+    // production corpus scale. q103 is the evaluation harness: freezing
+    // the geometry makes the WHOLE ANN pipeline engine-reproducible
+    // (the oracle re-derives the same seeded hyperplanes and replays
+    // banding, radius-1 multiprobe, candidate dedup, and the exact
+    // ranking in SQL), so MRR/NDCG/recall are driver-certified by
+    // hash-match rather than self-reported. q30/q31 keep the adaptive
+    // lshParams policy — adaptivity is their story; certification is
+    // this one's.
+    val (nbits, tables) = (5, 6)
     val e = Tables.embeddings(s, dir)
-    val n = e.count()
-    val (nbits, tables) = Similarity.lshParams(n, targetCosine = 0.4, probeHamming = 1)
     val queries = e.filter(col("vec_id") < 50)
     val nQ = 50.0
     val exact = Similarity
@@ -4738,21 +4770,25 @@ object Queries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     approx.count()
     val joined = approx.join(exact, Seq("query_id", "neighbor_id"))
-    // MRR: reciprocal ANN rank of each query's exact top-1 (0 if missed)
+    // MRR: reciprocal ANN rank of each query's exact top-1 (0 if missed);
+    // decimal-staged sums keep every aggregate order-independent (the
+    // q96 recipe) so the oracle can hash-match them
     val mrr = joined
       .filter(col("xrank") === 1)
-      .agg((sum(lit(1.0) / col("arank")) / nQ).as("mrr"))
-    // NDCG@k with rel = k+1-xrank; IDCG = Σ (k+1-i)/log2(i+1) constant
-    val idcg = (1 to k).map(i => (k + 1 - i).toDouble / (math.log(i + 1) / math.log(2))).sum
+      .agg(
+        (sum((lit(1.0) / col("arank")).cast("decimal(38,12)")).cast("double") / nQ).as("mrr")
+      )
+    // NDCG@k with rel = k+1-xrank; gain = rel · weight[arank] via the
+    // shared literal weight table
     val ndcg = joined
       .select(
         col("query_id"),
-        ((lit(k + 1) - col("xrank")).cast("double") /
-          (log(col("arank") + 1) / math.log(2))).as("g")
+        ((lit(k + 1) - col("xrank")).cast("double") *
+          element_at(typedlit(q103DcgW), col("arank"))).as("g")
       )
       .groupBy(col("query_id"))
-      .agg((sum(col("g")) / idcg).as("q_ndcg"))
-      .agg((sum(col("q_ndcg")) / nQ).as("ndcg"))
+      .agg((sum(col("g").cast("decimal(38,12)")).cast("double") / q103Idcg).as("q_ndcg"))
+      .agg((sum(col("q_ndcg").cast("decimal(38,12)")).cast("double") / nQ).as("ndcg"))
     val recall = joined.agg((count(lit(1)) / (nQ * k)).as("recall"))
     recall
       .crossJoin(mrr)
@@ -4766,6 +4802,95 @@ object Queries {
         round(col("mrr"), 4).as("mrr"),
         round(col("ndcg"), 4).as("ndcg_at_k")
       )
+  }
+
+  /** Generated oracle: replays the ENTIRE q103 pipeline in SQL — the
+    * same seeded hyperplanes (re-derived from the Similarity seeds
+    * 7700+t), sign-bucket banding, radius-1 multiprobe on the query
+    * side, candidate dedup, rounded-cosine ranking, and the
+    * decimal-staged MRR/NDCG/recall arithmetic. Two cross-engine
+    * gotchas carried from probing: every double literal goes through
+    * CAST('…' AS DOUBLE) (DuckDB parses bare numeric literals as
+    * DECIMAL and loses the low bits), and dot products unroll as a
+    * left-associated term chain (list_dot_product sums in a different
+    * order; verified bit-exact against the fold over both test SFs).
+    */
+  val q103Oracle: String = {
+    val k = q103K
+    val (nbits, tables) = (5, 6)
+    val dim = 64
+    def planes(t: Int): Array[Array[Double]] = {
+      val rnd = new scala.util.Random(7700 + t)
+      Array.fill(nbits, dim)(rnd.nextDouble() * 2 - 1)
+    }
+    def dotSql(p: Array[Double]): String =
+      (0 until dim)
+        .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE)*CAST('${p(i)}' AS DOUBLE)")
+        .mkString(" + ")
+    def bucketSql(t: Int): String =
+      planes(t).zipWithIndex
+        .map { case (p, j) => s"(CASE WHEN (${dotSql(p)}) > 0 THEN ${1L << j} ELSE 0 END)" }
+        .mkString(" + ")
+    val dbk = (0 until tables)
+      .map(t => s"SELECT vec_id, $t AS tbl, CAST(${bucketSql(t)} AS BIGINT) AS bucket FROM embeddings")
+      .mkString("\nUNION ALL\n")
+    val probeList =
+      ("bucket" +: (0 until nbits).map(j => s"xor(bucket, ${1L << j})")).mkString(", ")
+    val wList = q103DcgW.map(w => s"CAST('$w' AS DOUBLE)").mkString("[", ", ", "]")
+    s"""WITH dbk AS (
+       |$dbk
+       |), qpb AS (
+       |  SELECT vec_id AS query_id, tbl, unnest([$probeList]) AS bucket
+       |  FROM dbk WHERE vec_id < 50
+       |), cand AS (
+       |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+       |  FROM dbk c JOIN qpb q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |  WHERE c.vec_id <> q.query_id
+       |), ar AS (
+       |  SELECT query_id, neighbor_id, arank FROM (
+       |    SELECT cand.query_id, cand.neighbor_id,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY cand.query_id
+       |        ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+       |                 cand.neighbor_id) AS arank
+       |    FROM cand
+       |    JOIN embeddings c ON cand.neighbor_id = c.vec_id
+       |    JOIN embeddings q ON cand.query_id = q.vec_id
+       |  ) WHERE arank <= $k
+       |), ex AS (
+       |  SELECT query_id, neighbor_id, xrank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+       |                 c.vec_id) AS xrank
+       |    FROM embeddings c, embeddings q
+       |    WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id
+       |  ) WHERE xrank <= $k
+       |), j AS (
+       |  SELECT ar.query_id, ar.arank, ex.xrank
+       |  FROM ar JOIN ex ON ar.query_id = ex.query_id AND ar.neighbor_id = ex.neighbor_id
+       |), mrr AS (
+       |  SELECT CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / arank AS DECIMAL(38,12))) AS DOUBLE) /
+       |         CAST('50.0' AS DOUBLE) AS mrr
+       |  FROM j WHERE xrank = 1
+       |), nd1 AS (
+       |  SELECT query_id,
+       |    CAST(SUM(CAST(CAST($k + 1 - xrank AS DOUBLE) * ($wList[arank]) AS DECIMAL(38,12))) AS DOUBLE) /
+       |    CAST('$q103Idcg' AS DOUBLE) AS q_ndcg
+       |  FROM j GROUP BY query_id
+       |), nd AS (
+       |  SELECT CAST(SUM(CAST(q_ndcg AS DECIMAL(38,12))) AS DOUBLE) /
+       |         CAST('50.0' AS DOUBLE) AS ndcg
+       |  FROM nd1
+       |), rc AS (
+       |  SELECT count(*) / CAST('500.0' AS DOUBLE) AS recall FROM j
+       |)
+       |SELECT 50 AS n_queries, $k AS k, $nbits AS nbits, $tables AS tables,
+       |  round(rc.recall, 4) AS recall_at_k,
+       |  round(mrr.mrr, 4) AS mrr,
+       |  round(nd.ndcg, 4) AS ndcg_at_k
+       |FROM rc, mrr, nd""".stripMargin
   }
 
   // ---------------------------------------------------------------- q104
@@ -5149,6 +5274,7 @@ object Queries {
     "q100_data_card" -> q100Oracle,
     "q101_novelty" -> q101Oracle,
     "q102_psi_drift" -> q102Oracle,
+    "q103_ann_ranking" -> q103Oracle,
     "q104_snapshot_diff" -> q104Oracle,
     "q105_temporal_split" -> q105Oracle,
     "q106_pagerank_directed" -> q106Oracle

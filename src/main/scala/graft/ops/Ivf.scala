@@ -63,7 +63,12 @@ object Ivf {
       centroids = assigned
         .select(col("cluster_id"), posexplode(col(vecCol)))
         .groupBy(col("cluster_id"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
+        // decimal-accumulated mean, not avg(): double partial-state
+        // merges are fetch-order-dependent, and a last-ulp centroid
+        // difference can flip a near-tie assignment and drift the
+        // audit figures run to run (the Pq.fit recipe)
+        .agg((sum(col("col").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy(col("cluster_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
         .select(col("cluster_id"), transform(col("pairs"), p => p.getField("m")).as("centroid"))

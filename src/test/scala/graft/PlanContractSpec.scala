@@ -58,10 +58,29 @@ class PlanContractSpec extends SparkSpec {
     assert(!plan("q81_quality_auc").contains("Window"), "q81 reintroduced a global rank window")
   }
 
-  test("dup-span coverage joins on the gram key (no nested loop): q80") {
+  test("dup-span census plans no nested loop or cartesian join: q80") {
     val p = plan("q80_dup_spans")
     assert(!p.contains("BroadcastNestedLoopJoin"), "q80 degenerated to a nested loop")
     assert(!p.contains("CartesianProduct"), "q80 planned a cartesian join")
+  }
+
+  test("gram analytics shuffle hashed keys, never join the instance stream: q80, q101") {
+    // round-4 shape: one aggregate on the 8-byte xxhash64 gram key plus a
+    // per-doc join — the old form joined gram counts back onto the full
+    // exploded instance stream (a big-big join on ~70-byte string keys)
+    Seq("q80_dup_spans", "q101_novelty").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("xxhash64"), s"$q lost the 8-byte hashed gram key")
+      val joinsOnGram = p.linesIterator.filter(_.contains("Join")).exists(_.contains("gram"))
+      assert(!joinsOnGram, s"$q reintroduced the gram-keyed instance join-back")
+    }
+  }
+
+  test("semantic dedup self-join carries the hot-cell salt key: q78") {
+    // the (cluster_id, __salt) key is always present (salt = 0 for cold
+    // cells); losing it silently restores the one-reducer mega-cell risk
+    assert(plan("q78_semantic_dedup").contains("__salt"),
+      "q78 lost the hot-cell salt key in the shared-cell self-join")
   }
 
   test("range join is an equi join (no nested loop): q43") {

@@ -2011,23 +2011,23 @@ object Queries {
 
   // ---------------------------------------------------------------- q35
   /** IVF approximate nearest-neighbor: k-means coarse quantizer (fit as
-    * DataFrame algebra), nprobe cell probing. SELF-AUDITING: every
-    * row carries `audit_recall_vs_brute`, the recall@5 of the probed
-    * search against the exact brute-force top-5 on the same corpus —
-    * the honest figure for scanning ~nprobe/k of the corpus per query.
+    * DataFrame algebra), nprobe cell probing. Every row carries
+    * `audit_recall_vs_brute`, the recall@5 of the probed search against
+    * the exact brute-force top-5 on the same corpus — the honest figure
+    * for scanning ~nprobe/k of the corpus per query.
     *
-    * Why q35 stays `no_oracle` where q103 got one (round-4 evaluation):
-    * q103's ANN geometry is FIXED seeded hyperplanes, so the oracle
-    * re-derives the same constants and replays the pipeline. q35's
-    * quantizer is TRAINED in-engine — the centroids are data-dependent
-    * intermediates, so a certifying oracle would have to re-implement
-    * distributed Lloyd k-means in SQL (init, per-iteration argmax on
-    * UNROUNDED cosines where a last-ulp fold difference flips a
-    * boundary cell, empty-cell carry, float truncation at assign) —
-    * a re-implementation, not a check. The recall audit column plus
-    * IvfSpec's brute-force assertions are the proportionate contract;
-    * the fit's means are decimal-staged (round 4) so the figures are
-    * at least run-to-run stable.
+    * ORACLED since round 4 — the generated SQL replays the ENTIRE
+    * pipeline including the trained quantizer: deterministic first-k
+    * init, two Lloyd iterations (assignment argmax on UNROUNDED
+    * cosines, decimal-staged means, natural empty-cell drop), the
+    * double→float centroid truncation at assignment, nprobe cell
+    * selection, and the rounded-cosine candidate ranking plus the
+    * recall-audit arithmetic. The enabling probes: DuckDB list_reduce
+    * is an ordered left fold, so the three accumulator streams of the
+    * native cosine replay bit-exactly (960/960 pairs probed), and the
+    * fit's means were decimal-staged this round — without that the
+    * update step's double partial-merge order made centroids
+    * irreproducible even run to run.
     */
   def q35Ivf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -2045,6 +2045,125 @@ object Queries {
       .recallAudit(exact, ivf, Seq("query_id", "neighbor_id"))
       .select(col("recall").as("audit_recall_vs_brute"))
     ivf.crossJoin(broadcast(audit)).orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Generated oracle for q35 — replays Ivf end to end in SQL. The
+    * cosine used for assignment/probing is UNROUNDED, so it must match
+    * the native expression bit-for-bit: DuckDB `list_reduce` is an
+    * ordered left fold, giving the same three accumulator streams
+    * (dot, ‖a‖², ‖b‖²) as the expression's loop (probed bit-exact);
+    * the centroid side passes through CAST(… AS REAL) to mirror the
+    * double→float truncation `Ivf.assign` applies. Decimal-staged
+    * means make each Lloyd update order-independent, and empty cells
+    * drop naturally from the GROUP BY on both engines.
+    */
+  /** Shared SQL fragments for replaying graft.ops.Ivf in an oracle
+    * (used by q35Oracle and q78Oracle): the bit-exact cosine folds
+    * (DuckDB list_reduce is an ordered left fold — probed 960/960
+    * against the native expression), the Lloyd assign/update CTE pair,
+    * and the deterministic first-k init. Every unrounded comparison in
+    * the pipeline (assignment argmax, probe ranking, τ filters) runs
+    * on these folds, so a trained quantizer replays exactly.
+    */
+  private object IvfSql {
+    /** cosine(float-array column, double-list column truncated to
+      * float) — the arithmetic of Ivf.assign's centroid scoring. */
+    def cosFloatDouble(e: String, cd: String): String =
+      s"(list_reduce(list_transform(list_zip($e, $cd), p -> CAST(p[1] AS DOUBLE) * CAST(CAST(p[2] AS REAL) AS DOUBLE)), (x,y) -> x+y) / " +
+        s"(sqrt(list_reduce(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y)) * " +
+        s"sqrt(list_reduce(list_transform($cd, x -> CAST(CAST(x AS REAL) AS DOUBLE) * CAST(CAST(x AS REAL) AS DOUBLE)), (x,y) -> x+y))))"
+
+    /** cosine(float-array, float-array) — graft.expr.CosineSimilarity
+      * verbatim (three ordered double accumulator folds). */
+    def cosFloatFloat(a: String, b: String): String =
+      s"(list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x,y) -> x+y) / " +
+        s"(sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y)) * " +
+        s"sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x+y))))"
+
+    /** Hard assignment under centroid CTE `cents`: nearest cell by
+      * unrounded cosine, smaller cid on ties (Ivf.assign's argmax). */
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosFloatDouble("e.embedding", "c.cd")} DESC, c.cid ASC) AS rn
+         |    FROM e, $cents c
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+
+    /** Lloyd update: decimal-staged per-(cid, pos) means over the
+      * assigned vectors; empty cells drop from the GROUP BY exactly as
+      * they do in Ivf.fitCentroids. */
+    def updateCte(name: String, assigned: String): String =
+      s"""$name AS (
+         |  SELECT cid, list(m ORDER BY pos) AS cd FROM (
+         |    SELECT $assigned.cid, idx.i - 1 AS pos,
+         |      CAST(SUM(CAST(CAST(e.embedding[idx.i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+         |    FROM $assigned JOIN e USING (vec_id)
+         |    CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+         |    GROUP BY $assigned.cid, idx.i
+         |  ) GROUP BY cid
+         |)""".stripMargin
+
+    /** init (first k rows by id) + `iters` assign/update pairs; the
+      * final centroid CTE is `c<iters>`. Emits "c0 AS (...), a1 AS
+      * (...), c1 AS (...), …" for splicing after `e`. */
+    def lloydChain(k: Int, iters: Int): String = {
+      val init =
+        s"""c0 AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cd
+           |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k)
+           |)""".stripMargin
+      init + ", " + (1 to iters)
+        .map(i => assignCte(s"a$i", s"c${i - 1}") + ", " + updateCte(s"c$i", s"a$i"))
+        .mkString(", ")
+    }
+  }
+
+  val q35Oracle: String = {
+    val (k, iters, nprobe, kTop) = (16, 2, 2, 5)
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), ${IvfSql.lloydChain(k, iters)}, ${IvfSql.assignCte("idx2", s"c$iters")}, qp AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${IvfSql.cosFloatDouble("e.embedding", "c.cd")} DESC, c.cid ASC) AS rn
+       |    FROM e, c$iters c WHERE e.vec_id < 10
+       |  ) WHERE rn <= $nprobe
+       |), cand AS (
+       |  SELECT q.query_id, i.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 4) AS sim
+       |  FROM qp q JOIN idx2 i USING (cid)
+       |  JOIN e ce ON ce.vec_id = i.vec_id
+       |  JOIN e qe ON qe.vec_id = q.query_id
+       |  WHERE i.vec_id <> q.query_id
+       |), ivf AS (
+       |  SELECT query_id, rank, neighbor_id, sim FROM (
+       |    SELECT query_id, neighbor_id, sim,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM cand
+       |  ) WHERE rank <= $kTop
+       |), ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, cvec.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(cvec.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+       |                 cvec.vec_id) AS rank
+       |    FROM e cvec, e q WHERE q.vec_id < 10 AND cvec.vec_id <> q.vec_id
+       |  ) WHERE rank <= $kTop
+       |), aud AS (
+       |  SELECT round(
+       |    CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE), 4) AS audit_recall_vs_brute
+       |  FROM ex LEFT JOIN (SELECT DISTINCT query_id, neighbor_id FROM ivf) i
+       |    USING (query_id, neighbor_id)
+       |)
+       |SELECT ivf.query_id, ivf.rank, ivf.neighbor_id, ivf.sim, aud.audit_recall_vs_brute
+       |FROM ivf, aud
+       |ORDER BY ivf.query_id, ivf.rank""".stripMargin
   }
 
   // ---------------------------------------------------------------- q34
@@ -2862,11 +2981,13 @@ object Queries {
     * only data shuffle is keyed by cluster_id; overlap costs 2m²/k of
     * brute force). Hard assignment measured 0.27 co-cluster recall on
     * this corpus — its τ-pairs straddle cell boundaries — so the
-    * overlap is what makes the cell trick honest here. No SQL oracle
-    * (k-means is engine-native); SELF-AUDITING on three exact figures
-    * carried by every row: `audit_kept_violations` (kept τ-close pairs
-    * sharing a cell — 0 by the keep-rule proof), `audit_rep_violations`
-    * (a rep that is not a smaller id — 0 by construction), and
+    * overlap is what makes the cell trick honest here. ORACLED since
+    * round 4 (the IvfSql replay — trained quantizer, soft top-m
+    * assignment, τ keep rule and all three audits re-derived in SQL);
+    * the three exact figures every row carries remain the readable
+    * contract: `audit_kept_violations` (kept τ-close pairs sharing a
+    * cell — 0 by the keep-rule proof), `audit_rep_violations` (a rep
+    * that is not a smaller id — 0 by construction), and
     * `audit_cocluster_recall` (fraction of the exact corpus-wide τ-pair
     * set, the q45 baseline, whose endpoints share a cell — the
     * quantizer's honest miss budget, the number SemDeDup trades for the
@@ -2925,6 +3046,65 @@ object Queries {
         col("audit_cocluster_recall")
       )
       .orderBy(col("vec_id"))
+  }
+
+  /** Generated oracle for q78 — the IvfSql replay extended through the
+    * whole SemDeDup pipeline: trained quantizer (k=8, 4 Lloyd rounds),
+    * soft top-3 assignment, the τ keep rule (min lower-id τ-close
+    * shared-cell neighbor), and all three audit figures. Unrounded τ
+    * filters run on the bit-exact cosine folds; the hot-cell salting in
+    * the Spark side is output-invariant by construction (spec-pinned),
+    * so the unsalted SQL join is the correct reference.
+    */
+  val q78Oracle: String = {
+    val cosFF = IvfSql.cosFloatFloat("ae.embedding", "be.embedding")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), ${IvfSql.lloydChain(8, 4)}, atm AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${IvfSql.cosFloatDouble("e.embedding", "c.cd")} DESC, c.cid ASC) AS rn
+       |    FROM e, c4 c
+       |  ) WHERE rn <= 3
+       |), reps AS (
+       |  SELECT l.vec_id AS vec_id, MIN(r.vec_id) AS rep
+       |  FROM atm l JOIN atm r ON l.cid = r.cid AND r.vec_id < l.vec_id
+       |  JOIN e ae ON ae.vec_id = l.vec_id
+       |  JOIN e be ON be.vec_id = r.vec_id
+       |  WHERE $cosFF >= CAST(0.35 AS DOUBLE)
+       |  GROUP BY l.vec_id
+       |), cellsArr AS (
+       |  SELECT vec_id, list_sort(list_distinct(list(cid))) AS ca
+       |  FROM atm GROUP BY vec_id
+       |), ded AS (
+       |  SELECT c.vec_id, c.ca, r.rep IS NULL AS kept, COALESCE(r.rep, c.vec_id) AS rep_id
+       |  FROM cellsArr c LEFT JOIN reps r USING (vec_id)
+       |), ka AS (
+       |  SELECT atm.vec_id, atm.cid FROM atm JOIN ded ON atm.vec_id = ded.vec_id AND ded.kept
+       |), kv AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS audit_kept_violations FROM (
+       |    SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       |    FROM ka a JOIN ka b ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |    JOIN e ae ON ae.vec_id = a.vec_id
+       |    JOIN e be ON be.vec_id = b.vec_id
+       |    WHERE $cosFF >= CAST(0.35 AS DOUBLE)
+       |  )
+       |), rv AS (
+       |  SELECT CAST(SUM(CASE WHEN rep_id > vec_id THEN 1 ELSE 0 END) AS BIGINT) AS audit_rep_violations
+       |  FROM ded
+       |), cc AS (
+       |  SELECT round(AVG(CASE WHEN list_has_any(a.ca, b.ca)
+       |    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 4) AS audit_cocluster_recall
+       |  FROM ded a JOIN ded b ON a.vec_id < b.vec_id
+       |  JOIN e ae ON ae.vec_id = a.vec_id
+       |  JOIN e be ON be.vec_id = b.vec_id
+       |  WHERE $cosFF >= CAST(0.35 AS DOUBLE)
+       |)
+       |SELECT ded.vec_id, array_to_string(ded.ca, ',') AS cells, ded.kept, ded.rep_id,
+       |  kv.audit_kept_violations, rv.audit_rep_violations, cc.audit_cocluster_recall
+       |FROM ded, kv, rv, cc
+       |ORDER BY ded.vec_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q79
@@ -5231,6 +5411,7 @@ object Queries {
     "q26_token_counts" -> q26Oracle,
     "q29_ngram_jaccard" -> q29Oracle,
     "q34_retention" -> q34Oracle,
+    "q35_ivf" -> q35Oracle,
     "q36_rollup" -> q36Oracle,
     "q37_sessionize" -> q37Oracle,
     "q38_pivot" -> q38Oracle,
@@ -5271,6 +5452,7 @@ object Queries {
     "q75_bpe_pairs" -> q75Oracle,
     "q76_moving_features" -> q76Oracle,
     "q77_quantize" -> q77Oracle,
+    "q78_semantic_dedup" -> q78Oracle,
     "q79_alpha_sweep" -> q79Oracle,
     "q80_dup_spans" -> q80Oracle,
     "q81_quality_auc" -> q81Oracle,

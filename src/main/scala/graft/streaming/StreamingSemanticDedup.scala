@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 import graft.ops.{Ivf, Similarity}
 
 /** Incremental SEMANTIC dedup — the q72 incremental pattern on vectors:
@@ -24,14 +25,23 @@ import graft.ops.{Ivf, Similarity}
   *
   * 100 TB posture: arrivals never see the corpus, only the (much
   * smaller) kept-rep snapshot, and only the cells they land in — the
-  * same Σc² confinement as the batch operator.
+  * same Σc² confinement as the batch operator. The PRODUCTION surface
+  * is [[classifyEach]] (foreachBatch): classification against a frozen
+  * snapshot is a pure per-arrival function, so each micro-batch is
+  * classified independently with ZERO streaming state. [[classify]] is
+  * the continuous-query form of the same arithmetic — its per-arrival
+  * groupBy keeps one state row per arrival ever seen (no watermark can
+  * apply to a non-time key), which is fine for tests and bounded
+  * streams but NOT a long-running ingest.
   */
 object StreamingSemanticDedup {
 
   /** Classify streaming `newVecs` against the frozen `reps` snapshot.
     * Returns a streaming frame (idCol, kept, rep_id) — rep_id is the
     * smallest τ-close shared-cell rep, or the arrival's own id when
-    * kept. Aggregation-mode sinks (update/complete) apply.
+    * kept. Aggregation-mode sinks (update/complete) apply. State grows
+    * with distinct arrivals — see the object doc; prefer
+    * [[classifyEach]] for unbounded streams.
     */
   def classify(
       newVecs: DataFrame,
@@ -65,4 +75,22 @@ object StreamingSemanticDedup {
         coalesce(col("rep"), col(idCol)).as("rep_id")
       )
   }
+
+  /** Stateless production form: classify each micro-batch independently
+    * (the exact [[classify]] arithmetic run as a BATCH plan per batch —
+    * valid because the rep snapshot is frozen, so an arrival's verdict
+    * never depends on other arrivals). `out` receives each classified
+    * batch; the caller starts the returned writer. */
+  def classifyEach(
+      newVecs: DataFrame,
+      reps: DataFrame,
+      centroids: DataFrame,
+      m: Int,
+      tau: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  )(out: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    newVecs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      out(classify(batch.toDF(), reps, centroids, m, tau, idCol, vecCol), batchId)
+    }
 }

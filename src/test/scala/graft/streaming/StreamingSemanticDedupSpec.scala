@@ -65,6 +65,42 @@ class StreamingSemanticDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifyEach (stateless foreachBatch form) matches the batch run per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val all = Tables.embeddings(spark, dir)
+    val reps = all.filter(col("vec_id") < 100)
+    val cents = Ivf.fitCentroids(reps, k = 4, iters = 2)
+    val arrivals = all
+      .filter(col("vec_id") >= 100 && col("vec_id") < 140)
+      .select("vec_id", "embedding")
+      .as[QVec].collect().sortBy(_.vec_id)
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long)]
+    val input = MemoryStream[QVec]
+    val q = StreamingSemanticDedup
+      .classifyEach(input.toDF(), reps, cents, m = 2, tau = tau) { (batch, _) =>
+        val rows = batch.select("vec_id", "kept", "rep_id").as[(Long, Boolean, Long)].collect()
+        seen.synchronized { seen ++= rows }
+      }
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("sde_ckpt").toString)
+      .start()
+    try {
+      input.addData(arrivals.take(20).toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(arrivals.drop(20).toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = StreamingSemanticDedup
+      .classify(
+        all.filter(col("vec_id") >= 100 && col("vec_id") < 140),
+        reps, cents, m = 2, tau = tau)
+      .select("vec_id", "kept", "rep_id")
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1).toSeq
+    assert(seen.sortBy(_._1).toSeq == batch, "foreachBatch/batch divergence")
+  }
+
   test("drop rule matches a pure-Scala brute force on the shared-cell structure") {
     val dir = "/root/testdata/sf0.001"
     val all = Tables.embeddings(spark, dir)

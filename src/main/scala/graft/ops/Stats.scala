@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Engine-portable DISCRETE order statistics: the value at rank
   * floor(q·(n−1))+1 of each group's sorted values — never an
   * interpolated average. This is the repo's cross-engine percentile
-  * recipe (see .claude/skills/verify/SKILL.md): interpolating
+  * recipe (see docs/BENCH_NOTES.md): interpolating
   * implementations (Spark `percentile`, DuckDB `quantile_cont`)
   * disagree in the last ulp because their lerp formulas differ, while
   * a rank-SELECTED value is bit-identical everywhere. One copy here so

@@ -30,6 +30,12 @@ object StreamingDrift {
     * built with); `ref` is that frozen histogram; `out` receives one
     * (batchId, nRows, psi) observation per micro-batch. The caller
     * starts the returned writer (choosing trigger/checkpoint).
+    *
+    * An EMPTY micro-batch (possible under some triggers) is skipped
+    * rather than scored: Laplace smoothing would turn its all-zero
+    * histogram into a uniform distribution whose PSI against any
+    * non-uniform reference reads as drift — a false alarm carrying
+    * n_rows=0. No data ⇒ no drift evidence ⇒ no observation.
     */
   def psiMonitor(
       stream: DataFrame,
@@ -40,6 +46,7 @@ object StreamingDrift {
   ): DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val h = Drift.histogram(batch.toDF(), binExpr, bins)
-      out(batchId, h.values.sum, Drift.psi(h, ref, bins))
+      val n = h.values.sum
+      if (n > 0) out(batchId, n, Drift.psi(h, ref, bins))
     }
 }

@@ -46,4 +46,12 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracles
+
+  /** Oracles that must be GENERATED against the verify corpus (round
+    * 5): q30/q31/q107 derive LSH geometry from the corpus count at
+    * runtime, so their SQL replay embeds that geometry only once the
+    * count is known. Verify merges these over [[oracleSql]] when
+    * writing oracle_sql.json. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    Queries.dynamicOracles(spark, sfDir)
 }

@@ -776,10 +776,16 @@ object Queries {
 
   // ---------------------------------------------------------------- q27
   /** MinHash+LSH near-dup detection — the TIMED production path over the
-    * full corpus (no SQL oracle — LSH banding is engine-native).
-    * Candidates from 16×16 banding (at threshold 0.9 that keeps ~0.96+
-    * recall while admitting ~10× fewer mid-similarity candidates than
-    * 8×8), verified at exact token-set Jaccard ≥ 0.9.
+    * full corpus. Candidates from 16×16 banding (at threshold 0.9 that
+    * keeps ~0.96+ recall while admitting ~10× fewer mid-similarity
+    * candidates than 8×8), verified at exact token-set Jaccard ≥ 0.9.
+    *
+    * Why no oracle: the signatures are murmur3+xxhash64 (no DuckDB
+    * equivalent), and unlike q33 there is no small downstream relational
+    * core to certify — a signature-literal replay would embed the
+    * verified pair stream itself, i.e. the output. Ground truth is the
+    * oracled chain instead: q46 (exact pairs), q48 (recall vs q46),
+    * q33 (the assignment core, signature-literal oracled since r5).
     *
     * Round-4 split (the q46 pattern): this corpus's 31-word vocabulary
     * yields ~941k true pairs at sf0.1, so materializing + globally
@@ -811,8 +817,14 @@ object Queries {
       )
 
   // ---------------------------------------------------------------- q28
-  /** SimHash signatures (engine-native xxhash64 bit votes; no SQL oracle
-    * possible). SELF-AUDITING (the q48/q49 pattern): every row carries
+  /** SimHash signatures.
+    *
+    * Why no oracle: the signature IS the output, and its bit votes are
+    * xxhash64 (no DuckDB equivalent) — there is no downstream relational
+    * core to split off, so a literal replay would compare the output to
+    * itself. The falsifiable contract is the audit column instead.
+    *
+    * SELF-AUDITING (the q48/q49 pattern): every row carries
     * `audit_ham_jac_corr`, the Pearson correlation between pairwise
     * simhash Hamming distance and exact token-set Jaccard over the
     * bounded doc_id<500 slice. SimHash's contract is exactly that
@@ -979,9 +991,13 @@ object Queries {
     * threshold 0.9) against the exact q46 baseline, on the same bounded
     * slice. One row: (n_exact, n_found, recall). The LSH side verifies
     * candidates with exact Jaccard, so found ⊆ exact — no false
-    * positives; recall is the only degree of freedom. No SQL oracle (the
-    * LSH side is engine-native); the driver records rows-only, and the
-    * recall value itself is the audit artifact.
+    * positives; recall is the only degree of freedom.
+    *
+    * Why no oracle: the found-pair set comes from murmur3+xxhash64
+    * banding (no DuckDB equivalent, unlike the hyperplane replay that
+    * oracles q49) — embedding it as literals would make the oracle
+    * compare the LSH side to itself. The exact side IS oracled (q46);
+    * this row's recall value is the audit artifact the driver records.
     */
   def q48MinhashRecall(s: SparkSession, dir: String): DataFrame = {
     val slice = Tables.documents(s, dir).filter(col("doc_id") < 500)
@@ -1219,9 +1235,14 @@ object Queries {
     * 1.0 and must all be found (expected recall 1.0 on this corpus).
     * The corpus plants RE-UPLOADS — byte-identical copies under new ids
     * (the dominant real-world media-dup mode; the raw fixture has no
-    * byte-identical rows). No SQL oracle (binary featurization is
-    * engine-native); driver records rows-only, the recall value is the
-    * artifact.
+    * byte-identical rows).
+    *
+    * Why no oracle: the only part not already driver-certified is the
+    * stub featurizer (engine-native byte hashing, replaced by a model
+    * server in production); the dedup core it feeds is the SAME
+    * nearDupsEmbedding pipeline q31's dynamic oracle certifies, so a
+    * feature-literal replay here would add circularity, not coverage.
+    * The recall-1.0 row is the artifact the driver records.
     */
   def q54MediaDedup(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).filter(col("doc_id") < 250).select(col("doc_id"), col("text"))
@@ -1618,8 +1639,9 @@ object Queries {
     * fixture-tuned constants — the policy that keeps recall stable from
     * sf0.001 to 1000× without retuning. Output is a one-row audit:
     * corpus size, derived params, and recall vs the exact brute-force
-    * top-5 (q25's form). No SQL oracle (LSH is engine-native); the
-    * driver records rows-only and the recall value is the artifact.
+    * top-5 (q25's form). ORACLED since round 5 via the dynamic LshSql
+    * replay ([[q49OracleFor]] — the recall arithmetic included, so the
+    * audit figure itself is driver-certified).
     */
   def q49AnnAdaptiveRecall(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -1707,7 +1729,12 @@ object Queries {
   // ---------------------------------------------------------------- q44
   /** HLL distinct sketch (graft.expr.HllSketch, TypedImperativeAggregate,
     * 4 KB state per group at any scale). Deterministic (xxhash64) but
-    * approximate — no SQL oracle; accuracy bounded in HllSketchSpec
+    * approximate.
+    *
+    * Why no oracle: the checked value is the content of a custom merge
+    * STATE (xxhash64 register maxima) — DuckDB has neither the hash nor
+    * the register semantics, and the exact side already rides in the
+    * same row. Accuracy bounded in HllSketchSpec
     * (<3% overall, <5% per group vs exact). SELF-AUDITING: each group
     * row carries the exact distinct count and `audit_rel_err` =
     * |approx−exact|/exact, so the driver's rows-only record pins the
@@ -1832,8 +1859,12 @@ object Queries {
   /** t-digest percentile SKETCH (graft.expr.TDigestQuantile,
     * TypedImperativeAggregate, ~2δ centroids ≈ 3 KB state per group at
     * any scale) — the streaming/100 TB complement to the exact q41,
-    * whose `percentile` buffers every value per group. No SQL oracle
-    * (the sketch is engine-native); SELF-AUDITING per the q44 pattern:
+    * whose `percentile` buffers every value per group.
+    *
+    * Why no oracle: the checked values read a custom merge STATE
+    * (centroid list under the scale-function clustering rule) — DuckDB
+    * has no equivalent aggregate, and the exact percentiles already
+    * ride in the same row. SELF-AUDITING per the q44 pattern:
     * each group row carries the exact percentiles and the worst
     * relative error across p50/p90/p99, bounded < 1% at sf0.1
     * (asserted in TDigestSpec; merge associativity property-checked in
@@ -2193,7 +2224,8 @@ object Queries {
   // ---------------------------------------------------------------- q33
   /** The linear-output dedup shape for 100 TB: per-doc KEEP/DROP
     * assignment via one-hop min-propagation over LSH buckets (no
-    * quadratic pair materialization; no oracle — LSH is engine-native).
+    * quadratic pair materialization). ORACLED since round 5 via the
+    * generated signature-literal replay ([[q33OracleFor]]).
     * SELF-AUDITING: every row carries the corpus-level violation counts
     * of the two assignment invariants — a representative is never a
     * larger id than its member (min-propagation law), and an
@@ -2229,12 +2261,74 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Generated oracle for q33 (round 5). The banded signature rows are
+    * engine-native (murmur3 token hash + xxhash64 band key — no DuckDB
+    * equivalent), so they enter the oracle as a generated VALUES table
+    * (TextDedup.repBandedSigs, one row per (distinct-set rep, band));
+    * the oracle then replays the DETERMINISTIC RELATIONAL CORE in SQL:
+    * exact-dup collapse from the raw documents table, bucket-min
+    * propagation, rep→member expansion, and both corpus audits. What
+    * this certifies: everything downstream of the signatures. What
+    * grounds the signatures themselves: the q46/q48 exact-pair recall
+    * chain — the same split as q94's trained-codebook replay.
+    */
+  def q33OracleFor(s: SparkSession, dir: String): String = {
+    val sigRows = TextDedup
+      .repBandedSigs(Tables.documents(s, dir), "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+      .map { case (id, band, bsig) => s"($id, $band, CAST($bsig AS BIGINT))" }
+      .mkString(",\n    ")
+    s"""WITH bs(doc_id, band, bsig) AS (
+       |  VALUES
+       |    $sigRows
+       |), toks AS (
+       |  SELECT doc_id, list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tk
+       |  FROM documents
+       |), reps AS (
+       |  SELECT tk, MIN(doc_id) AS rep FROM toks GROUP BY tk
+       |), members AS (
+       |  SELECT r.rep AS grp, t.doc_id FROM toks t JOIN reps r USING (tk)
+       |), bucket_min AS (
+       |  SELECT band, bsig, MIN(doc_id) AS bucket_min FROM bs GROUP BY band, bsig
+       |), rep_assign AS (
+       |  SELECT bs.doc_id AS grp, MIN(bm.bucket_min) AS rep_id
+       |  FROM bs JOIN bucket_min bm USING (band, bsig)
+       |  GROUP BY bs.doc_id
+       |), assign AS (
+       |  SELECT m.doc_id, ra.rep_id, ra.rep_id = m.doc_id AS is_kept
+       |  FROM members m JOIN rep_assign ra USING (grp)
+       |), a1 AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN rep_id > doc_id THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |    AS audit_rep_gt_id
+       |  FROM assign
+       |), a2 AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN nreps > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |    AS audit_split_dup_classes
+       |  FROM (
+       |    SELECT t.tk, COUNT(DISTINCT a.rep_id) AS nreps
+       |    FROM assign a JOIN toks t USING (doc_id)
+       |    GROUP BY t.tk
+       |  )
+       |)
+       |SELECT assign.doc_id, assign.rep_id, assign.is_kept,
+       |  a1.audit_rep_gt_id, a2.audit_split_dup_classes
+       |FROM assign, a1, a2
+       |ORDER BY assign.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q32
   /** Multimodal pipeline: documents as opaque binary media → frame-sample
     * explode → per-frame fixed-dim features → per-media rollup. Decode
     * kernels are deterministic stubs (no codecs in the container); the
-    * schema/explode/feature plumbing is real (no oracle — engine-native
-    * hashes; contracts asserted in MultimodalSpec).
+    * schema/explode/feature plumbing is real.
+    *
+    * Why no oracle: the feature values come from the stub byte-hash
+    * featurizer (engine-native, and the component a codec/model server
+    * replaces anyway) — what is checkable relationally is exactly the
+    * frame laws the audit columns already count violations of, with
+    * contracts asserted in MultimodalSpec.
     */
   def q32Multimodal(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "image")
@@ -2732,8 +2826,11 @@ object Queries {
     * size per document — the corpus-filter signal that catches template
     * spam and boilerplate token-level heuristics miss (highly repetitive
     * text deflates far below prose). Map-side native expression, zero
-    * shuffles until the audit aggregate. No SQL oracle (DuckDB has no
-    * deflate); SELF-AUDITING: every row carries the corpus-wide Pearson
+    * shuffles until the audit aggregate.
+    *
+    * Why no oracle: the checked value is a DEFLATE byte ratio and
+    * DuckDB has no deflate function — the kernel is certified in
+    * DeflateRatioSpec instead. SELF-AUDITING: every row carries the corpus-wide Pearson
     * correlation between deflate ratio and the independent dup-3-gram
     * repetition signal (must be strongly NEGATIVE — more repetition ⇒
     * more compressible) and an out-of-range violation count (= 0).
@@ -4234,9 +4331,11 @@ object Queries {
     * Lloyd refinement then distributed Lloyd passes, scored
     * by asymmetric distance (exact query subvectors × quantized corpus)
     * against codebook literals — encode and scoring are pure map-side;
-    * the only shuffle is the WindowGroupLimit-pruned top-k. SELF-
-    * AUDITING (q48/q49 pattern — no SQL oracle, the k-means is engine-
-    * native): one row carrying recall@10 of the raw ADC ranking AND of
+    * the only shuffle is the WindowGroupLimit-pruned top-k. ORACLED
+    * since round 5 via the TRAINED-codebook replay ([[q94OracleFor]]):
+    * the generated SQL embeds the fitted codebooks as literals and
+    * replays encode/ADC/rerank bit-exactly. The output stays self-
+    * auditing too: one row carrying recall@10 of the raw ADC ranking AND of
     * the production two-stage path — ADC shortlist (8k, the usual
     * 4-32× re-rank multiplier) then exact re-rank of only the
     * shortlisted vectors (the float fetch touches 8k/n of the corpus
@@ -4245,8 +4344,16 @@ object Queries {
     * ratio. Composes with IVF cells (q35) so a probe scores ~nprobe/k
     * of the codes at scale.
     */
+  /** q94's fixed geometry — shared by the query and [[q94OracleFor]]
+    * (the generated oracle must replay exactly these constants). */
+  private val q94M = 16
+  private val q94Ksub = 16
+  private val q94Iters = 2
+  private val q94NQ = 50
+  private val q94K = 10
+
   def q94PqAdc(s: SparkSession, dir: String): DataFrame = {
-    val (m, ksub, iters, nQ, k) = (16, 16, 2, 50, 10)
+    val (m, ksub, iters, nQ, k) = (q94M, q94Ksub, q94Iters, q94NQ, q94K)
     val shortlist = 8 * k
     val e = Tables
       .embeddings(s, dir)
@@ -4306,9 +4413,11 @@ object Queries {
       .join(exact, Seq("query_id", "neighbor_id"))
       .agg((count(lit(1)) / (nQ.toDouble * k)).as("recall_rerank"))
     // quantization score error across the whole shortlist (ADC
-    // approximates normalized dot == cosine)
+    // approximates normalized dot == cosine); decimal-staged so the
+    // mean is order-independent and the generated oracle can hash it
     val err = scoredShortlist
-      .agg(avg(abs(col("score") - col("rscore"))).as("mean_abs_err"))
+      .agg((sum(abs(col("score") - col("rscore")).cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("mean_abs_err"))
     recallAdc
       .crossJoin(recallRerank)
       .crossJoin(err)
@@ -4325,6 +4434,112 @@ object Queries {
       )
   }
 
+  /** Generated oracle for q94 (round 5) — the TRAINED-codebook replay:
+    * [[q94OracleFor]] re-runs the exact Pq.fit the query runs (same
+    * quarter-sample, seeds, decimal-staged Lloyd — byte-identical
+    * codebooks) and embeds the result as string-cast double literals,
+    * then replays normalization, per-subspace argmin encoding, ADC
+    * scoring, both recall joins, and the decimal-staged error mean in
+    * SQL. Ordering bit-exactness: every dot/distance is a
+    * left-associated term chain (the q103 recipe); the ADC score's
+    * fold over subspaces becomes list_reduce(list(d ORDER BY s)) — the
+    * same accumulation order as the Spark fold.
+    */
+  def q94OracleFor(s: SparkSession, dir: String): String = {
+    val (m, ksub, iters, nQ, k) = (q94M, q94Ksub, q94Iters, q94NQ, q94K)
+    val shortlist = 8 * k
+    val dim = 64
+    val dsub = dim / m
+    val eFit = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), Pq.normalize(col("embedding")).as("vec"))
+      .filter(pmod(col("vec_id"), lit(4)) === 0)
+    val codebooks = Pq.fit(eFit, m, ksub, iters)
+    val cwRows = (0 until m)
+      .flatMap { sIdx =>
+        codebooks(sIdx).sortBy(_._1).map { case (code, w) =>
+          val ws = w.map(x => s"CAST('$x' AS DOUBLE)").mkString(", ")
+          s"($sIdx, $code, $ws)"
+        }
+      }
+      .mkString(",\n    ")
+    val normChain = (1 to dim)
+      .map(i => s"CAST(embedding[$i] AS DOUBLE)*CAST(embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def sqDistChain(vec: String): String =
+      (1 to dsub)
+        .map(j => s"($vec[cw.s*$dsub+$j]-cw.w$j)*($vec[cw.s*$dsub+$j]-cw.w$j)")
+        .mkString(" + ")
+    def dotChain(vec: String): String =
+      (1 to dsub).map(j => s"$vec[cw.s*$dsub+$j]*cw.w$j").mkString(" + ")
+    val cosCE = IvfSql.cosFloatFloat("c.embedding", "q.embedding")
+    val cosRR = IvfSql.cosFloatFloat("ce.embedding", "qe.embedding")
+    s"""WITH cw(s, code, ${(1 to dsub).map("w" + _).mkString(", ")}) AS (
+       |  VALUES
+       |    $cwRows
+       |), e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), nv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt($normChain)) AS v
+       |  FROM e
+       |), enc AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT nv.vec_id, cw.s, cw.code,
+       |      row_number() OVER (PARTITION BY nv.vec_id, cw.s
+       |        ORDER BY (${sqDistChain("nv.v")}) ASC, cw.code ASC) AS rn
+       |    FROM nv, cw
+       |  ) WHERE rn = 1
+       |), lut AS (
+       |  SELECT q.vec_id AS query_id, cw.s, cw.code, (${dotChain("q.v")}) AS d
+       |  FROM nv q, cw WHERE q.vec_id < $nQ
+       |), adc AS (
+       |  SELECT l.query_id, en.vec_id AS neighbor_id,
+       |    list_reduce(list(l.d ORDER BY l.s), (x, y) -> x + y) AS score
+       |  FROM enc en JOIN lut l ON en.s = l.s AND en.code = l.code
+       |  WHERE en.vec_id <> l.query_id
+       |  GROUP BY l.query_id, en.vec_id
+       |), pq AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM adc
+       |), short AS (
+       |  SELECT * FROM pq WHERE rank <= $shortlist
+       |), ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $cosCE DESC, c.vec_id) AS xrank
+       |    FROM e c, e q WHERE q.vec_id < $nQ AND c.vec_id <> q.vec_id
+       |  ) WHERE xrank <= $k
+       |), ra AS (
+       |  SELECT count(*) / CAST('${nQ.toDouble * k}' AS DOUBLE) AS recall_adc
+       |  FROM short JOIN ex USING (query_id, neighbor_id) WHERE short.rank <= $k
+       |), rr0 AS (
+       |  SELECT s.query_id, s.neighbor_id, s.score, $cosRR AS rscore
+       |  FROM short s
+       |  JOIN e ce ON s.neighbor_id = ce.vec_id
+       |  JOIN e qe ON s.query_id = qe.vec_id
+       |), rrk AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rscore DESC, neighbor_id) AS rrank
+       |  FROM rr0
+       |), rb AS (
+       |  SELECT count(*) / CAST('${nQ.toDouble * k}' AS DOUBLE) AS recall_rerank
+       |  FROM rrk JOIN ex USING (query_id, neighbor_id) WHERE rrank <= $k
+       |), er AS (
+       |  SELECT CAST(SUM(CAST(abs(score - rscore) AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mean_abs_err
+       |  FROM rr0
+       |)
+       |SELECT $nQ AS n_queries, $k AS k, $shortlist AS shortlist,
+       |  round(ra.recall_adc, 4) AS recall_adc_at_k,
+       |  round(rb.recall_rerank, 4) AS recall_rerank_at_k,
+       |  round(er.mean_abs_err, 4) AS mean_abs_score_err,
+       |  ${dim * 4} AS bytes_raw, ${m / 2} AS bytes_code,
+       |  ${(dim * 4) / (m / 2)} AS compression_x
+       |FROM ra, rb, er""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q95
   /** BPE tokenizer TRAINING (ops/Bpe) — the full greedy merge loop, not
     * just q75's one-shot pair count: 8 rounds of corpus-wide
@@ -4334,8 +4549,15 @@ object Queries {
     * pre-aggregate words, and the only shape that survives a
     * trillion-token corpus). Each round's winner is one collected row
     * (argmax scalar, not data); the apply step is a map-side fold.
-    * SELF-AUDITING (no SQL oracle — the apply fold has no portable SQL
-    * form): output carries the residual top pair frequency after all
+    *
+    * Why no oracle: each round's merge APPLY is a stateful
+    * left-to-right token-pair fusion fold — not expressible in DuckDB
+    * SQL (a recursive CTE over per-word token lists would be the oracle
+    * rewriting the trainer, not checking it); correctness is pinned by
+    * hand-computed corpora in BpeSpec, and q75 oracles the pair-count
+    * round.
+    *
+    * SELF-AUDITING: output carries the residual top pair frequency after all
     * merges and `greedy_ok` — the invariant that no remaining pair
     * out-counts the last accepted merge (exact greedy order, verified
     * against hand-computed corpora in BpeSpec).
@@ -5669,7 +5891,10 @@ object Queries {
     Map(
       "q30_ann_lsh" -> q30OracleFor(n),
       "q31_embed_neardups" -> q31OracleFor(n),
-      "q107_hard_negatives_ann" -> q107OracleFor(n)
+      "q107_hard_negatives_ann" -> q107OracleFor(n),
+      "q94_pq_adc" -> q94OracleFor(s, dir),
+      "q33_dedup_assign" -> q33OracleFor(s, dir),
+      "q49_ann_adaptive" -> q49OracleFor(n)
     )
   }
 
@@ -5723,6 +5948,50 @@ object Queries {
        |JOIN embeddings vb ON cand.id_b = vb.vec_id
        |WHERE round(list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 4) >= 0.35
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q49 replay at corpus size `n`: q30's candidate/ranking replay plus
+    * the exact brute-force side and the recallAudit arithmetic. */
+  def q49OracleFor(n: Long): String = {
+    val (nbits, tables) = Similarity.lshParams(n, targetCosine = 0.4, probeHamming = 1)
+    s"""WITH dbk AS (
+       |${LshSql.dbk(nbits, tables)}
+       |), qpb AS (
+       |  SELECT vec_id AS query_id, tbl, unnest([${LshSql.probeList(nbits)}]) AS bucket
+       |  FROM dbk WHERE vec_id < 10
+       |), cand AS (
+       |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+       |  FROM dbk c JOIN qpb q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |  WHERE c.vec_id <> q.query_id
+       |), ar AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT cand.query_id, cand.neighbor_id,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY cand.query_id
+       |        ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+       |                 cand.neighbor_id) AS rank
+       |    FROM cand
+       |    JOIN embeddings c ON cand.neighbor_id = c.vec_id
+       |    JOIN embeddings q ON cand.query_id = q.vec_id
+       |  ) WHERE rank <= 5
+       |), ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+       |                 c.vec_id) AS rank
+       |    FROM embeddings c, embeddings q
+       |    WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |  ) WHERE rank <= 5
+       |)
+       |SELECT CAST($n AS BIGINT) AS n_vectors, $nbits AS nbits, $tables AS tables,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       |  round(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+       |        CAST(count(*) AS DOUBLE), 4) AS recall
+       |FROM ex LEFT JOIN (SELECT DISTINCT query_id, neighbor_id FROM ar) a
+       |  USING (query_id, neighbor_id)""".stripMargin
   }
 
   /** q107 replay at corpus size `n`: the full production-shape mining

@@ -263,6 +263,30 @@ object TextDedup {
       .withColumn("is_kept", col("rep_id") === col(idCol))
   }
 
+  /** The engine-native half of [[dedupAssignments]], exposed for the
+    * round-5 generated oracle: the banded signature rows (rep id, band,
+    * bsig) over one representative per distinct token set — exactly the
+    * rows dedupAssignments feeds its bucket-min propagation. The hashes
+    * (murmur3 token hash, xxhash64 band key) have no DuckDB equivalent,
+    * so the oracle embeds THESE rows as literals and replays everything
+    * downstream of them (collapse, min-propagation, member expansion,
+    * audits) relationally.
+    */
+  def repBandedSigs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 16,
+      rows: Int = 16,
+      seed: Long = 1337L
+  ): DataFrame = {
+    val sets = df.select(col(idCol), sort_array(tokenSet(col(textCol))).as("toks"))
+    val reps = sets.groupBy(col("toks")).agg(min(col(idCol)).as("__rep"))
+    val repSets = reps.select(col("__rep").as(idCol), col("toks"))
+    bandedSigs(repSets, idCol, "toks", bands, rows, seed)
+      .select(col(idCol), col("band"), col("bsig"))
+  }
+
   /** Exact all-pairs token-set Jaccard — the O(n²) AUDIT baseline that
     * grounds the LSH paths (the text twin of the embedding-space q45):
     * never point it at a full corpus. Its job is recall measurement on a

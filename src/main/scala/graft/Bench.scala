@@ -18,14 +18,21 @@ object Bench {
     // kernels (the tiny pass alone leaves the hot LSH loops in the
     // interpreter/C1 tier, which showed up as 12 s vs 50 s run-to-run
     // swings on q27).
+    // SORTED name order (round 5; was Map iteration order): adding a
+    // query to the registry used to reshuffle every query's position in
+    // the run, changing each one's GC/cache adjacency between rounds —
+    // a structural source of round-over-round per-query creep that had
+    // nothing to do with the queries themselves (r4's unexplained
+    // q35/q60 drift). Sorted order pins each query's neighborhood.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { warmDir =>
-      SparkEntry.queries.foreach { case (_, fn) =>
+      ordered.foreach { case (_, fn) =>
         try fn(spark, warmDir).count()
         catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         // settle the heap BEFORE EVERY REP so the previous execution's
         // garbage isn't collected on this rep's clock, then give the
@@ -50,7 +57,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"median_of_$reps"}"""
     println(line)

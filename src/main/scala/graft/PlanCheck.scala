@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   */
 object PlanCheck {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("fingerprints")) { fingerprints(args.drop(1)); return }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = Sessions.local(4)
     val interesting = Seq(
@@ -62,6 +63,64 @@ object PlanCheck {
       // bloom prefilter placement (q50)
       plan.linesIterator.find(_.contains("might_contain")).foreach(l => println(s"  bloom=${l.trim.take(90)}"))
     }
+    spark.stop()
+  }
+
+  /** Per-query PHYSICAL-PLAN FINGERPRINTS: `runMain graft.PlanCheck
+    * fingerprints [sfDir] [outFile]` hashes every registry query's
+    * STATIC physical plan (AQE disabled for the fingerprint session;
+    * exprIds, plan ids, RDD ids, object addresses and JIT lambda ids
+    * normalized away) into docs/PLAN_FINGERPRINTS.json. Committed once
+    * per round, the file turns "q35 crept +21% with no code change"
+    * from a judgment call into a diff: fingerprint unchanged ⇒ the
+    * authored plan didn't move, the creep is environmental; changed ⇒
+    * here is the query whose plan to inspect. (Round-4 VERDICT asked
+    * for exactly this artifact.) AQE is off HERE only because its
+    * runtime re-plans (e.g. a borderline broadcast decision flipping
+    * join sides run to run) are exactly the environmental noise the
+    * fingerprint must exclude — Verify/Bench keep AQE on.
+    */
+  private def fingerprints(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = if (args.length > 1) args(1) else "docs/PLAN_FINGERPRINTS.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = Sessions
+      .builder(s"local[$cpus]", cpus)
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val fp =
+        try {
+          val df = fn(spark, dir)
+          val norm = df.queryExecution.executedPlan.toString
+            .replaceAll("#\\d+L?", "#")      // exprIds
+            .replaceAll("plan_id=\\d+", "plan_id=")
+            .replaceAll("\\bid=\\d+", "id=") // exchange/subquery ids
+            .replaceAll("@[0-9a-f]+", "@")   // object addresses
+            .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+", "\\$\\$Lambda") // JIT lambda ids
+            .replaceAll("(?i)cached ?rdd ?\\d+", "cachedrdd")
+            .replaceAll("ExistingRDD\\[[^\\]]*\\]", "ExistingRDD[]")
+            .replaceAll("LogicalRDD \\[[^\\]]*\\]", "LogicalRDD []")
+            .replaceAll("r[0-9a-f]{8,}", "r") // broadcast/run uuids
+          sys.env.get("SPARK_GRAFT_FP_DUMP").foreach { d =>
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/$name.txt"), norm)
+          }
+          java.security.MessageDigest
+            .getInstance("SHA-256")
+            .digest(norm.getBytes("UTF-8"))
+            .take(8)
+            .map("%02x".format(_))
+            .mkString
+        } catch { case e: Throwable => s"error:${e.getClass.getSimpleName}" }
+      spark.catalog.clearCache()
+      name -> fp
+    }
+    val json = entries
+      .map { case (k, v) => s"""  "$k": "$v"""" }
+      .mkString("{\n", ",\n", "\n}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(s"[fingerprints] wrote ${entries.size} entries to $out")
     spark.stop()
   }
 }

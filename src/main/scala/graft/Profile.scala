@@ -8,6 +8,7 @@ import graft.ops.{Similarity, TextDedup}
   */
 object Profile {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("q78")) { profileQ78(args.drop(1)); return }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     def time[A](tag: String)(f: => A): A = {
@@ -57,6 +58,50 @@ object Profile {
     time("one_table_buckets")(buckets.agg(countDistinct("b")).collect())
     val nde = Similarity.nearDupsEmbedding(e, threshold = 0.35)
     time("embed_neardups_full")(println("epairs=" + nde.count()))
+    spark.stop()
+  }
+
+  /** Stage-by-stage q78 (semantic dedup) profile: `runMain graft.Profile
+    * q78 [sfDir] [reps]` — separates quantizer fit, soft assignment,
+    * dedup (incl. hot-cell census), and each audit aggregate, so a
+    * regression can be attributed to a stage rather than re-guessed. */
+  private def profileQ78(args: Array[String]): Unit = {
+    import graft.ops.{Ivf, SemanticDedup}
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[q78/$tag] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val tau = 0.35
+    (1 to reps).foreach { rep =>
+      println(s"--- rep $rep")
+      spark.catalog.clearCache()
+      val e = Tables.embeddings(spark, dir)
+      val cents = time("fit")(Ivf.fitCentroids(e, k = 8, iters = 2))
+      val assigned = Ivf.assignTopM(e, cents, m = 3).persist(MEMORY_AND_DISK)
+      time("assignTopM")(assigned.count())
+      val deduped = SemanticDedup.assignReps(assigned, tau).persist(MEMORY_AND_DISK)
+      time("assignReps")(deduped.count())
+      time("keptViolations")(SemanticDedup.keptViolations(assigned, deduped, tau).collect())
+      time("repViol")(
+        deduped.agg(sum(when(col("rep_id") > col("vec_id"), 1).otherwise(0))).collect())
+      val cells = deduped.select(col("vec_id"), col("cells"))
+      val va = e.filter(col("vec_id") < 500).join(cells, Seq("vec_id"))
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("cells").as("ca"))
+      val vb = e.join(cells, Seq("vec_id"))
+        .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("cells").as("cb"))
+      time("cocluster")(
+        va.crossJoin(vb)
+          .filter(col("id_a") < col("id_b"))
+          .filter(Similarity.cosine(col("va"), col("vb")) >= tau)
+          .agg(avg(when(arrays_overlap(col("ca"), col("cb")), 1.0).otherwise(0.0)))
+          .collect())
+      assigned.unpersist(); deduped.unpersist()
+    }
     spark.stop()
   }
 }

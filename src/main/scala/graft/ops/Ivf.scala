@@ -60,6 +60,12 @@ object Ivf {
       spark.createDataFrame(java.util.Arrays.asList(init: _*), initSchema)
     for (_ <- 1 to iters) {
       val assigned = assign(corpus, centroids, idCol, vecCol)
+      // Update shape note (round-5 measurement): a one-shuffle variant —
+      // dim per-position decimal sums as a single wide aggregate — was
+      // tried and measured SLOWER (1.9 vs 1.3 s warm for q78's fit):
+      // 65 decimal aggregate buffers per group cost more than the
+      // second k×dim-row micro-shuffle they eliminate. The exploded
+      // two-stage form is the kept design.
       centroids = assigned
         .select(col("cluster_id"), posexplode(col(vecCol)))
         .groupBy(col("cluster_id"), col("pos"))

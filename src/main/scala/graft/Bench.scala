@@ -67,7 +67,9 @@ object Bench {
     // survives truncation and is what docs/BENCH_NOTES.md bands are
     // re-derived from. Appended (one JSON line per run) so reruns keep
     // history; name is env-overridable for ad-hoc local runs.
-    val recPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_records.jsonl")
+    // absolute default: the driver's working directory is its own, and a
+    // relative path would drop the record outside the repo checkout
+    val recPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_records.jsonl")
     try {
       val w = new java.io.FileWriter(recPath, true)
       try w.write(line + "\n") finally w.close()

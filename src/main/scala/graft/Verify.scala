@@ -45,9 +45,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // static oracles + the verify-corpus-generated ones (q30/q31/q107
-    // replay the adaptive LSH geometry derived from THIS corpus's count)
-    val json = (SparkEntry.oracleSql ++ SparkEntry.dynamicOracleSql(spark, sfDir))
+    // static oracles + the verify-corpus-generated ones (q30/q31/q49/
+    // q94/q33/q107 replay geometry/codebooks derived from THIS corpus).
+    // Fault isolation (T6 discipline): a failure while GENERATING the
+    // dynamic entries must cost only those queries' oracles, never the
+    // whole round's oracle_sql.json.
+    val dynamic =
+      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[verify] dynamic oracle generation failed: ${e.getMessage}")
+          Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

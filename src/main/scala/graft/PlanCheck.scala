@@ -95,6 +95,10 @@ object PlanCheck {
           val df = fn(spark, dir)
           val norm = df.queryExecution.executedPlan.toString
             .replaceAll("#\\d+L?", "#")      // exprIds
+            // lambda variable names carry a SESSION-GLOBAL counter
+            // (x_12, y_13, …): which queries ran earlier in the session
+            // shifts every later name — normalize the counter away
+            .replaceAll("_\\d+#", "_#")
             .replaceAll("plan_id=\\d+", "plan_id=")
             .replaceAll("\\bid=\\d+", "id=") // exchange/subquery ids
             .replaceAll("@[0-9a-f]+", "@")   // object addresses

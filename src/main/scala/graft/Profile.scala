@@ -9,6 +9,7 @@ import graft.ops.{Similarity, TextDedup}
 object Profile {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("q78")) { profileQ78(args.drop(1)); return }
+    if (args.headOption.contains("q94")) { profileQ94(args.drop(1)); return }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     def time[A](tag: String)(f: => A): A = {
@@ -58,6 +59,58 @@ object Profile {
     time("one_table_buckets")(buckets.agg(countDistinct("b")).collect())
     val nde = Similarity.nearDupsEmbedding(e, threshold = 0.35)
     time("embed_neardups_full")(println("epairs=" + nde.count()))
+    spark.stop()
+  }
+
+  /** Stage-by-stage q94 (PQ-ADC) profile: `runMain graft.Profile q94
+    * [sfDir] [reps]` — separates normalize+cache, codebook fit, the ADC
+    * top-k, the exact baseline, rerank scoring, and the final audit
+    * assembly. */
+  private def profileQ94(args: Array[String]): Unit = {
+    import graft.ops.Pq
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[q94/$tag] ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val (m, ksub, iters, nQ, k) = (16, 16, 2, 50, 10)
+    val shortlist = 8 * k
+    (1 to reps).foreach { rep =>
+      println(s"--- rep $rep")
+      spark.catalog.clearCache()
+      val e = Tables
+        .embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), Pq.normalize(col("embedding")).as("vec"))
+        .persist(MEMORY_AND_DISK)
+      time("normalize_cache")(e.count())
+      val codebooks = time("fit")(Pq.fit(e.filter(pmod(col("vec_id"), lit(4)) === 0), m, ksub, iters))
+      val encoded = Pq.encode(e, codebooks)
+      val queries = e.filter(col("vec_id") < nQ)
+      val pq = Pq.adcTopK(queries, encoded, codebooks, shortlist).persist(MEMORY_AND_DISK)
+      time("adcTopK")(pq.count())
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+      val wx = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("xscore").desc, col("neighbor_id"))
+      val exact = e
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          Similarity.cosine(col("qemb"), col("embedding")).as("xscore"))
+        .withColumn("xrank", row_number().over(wx))
+        .filter(col("xrank") <= k)
+      time("exact_baseline")(exact.count())
+      val scoredShortlist = pq
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb")), Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("rscore", Similarity.cosine(col("qemb"), col("nemb")))
+        .persist(MEMORY_AND_DISK)
+      time("rerank_score")(scoredShortlist.count())
+      time("final_assembly")(SparkEntry.queries("q94_pq_adc")(spark, dir).count())
+      e.unpersist(); pq.unpersist(); scoredShortlist.unpersist()
+    }
     spark.stop()
   }
 

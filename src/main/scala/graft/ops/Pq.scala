@@ -36,32 +36,24 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
-
-  private def dotC(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-
   /** L2-normalize an array<float> column to array<double>. */
   def normalize(v: Column): Column = {
     val n = sqrt(aggregate(transform(v, x => x.cast("double") * x), lit(0.0d), (acc, x) => acc + x))
     transform(v, x => x.cast("double") / n)
   }
 
-  /** The whole codebook as ONE nested-array literal node. */
-  private def cbLit(codebooks: Array[Array[(Int, Array[Double])]]): Column =
-    typedlit(codebooks.map(_.sortBy(_._1).map(_._2.toSeq).toSeq).toSeq)
+  /** Dense (s)(code) → codeword form for the native expressions. */
+  private def cbDense(codebooks: Array[Array[(Int, Array[Double])]]): Array[Array[Array[Double]]] =
+    codebooks.map(_.sortBy(_._1).map(_._2))
 
-  /** Nearest-codeword id (L2, smaller id on ties) for subspace `s`'s
-    * subvector, looping over the codebook constant. */
-  private def argminCode(vec: Column, cb: Column, s: Column, dsub: Int): Column = {
-    val sub = slice(vec, s * dsub + 1, lit(dsub))
-    val scored = zip_with(
-      element_at(cb, s + 1),
-      sequence(lit(0), size(element_at(cb, s + 1)) - 1),
-      (cw, i) => struct(sqDist(sub, cw).as("dist"), i.as("code"))
-    )
-    array_min(scored).getField("code").cast("int")
+  /** Native codegen'd per-subspace argmin codes (graft.expr.PqEncodeCodes
+    * since round 5 — bit-identical to the interpreted HOF argmin it
+    * replaced, which re-ran a lambda frame per (row, subspace, codeword);
+    * see the expression's scaladoc for the accumulation-order contract).
+    */
+  private def codesNative(vec: Column, codebooks: Array[Array[(Int, Array[Double])]]): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.expr.PqEncodeCodes(GraftShim.expression(vec), cbDense(codebooks)))
   }
 
   /** D²-weighted k-means++ seeding (Arthur & Vassilvitskii, SODA'07)
@@ -181,16 +173,19 @@ object Pq {
       }
     }
     for (_ <- 1 to iters) {
-      val cb = cbLit(codebooks)
+      // per-row codes from the native expression (computed ONCE per row
+      // in its own projection), then the per-subspace explode reads them
+      // by index — the HOF argmin used to re-run interpreted per cell
       val cells = transform(
         sequence(lit(0), lit(m - 1)),
         s => struct(
           s.as("s"),
-          argminCode(col(vecCol), cb, s, dsub).as("code"),
+          element_at(col("__codes"), s + 1).as("code"),
           slice(col(vecCol), s * dsub + 1, lit(dsub)).as("sv")
         )
       )
       val updated = corpus
+        .select(col(vecCol), codesNative(col(vecCol), codebooks).as("__codes"))
         .select(explode(cells).as("c"))
         .select(col("c.s").as("s"), col("c.code").as("code"), posexplode(col("c.sv")))
         .groupBy(col("s"), col("code"), col("pos"))
@@ -221,16 +216,8 @@ object Pq {
       codebooks: Array[Array[(Int, Array[Double])]],
       idCol: String = "vec_id",
       vecCol: String = "vec"
-  ): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks.head.head._2.length
-    val cb = cbLit(codebooks)
-    val codes = transform(
-      sequence(lit(0), lit(m - 1)),
-      s => argminCode(col(vecCol), cb, s, dsub)
-    )
-    corpus.select(col(idCol), codes.as("codes"))
-  }
+  ): DataFrame =
+    corpus.select(col(idCol), codesNative(col(vecCol), codebooks).as("codes"))
 
   /** ADC score of a query vector column against a codes column:
     * Σ_s dot(q_sub_s, codebooks(s)(code_s)) — a fold over the codes
@@ -240,19 +227,13 @@ object Pq {
       codes: Column,
       codebooks: Array[Array[(Int, Array[Double])]]
   ): Column = {
-    val dsub = codebooks.head.head._2.length
-    val cb = cbLit(codebooks)
-    aggregate(
-      zip_with(
-        sequence(lit(0), size(codes) - 1),
-        codes,
-        (s, c) => dotC(
-          slice(qvec, s * dsub + 1, lit(dsub)),
-          element_at(element_at(cb, s + 1), c + 1)
-        )
-      ),
-      lit(0.0d),
-      (acc, v) => acc + v
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(
+      graft.expr.PqAdcScore(
+        GraftShim.expression(qvec),
+        GraftShim.expression(codes),
+        cbDense(codebooks)
+      )
     )
   }
 

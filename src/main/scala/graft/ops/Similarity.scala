@@ -266,17 +266,36 @@ object Similarity {
       dim: Int = 64
   ): DataFrame = bucketRows(df, idCol, vecCol, nbits, tables, dim)
 
-  /** Per-table bucket assignments as an array of (tbl, bucket) structs —
-    * explode for one row per LSH table. Seeds are fixed per table index,
-    * so buckets computed anywhere (including map-side on a stream) join
-    * against a batch-built bucketIndex.
+  /** All tables' sign-sketch buckets in one native codegen'd pass
+    * (graft.expr.LshBuckets since round 5 — bit-identical to the
+    * composed per-table [[lshBucket]] folds it replaced, which ran
+    * interpreted at tables×nbits×dim lambda evaluations per vector).
+    * Seeds stay fixed per table index (7700+t), so buckets computed
+    * anywhere — including map-side on a stream — join against a
+    * batch-built bucketIndex.
     */
-  def bucketStructs(vecCol: Column, nbits: Int = 6, tables: Int = 8, dim: Int = 64): Column =
-    array((0 until tables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(vecCol, nbits, dim, seed = 7700 + t).as("bucket"))
-    }.toIndexedSeq: _*)
+  private def allBuckets(vecCol: Column, nbits: Int, tables: Int, dim: Int): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    val ps = Array.tabulate(tables)(t => planes(nbits, dim, seed = 7700 + t))
+    GraftShim.column(graft.expr.LshBuckets(GraftShim.expression(vecCol), ps))
+  }
 
-  /** Narrow (id, tbl, bucket) rows — one per (vector, LSH table). */
+  /** Per-table bucket assignments as an array of (tbl, bucket) structs —
+    * explode for one row per LSH table. The repeated element_at reads
+    * of the one deterministic LshBuckets call collapse under codegen
+    * subexpression elimination (one sketch pass per row, not tables).
+    */
+  def bucketStructs(vecCol: Column, nbits: Int = 6, tables: Int = 8, dim: Int = 64): Column = {
+    val bk = allBuckets(vecCol, nbits, tables, dim)
+    array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), element_at(bk, t + 1).as("bucket"))
+    }.toIndexedSeq: _*)
+  }
+
+  /** Narrow (id, tbl, bucket) rows — one per (vector, LSH table). The
+    * native bucket array is materialized once per row in its own
+    * projection, then posexplode pairs each bucket with its table id.
+    */
   private def bucketRows(
       df: DataFrame,
       idCol: String,
@@ -285,8 +304,9 @@ object Similarity {
       tables: Int,
       dim: Int
   ): DataFrame =
-    df.select(col(idCol), explode(bucketStructs(col(vecCol), nbits, tables, dim)).as("bk"))
-      .select(col(idCol), col("bk.tbl"), col("bk.bucket"))
+    df.select(col(idCol), allBuckets(col(vecCol), nbits, tables, dim).as("__bks"))
+      .select(col(idCol), posexplode(col("__bks")))
+      .select(col(idCol), col("pos").cast("int").as("tbl"), col("col").as("bucket"))
 
   /** One-row recall audit shared by the in-registry self-audits (q35,
     * q49, q54): |approx ∩ exact| / |exact| over the given key columns.

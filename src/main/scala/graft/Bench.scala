@@ -58,8 +58,31 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Record labels (round 6): two 107-query records coexisted in r5's
+    // bench_records.jsonl distinguishable only by value-matching against
+    // the truncated stdout tail. `source` defaults to "driver" — the
+    // binding per-round run sets no env; builder-local runs MUST set
+    // SPARK_GRAFT_BENCH_SOURCE=local. `round` = the round under build
+    // (last VERDICT's round + 1); `sha` + wall-clock stamp disambiguate
+    // reruns regardless of labeling discipline.
+    val source = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOURCE", "driver")
+    val sha =
+      try {
+        val p = new ProcessBuilder("git", "-C", "/root/repo", "rev-parse", "--short", "HEAD").start()
+        val s0 = new String(p.getInputStream.readAllBytes()).trim
+        p.waitFor()
+        if (s0.nonEmpty) s0 else "unknown"
+      } catch { case _: Throwable => "unknown" }
+    val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse {
+      try {
+        val head = java.nio.file.Files.readString(java.nio.file.Paths.get("/root/repo/VERDICT.md"))
+          .linesIterator.take(1).mkString
+        "round (\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt + 1).getOrElse(-1)
+      } catch { case _: Throwable => -1 }
+    }
+    val stamp = java.time.Instant.now().toString
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"median_of_$reps"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"median_of_$reps","source":"$source","round":$round,"sha":"$sha","ts":"$stamp"}"""
     println(line)
     // ALSO persist the full record to a file: two rounds running, the
     // driver's captured stdout tail truncated to ~64 of 107 per-query

@@ -82,7 +82,11 @@ object PlanCheck {
     */
   private def fingerprints(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = if (args.length > 1) args(1) else "docs/PLAN_FINGERPRINTS.json"
+    // absolute default (the Bench.scala record-path lesson): run under a
+    // harness whose working directory is its own, a relative path lands
+    // the file outside the repo checkout or throws NoSuchFileException
+    val out = if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_FP_OUT", "/root/repo/docs/PLAN_FINGERPRINTS.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Sessions
       .builder(s"local[$cpus]", cpus)
@@ -106,7 +110,11 @@ object PlanCheck {
             .replaceAll("(?i)cached ?rdd ?\\d+", "cachedrdd")
             .replaceAll("ExistingRDD\\[[^\\]]*\\]", "ExistingRDD[]")
             .replaceAll("LogicalRDD \\[[^\\]]*\\]", "LogicalRDD []")
-            .replaceAll("r[0-9a-f]{8,}", "r") // broadcast/run uuids
+            // broadcast/run uuids — word-anchored so an identifier that
+            // merely CONTAINS r+8 hex-range chars (e.g. a codegen name
+            // with a 'deadbeef' substring) isn't collapsed, which would
+            // make two genuinely different plans hash identical
+            .replaceAll("\\br[0-9a-f]{8,}\\b", "r")
           sys.env.get("SPARK_GRAFT_FP_DUMP").foreach { d =>
             java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/$name.txt"), norm)
           }

@@ -780,12 +780,17 @@ object Queries {
     * keeps ~0.96+ recall while admitting ~10× fewer mid-similarity
     * candidates than 8×8), verified at exact token-set Jaccard ≥ 0.9.
     *
-    * Why no oracle: the signatures are murmur3+xxhash64 (no DuckDB
-    * equivalent), and unlike q33 there is no small downstream relational
-    * core to certify — a signature-literal replay would embed the
-    * verified pair stream itself, i.e. the output. Ground truth is the
-    * oracled chain instead: q46 (exact pairs), q48 (recall vs q46),
-    * q33 (the assignment core, signature-literal oracled since r5).
+    * ORACLED since round 6 ([[q27OracleFor]], dynamic): the replay
+    * embeds ONLY the banded signatures (the murmur3/xxhash64 half with
+    * no DuckDB equivalent) as literals; everything downstream — the
+    * exact-dup collapse, the candidate self-join, the size-ratio
+    * prefilter, the exact-Jaccard verification computed from the raw
+    * text, the member expansion and the census arithmetic — is replayed
+    * relationally. (Round 5 judged this impossible on the theory the
+    * replay would embed the output; it embeds the pre-verification
+    * signatures, so the verified stream is genuinely re-derived.)
+    * Ground truth for the hashed half stays the oracled chain: q46
+    * (exact pairs), q48 (recall vs q46), q33 (assignment core).
     *
     * Round-4 split (the q46 pattern): this corpus's 31-word vocabulary
     * yields ~941k true pairs at sf0.1, so materializing + globally
@@ -993,11 +998,13 @@ object Queries {
     * candidates with exact Jaccard, so found ⊆ exact — no false
     * positives; recall is the only degree of freedom.
     *
-    * Why no oracle: the found-pair set comes from murmur3+xxhash64
-    * banding (no DuckDB equivalent, unlike the hyperplane replay that
-    * oracles q49) — embedding it as literals would make the oracle
-    * compare the LSH side to itself. The exact side IS oracled (q46);
-    * this row's recall value is the audit artifact the driver records.
+    * ORACLED since round 6 ([[q48OracleFor]], dynamic): the slice's
+    * banded signatures are embedded as literals and the found-pair set
+    * re-derived relationally (candidates + size-ratio + exact-Jaccard
+    * verification from raw text), then scored against the exact pair
+    * list — only the hash values themselves are taken as given, so the
+    * oracle checks the recall ARITHMETIC and the whole candidate→verify
+    * pipeline, not the LSH side against itself.
     */
   def q48MinhashRecall(s: SparkSession, dir: String): DataFrame = {
     val slice = Tables.documents(s, dir).filter(col("doc_id") < 500)
@@ -2272,14 +2279,24 @@ object Queries {
     * grounds the signatures themselves: the q46/q48 exact-pair recall
     * chain — the same split as q94's trained-codebook replay.
     */
-  def q33OracleFor(s: SparkSession, dir: String): String = {
-    val sigRows = TextDedup
-      .repBandedSigs(Tables.documents(s, dir), "doc_id", "text")
+  /** The banded-signature rows of [[TextDedup.repBandedSigs]] (the
+    * engine-native murmur3/xxhash64 half of the minhash pipeline) as a
+    * SQL VALUES literal block — the shared seam of the q33/q27/q48
+    * generated oracles. Driver-side collect by design: this is oracle
+    * GENERATION (n_distinct_sets × bands narrow rows at verify scale),
+    * not a query path.
+    */
+  private def bandedSigLiterals(df: DataFrame): String =
+    TextDedup
+      .repBandedSigs(df, "doc_id", "text")
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       .sortBy(t => (t._1, t._2))
       .map { case (id, band, bsig) => s"($id, $band, CAST($bsig AS BIGINT))" }
       .mkString(",\n    ")
+
+  def q33OracleFor(s: SparkSession, dir: String): String = {
+    val sigRows = bandedSigLiterals(Tables.documents(s, dir))
     s"""WITH bs(doc_id, band, bsig) AS (
        |  VALUES
        |    $sigRows
@@ -2316,6 +2333,91 @@ object Queries {
        |  a1.audit_rep_gt_id, a2.audit_split_dup_classes
        |FROM assign, a1, a2
        |ORDER BY assign.doc_id""".stripMargin
+  }
+
+  /** Shared replay body for the q27/q48 generated oracles: from the
+    * embedded banded-signature literals, rebuild EXACTLY the minhash
+    * pair stream `TextDedup.nearDupsMinhash(threshold=0.9, 16×16)`
+    * emits — exact-dup collapse (sorted distinct-token sets keyed by
+    * value), intra-class pairs at jac = 1.0, LSH candidate self-join on
+    * (band, bsig) over class representatives, the size-ratio prefilter,
+    * exact-Jaccard verification at >= 0.9, and member-pair expansion.
+    * `docFilter` bounds the corpus (q48 replays the doc_id<500 slice).
+    */
+  private def minhashPairsReplay(sigRows: String, docFilter: String): String =
+    s"""WITH bs(doc_id, band, bsig) AS (
+       |  VALUES
+       |    $sigRows
+       |), toks AS (
+       |  SELECT doc_id, list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tk
+       |  FROM documents $docFilter
+       |), reps AS (
+       |  SELECT tk, MIN(doc_id) AS rep FROM toks GROUP BY tk
+       |), members AS (
+       |  SELECT r.rep AS grp, t.doc_id FROM toks t JOIN reps r USING (tk)
+       |), repsz AS (
+       |  SELECT rep, tk, len(tk) AS sz FROM reps
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
+       |  FROM bs a JOIN bs b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+       |), reppairs AS (
+       |  SELECT c.rep_a, c.rep_b,
+       |    CAST(len(list_filter(ra.tk, x -> list_contains(rb.tk, x))) AS DOUBLE) /
+       |    CAST(ra.sz + rb.sz - len(list_filter(ra.tk, x -> list_contains(rb.tk, x))) AS DOUBLE) AS jac
+       |  FROM cand c
+       |  JOIN repsz ra ON c.rep_a = ra.rep
+       |  JOIN repsz rb ON c.rep_b = rb.rep
+       |  WHERE CAST(LEAST(ra.sz, rb.sz) AS DOUBLE) >= CAST(GREATEST(ra.sz, rb.sz) AS DOUBLE) * 0.9
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jac
+       |  FROM members a JOIN members b ON a.grp = b.grp AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT LEAST(ma.doc_id, mb.doc_id) AS id_a,
+       |         GREATEST(ma.doc_id, mb.doc_id) AS id_b, rp.jac
+       |  FROM reppairs rp
+       |  JOIN members ma ON ma.grp = rp.rep_a
+       |  JOIN members mb ON mb.grp = rp.rep_b
+       |  WHERE rp.jac >= 0.9
+       |)""".stripMargin
+
+  /** q27 generated oracle (round 6): the q33 signature-literal move
+    * extended to the census form — replay the full minhash pair stream
+    * from the embedded banded signatures, then the same linear census
+    * aggregate (counts split on jac = 1, decimal-staged mean).
+    */
+  def q27OracleFor(s: SparkSession, dir: String): String = {
+    val sigRows = bandedSigLiterals(Tables.documents(s, dir))
+    s"""${minhashPairsReplay(sigRows, "")}
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN jac = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_pairs,
+       |  CAST(SUM(CASE WHEN jac < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup_pairs,
+       |  CASE WHEN COUNT(*) > 0
+       |    THEN round(CAST(SUM(CAST(jac AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) END AS mean_jac,
+       |  CASE WHEN COUNT(*) > 0 THEN round(MIN(jac), 6) END AS min_jac
+       |FROM pairs""".stripMargin
+  }
+
+  /** q48 generated oracle (round 6 stretch): replay the found-pair set
+    * from the SLICE's banded signatures and score it against the exact
+    * pair list (q46's oracle body) relationally — recall stops being a
+    * recorded-only audit figure and becomes a checked one.
+    */
+  def q48OracleFor(s: SparkSession, dir: String): String = {
+    val sigRows =
+      bandedSigLiterals(Tables.documents(s, dir).filter(col("doc_id") < 500))
+    s"""${minhashPairsReplay(sigRows, "WHERE doc_id < 500")},
+       |exact AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) /
+       |        CAST(len(a.tk) + len(b.tk) - len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) >= 0.9
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       |  round(CAST(SUM(CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+       |        CAST(COUNT(*) AS DOUBLE), 4) AS recall
+       |FROM exact e
+       |LEFT JOIN pairs p ON e.id_a = p.id_a AND e.id_b = p.id_b""".stripMargin
   }
 
   // ---------------------------------------------------------------- q32
@@ -5897,15 +5999,32 @@ object Queries {
     * the same one the queries themselves pay.)
     */
   def dynamicOracles(s: SparkSession, dir: String): Map[String, String] = {
-    val n = Tables.embeddings(s, dir).count()
-    Map(
-      "q30_ann_lsh" -> q30OracleFor(n),
-      "q31_embed_neardups" -> q31OracleFor(n),
-      "q107_hard_negatives_ann" -> q107OracleFor(n),
-      "q94_pq_adc" -> q94OracleFor(s, dir),
-      "q33_dedup_assign" -> q33OracleFor(s, dir),
-      "q49_ann_adaptive" -> q49OracleFor(n)
+    // PER-ENTRY fault isolation (T6): each generator runs in its own
+    // try, so one failure (e.g. Pq.fit throwing during q94 generation)
+    // costs only that query's oracle, never the whole dynamic set — the
+    // all-in-one Map construction used through round 5 contradicted
+    // exactly that contract. The corpus count is shared lazily (one
+    // Spark job, not one per n-dependent entry; a failed count simply
+    // fails each n-dependent generator individually).
+    lazy val n = Tables.embeddings(s, dir).count()
+    val gens: Seq[(String, () => String)] = Seq(
+      "q30_ann_lsh" -> (() => q30OracleFor(n)),
+      "q31_embed_neardups" -> (() => q31OracleFor(n)),
+      "q107_hard_negatives_ann" -> (() => q107OracleFor(n)),
+      "q94_pq_adc" -> (() => q94OracleFor(s, dir)),
+      "q33_dedup_assign" -> (() => q33OracleFor(s, dir)),
+      "q49_ann_adaptive" -> (() => q49OracleFor(n)),
+      "q27_minhash_dedup" -> (() => q27OracleFor(s, dir)),
+      "q48_minhash_recall" -> (() => q48OracleFor(s, dir))
     )
+    gens.flatMap { case (name, gen) =>
+      try Some(name -> gen())
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[verify] dynamic oracle for $name failed: ${e.getMessage}")
+          None
+      }
+    }.toMap
   }
 
   /** q30 replay at corpus size `n`: same adaptive geometry, banding,

@@ -108,8 +108,12 @@ object PageRank {
     // the returned frame is the only checkpoint callers need: the final
     // round's blocks back `ranks` itself, but e/ed/nodes/srcs are now
     // dead weight — free them so repeated run() calls by library
-    // callers don't grow executor storage by four frames per call
-    Seq(e, ed, nodes, srcs).foreach(GraftShim.unpersistCheckpoint)
+    // callers don't grow executor storage by four frames per call.
+    // iters=0 exception: `ranks` is then nodes.withColumn(...), backed
+    // by the nodes checkpoint itself — freeing it would leave the
+    // returned frame unrecomputable (localCheckpoint truncates lineage)
+    val dead = if (iters >= 1) Seq(e, ed, nodes, srcs) else Seq(e, ed, srcs)
+    dead.foreach(GraftShim.unpersistCheckpoint)
     ranks
   }
 }

@@ -24,7 +24,26 @@ object Bench {
     // a structural source of round-over-round per-query creep that had
     // nothing to do with the queries themselves (r4's unexplained
     // q35/q60 drift). Sorted order pins each query's neighborhood.
+    // Optional subset filter (A/B experiments: bench a contiguous
+    // neighborhood in its in-suite order without paying for all 107).
+    // Subset records still append to the file but are builder-local by
+    // nature — label them with SPARK_GRAFT_BENCH_SOURCE=local.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // RUN-ORDER ISOLATION (round 6, default ON — this IS the experiment
+    // the r5 WATCH row promised): before each QUERY's rep loop, settle
+    // the JVM hard — three full GC cycles with ContextCleaner drain
+    // time, then a final beat. Mechanism under test: q96's in-suite
+    // median (driver 6.88) sat ~50% above its isolated warm median
+    // (4.3-4.6) while running directly after the allocation-heavy
+    // q94/q95 pair in sorted order; one 750 ms settle per rep
+    // demonstrably does not clear that neighborhood's old-gen garbage +
+    // cleaner backlog off the next query's clock. The deeper settle is
+    // BETWEEN queries (off-clock) so it costs wall time, not measured
+    // time. SPARK_GRAFT_BENCH_ISOLATE=0 reproduces the r5 harness.
+    val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "1") == "1"
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { warmDir =>
       ordered.foreach { case (_, fn) =>
         try fn(spark, warmDir).count()
@@ -33,6 +52,11 @@ object Bench {
       spark.catalog.clearCache()
     }
     val results = ordered.map { case (name, fn) =>
+      if (isolate) {
+        var i = 0
+        while (i < 3) { System.gc(); Thread.sleep(400); i += 1 }
+        Thread.sleep(1000)
+      }
       val times = (1 to reps).map { _ =>
         // settle the heap BEFORE EVERY REP so the previous execution's
         // garbage isn't collected on this rep's clock, then give the
@@ -82,7 +106,7 @@ object Bench {
     }
     val stamp = java.time.Instant.now().toString
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"median_of_$reps","source":"$source","round":$round,"sha":"$sha","ts":"$stamp"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"median_of_$reps","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate}"""
     println(line)
     // ALSO persist the full record to a file: two rounds running, the
     // driver's captured stdout tail truncated to ~64 of 107 per-query

@@ -1232,31 +1232,44 @@ object Queries {
       |       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) AS li_orphan_orderkeys""".stripMargin
 
   // ---------------------------------------------------------------- q54
-  /** End-to-end MEDIA DEDUP: binary payloads → typed media rows →
-    * fixed-dim feature vectors (stub featurizer, deterministic — a model
+  /** End-to-end MEDIA DEDUP, REAL codec since round 6: binary payloads
+    * → [[Multimodal.renderPng]] (real PNG bytes) → typed media rows →
+    * [[Multimodal.decodeImage]] fixed-dim feature vectors computed from
+    * the ACTUAL decoded pixels (centered grid-mean luminance — a model
     * server slots into the same column contract) → embedding-space
     * near-dup pairs via adaptive LSH → one-row audit vs the exact
     * all-pairs baseline on the same features. This is the multimodal
     * integration path: Multimodal feeds Similarity the way an image
-    * pipeline feeds its dedup stage; identical payloads land at cosine
-    * 1.0 and must all be found (expected recall 1.0 on this corpus).
-    * The corpus plants RE-UPLOADS — byte-identical copies under new ids
-    * (the dominant real-world media-dup mode; the raw fixture has no
-    * byte-identical rows).
+    * pipeline feeds its dedup stage. The corpus plants RE-UPLOADS —
+    * byte-identical copies under new ids (the dominant real-world
+    * media-dup mode); byte-identical payloads produce byte-identical
+    * PNGs, so identical pixel features, cosine exactly 1.0, identical
+    * LSH buckets — every planted pair MUST be found (the
+    * identical-pair recall column pins 1.0 exactly). Near-identical
+    * TEXTS now also land near cosine 1 (real pixel features inherit
+    * text similarity through the raster law) — those genuine media
+    * near-dups are measured by the overall recall audit.
     *
-    * Why no oracle: the only part not already driver-certified is the
-    * stub featurizer (engine-native byte hashing, replaced by a model
-    * server in production); the dedup core it feeds is the SAME
-    * nearDupsEmbedding pipeline q31's dynamic oracle certifies, so a
-    * feature-literal replay here would add circularity, not coverage.
-    * The recall-1.0 row is the artifact the driver records.
+    * ORACLED since round 6 ([[q54OracleFor]], dynamic) — and with NO
+    * literal embedding: the raster law makes the feature vectors
+    * themselves a closed form over the raw text (grid-cell mean
+    * luminance centered on the image mean; IEEE division and the
+    * float cast are exactly rounded on both engines, so the replayed
+    * floats are bit-identical), so DuckDB re-derives the embeddings
+    * from `documents.text`, replays the LSH geometry (generalized
+    * LshSql over the feats CTE), the exact all-pairs side, and the
+    * recall/identical-pair arithmetic. Unlike a feature-literal
+    * replay, nothing engine-computed is taken as given except the
+    * hyperplane constants — the oracle certifies render → decode →
+    * feature → LSH → verify end-to-end.
     */
   def q54MediaDedup(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).filter(col("doc_id") < 250).select(col("doc_id"), col("text"))
     val reuploads = base.select((col("doc_id") + 100000).as("doc_id"), col("text"))
-    val media = Multimodal.asMedia(base.unionByName(reuploads), "doc_id", "text", "image")
+    val rendered = Multimodal.renderPng(base.unionByName(reuploads), "doc_id", "text")
+    val media = Multimodal.asMedia(rendered, "doc_id", "png", "image")
     val feats = Multimodal
-      .featureExtract(media)
+      .decodeImage(media)
       .select(col("media_id").as("vec_id"), col("features").as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = feats.count() // eager (exact + LSH consumers share this cache) AND the corpus size
@@ -1271,16 +1284,115 @@ object Queries {
       .select("id_a", "id_b")
     val approx = Similarity
       .nearDupsEmbedding(feats, threshold = 0.9, nbits = nbits, tables = tables, probes = 1)
+    // Identical-payload ground truth (the planted re-uploads + any
+    // byte-identical texts in the base corpus): identical bytes →
+    // identical PNG → identical features → identical buckets in EVERY
+    // LSH table → cosine exactly 1.0 — so recall over this set must be
+    // EXACTLY 1.0, independent of LSH luck; the spec pins it.
+    val u = base.unionByName(reuploads)
+    val ident = u
+      .select(col("doc_id").as("id_a"), col("text"))
+      .join(u.select(col("doc_id").as("id_b"), col("text")), "text")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val identAudit = ident
+      .join(
+        approx.select(col("id_a"), col("id_b"), lit(1).as("hit")),
+        Seq("id_a", "id_b"),
+        "left"
+      )
+      .agg(
+        count(lit(1)).as("n_identical"),
+        sum(coalesce(col("hit"), lit(0))).as("n_identical_found")
+      )
     Similarity
       .recallAudit(exact, approx, Seq("id_a", "id_b"))
+      .crossJoin(broadcast(identAudit))
       .select(
         lit(n).as("n_media"),
         lit(nbits).as("nbits"),
         lit(tables).as("tables"),
         col("n_exact"),
         col("n_found"),
-        col("recall")
+        col("recall"),
+        col("n_identical"),
+        col("n_identical_found"),
+        round(col("n_identical_found").cast("double") / col("n_identical"), 4)
+          .as("recall_identical")
       )
+  }
+
+  /** q54 generated oracle (round 6): the full media-dedup replay with
+    * ZERO engine-computed literals — features re-derived closed-form
+    * from the raster law (see q54MediaDedup scaladoc), LSH buckets from
+    * the seeded hyperplanes, one-side radius-1 multiprobe candidate
+    * join, rounded-cosine verification, exact all-pairs baseline, and
+    * the identical-pair (text-equality) audit. (nbits, tables) replayed
+    * from the corpus size exactly as the query computes them.
+    */
+  def q54OracleFor(s: SparkSession, dir: String): String = {
+    val n = Tables.documents(s, dir).filter(col("doc_id") < 250).count() * 2
+    val (nbits, tables) = Similarity.lshParams(n, targetCosine = 0.9, probeHamming = 1)
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 250
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 250
+       |), px AS (
+       |  SELECT doc_id, i,
+       |    ascii(substr(text, (i % len) + 1, 1)) +
+       |    ascii(substr(text, ((i * 31 + 7) % len) + 1, 1)) +
+       |    ascii(substr(text, ((i * 131 + 13) % len) + 1, 1)) AS s,
+       |    ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cell
+       |  FROM (
+       |    SELECT doc_id, text, length(text) AS len,
+       |      8 + length(text) % 9 AS w, 8 + length(text) % 7 AS h
+       |    FROM corpus
+       |  ), LATERAL unnest(range(w * h)) AS t(i)
+       |), cells AS (
+       |  SELECT doc_id, cell, SUM(s) AS cs, COUNT(*) AS cc FROM px GROUP BY doc_id, cell
+       |), imgs AS (
+       |  SELECT doc_id, SUM(s) AS ts, COUNT(*) AS tc FROM px GROUP BY doc_id
+       |), feats AS (
+       |  SELECT c.doc_id AS vec_id,
+       |    list(CAST((cs / (3.0 * cc) - ts / (3.0 * tc)) / 256.0 AS FLOAT) ORDER BY cell) AS embedding
+       |  FROM cells c JOIN imgs g ON c.doc_id = g.doc_id
+       |  GROUP BY c.doc_id
+       |), dbk AS (
+       |${LshSql.dbk(nbits, tables, from = "feats")}
+       |), pa AS (
+       |  SELECT vec_id AS id_a, tbl, unnest([${LshSql.probeList(nbits)}]) AS bucket FROM dbk
+       |), cand AS (
+       |  SELECT DISTINCT a.id_a, b.vec_id AS id_b
+       |  FROM pa a JOIN dbk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.id_a < b.vec_id
+       |), approx AS (
+       |  SELECT cand.id_a, cand.id_b
+       |  FROM cand
+       |  JOIN feats va ON cand.id_a = va.vec_id
+       |  JOIN feats vb ON cand.id_b = vb.vec_id
+       |  WHERE round(list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]), 4) >= 0.9
+       |), exact AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM feats a JOIN feats b ON a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.9
+       |), ident AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+       |), ia AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_identical,
+       |    CAST(SUM(CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_identical_found
+       |  FROM ident i LEFT JOIN approx p ON i.id_a = p.id_a AND i.id_b = p.id_b
+       |), ra AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |    CAST(SUM(CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+       |  FROM exact e LEFT JOIN approx p ON e.id_a = p.id_a AND e.id_b = p.id_b
+       |)
+       |SELECT CAST($n AS BIGINT) AS n_media, $nbits AS nbits, $tables AS tables,
+       |  n_exact, n_found,
+       |  round(CAST(n_found AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS recall,
+       |  n_identical, n_identical_found,
+       |  round(CAST(n_identical_found AS DOUBLE) / CAST(n_identical AS DOUBLE), 4) AS recall_identical
+       |FROM ra, ia""".stripMargin
   }
 
   // ---------------------------------------------------------------- q52
@@ -2421,33 +2533,50 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- q32
-  /** Multimodal pipeline: documents as opaque binary media → frame-sample
-    * explode → per-frame fixed-dim features → per-media rollup. Decode
-    * kernels are deterministic stubs (no codecs in the container); the
-    * schema/explode/feature plumbing is real.
+  /** Multimodal pipeline, REAL codec since round 6: documents →
+    * [[Multimodal.renderPng]] (payload bytes rasterized under the
+    * closed-form raster law, PNG-encoded via javax.imageio) →
+    * [[Multimodal.decodeImage]] (ImageIO.read back — header dims, pixel
+    * (0,0) channels, integer-exact luminance sum, grid-mean pixel
+    * features) → frame-sample explode over the PNG bytes → per-media
+    * rollup with the frame-law audits.
     *
-    * Why no oracle: the feature values come from the stub byte-hash
-    * featurizer (engine-native, and the component a codec/model server
-    * replaces anyway) — what is checkable relationally is exactly the
-    * frame laws the audit columns already count violations of, with
-    * contracts asserted in MultimodalSpec.
+    * ORACLED since round 6 (static SQL, [[q32Oracle]]): the raster law
+    * makes every decoded value a closed form over the raw text bytes —
+    * width = 8+len%9, height = 8+len%7, px00_r = byte 0,
+    * px00_g = byte 7%len, px00_b = byte 13%len, and lum_sum the sum of
+    * all three channel formulas over every pixel index. DuckDB
+    * recomputes them from `documents.text` (ASCII at every SF, so
+    * ascii(substr()) = byte); a hash match therefore certifies the
+    * whole ImageIO encode → PNG → ImageIO decode round trip
+    * end-to-end, pixel-exactly — plus the frame-law and feature-law
+    * audit zeros. What stays engine-only (PNG byte LENGTH, and so the
+    * absolute frame count) is deliberately kept out of the checked
+    * output and asserted in MultimodalSpec instead.
     */
   def q32Multimodal(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "image")
-    val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 48)
-    // SELF-AUDITING (decode kernels are stubs, but the Spark plumbing is
-    // the deliverable and IS checkable): per media, violations of the
-    // frame laws — every frame's length must equal
-    // min(frameBytes, n_bytes − idx·stride), the frame count must match
-    // the generator's closed form, and every feature vector must be the
-    // declared fixed dim with values in [−1, 1). All audit_* columns
-    // must be 0; the driver's rows-only record pins them.
-    Multimodal
-      .featureExtract(frames.withColumn("bytes", col("frame_bytes")), dim = 8)
+    val rendered = Multimodal.renderPng(Tables.documents(s, dir), "doc_id", "text")
+    val media = Multimodal.asMedia(rendered, "doc_id", "png", "image")
+    val decoded = Multimodal.decodeImage(media, dim = 8)
+    val frames = Multimodal.frameSample(decoded, frameBytes = 64, stride = 48)
+    // Audit laws (violation counts must be 0, pinned by the oracle):
+    // every frame's length equals min(frameBytes, n_bytes − idx·stride),
+    // the frame count matches the generator's closed form, every decode
+    // succeeded, and the feature vector is fixed-dim with values in
+    // (−1, 1). width/height/px00/lum_sum come from the REAL decoded
+    // pixels and are constant per media (max = the value).
+    frames
       .groupBy(col("media_id"))
       .agg(
         count(lit(1)).as("n_frames"),
         max(col("meta.n_bytes")).as("n_bytes"),
+        max(col("width")).as("width"),
+        max(col("height")).as("height"),
+        max(col("px00_r")).as("px00_r"),
+        max(col("px00_g")).as("px00_g"),
+        max(col("px00_b")).as("px00_b"),
+        max(col("lum_sum")).as("lum_sum"),
+        max(when(!col("decode_ok"), 1).otherwise(0)).as("audit_undecoded"),
         sum(
           when(
             length(col("frame_bytes")) =!=
@@ -2455,10 +2584,10 @@ object Queries {
             1
           ).otherwise(0)
         ).as("audit_bad_frame_len"),
-        sum(
+        max(
           when(
             size(col("features")) =!= 8 ||
-              exists(col("features"), v => v < -1.0f || v >= 1.0f),
+              exists(col("features"), v => v <= -1.0f || v >= 1.0f),
             1
           ).otherwise(0)
         ).as("audit_bad_features")
@@ -2471,8 +2600,46 @@ object Queries {
           1
         ).otherwise(0)
       )
+      // n_frames/n_bytes depend on the PNG encoder's byte output — real
+      // codec artifacts with no relational closed form; they feed the
+      // frame-count audit above and stay out of the checked columns
+      .select(
+        col("media_id"),
+        col("width"),
+        col("height"),
+        col("px00_r"),
+        col("px00_g"),
+        col("px00_b"),
+        col("lum_sum"),
+        col("audit_undecoded"),
+        col("audit_bad_frame_len").cast("long").as("audit_bad_frame_len"),
+        col("audit_bad_frame_count"),
+        col("audit_bad_features")
+      )
       .orderBy(col("media_id"))
   }
+
+  /** q32's static oracle: replay the raster law + audit zeros from the
+    * raw text (see q32Multimodal scaladoc; len(text) = byte length —
+    * the corpus is ASCII at every SF, probed).
+    */
+  val q32Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(8 + length(text) % 9 AS INT) AS width,
+      |  CAST(8 + length(text) % 7 AS INT) AS height,
+      |  ascii(substr(text, 1, 1)) AS px00_r,
+      |  ascii(substr(text, (7 % length(text)) + 1, 1)) AS px00_g,
+      |  ascii(substr(text, (13 % length(text)) + 1, 1)) AS px00_b,
+      |  CAST(list_sum(list_transform(range((8 + length(text) % 9) * (8 + length(text) % 7)), i ->
+      |    ascii(substr(text, (i % length(text)) + 1, 1)) +
+      |    ascii(substr(text, ((i * 31 + 7) % length(text)) + 1, 1)) +
+      |    ascii(substr(text, ((i * 131 + 13) % length(text)) + 1, 1)))) AS BIGINT) AS lum_sum,
+      |  0 AS audit_undecoded,
+      |  CAST(0 AS BIGINT) AS audit_bad_frame_len,
+      |  0 AS audit_bad_frame_count,
+      |  0 AS audit_bad_features
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- q65
   /** Salted equi-join in-registry (ops.Skew spec-only until now): the
@@ -5403,10 +5570,14 @@ object Queries {
         .map { case (p, j) => s"(CASE WHEN (${dotSql(p)}) > 0 THEN ${1L << j} ELSE 0 END)" }
         .mkString(" + ")
 
-    /** The (vec_id, tbl, bucket) union — one SELECT per LSH table. */
-    def dbk(nbits: Int, tables: Int): String =
+    /** The (vec_id, tbl, bucket) union — one SELECT per LSH table.
+      * `from` names the (vec_id, embedding FLOAT[]) source: the
+      * embeddings table by default, or a generated CTE (q54 replays
+      * over closed-form raster-law features in a `feats` CTE).
+      */
+    def dbk(nbits: Int, tables: Int, from: String = "embeddings"): String =
       (0 until tables)
-        .map(t => s"SELECT vec_id, $t AS tbl, CAST(${bucketSql(t, nbits)} AS BIGINT) AS bucket FROM embeddings")
+        .map(t => s"SELECT vec_id, $t AS tbl, CAST(${bucketSql(t, nbits)} AS BIGINT) AS bucket FROM $from")
         .mkString("\nUNION ALL\n")
 
     /** Radius-1 multiprobe bucket list (the bucket plus its one-bit
@@ -5916,6 +6087,7 @@ object Queries {
     "q25_knn_brute" -> q25Oracle,
     "q26_token_counts" -> q26Oracle,
     "q29_ngram_jaccard" -> q29Oracle,
+    "q32_multimodal" -> q32Oracle,
     "q34_retention" -> q34Oracle,
     "q35_ivf" -> q35Oracle,
     "q36_rollup" -> q36Oracle,
@@ -6015,7 +6187,8 @@ object Queries {
       "q33_dedup_assign" -> (() => q33OracleFor(s, dir)),
       "q49_ann_adaptive" -> (() => q49OracleFor(n)),
       "q27_minhash_dedup" -> (() => q27OracleFor(s, dir)),
-      "q48_minhash_recall" -> (() => q48OracleFor(s, dir))
+      "q48_minhash_recall" -> (() => q48OracleFor(s, dir)),
+      "q54_media_dedup" -> (() => q54OracleFor(s, dir))
     )
     gens.flatMap { case (name, gen) =>
       try Some(name -> gen())

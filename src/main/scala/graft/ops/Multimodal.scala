@@ -1,29 +1,102 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 
 /** Multimodal columns for the training-data pipeline extension: media as
   * opaque `binary` columns with typed metadata, plus decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the DECODE KERNELS ARE
-  * DETERMINISTIC STUBS (clearly marked below): they compute fake but
-  * stable values from the bytes. Everything around them — the schema, the
-  * binary column handling, the per-partition batching seam, the frame
-  * explode, the fixed-dim feature vectors — is the real Spark plumbing a
-  * production codec would slot into.
+  * Since round 6 the image kernels are REAL: `renderPng` rasterizes
+  * payload bytes into a tiny RGB image and PNG-encodes it with
+  * `javax.imageio` (ships in the JDK's java.desktop module — headless
+  * safe, probed in this container), and `decodeImage` decodes those
+  * bytes back with `ImageIO.read` and computes features from the actual
+  * pixels. Because the raster law (dimensions + per-pixel channels) is a
+  * CLOSED FORM over the payload bytes, the whole encode → PNG → decode
+  * round trip is certifiable relationally — q32's DuckDB oracle
+  * recomputes the decoded width/height/pixel values from the raw text.
+  * The byte-hash kernels below ([[decodeImageStub]], [[featureExtract]],
+  * [[resizeStub]], [[decodeBatchStub]]) remain as the documented
+  * FALLBACK for non-image payloads or a JRE without java.desktop; they
+  * are no longer on the q32/q54 live path.
   *
-  * Scale notes: all stages are map-side (no shuffles); frame sampling is a
-  * generator (posexplode) so one 100 MB video row becomes many frame rows
-  * without driver involvement; feature extraction emits fixed-dim vectors
-  * ready for graft.ops.Similarity.
+  * Scale notes: all stages are map-side (no shuffles); one
+  * decode per row inside the partition iterator ([[decodeImage]] is the
+  * mapPartitions seam where a production codec/model server would
+  * amortize native init); frame sampling is a generator (posexplode) so
+  * one 100 MB video row becomes many frame rows without driver
+  * involvement; feature extraction emits fixed-dim vectors ready for
+  * graft.ops.Similarity.
   */
 object Multimodal {
 
-  /** Wrap any payload column as a media row: opaque bytes + typed metadata
-    * derived (deterministically) at ingest. Metadata travels as a struct —
-    * the "typed metadata" half of the multimodal contract.
+  // ------------------------------------------------------------------
+  // The deterministic raster law — shared by the encode side
+  // (renderPng), the decode audits, and the q32 DuckDB oracle. Keep the
+  // three in sync: width/height from payload length, channel bytes from
+  // payload positions.
+  //   width  = 8 + len % 9   (8..16)
+  //   height = 8 + len % 7   (8..14)
+  //   pixel(x, y), idx = y*width + x:
+  //     r = payload[idx % len], g = payload[(idx*31 + 7) % len],
+  //     b = payload[(idx*131 + 13) % len]
+  // ------------------------------------------------------------------
+  def rasterWidth(len: Int): Int = 8 + len % 9
+  def rasterHeight(len: Int): Int = 8 + len % 7
+
+  /** Rasterize each row's payload into a tiny RGB image under the
+    * closed-form raster law and encode it as REAL PNG bytes via
+    * `javax.imageio` — the ingest stage that turns an opaque payload
+    * into decodable media. Deterministic: byte-identical payloads yield
+    * byte-identical PNGs (PNG is lossless; the law has no randomness).
+    * Map-side mapPartitions (the codec-init amortization seam).
+    */
+  def renderPng(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // ImageIO scans for plugin providers on first use — once per
+        // partition here, not once per row
+        rows.map { case (id, payload) =>
+          val len = payload.length
+          require(len > 0, s"empty payload for id=$id")
+          val w = rasterWidth(len)
+          val h = rasterHeight(len)
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var idx = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = payload(idx % len) & 0xff
+              val g = payload((idx * 31 + 7) % len) & 0xff
+              val b = payload((idx * 131 + 13) % len) & 0xff
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              idx += 1
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream(256)
+          ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray, len)
+        }
+      }
+      .toDF(idCol, "png", "payload_len")
+  }
+
+  /** Wrap any payload column as a media row: opaque bytes + typed
+    * metadata. At ingest only the byte length is known — width/height/
+    * sample_rate are NULL until a decode stage ([[decodeImage]]) reads
+    * the real container header.
     */
   def asMedia(df: DataFrame, idCol: String, payloadCol: String, kind: String): DataFrame =
     df.select(
@@ -34,17 +107,158 @@ object Multimodal {
       "meta",
       struct(
         length(col("bytes")).cast("int").as("n_bytes"),
-        // STUB: a real decoder reads the container header; we derive
-        // stable fake dimensions from the byte length.
-        (pmod(length(col("bytes")), lit(640)) + 32).cast("int").as("width"),
-        (pmod(length(col("bytes")), lit(480)) + 32).cast("int").as("height"),
-        lit(16000).cast("int").as("sample_rate")
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate")
       )
     )
 
-  /** STUB image decode: a real implementation hands `bytes` to a codec
-    * (e.g. libjpeg via JNI) inside this same column contract. The stub
-    * emits a deterministic 8-value "pixel summary" from the bytes.
+  /** Columns [[decodeImage]] appends. decode_ok=false rows carry the
+    * byte-hash FALLBACK features (documented stub path) and -1 dims.
+    */
+  private val decodedFields: Seq[StructField] = Seq(
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("px00_r", IntegerType, nullable = false),
+    StructField("px00_g", IntegerType, nullable = false),
+    StructField("px00_b", IntegerType, nullable = false),
+    StructField("lum_sum", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
+  )
+
+  /** REAL image decode + feature extraction (round 6): per partition,
+    * hand each row's `bytes` to `ImageIO.read` and compute from the
+    * ACTUAL pixels —
+    *   - `width`/`height` from the decoded header,
+    *   - `px00_*` the channel values of pixel (0,0),
+    *   - `lum_sum` the integer-exact Σ(r+g+b) over every pixel,
+    *   - `features` a `dim`-length float vector of grid-cell mean
+    *     luminance CENTERED on the image mean, in (−1, 1) — centering
+    *     decorrelates unrelated images (raw cell means of text-derived
+    *     rasters all sit near the corpus byte mean, which would push
+    *     every random pair's cosine toward 1) while keeping
+    *     byte-identical payloads at exactly identical vectors.
+    * Unparseable payloads take the documented byte-hash FALLBACK
+    * (decode_ok=false, dims −1, stub features) instead of failing the
+    * stage. Also fills meta.width/height for decoded rows. Map-side
+    * only; one decode per row amortized over the partition iterator.
+    */
+  def decodeImage(media: DataFrame, dim: Int = 64): DataFrame = {
+    val inSchema = media.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val outSchema = StructType(inSchema.fields ++ decodedFields)
+    val gx = math.ceil(math.sqrt(dim.toDouble)).toInt
+    val gy = math.ceil(dim.toDouble / gx).toInt
+    val decoded = media.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](bytesIdx)
+        val img =
+          try ImageIO.read(new ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        val extra: Seq[Any] =
+          if (img == null) {
+            // FALLBACK: deterministic byte-hash stub features (the
+            // documented no-codec path); negative dims mark the row
+            val feats = Array.tabulate(dim) { d =>
+              val hx = scala.util.hashing.MurmurHash3.bytesHash(bytes, d)
+              ((((hx % 2000L) + 2000L) % 2000L).toDouble / 1000.0 - 1.0).toFloat
+            }
+            Seq(false, -1, -1, -1, -1, -1, -1L, feats)
+          } else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val sums = new Array[Long](gx * gy)
+            val counts = new Array[Long](gx * gy)
+            var lumSum = 0L
+            var y = 0
+            while (y < h) {
+              val cy = y * gy / h
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val s = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                lumSum += s
+                val cell = cy * gx + x * gx / w
+                sums(cell) += s
+                counts(cell) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val imgMean = lumSum.toDouble / (3.0 * w * h)
+            val feats = Array.tabulate(dim) { c =>
+              if (counts(c) > 0) {
+                val cellMean = sums(c).toDouble / (3.0 * counts(c))
+                // (cellMean − imgMean) ∈ (−256, 256) ⇒ /256 ∈ (−1, 1)
+                ((cellMean - imgMean) / 256.0).toFloat
+              } else 0f
+            }
+            val p00 = img.getRGB(0, 0)
+            Seq(true, w, h, (p00 >> 16) & 0xff, (p00 >> 8) & 0xff, p00 & 0xff, lumSum, feats)
+          }
+        Row.fromSeq(row.toSeq ++ extra)
+      }
+    }(Encoders.row(outSchema))
+    decoded.withColumn(
+      "meta",
+      when(
+        col("decode_ok"),
+        col("meta")
+          .withField("width", col("width"))
+          .withField("height", col("height"))
+      ).otherwise(col("meta"))
+    )
+  }
+
+  /** REAL resize (round 6): decode, nearest-neighbor rescale to
+    * `targetW`×`targetH` on the pixel grid (deterministic — no AA
+    * filter), PNG re-encode, metadata updated from the re-encoded
+    * bytes. Unparseable payloads pass through unchanged. Map-side.
+    */
+  def resizeImage(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val inSchema = media.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val resized = media.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](bytesIdx)
+        val img =
+          try ImageIO.read(new ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) row
+        else {
+          val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < targetH) {
+            val sy = y * img.getHeight / targetH
+            var x = 0
+            while (x < targetW) {
+              out.setRGB(x, y, img.getRGB(x * img.getWidth / targetW, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream(256)
+          ImageIO.write(out, "png", bos)
+          val seq = row.toSeq.updated(bytesIdx, bos.toByteArray: Any)
+          Row.fromSeq(seq)
+        }
+      }
+    }(Encoders.row(inSchema))
+    resized
+      .withColumn(
+        "meta",
+        col("meta")
+          .withField("n_bytes", length(col("bytes")).cast("int"))
+          .withField("width", lit(targetW))
+          .withField("height", lit(targetH))
+      )
+  }
+
+  /** FALLBACK image decode (byte-hash stub): the pre-round-6 kernel,
+    * kept for payloads no codec can parse and JREs without
+    * java.desktop. Emits a deterministic 8-value "pixel summary" from
+    * the bytes. Not on the q32/q54 live path — [[decodeImage]] is.
     */
   def decodeImageStub(media: DataFrame): DataFrame =
     media.withColumn(
@@ -55,9 +269,9 @@ object Multimodal {
       )
     )
 
-  /** Fixed-dim float feature vector from the bytes (STUB featurizer: a
-    * real model server / ONNX runtime slots in here; the column contract —
-    * array<float> of fixed dim — is what downstream Similarity needs).
+  /** FALLBACK featurizer (byte-hash stub): fixed-dim float vector from
+    * the raw bytes, for media kinds with no decoder. Image paths use
+    * [[decodeImage]]'s real pixel features instead.
     */
   def featureExtract(media: DataFrame, dim: Int = 64): DataFrame =
     media.withColumn(
@@ -68,8 +282,9 @@ object Multimodal {
       )
     )
 
-  /** Resize STUB: clamp/pad the payload to `targetBytes` (a real resize
-    * re-encodes; the stub keeps the binary column contract + lengths).
+  /** Resize FALLBACK: clamp/pad the payload to `targetBytes` (keeps the
+    * binary column contract + lengths for undecodable kinds;
+    * [[resizeImage]] is the real image path).
     */
   def resizeStub(media: DataFrame, targetBytes: Int): DataFrame =
     media.withColumn("bytes", substring(col("bytes"), 1, targetBytes))
@@ -95,9 +310,9 @@ object Multimodal {
     )
   }
 
-  /** The mapPartitions seam: per-partition batched decode, the Scala
-    * analogue of mapInPandas — a real codec would amortize native-lib
-    * init across each partition's iterator exactly here. STUB kernel:
+  /** The typed mapPartitions seam demo: per-partition batched kernel,
+    * the Scala analogue of mapInPandas — per-partition init happens once
+    * (where [[decodeImage]] amortizes its codec scan). STUB kernel:
     * byte-sum checksum per row.
     */
   def decodeBatchStub(media: DataFrame): Dataset[(Long, Long)] = {

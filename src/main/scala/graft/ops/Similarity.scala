@@ -165,6 +165,16 @@ object Similarity {
   /** Sign-sketch bucket id (one LSH table): nbits sign bits of the
     * hyperplane dot products, folded into a long.
     *
+    * STATUS (since round 5): INTERPRETED FALLBACK, off every hot path.
+    * All production bucket computation goes through the native
+    * codegen'd [[graft.expr.LshBuckets]] (via the private `allBuckets`
+    * below — q30/q31/q49/q54/q107, bucketIndex, StreamingAnn);
+    * LshBucketsSpec pins the two bit-identical. Remaining callers of
+    * THIS composed Column form: graft.Profile's `one_table_buckets`
+    * stage and LshBucketsSpec's equivalence test — nothing on a query
+    * path. Keep it as the dependency-free reference implementation; do
+    * not add new call sites on query paths.
+    *
     * Scale note: `nbits` must grow with the corpus — use `lshParams` to
     * derive (nbits, tables) from corpus size and the cosine regime of
     * interest instead of hand-tuning; the 6-bit default suits the

@@ -52,11 +52,99 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("renderPng → decodeImage: REAL ImageIO round trip recovers the raster law exactly") {
+    val rendered = Multimodal.renderPng(docs, "doc_id", "text")
+    // the PNG bytes are a real container: magic header present
+    val pngs = rendered.select("doc_id", "png").as[(Long, Array[Byte])].collect().toMap
+    assert(pngs.values.forall(b =>
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'))
+    val media = Multimodal.asMedia(rendered, "doc_id", "png", "image")
+    val dec = Multimodal.decodeImage(media, dim = 8)
+      .select("media_id", "decode_ok", "width", "height", "px00_r", "px00_g", "px00_b", "lum_sum")
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    for ((id, payload) <- Map(1L -> "abcdefghij", 2L -> "0123456789abcdef")) {
+      val bs = payload.getBytes
+      val len = bs.length
+      val w = Multimodal.rasterWidth(len)
+      val h = Multimodal.rasterHeight(len)
+      val r = dec(id)
+      assert(r.getBoolean(1), s"decode failed for $id")
+      assert(r.getInt(2) == w && r.getInt(3) == h, s"dims for $id: $r")
+      assert(r.getInt(4) == (bs(0) & 0xff))
+      assert(r.getInt(5) == (bs(7 % len) & 0xff))
+      assert(r.getInt(6) == (bs(13 % len) & 0xff))
+      val lum = (0 until w * h).map { i =>
+        (bs(i % len) & 0xff) + (bs((i * 31 + 7) % len) & 0xff) + (bs((i * 131 + 13) % len) & 0xff)
+      }.map(_.toLong).sum
+      assert(r.getLong(7) == lum, s"lum_sum for $id: got ${r.getLong(7)}, want $lum")
+    }
+  }
+
+  test("decodeImage: real pixel features are fixed-dim, in (-1,1), deterministic, identity-preserving") {
+    val rendered = Multimodal.renderPng(docs, "doc_id", "text")
+    val media = Multimodal.asMedia(rendered, "doc_id", "png", "image")
+    def feats() = Multimodal.decodeImage(media, dim = 16)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    val f1 = feats()
+    assert(f1.values.forall(_.size == 16))
+    assert(f1.values.flatten.forall(v => v > -1f && v < 1f))
+    assert(f1.mapValues(_.toList).toMap == feats().mapValues(_.toList).toMap) // deterministic
+    // identical payloads → identical features; different → different
+    val dup = Seq((10L, "abcdefghij"), (11L, "abcdefghij"), (12L, "zyxwvutsrq")).toDF("doc_id", "text")
+    val fd = Multimodal.decodeImage(
+      Multimodal.asMedia(Multimodal.renderPng(dup, "doc_id", "text"), "doc_id", "png", "image"),
+      dim = 16
+    ).select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(fd(10L) == fd(11L))
+    assert(fd(10L) != fd(12L))
+  }
+
+  test("decodeImage: unparseable payload takes the documented fallback, not a failure") {
+    val dec = Multimodal.decodeImage(media, dim = 8) // text bytes: no codec can parse
+    val rows = dec.select("decode_ok", "width", "features").collect()
+    assert(rows.forall(!_.getBoolean(0)))
+    assert(rows.forall(_.getInt(1) == -1))
+    assert(rows.forall(_.getSeq[Float](2).size == 8))
+  }
+
+  test("resizeImage: real nearest-neighbor rescale, re-encoded and re-decodable at target dims") {
+    val rendered = Multimodal.renderPng(docs, "doc_id", "text")
+    val media = Multimodal.asMedia(rendered, "doc_id", "png", "image")
+    val resized = Multimodal.resizeImage(media, targetW = 4, targetH = 4)
+    val meta = resized.select("media_id", "meta.width", "meta.height").as[(Long, Int, Int)].collect()
+    assert(meta.forall { case (_, w, h) => w == 4 && h == 4 })
+    val dec = Multimodal.decodeImage(resized, dim = 4)
+      .select("decode_ok", "width", "height").collect()
+    assert(dec.forall(r => r.getBoolean(0) && r.getInt(1) == 4 && r.getInt(2) == 4))
+    // nearest-neighbor at (0,0) maps to source (0,0): channel r = payload byte 0
+    val px = Multimodal.decodeImage(resized, dim = 4)
+      .select("media_id", "px00_r").as[(Long, Int)].collect().toMap
+    assert(px(1L) == 'a'.toInt && px(2L) == '0'.toInt)
+  }
+
+  test("q32 audits: all zero and decoded values obey the raster law at sf0.001") {
+    val rows = graft.Queries.q32Multimodal(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getAs[Int]("audit_undecoded") == 0))
+    assert(rows.forall(r => r.getAs[Long]("audit_bad_frame_len") == 0L))
+    assert(rows.forall(r => r.getAs[Int]("audit_bad_frame_count") == 0))
+    assert(rows.forall(r => r.getAs[Int]("audit_bad_features") == 0))
+    assert(rows.forall { r =>
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      w >= 8 && w <= 16 && h >= 8 && h <= 14
+    })
+  }
+
   test("q54 media-dedup integration: identical payloads all found via the embedding path") {
     val r = graft.Queries.q54MediaDedup(spark, "/root/testdata/sf0.001").collect().head
-    assert(r.getAs[Long]("n_exact") > 0, "corpus lost its identical payloads")
-    assert(r.getAs[Double]("recall") == 1.0,
-      s"identical media payloads (cosine 1.0, identical buckets) must all be found: $r")
+    assert(r.getAs[Long]("n_identical") >= 250, "corpus lost its planted re-uploads")
+    assert(r.getAs[Double]("recall_identical") == 1.0,
+      s"identical media payloads (cosine 1.0, identical buckets) must ALL be found: $r")
+    assert(r.getAs[Long]("n_exact") > 0)
+    assert(r.getAs[Double]("recall") >= 0.9,
+      s"LSH recall over all cosine>=0.9 pairs degraded: $r")
   }
 
   test("frame-level dedup: shared frames across different media found by fingerprint join") {

@@ -75,7 +75,16 @@ object PlanCheck {
     * from a judgment call into a diff: fingerprint unchanged ⇒ the
     * authored plan didn't move, the creep is environmental; changed ⇒
     * here is the query whose plan to inspect. (Round-4 VERDICT asked
-    * for exactly this artifact.) AQE is off HERE only because its
+    * for exactly this artifact.)
+    *
+    * ROUND-6 CAVEAT, measured: hashes are deterministic within a
+    * container (back-to-back runs agree 107/107 after the
+    * truncated-tail fix) but NOT across containers — the r5-committed
+    * hashes differed from a same-code regeneration in the r6 container
+    * on 105/107 queries. Cross-ROUND adjudication therefore diffs the
+    * committed normalized dumps (docs/plan_dumps/, written on every
+    * run) — same-code dumps regenerated in the new container vs the
+    * new dumps — never the hash file across containers. AQE is off HERE only because its
     * runtime re-plans (e.g. a borderline broadcast decision flipping
     * join sides run to run) are exactly the environmental noise the
     * fingerprint must exclude — Verify/Bench keep AQE on.
@@ -115,9 +124,25 @@ object PlanCheck {
             // with a 'deadbeef' substring) isn't collapsed, which would
             // make two genuinely different plans hash identical
             .replaceAll("\\br[0-9a-f]{8,}\\b", "r")
-          sys.env.get("SPARK_GRAFT_FP_DUMP").foreach { d =>
-            java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/$name.txt"), norm)
-          }
+            // Spark truncates long field lists (DataFilters etc.) at a
+            // RAW-string budget, so the cut can land mid-token — and the
+            // partial token leaks pre-normalization variance: a
+            // session-global lambda counter ("lambda x_65..." — depends
+            // on how many lambdas earlier queries registered, observed
+            // on q67) or a boundary shifted by the varying LENGTH of an
+            // @addr it swallowed (observed run-to-run on q103). Drop the
+            // partial token after the last comma of a truncated segment.
+            .replaceAll(",[^,\\n]*\\.\\.\\.", ", ...")
+          // ALWAYS dump the normalized text alongside the hash: round 6
+          // proved the hashes are stable within a container but NOT
+          // across containers (105/107 differed between the r5-committed
+          // baseline and a regeneration from the SAME code in the r6
+          // container — token unidentifiable from hashes alone). The
+          // committed dumps make the next cross-round comparison a TEXT
+          // diff that names the leaking token instead of a hash verdict.
+          val dumpDir = sys.env.getOrElse("SPARK_GRAFT_FP_DUMP", "/root/repo/docs/plan_dumps")
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dumpDir))
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dumpDir/$name.txt"), norm)
           java.security.MessageDigest
             .getInstance("SHA-256")
             .digest(norm.getBytes("UTF-8"))

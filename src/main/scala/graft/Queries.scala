@@ -2641,6 +2641,63 @@ object Queries {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** Audio pipeline, REAL codec (round 6): documents →
+    * [[Multimodal.renderWav]] (payload synthesized into mono 16-bit PCM
+    * under the closed-form audio law, RIFF/WAV-encoded via
+    * javax.sound.sampled) → [[Multimodal.decodeAudio]]
+    * (AudioSystem.getAudioInputStream back — header rate, frame count,
+    * first decoded sample, integer-exact Σ|sample|, envelope bins from
+    * the actual PCM) → per-media checked row.
+    *
+    * ORACLED (static SQL, [[q108Oracle]]): like q32, the audio law
+    * makes every decoded value a closed form over the raw text bytes —
+    * a hash match certifies the WAV encode → RIFF → decode round trip
+    * sample-exactly. The envelope stays engine-side (float bins),
+    * pinned by its audit zero + MultimodalSpec.
+    */
+  def q108AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    val rendered = Multimodal.renderWav(Tables.documents(s, dir), "doc_id", "text")
+    val media = Multimodal.asMedia(rendered, "doc_id", "wav", "audio")
+    Multimodal
+      .decodeAudio(media, dim = 8)
+      .select(
+        col("media_id"),
+        col("sample_rate"),
+        col("n_samples"),
+        col("first_sample"),
+        col("amp_sum"),
+        when(!col("decode_ok"), 1).otherwise(0).as("audit_undecoded"),
+        when(
+          size(col("envelope")) =!= 8 ||
+            exists(col("envelope"), v => v <= -1.0f || v >= 1.0f),
+          1
+        ).otherwise(0).as("audit_bad_envelope")
+      )
+      .orderBy(col("media_id"))
+  }
+
+  /** q108's static oracle: replay the audio law from the raw text (the
+    * signed-16 CASE never fires on this ASCII corpus — hi < 128 — but
+    * the replay keeps the general form).
+    */
+  val q108Oracle: String = {
+    def sample(hiIdx: String, loIdx: String): String =
+      s"""CASE WHEN ascii(substr(text, ($hiIdx) + 1, 1)) >= 128
+         |    THEN ascii(substr(text, ($hiIdx) + 1, 1)) * 256 + ascii(substr(text, ($loIdx) + 1, 1)) - 65536
+         |    ELSE ascii(substr(text, ($hiIdx) + 1, 1)) * 256 + ascii(substr(text, ($loIdx) + 1, 1)) END""".stripMargin
+    s"""SELECT doc_id AS media_id,
+       |  CAST(8000 + (length(text) % 8) * 1000 AS INT) AS sample_rate,
+       |  CAST(length(text) * 4 AS BIGINT) AS n_samples,
+       |  ${sample("3 % length(text)", "0")} AS first_sample,
+       |  CAST(list_sum(list_transform(range(length(text) * 4), i ->
+       |    abs(${sample("(i * 17 + 3) % length(text)", "i % length(text)")}))) AS BIGINT) AS amp_sum,
+       |  0 AS audit_undecoded,
+       |  0 AS audit_bad_envelope
+       |FROM documents
+       |ORDER BY media_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q65
   /** Salted equi-join in-registry (ops.Skew spec-only until now): the
     * static skew remedy for a hot join key — fact rows get a uniform
@@ -6056,7 +6113,8 @@ object Queries {
     "q104_snapshot_diff" -> (q104SnapshotDiff _),
     "q105_temporal_split" -> (q105TemporalSplit _),
     "q106_pagerank_directed" -> (q106PagerankDirected _),
-    "q107_hard_negatives_ann" -> (q107HardNegativesAnn _)
+    "q107_hard_negatives_ann" -> (q107HardNegativesAnn _),
+    "q108_audio_decode" -> (q108AudioDecode _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6089,6 +6147,7 @@ object Queries {
     "q29_ngram_jaccard" -> q29Oracle,
     "q32_multimodal" -> q32Oracle,
     "q34_retention" -> q34Oracle,
+    "q108_audio_decode" -> q108Oracle,
     "q35_ivf" -> q35Oracle,
     "q36_rollup" -> q36Oracle,
     "q37_sessionize" -> q37Oracle,

@@ -255,6 +255,137 @@ object Multimodal {
       )
   }
 
+  // ------------------------------------------------------------------
+  // Audio: the same closed-form-law + real-JDK-codec design as images,
+  // via javax.sound.sampled (java.desktop module, headless-probed).
+  //   sample_rate = 8000 + (len % 8) * 1000     (8000..15000 Hz)
+  //   n_samples   = len * 4
+  //   sample(i), 16-bit signed little-endian PCM:
+  //     hi = payload[(i*17 + 3) % len], lo = payload[i % len]
+  //     s  = toSigned16((hi << 8) | lo)
+  // ------------------------------------------------------------------
+  def audioRate(len: Int): Int = 8000 + (len % 8) * 1000
+  def audioSamples(len: Int): Int = len * 4
+
+  /** Synthesize each row's payload into REAL mono 16-bit PCM WAV bytes
+    * (RIFF container via AudioSystem.write) under the closed-form audio
+    * law — deterministic, byte-identical payloads yield byte-identical
+    * WAVs. Map-side mapPartitions.
+    */
+  def renderWav(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val len = payload.length
+          require(len > 0, s"empty payload for id=$id")
+          val n = audioSamples(len)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val hi = payload((i * 17 + 3) % len) & 0xff
+            val lo = payload(i % len) & 0xff
+            // little-endian 16-bit: the (hi<<8|lo) value IS the sample
+            pcm(2 * i) = lo.toByte
+            pcm(2 * i + 1) = hi.toByte
+            i += 1
+          }
+          val fmt = new AudioFormat(audioRate(len).toFloat, 16, 1, true, false)
+          val bos = new ByteArrayOutputStream(pcm.length + 64)
+          AudioSystem.write(
+            new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+            AudioFileFormat.Type.WAVE,
+            bos
+          )
+          (id, bos.toByteArray, len)
+        }
+      }
+      .toDF(idCol, "wav", "payload_len")
+  }
+
+  /** Columns [[decodeAudio]] appends (fallback rows: -1 scalars, stub
+    * envelope, decode_ok=false).
+    */
+  private val audioFields: Seq[StructField] = Seq(
+    StructField("decode_ok", BooleanType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("first_sample", IntegerType, nullable = false),
+    StructField("amp_sum", LongType, nullable = false),
+    StructField("envelope", ArrayType(FloatType, containsNull = false), nullable = false)
+  )
+
+  /** REAL audio decode: per partition, parse the WAV container with
+    * `AudioSystem.getAudioInputStream`, read the PCM frames back and
+    * compute from the ACTUAL samples — header sample rate, frame count,
+    * the first decoded sample, the integer-exact Σ|sample|, and a
+    * `dim`-bin envelope (mean |sample| per contiguous bin, scaled to
+    * (−1, 1)). Unparseable payloads take the byte-hash FALLBACK
+    * (decode_ok=false). Fills meta.sample_rate for decoded rows.
+    * Map-side only.
+    */
+  def decodeAudio(media: DataFrame, dim: Int = 8): DataFrame = {
+    import javax.sound.sampled.AudioSystem
+    val inSchema = media.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val outSchema = StructType(inSchema.fields ++ audioFields)
+    val decoded = media.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](bytesIdx)
+        val pcmOrNull =
+          try {
+            val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+            val f = in.getFormat
+            if (f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian)
+              (f.getSampleRate.toInt, in.readAllBytes())
+            else null
+          } catch { case _: Exception => null }
+        val extra: Seq[Any] =
+          if (pcmOrNull == null) {
+            val env = Array.tabulate(dim) { d =>
+              val hx = scala.util.hashing.MurmurHash3.bytesHash(bytes, d)
+              ((((hx % 2000L) + 2000L) % 2000L).toDouble / 1000.0 - 1.0).toFloat
+            }
+            Seq(false, -1, -1L, -1, -1L, env)
+          } else {
+            val (rate, pcm) = pcmOrNull
+            val n = pcm.length / 2
+            val sums = new Array[Long](dim)
+            val counts = new Array[Long](dim)
+            var ampSum = 0L
+            var first = 0
+            var i = 0
+            while (i < n) {
+              // little-endian signed 16-bit
+              val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+              if (i == 0) first = s
+              val a = math.abs(s).toLong
+              ampSum += a
+              val bin = (i.toLong * dim / n).toInt
+              sums(bin) += a
+              counts(bin) += 1
+              i += 1
+            }
+            val env = Array.tabulate(dim) { b =>
+              if (counts(b) > 0)
+                ((sums(b).toDouble / counts(b)) / 32768.0 * 2.0 - 1.0).toFloat
+              else -1f
+            }
+            Seq(true, rate, n.toLong, first, ampSum, env)
+          }
+        Row.fromSeq(row.toSeq ++ extra)
+      }
+    }(Encoders.row(outSchema))
+    decoded.withColumn(
+      "meta",
+      when(col("decode_ok"), col("meta").withField("sample_rate", col("sample_rate")))
+        .otherwise(col("meta"))
+    )
+  }
+
   /** FALLBACK image decode (byte-hash stub): the pre-round-6 kernel,
     * kept for payloads no codec can parse and JREs without
     * java.desktop. Emits a deterministic 8-value "pixel summary" from

@@ -137,6 +137,49 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
+  test("renderWav → decodeAudio: REAL WAV round trip recovers the audio law sample-exactly") {
+    val rendered = Multimodal.renderWav(docs, "doc_id", "text")
+    val wavs = rendered.select("doc_id", "wav").as[(Long, Array[Byte])].collect().toMap
+    // real RIFF container
+    assert(wavs.values.forall(b => b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'))
+    val media = Multimodal.asMedia(rendered, "doc_id", "wav", "audio")
+    val dec = Multimodal.decodeAudio(media, dim = 8)
+      .select("media_id", "decode_ok", "sample_rate", "n_samples", "first_sample", "amp_sum", "meta.sample_rate")
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    for ((id, payload) <- Map(1L -> "abcdefghij", 2L -> "0123456789abcdef")) {
+      val bs = payload.getBytes
+      val len = bs.length
+      val r = dec(id)
+      assert(r.getBoolean(1), s"decode failed for $id")
+      assert(r.getInt(2) == Multimodal.audioRate(len))
+      assert(r.getInt(6) == Multimodal.audioRate(len), "meta.sample_rate not filled")
+      assert(r.getLong(3) == Multimodal.audioSamples(len).toLong)
+      def sample(i: Int): Int =
+        ((((bs((i * 17 + 3) % len) & 0xff) << 8) | (bs(i % len) & 0xff)).toShort).toInt
+      assert(r.getInt(4) == sample(0), s"first_sample for $id")
+      val amp = (0 until Multimodal.audioSamples(len)).map(i => math.abs(sample(i)).toLong).sum
+      assert(r.getLong(5) == amp, s"amp_sum for $id: got ${r.getLong(5)}, want $amp")
+    }
+  }
+
+  test("decodeAudio: unparseable payload takes the documented fallback") {
+    val dec = Multimodal.decodeAudio(media, dim = 8) // text bytes: not a WAV
+    val rows = dec.select("decode_ok", "sample_rate", "envelope").collect()
+    assert(rows.forall(!_.getBoolean(0)))
+    assert(rows.forall(_.getInt(1) == -1))
+    assert(rows.forall(_.getSeq[Float](2).size == 8))
+  }
+
+  test("q108 audio audits: all zero at sf0.001, envelope in range") {
+    val rows = graft.Queries.q108AudioDecode(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getAs[Int]("audit_undecoded") == 0))
+    assert(rows.forall(r => r.getAs[Int]("audit_bad_envelope") == 0))
+    assert(rows.forall(r => r.getAs[Long]("amp_sum") > 0))
+  }
+
   test("q54 media-dedup integration: identical payloads all found via the embedding path") {
     val r = graft.Queries.q54MediaDedup(spark, "/root/testdata/sf0.001").collect().head
     assert(r.getAs[Long]("n_identical") >= 250, "corpus lost its planted re-uploads")

@@ -36,7 +36,11 @@ object PlanCheck {
       "q94_pq_adc", "q96_pagerank", "q98_transitions",
       // round-4: join-free gram aggregate (hashed keys), directed
       // PageRank with the dangling fold, LSH-candidate mining
-      "q101_novelty", "q106_pagerank_directed", "q107_hard_negatives_ann"
+      "q101_novelty", "q106_pagerank_directed", "q107_hard_negatives_ann",
+      // round-6: the real-codec mapPartitions seams — the object
+      // serialize/deserialize boundary should wrap ONLY the decode
+      // stage, with the rollups/joins staying codegen'd around it
+      "q32_multimodal", "q54_media_dedup", "q108_audio_decode"
     )
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

@@ -46,7 +46,8 @@ object Verify {
       case c => c.toString
     } + "\""
     // static oracles + the verify-corpus-generated ones (q30/q31/q49/
-    // q94/q33/q107 replay geometry/codebooks derived from THIS corpus).
+    // q94/q33/q107, and since round 6 q27/q48/q54 — replaying geometry/
+    // codebooks/signatures derived from THIS corpus).
     // Fault isolation (T6 discipline): a failure while GENERATING the
     // dynamic entries must cost only those queries' oracles, never the
     // whole round's oracle_sql.json.

@@ -50,6 +50,97 @@ object Multimodal {
   def rasterWidth(len: Int): Int = 8 + len % 9
   def rasterHeight(len: Int): Int = 8 + len % 7
 
+  /** Pure-JVM encode kernel (PropsSpec property-tests this over random
+    * byte payloads; the mapPartitions stage wraps it): rasterize under
+    * the closed-form law and PNG-encode via ImageIO.
+    */
+  def renderPngBytes(payload: Array[Byte]): Array[Byte] = {
+    val len = payload.length
+    require(len > 0, "empty payload")
+    val w = rasterWidth(len)
+    val h = rasterHeight(len)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var idx = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = payload(idx % len) & 0xff
+        val g = payload((idx * 31 + 7) % len) & 0xff
+        val b = payload((idx * 131 + 13) % len) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        idx += 1
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream(256)
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Pure-JVM decode kernel result ([[decodeImageBytes]]). */
+  final case class DecodedImage(
+      ok: Boolean,
+      width: Int,
+      height: Int,
+      px00r: Int,
+      px00g: Int,
+      px00b: Int,
+      lumSum: Long,
+      features: Array[Float]
+  )
+
+  /** Pure-JVM decode kernel: ImageIO decode + real-pixel stats/features
+    * (see [[decodeImage]] for the column contract); byte-hash fallback
+    * with ok=false when no codec parses the payload.
+    */
+  def decodeImageBytes(bytes: Array[Byte], dim: Int): DecodedImage = {
+    val gx = math.ceil(math.sqrt(dim.toDouble)).toInt
+    val gy = math.ceil(dim.toDouble / gx).toInt
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) {
+      val feats = Array.tabulate(dim) { d =>
+        val hx = scala.util.hashing.MurmurHash3.bytesHash(bytes, d)
+        ((((hx % 2000L) + 2000L) % 2000L).toDouble / 1000.0 - 1.0).toFloat
+      }
+      DecodedImage(ok = false, -1, -1, -1, -1, -1, -1L, feats)
+    } else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Long](gx * gy)
+      val counts = new Array[Long](gx * gy)
+      var lumSum = 0L
+      var y = 0
+      while (y < h) {
+        val cy = y * gy / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val s = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          lumSum += s
+          val cell = cy * gx + x * gx / w
+          sums(cell) += s
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val imgMean = lumSum.toDouble / (3.0 * w * h)
+      val feats = Array.tabulate(dim) { c =>
+        if (counts(c) > 0) {
+          val cellMean = sums(c).toDouble / (3.0 * counts(c))
+          // (cellMean − imgMean) ∈ (−256, 256) ⇒ /256 ∈ (−1, 1)
+          ((cellMean - imgMean) / 256.0).toFloat
+        } else 0f
+      }
+      val p00 = img.getRGB(0, 0)
+      DecodedImage(ok = true, w, h, (p00 >> 16) & 0xff, (p00 >> 8) & 0xff, p00 & 0xff, lumSum, feats)
+    }
+  }
+
   /** Rasterize each row's payload into a tiny RGB image under the
     * closed-form raster law and encode it as REAL PNG bytes via
     * `javax.imageio` — the ingest stage that turns an opaque payload
@@ -65,30 +156,7 @@ object Multimodal {
       .mapPartitions { rows =>
         // ImageIO scans for plugin providers on first use — once per
         // partition here, not once per row
-        rows.map { case (id, payload) =>
-          val len = payload.length
-          require(len > 0, s"empty payload for id=$id")
-          val w = rasterWidth(len)
-          val h = rasterHeight(len)
-          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-          var idx = 0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val r = payload(idx % len) & 0xff
-              val g = payload((idx * 31 + 7) % len) & 0xff
-              val b = payload((idx * 131 + 13) % len) & 0xff
-              img.setRGB(x, y, (r << 16) | (g << 8) | b)
-              idx += 1
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new ByteArrayOutputStream(256)
-          ImageIO.write(img, "png", bos)
-          (id, bos.toByteArray, len)
-        }
+        rows.map { case (id, payload) => (id, renderPngBytes(payload), payload.length) }
       }
       .toDF(idCol, "png", "payload_len")
   }
@@ -148,56 +216,12 @@ object Multimodal {
     val inSchema = media.schema
     val bytesIdx = inSchema.fieldIndex("bytes")
     val outSchema = StructType(inSchema.fields ++ decodedFields)
-    val gx = math.ceil(math.sqrt(dim.toDouble)).toInt
-    val gy = math.ceil(dim.toDouble / gx).toInt
     val decoded = media.mapPartitions { rows =>
       rows.map { row =>
-        val bytes = row.getAs[Array[Byte]](bytesIdx)
-        val img =
-          try ImageIO.read(new ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
-        val extra: Seq[Any] =
-          if (img == null) {
-            // FALLBACK: deterministic byte-hash stub features (the
-            // documented no-codec path); negative dims mark the row
-            val feats = Array.tabulate(dim) { d =>
-              val hx = scala.util.hashing.MurmurHash3.bytesHash(bytes, d)
-              ((((hx % 2000L) + 2000L) % 2000L).toDouble / 1000.0 - 1.0).toFloat
-            }
-            Seq(false, -1, -1, -1, -1, -1, -1L, feats)
-          } else {
-            val w = img.getWidth
-            val h = img.getHeight
-            val sums = new Array[Long](gx * gy)
-            val counts = new Array[Long](gx * gy)
-            var lumSum = 0L
-            var y = 0
-            while (y < h) {
-              val cy = y * gy / h
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                val s = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                lumSum += s
-                val cell = cy * gx + x * gx / w
-                sums(cell) += s
-                counts(cell) += 1
-                x += 1
-              }
-              y += 1
-            }
-            val imgMean = lumSum.toDouble / (3.0 * w * h)
-            val feats = Array.tabulate(dim) { c =>
-              if (counts(c) > 0) {
-                val cellMean = sums(c).toDouble / (3.0 * counts(c))
-                // (cellMean − imgMean) ∈ (−256, 256) ⇒ /256 ∈ (−1, 1)
-                ((cellMean - imgMean) / 256.0).toFloat
-              } else 0f
-            }
-            val p00 = img.getRGB(0, 0)
-            Seq(true, w, h, (p00 >> 16) & 0xff, (p00 >> 8) & 0xff, p00 & 0xff, lumSum, feats)
-          }
-        Row.fromSeq(row.toSeq ++ extra)
+        val d = decodeImageBytes(row.getAs[Array[Byte]](bytesIdx), dim)
+        Row.fromSeq(
+          row.toSeq ++ Seq(d.ok, d.width, d.height, d.px00r, d.px00g, d.px00b, d.lumSum, d.features)
+        )
       }
     }(Encoders.row(outSchema))
     decoded.withColumn(
@@ -267,41 +291,105 @@ object Multimodal {
   def audioRate(len: Int): Int = 8000 + (len % 8) * 1000
   def audioSamples(len: Int): Int = len * 4
 
+  /** Pure-JVM audio encode kernel (property-tested like
+    * [[renderPngBytes]]): PCM under the closed-form law, WAV via
+    * AudioSystem.
+    */
+  def renderWavBytes(payload: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val len = payload.length
+    require(len > 0, "empty payload")
+    val n = audioSamples(len)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val hi = payload((i * 17 + 3) % len) & 0xff
+      val lo = payload(i % len) & 0xff
+      // little-endian 16-bit: the (hi<<8|lo) value IS the sample
+      pcm(2 * i) = lo.toByte
+      pcm(2 * i + 1) = hi.toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(audioRate(len).toFloat, 16, 1, true, false)
+    val bos = new ByteArrayOutputStream(pcm.length + 64)
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE,
+      bos
+    )
+    bos.toByteArray
+  }
+
+  /** Pure-JVM audio decode kernel result ([[decodeAudioBytes]]). */
+  final case class DecodedAudio(
+      ok: Boolean,
+      sampleRate: Int,
+      nSamples: Long,
+      firstSample: Int,
+      ampSum: Long,
+      envelope: Array[Float]
+  )
+
+  /** Pure-JVM audio decode kernel: WAV parse + real-sample stats (see
+    * [[decodeAudio]] for the column contract); byte-hash fallback with
+    * ok=false for unparseable payloads.
+    */
+  def decodeAudioBytes(bytes: Array[Byte], dim: Int): DecodedAudio = {
+    import javax.sound.sampled.AudioSystem
+    val pcmOrNull =
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val f = in.getFormat
+        if (f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian)
+          (f.getSampleRate.toInt, in.readAllBytes())
+        else null
+      } catch { case _: Exception => null }
+    if (pcmOrNull == null) {
+      val env = Array.tabulate(dim) { d =>
+        val hx = scala.util.hashing.MurmurHash3.bytesHash(bytes, d)
+        ((((hx % 2000L) + 2000L) % 2000L).toDouble / 1000.0 - 1.0).toFloat
+      }
+      DecodedAudio(ok = false, -1, -1L, -1, -1L, env)
+    } else {
+      val (rate, pcm) = pcmOrNull
+      val n = pcm.length / 2
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var ampSum = 0L
+      var first = 0
+      var i = 0
+      while (i < n) {
+        // little-endian signed 16-bit
+        val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+        if (i == 0) first = s
+        val a = math.abs(s).toLong
+        ampSum += a
+        val bin = (i.toLong * dim / n).toInt
+        sums(bin) += a
+        counts(bin) += 1
+        i += 1
+      }
+      val env = Array.tabulate(dim) { b =>
+        if (counts(b) > 0)
+          ((sums(b).toDouble / counts(b)) / 32768.0 * 2.0 - 1.0).toFloat
+        else -1f
+      }
+      DecodedAudio(ok = true, rate, n.toLong, first, ampSum, env)
+    }
+  }
+
   /** Synthesize each row's payload into REAL mono 16-bit PCM WAV bytes
     * (RIFF container via AudioSystem.write) under the closed-form audio
     * law — deterministic, byte-identical payloads yield byte-identical
     * WAVs. Map-side mapPartitions.
     */
   def renderWav(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, payload) =>
-          val len = payload.length
-          require(len > 0, s"empty payload for id=$id")
-          val n = audioSamples(len)
-          val pcm = new Array[Byte](n * 2)
-          var i = 0
-          while (i < n) {
-            val hi = payload((i * 17 + 3) % len) & 0xff
-            val lo = payload(i % len) & 0xff
-            // little-endian 16-bit: the (hi<<8|lo) value IS the sample
-            pcm(2 * i) = lo.toByte
-            pcm(2 * i + 1) = hi.toByte
-            i += 1
-          }
-          val fmt = new AudioFormat(audioRate(len).toFloat, 16, 1, true, false)
-          val bos = new ByteArrayOutputStream(pcm.length + 64)
-          AudioSystem.write(
-            new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
-            AudioFileFormat.Type.WAVE,
-            bos
-          )
-          (id, bos.toByteArray, len)
-        }
+        rows.map { case (id, payload) => (id, renderWavBytes(payload), payload.length) }
       }
       .toDF(idCol, "wav", "payload_len")
   }
@@ -328,55 +416,15 @@ object Multimodal {
     * Map-side only.
     */
   def decodeAudio(media: DataFrame, dim: Int = 8): DataFrame = {
-    import javax.sound.sampled.AudioSystem
     val inSchema = media.schema
     val bytesIdx = inSchema.fieldIndex("bytes")
     val outSchema = StructType(inSchema.fields ++ audioFields)
     val decoded = media.mapPartitions { rows =>
       rows.map { row =>
-        val bytes = row.getAs[Array[Byte]](bytesIdx)
-        val pcmOrNull =
-          try {
-            val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-            val f = in.getFormat
-            if (f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian)
-              (f.getSampleRate.toInt, in.readAllBytes())
-            else null
-          } catch { case _: Exception => null }
-        val extra: Seq[Any] =
-          if (pcmOrNull == null) {
-            val env = Array.tabulate(dim) { d =>
-              val hx = scala.util.hashing.MurmurHash3.bytesHash(bytes, d)
-              ((((hx % 2000L) + 2000L) % 2000L).toDouble / 1000.0 - 1.0).toFloat
-            }
-            Seq(false, -1, -1L, -1, -1L, env)
-          } else {
-            val (rate, pcm) = pcmOrNull
-            val n = pcm.length / 2
-            val sums = new Array[Long](dim)
-            val counts = new Array[Long](dim)
-            var ampSum = 0L
-            var first = 0
-            var i = 0
-            while (i < n) {
-              // little-endian signed 16-bit
-              val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
-              if (i == 0) first = s
-              val a = math.abs(s).toLong
-              ampSum += a
-              val bin = (i.toLong * dim / n).toInt
-              sums(bin) += a
-              counts(bin) += 1
-              i += 1
-            }
-            val env = Array.tabulate(dim) { b =>
-              if (counts(b) > 0)
-                ((sums(b).toDouble / counts(b)) / 32768.0 * 2.0 - 1.0).toFloat
-              else -1f
-            }
-            Seq(true, rate, n.toLong, first, ampSum, env)
-          }
-        Row.fromSeq(row.toSeq ++ extra)
+        val d = decodeAudioBytes(row.getAs[Array[Byte]](bytesIdx), dim)
+        Row.fromSeq(
+          row.toSeq ++ Seq(d.ok, d.sampleRate, d.nSamples, d.firstSample, d.ampSum, d.envelope)
+        )
       }
     }(Encoders.row(outSchema))
     decoded.withColumn(

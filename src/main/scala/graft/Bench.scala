@@ -29,7 +29,9 @@ object Bench {
     // Subset records still append to the file but are builder-local by
     // nature — label them with SPARK_GRAFT_BENCH_SOURCE=local.
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty) // an empty/blank env var must not bench nothing
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // RUN-ORDER ISOLATION (round 6, default ON — this IS the experiment
@@ -89,7 +91,14 @@ object Bench {
     // SPARK_GRAFT_BENCH_SOURCE=local. `round` = the round under build
     // (last VERDICT's round + 1); `sha` + wall-clock stamp disambiguate
     // reruns regardless of labeling discipline.
-    val source = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOURCE", "driver")
+    // a SUBSET run can never be the binding driver record — default its
+    // source to "local" so a forgotten SOURCE env can't masquerade a
+    // 5-query run as a degenerate full-suite driver total; `nq` makes
+    // every record self-describing either way
+    val source = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_SOURCE",
+      if (only.isDefined) "local" else "driver"
+    )
     val sha =
       try {
         val p = new ProcessBuilder("git", "-C", "/root/repo", "rev-parse", "--short", "HEAD").start()
@@ -106,7 +115,7 @@ object Bench {
     }
     val stamp = java.time.Instant.now().toString
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"median_of_$reps","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"median_of_$reps","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate,"nq":${results.size},"subset":${only.isDefined}}"""
     println(line)
     // ALSO persist the full record to a file: two rounds running, the
     // driver's captured stdout tail truncated to ~64 of 107 per-query

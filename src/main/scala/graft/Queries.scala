@@ -1342,7 +1342,7 @@ object Queries {
        |    ascii(substr(text, (i % len) + 1, 1)) +
        |    ascii(substr(text, ((i * 31 + 7) % len) + 1, 1)) +
        |    ascii(substr(text, ((i * 131 + 13) % len) + 1, 1)) AS s,
-       |    ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cell
+       |    (i * 64) // (w * h) AS cell
        |  FROM (
        |    SELECT doc_id, text, length(text) AS len,
        |      8 + length(text) % 9 AS w, 8 + length(text) % 7 AS h
@@ -2668,9 +2668,11 @@ object Queries {
         col("first_sample"),
         col("amp_sum"),
         when(!col("decode_ok"), 1).otherwise(0).as("audit_undecoded"),
+        // −1.0 exactly is legal (an all-silent bin); only out-of-range
+        // or wrong-dim vectors are violations
         when(
           size(col("envelope")) =!= 8 ||
-            exists(col("envelope"), v => v <= -1.0f || v >= 1.0f),
+            exists(col("envelope"), v => v < -1.0f || v >= 1.0f),
           1
         ).otherwise(0).as("audit_bad_envelope")
       )
@@ -6252,7 +6254,11 @@ object Queries {
     gens.flatMap { case (name, gen) =>
       try Some(name -> gen())
       catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM/LinkageError means the JVM is already
+        // compromised — continuing to generate the remaining oracles in
+        // it would ship silently-missing oracles attributed to the
+        // wrong cause; let fatal errors propagate to Verify's top level
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[verify] dynamic oracle for $name failed: ${e.getMessage}")
           None
       }

@@ -54,9 +54,12 @@ object Multimodal {
     * byte payloads; the mapPartitions stage wraps it): rasterize under
     * the closed-form law and PNG-encode via ImageIO.
     */
-  def renderPngBytes(payload: Array[Byte]): Array[Byte] = {
+  def renderPngBytes(payload0: Array[Byte]): Array[Byte] = {
+    // total law: a null/empty payload renders as the single zero byte
+    // (one bad row must not abort a whole stage — the encode-side
+    // counterpart of decode_ok=false)
+    val payload = if (payload0 == null || payload0.isEmpty) Array[Byte](0) else payload0
     val len = payload.length
-    require(len > 0, "empty payload")
     val w = rasterWidth(len)
     val h = rasterHeight(len)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -96,8 +99,6 @@ object Multimodal {
     * with ok=false when no codec parses the payload.
     */
   def decodeImageBytes(bytes: Array[Byte], dim: Int): DecodedImage = {
-    val gx = math.ceil(math.sqrt(dim.toDouble)).toInt
-    val gy = math.ceil(dim.toDouble / gx).toInt
     val img =
       try ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
@@ -110,18 +111,25 @@ object Multimodal {
     } else {
       val w = img.getWidth
       val h = img.getHeight
-      val sums = new Array[Long](gx * gy)
-      val counts = new Array[Long](gx * gy)
+      // LINEAR contiguous binning over the raster-order pixel index
+      // (cell = i·dim/(w·h)) — total by construction: every pixel lands
+      // in exactly one of the dim cells, and every cell is nonempty
+      // whenever w·h ≥ dim. (A 2-D ceil(√dim)-grid was measured to DROP
+      // the last cell's pixels from the feature vector for any dim with
+      // gx·gy > dim, e.g. dim=8 → 3×3 grid with cell 8 unread.)
+      val nPix = w * h
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
       var lumSum = 0L
       var y = 0
       while (y < h) {
-        val cy = y * gy / h
         var x = 0
         while (x < w) {
           val rgb = img.getRGB(x, y)
           val s = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
           lumSum += s
-          val cell = cy * gx + x * gx / w
+          val i = y * w + x
+          val cell = (i.toLong * dim / nPix).toInt
           sums(cell) += s
           counts(cell) += 1
           x += 1
@@ -156,7 +164,9 @@ object Multimodal {
       .mapPartitions { rows =>
         // ImageIO scans for plugin providers on first use — once per
         // partition here, not once per row
-        rows.map { case (id, payload) => (id, renderPngBytes(payload), payload.length) }
+        rows.map { case (id, payload) =>
+          (id, renderPngBytes(payload), if (payload == null) 0 else payload.length)
+        }
       }
       .toDF(idCol, "png", "payload_len")
   }
@@ -243,12 +253,17 @@ object Multimodal {
   def resizeImage(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val inSchema = media.schema
     val bytesIdx = inSchema.fieldIndex("bytes")
-    val resized = media.mapPartitions { rows =>
+    val metaIdx = inSchema.fieldIndex("meta")
+    media.mapPartitions { rows =>
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](bytesIdx)
         val img =
           try ImageIO.read(new ByteArrayInputStream(bytes))
           catch { case _: Exception => null }
+        // unparseable rows pass through UNCHANGED — bytes AND metadata
+        // (stamping target dims on a payload that was never resized
+        // would be lying metadata; decodeImage guards its meta update
+        // the same way)
         if (img == null) row
         else {
           val out = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
@@ -264,19 +279,13 @@ object Multimodal {
           }
           val bos = new ByteArrayOutputStream(256)
           ImageIO.write(out, "png", bos)
-          val seq = row.toSeq.updated(bytesIdx, bos.toByteArray: Any)
-          Row.fromSeq(seq)
+          val png = bos.toByteArray
+          val oldMeta = row.getAs[Row](metaIdx)
+          val newMeta = Row(png.length, targetW, targetH, oldMeta.get(3))
+          Row.fromSeq(row.toSeq.updated(bytesIdx, png: Any).updated(metaIdx, newMeta: Any))
         }
       }
     }(Encoders.row(inSchema))
-    resized
-      .withColumn(
-        "meta",
-        col("meta")
-          .withField("n_bytes", length(col("bytes")).cast("int"))
-          .withField("width", lit(targetW))
-          .withField("height", lit(targetH))
-      )
   }
 
   // ------------------------------------------------------------------
@@ -295,10 +304,12 @@ object Multimodal {
     * [[renderPngBytes]]): PCM under the closed-form law, WAV via
     * AudioSystem.
     */
-  def renderWavBytes(payload: Array[Byte]): Array[Byte] = {
+  def renderWavBytes(payload0: Array[Byte]): Array[Byte] = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // total law: null/empty payload == the single zero byte (see
+    // renderPngBytes)
+    val payload = if (payload0 == null || payload0.isEmpty) Array[Byte](0) else payload0
     val len = payload.length
-    require(len > 0, "empty payload")
     val n = audioSamples(len)
     val pcm = new Array[Byte](n * 2)
     var i = 0
@@ -369,10 +380,13 @@ object Multimodal {
         counts(bin) += 1
         i += 1
       }
+      // bin value ∈ [−1, 1): −1.0 exactly IS legal (an all-silent bin);
+      // an empty bin (n < dim, i.e. a sub-dim-sample payload) maps to 0f
+      // like the image features' empty-cell convention
       val env = Array.tabulate(dim) { b =>
         if (counts(b) > 0)
           ((sums(b).toDouble / counts(b)) / 32768.0 * 2.0 - 1.0).toFloat
-        else -1f
+        else 0f
       }
       DecodedAudio(ok = true, rate, n.toLong, first, ampSum, env)
     }
@@ -389,7 +403,9 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, payload) => (id, renderWavBytes(payload), payload.length) }
+        rows.map { case (id, payload) =>
+          (id, renderWavBytes(payload), if (payload == null) 0 else payload.length)
+        }
       }
       .toDF(idCol, "wav", "payload_len")
   }

@@ -45,6 +45,44 @@ object MultimodalProps extends Properties("multimodal-codecs") {
       java.util.Arrays.equals(a.features, b.features)
     }
 
+  property("image features match the linear-bin law exactly (every pixel counted, any dim)") =
+    forAll(payloadGen, Gen.oneOf(3, 8, 16, 64)) { (payload, dim) =>
+      val len = payload.length
+      val w = Multimodal.rasterWidth(len)
+      val h = Multimodal.rasterHeight(len)
+      val nPix = w * h
+      def lum(i: Int): Long =
+        ((payload(i % len) & 0xff) + (payload((i * 31 + 7) % len) & 0xff) +
+          (payload((i * 131 + 13) % len) & 0xff)).toLong
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var total = 0L
+      (0 until nPix).foreach { i =>
+        val c = (i.toLong * dim / nPix).toInt
+        sums(c) += lum(i); counts(c) += 1; total += lum(i)
+      }
+      val imgMean = total.toDouble / (3.0 * w * h)
+      val want = Array.tabulate(dim) { c =>
+        if (counts(c) > 0) ((sums(c).toDouble / (3.0 * counts(c)) - imgMean) / 256.0).toFloat else 0f
+      }
+      val got = Multimodal.decodeImageBytes(Multimodal.renderPngBytes(payload), dim).features
+      counts.forall(_ > 0) && counts.sum == nPix && java.util.Arrays.equals(got, want)
+    }
+
+  property("audio envelope: fixed dim, in [-1,1) with silence at exactly -1, empty payload total") =
+    forAll(payloadGen) { payload =>
+      val d = Multimodal.decodeAudioBytes(Multimodal.renderWavBytes(payload), dim = 8)
+      val silent = Multimodal.decodeAudioBytes(
+        Multimodal.renderWavBytes(Array.fill[Byte](32)(0)), dim = 8)
+      val empty = Multimodal.decodeImageBytes(Multimodal.renderPngBytes(Array.emptyByteArray), 8)
+      val emptyWav = Multimodal.decodeAudioBytes(Multimodal.renderWavBytes(null), dim = 8)
+      d.envelope.length == 8 &&
+      d.envelope.forall(v => v >= -1f && v < 1f) &&
+      silent.ok && silent.envelope.forall(_ == -1f) && // all-zero payload = silence
+      empty.ok && empty.width == Multimodal.rasterWidth(1) && // null/empty → 1-zero-byte law
+      emptyWav.ok && emptyWav.nSamples == Multimodal.audioSamples(1).toLong
+    }
+
   property("wav round trip recovers the audio law for any payload") =
     forAll(payloadGen) { payload =>
       val len = payload.length

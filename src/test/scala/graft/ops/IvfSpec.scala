@@ -50,4 +50,16 @@ class IvfSpec extends SparkSpec {
     val mean = recall.sum / recall.size
     assert(mean >= 0.8, s"IVF recall@5 = $mean")
   }
+
+  test("q109 IVF-PQ two-stage serving: contract + audit sanity at sf0.001") {
+    val r = graft.Queries.q109IvfPq(spark, "/root/testdata/sf0.001").collect().head
+    assert(r.getAs[Long]("n_vectors") == 500)
+    assert(r.getAs[Int]("compression_x") == 32)
+    // a 2/16-cell probe must scan a small corpus fraction...
+    val scanned = r.getAs[Double]("scanned_fraction")
+    assert(scanned > 0.0 && scanned < 0.35, s"scanned_fraction=$scanned")
+    // ...while the two-stage rerank keeps usable recall on that budget
+    val recall = r.getAs[Double]("recall_at_k")
+    assert(recall >= 0.4, s"recall_at_k=$recall (cells=16, nprobe=2, shortlist=40)")
+  }
 }

@@ -824,10 +824,18 @@ object Queries {
   // ---------------------------------------------------------------- q28
   /** SimHash signatures.
     *
-    * Why no oracle: the signature IS the output, and its bit votes are
-    * xxhash64 (no DuckDB equivalent) — there is no downstream relational
-    * core to split off, so a literal replay would compare the output to
-    * itself. The falsifiable contract is the audit column instead.
+    * ORACLED since round 6 ([[q28OracleFor]], dynamic): through round 5
+    * this was "no oracle — the signature IS the output". That
+    * underclaimed: the only genuinely engine-native input is
+    * xxhash64(token), and the corpus vocabulary is tiny (31 distinct
+    * tokens at verify scale), so the per-token hash DICTIONARY embeds
+    * as literals and DuckDB replays everything downstream —
+    * tokenization, distinctness, all 64 bit votes, the sign packing
+    * (bit 63 as the −2⁶³ term; DuckDB's `>>` is arithmetic like
+    * Spark's shiftright, probed), the pairwise Hamming/Jaccard audit
+    * and the Pearson correlation. The trusted-literal split is exactly
+    * q94's: the codebook (here: 31 token hashes) is engine-granted,
+    * the algorithm is independently recomputed.
     *
     * SELF-AUDITING (the q48/q49 pattern): every row carries
     * `audit_ham_jac_corr`, the Pearson correlation between pairwise
@@ -2406,6 +2414,63 @@ object Queries {
       .sortBy(t => (t._1, t._2))
       .map { case (id, band, bsig) => s"($id, $band, CAST($bsig AS BIGINT))" }
       .mkString(",\n    ")
+
+  /** q28 generated oracle (round 6): embed the engine's per-token
+    * xxhash64 dictionary as literals; DuckDB independently replays the
+    * whole SimHash algorithm — explode-distinct tokenization, the 64
+    * per-bit ±1 votes ((h >> b) & 1 — arithmetic shift on both
+    * engines), packing votes into one BIGINT (disjoint bits, so the
+    * engine's OR-fold is a SUM here; bit 63 contributes −2⁶³ to stay
+    * in signed range), then the bounded-slice audit: pairwise
+    * bit_count(xor) Hamming vs exact token-set Jaccard, Pearson corr
+    * rounded to 4. Driver-side collect by design: oracle GENERATION
+    * over the distinct vocabulary (31 rows at verify scale), not a
+    * query path.
+    */
+  def q28OracleFor(s: SparkSession, dir: String): String = {
+    val dictRows = Tables
+      .documents(s, dir)
+      .select(explode(TextDedup.tokenSet(col("text"))).as("tok"))
+      .distinct()
+      .withColumn("h", xxhash64(col("tok")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+      .map { case (t, h) => s"('${t.replace("'", "''")}', CAST($h AS BIGINT))" }
+      .mkString(",\n    ")
+    s"""WITH dict(tok, h) AS (
+       |  VALUES
+       |    $dictRows
+       |), toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+       |  FROM documents
+       |), votes AS (
+       |  SELECT t.doc_id, r.b,
+       |    SUM(CASE WHEN ((d.h >> r.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM toks t JOIN dict d USING (tok) CROSS JOIN range(64) r(b)
+       |  GROUP BY t.doc_id, r.b
+       |), sig AS (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN
+       |      CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+       |           ELSE (1::BIGINT << CAST(b AS INT)) END
+       |      ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id
+       |), slice AS (
+       |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS tk
+       |  FROM documents WHERE doc_id < 500
+       |), audit AS (
+       |  SELECT round(corr(
+       |    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS DOUBLE),
+       |    CAST(len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) /
+       |    CAST(len(a.tk) + len(b.tk) - len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE)
+       |  ), 4) AS audit_ham_jac_corr
+       |  FROM slice a JOIN slice b ON a.doc_id < b.doc_id
+       |  JOIN sig sa ON sa.doc_id = a.doc_id
+       |  JOIN sig sb ON sb.doc_id = b.doc_id
+       |)
+       |SELECT sig.doc_id, sig.simhash, audit.audit_ham_jac_corr
+       |FROM sig, audit ORDER BY sig.doc_id""".stripMargin
+  }
 
   def q33OracleFor(s: SparkSession, dir: String): String = {
     val sigRows = bandedSigLiterals(Tables.documents(s, dir))
@@ -6477,6 +6542,7 @@ object Queries {
       "q33_dedup_assign" -> (() => q33OracleFor(s, dir)),
       "q49_ann_adaptive" -> (() => q49OracleFor(n)),
       "q27_minhash_dedup" -> (() => q27OracleFor(s, dir)),
+      "q28_simhash" -> (() => q28OracleFor(s, dir)),
       "q48_minhash_recall" -> (() => q48OracleFor(s, dir)),
       "q54_media_dedup" -> (() => q54OracleFor(s, dir)),
       "q109_ivf_pq" -> (() => q109OracleFor(s, dir))

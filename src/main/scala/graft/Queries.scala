@@ -5181,12 +5181,23 @@ object Queries {
     * trillion-token corpus). Each round's winner is one collected row
     * (argmax scalar, not data); the apply step is a map-side fold.
     *
-    * Why no oracle: each round's merge APPLY is a stateful
-    * left-to-right token-pair fusion fold — not expressible in DuckDB
-    * SQL (a recursive CTE over per-word token lists would be the oracle
-    * rewriting the trainer, not checking it); correctness is pinned by
-    * hand-computed corpora in BpeSpec, and q75 oracles the pair-count
-    * round.
+    * ORACLED since round 6 ([[q95Oracle]], STATIC and zero-literal —
+    * the strongest oracle class in the registry): the round-5 "a
+    * recursive CTE would be rewriting the trainer" claim missed a
+    * closed form. The merge-apply fold is EQUIVALENT to one string
+    * `replace` over a boundary-delimited token encoding
+    * (`|t1||t2||…|`): `replace` substitutes left-to-right
+    * non-overlapping — exactly the fold's greedy order — and the
+    * explicit `|…|` boundaries make a token-suffix/prefix false match
+    * impossible while the doubled inner separator keeps adjacent
+    * matches from consuming each other's boundary (probed:
+    * `[a,b,a,b]` fuses both pairs, `[xa,b]` fuses nothing, `[a,a,a]`
+    * fuses once). Each round's winner is a scalar subquery (freq
+    * desc, pair asc — the engine's tie rule), so DuckDB re-trains the
+    * full 8 rounds from raw text with NO engine-provided content, then
+    * recomputes the residual census and greedy invariant. The chained
+    * round CTEs are MATERIALIZED — inlined, the ~4-way references per
+    * round expand the scan 4^8 times (measured: fd exhaustion).
     *
     * SELF-AUDITING: output carries the residual top pair frequency after all
     * merges and `greedy_ok` — the invariant that no remaining pair
@@ -5208,6 +5219,57 @@ object Queries {
       .withColumn("residual_top_freq", lit(residual))
       .withColumn("greedy_ok", lit(residual <= lastFreq))
       .orderBy(col("step"))
+  }
+
+  /** The q95 replay: unrolled by the same Scala loop shape as
+    * [[q96Oracle]] — query and oracle share the round count by
+    * construction. Per round k: pair census over the weighted
+    * distinct-word table (list pairs via LATERAL unnest over 1-based
+    * positions), argmax under (freq desc, left, right), then the
+    * boundary-delimited `replace` that IS the merge-apply fold. The
+    * pair columns are quoted ("left"/"right" are SQL keywords). */
+  val q95Oracle: String = {
+    val n = 8
+    val rounds = (1 to n)
+      .map { k =>
+        s"""p$k AS MATERIALIZED (
+           |  SELECT t.toks[u.i] AS l, t.toks[u.i + 1] AS r, CAST(SUM(t.weight) AS BIGINT) AS freq
+           |  FROM (SELECT string_split(substr(enc, 2, len(enc) - 2), '||') AS toks, weight FROM w${k - 1}) t,
+           |       LATERAL unnest(range(1, len(t.toks))) AS u(i)
+           |  GROUP BY 1, 2
+           |), top$k AS MATERIALIZED (
+           |  SELECT l, r, freq FROM p$k ORDER BY freq DESC, l, r LIMIT 1
+           |), w$k AS MATERIALIZED (
+           |  SELECT replace(enc,
+           |    '|' || (SELECT l FROM top$k) || '||' || (SELECT r FROM top$k) || '|',
+           |    '|' || (SELECT l FROM top$k) || (SELECT r FROM top$k) || '|') AS enc, weight
+           |  FROM w${k - 1}
+           |)""".stripMargin
+      }
+      .mkString(",\n")
+    val mergeRows = (1 to n)
+      .map(k => s"""SELECT $k AS step, l AS "left", r AS "right", freq FROM top$k""")
+      .mkString(" UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT '|' || array_to_string(string_split_regex(word, ''), '||') || '|' AS enc,
+       |         CAST(COUNT(*) AS BIGINT) AS weight
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
+       |  WHERE len(word) > 0
+       |  GROUP BY word
+       |),
+       |$rounds,
+       |p${n + 1} AS MATERIALIZED (
+       |  SELECT CAST(SUM(t.weight) AS BIGINT) AS freq
+       |  FROM (SELECT string_split(substr(enc, 2, len(enc) - 2), '||') AS toks, weight FROM w$n) t,
+       |       LATERAL unnest(range(1, len(t.toks))) AS u(i)
+       |  GROUP BY t.toks[u.i], t.toks[u.i + 1]
+       |), resid AS (
+       |  SELECT CAST(COALESCE(MAX(freq), 0) AS BIGINT) AS residual_top_freq FROM p${n + 1}
+       |)
+       |SELECT m.step, m."left", m."right", m.freq, resid.residual_top_freq,
+       |       resid.residual_top_freq <= (SELECT freq FROM top$n) AS greedy_ok
+       |FROM ($mergeRows) m, resid
+       |ORDER BY m.step""".stripMargin
   }
 
   // ---------------------------------------------------------------- q96
@@ -6501,6 +6563,7 @@ object Queries {
     "q91_hard_negatives" -> q91Oracle,
     "q92_freshness" -> q92Oracle,
     "q93_funnel" -> q93Oracle,
+    "q95_bpe_train" -> q95Oracle,
     "q96_pagerank" -> q96Oracle,
     "q97_anomaly" -> q97Oracle,
     "q98_transitions" -> q98Oracle,

@@ -1858,14 +1858,26 @@ object Queries {
     * 4 KB state per group at any scale). Deterministic (xxhash64) but
     * approximate.
     *
-    * Why no oracle: the checked value is the content of a custom merge
-    * STATE (xxhash64 register maxima) — DuckDB has neither the hash nor
-    * the register semantics, and the exact side already rides in the
-    * same row. Accuracy bounded in HllSketchSpec
-    * (<3% overall, <5% per group vs exact). SELF-AUDITING: each group
-    * row carries the exact distinct count and `audit_rel_err` =
-    * |approx−exact|/exact, so the driver's rows-only record pins the
-    * accuracy figure (<0.03 on every group at sf0.1).
+    * ORACLED since round 6 ([[q44OracleFor]], dynamic): the round-5
+    * "DuckDB has neither the hash nor the register semantics" claim
+    * conceded too early — the q28 move applies. The per-value
+    * xxhash64 dictionary (distinct l_partkey is bounded: the part
+    * table) embeds as literals; DuckDB then replays the ENTIRE sketch
+    * semantics relationally: register index = top-p bits
+    * ((h >> 52) & 4095 — arithmetic shift + mask ≡ unsigned shift),
+    * rank = leading zeros of the remaining 52 bits via the exact
+    * integer form 53 − len(bin(h & (2⁵²−1))), per-group register maxima
+    * as a group-max over a range(4096) scaffold, the harmonic/zeros
+    * census, the estimator branch, and Flajolet linear counting
+    * (m·ln(m/zeros) — integer zeros, so the one transcendental agrees
+    * bitwise; probed). Regime note: at verify scale the
+    * linear-counting branch decides the output with huge margin
+    * (est ≈ 2k vs the 10,240 threshold), so harmonic-sum float-order
+    * differences between the Java loop and DuckDB's aggregate cannot
+    * flip anything; the branch condition itself is ulp-robust for the
+    * same reason. Accuracy bounded in HllSketchSpec (<3% overall, <5%
+    * per group vs exact). SELF-AUDITING: each group row carries the
+    * exact distinct count and `audit_rel_err` = |approx−exact|/exact.
     */
   def q44HllSketch(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir).createOrReplaceTempView("li_hll")
@@ -2414,6 +2426,61 @@ object Queries {
       .sortBy(t => (t._1, t._2))
       .map { case (id, band, bsig) => s"($id, $band, CAST($bsig AS BIGINT))" }
       .mkString(",\n    ")
+
+  /** q44 generated oracle (round 6): embed the per-value xxhash64
+    * dictionary over distinct l_partkey; DuckDB replays the full HLL
+    * register/estimator law (see the q44 scaladoc for the bit-exact
+    * derivation and the linear-counting regime argument). Driver-side
+    * collect by design: oracle GENERATION over the bounded distinct
+    * key set (|part| rows at verify scale), not a query path.
+    */
+  def q44OracleFor(s: SparkSession, dir: String): String = {
+    val mask52 = (1L << 52) - 1
+    val dictRows = Tables
+      .lineitem(s, dir)
+      .select(col("l_partkey"))
+      .distinct()
+      .withColumn("h", xxhash64(col("l_partkey")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+      .map { case (pk, h) => s"($pk, CAST($h AS BIGINT))" }
+      .mkString(",\n    ")
+    s"""WITH dict(pk, h) AS (VALUES
+       |    $dictRows
+       |), rk AS MATERIALIZED (
+       |  SELECT pk, CAST((h >> 52) & 4095 AS INT) AS idx,
+       |    53 - CASE WHEN (h & $mask52) = 0 THEN 0 ELSE len(bin(h & $mask52)) END AS rank
+       |  FROM dict
+       |), grp AS (
+       |  SELECT DISTINCT l_returnflag AS flag, l_partkey AS pk FROM lineitem
+       |), regs AS (
+       |  SELECT g.flag, r.idx, MAX(r.rank) AS mr
+       |  FROM grp g JOIN rk r USING (pk) GROUP BY g.flag, r.idx
+       |), reg_stats AS (
+       |  SELECT f.flag,
+       |    CAST(SUM(CASE WHEN reg.mr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS zeros,
+       |    SUM(CAST(1 AS DOUBLE) / CAST(1::BIGINT << CAST(COALESCE(reg.mr, 0) AS INT) AS DOUBLE)) AS hsum
+       |  FROM (SELECT DISTINCT flag FROM grp) f
+       |  CROSS JOIN range(4096) t(i)
+       |  LEFT JOIN regs reg ON reg.flag = f.flag AND reg.idx = t.i
+       |  GROUP BY f.flag
+       |), est AS (
+       |  SELECT flag,
+       |    CASE WHEN (CAST('0.7213' AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST('1.079' AS DOUBLE) / 4096)) * 4096 * 4096 / hsum <= 2.5 * 4096 AND zeros > 0
+       |      THEN 4096 * ln(CAST(4096 AS DOUBLE) / zeros)
+       |      ELSE (CAST('0.7213' AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST('1.079' AS DOUBLE) / 4096)) * 4096 * 4096 / hsum
+       |    END AS e
+       |  FROM reg_stats
+       |), base AS (
+       |  SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS exact_parts, COUNT(*) AS n
+       |  FROM lineitem GROUP BY l_returnflag
+       |)
+       |SELECT b.l_returnflag, CAST(round(e.e) AS BIGINT) AS approx_parts, b.exact_parts, b.n,
+       |  round(abs(CAST(round(e.e) AS BIGINT) - b.exact_parts) / b.exact_parts, 4) AS audit_rel_err
+       |FROM base b JOIN est e ON e.flag = b.l_returnflag
+       |ORDER BY b.l_returnflag""".stripMargin
+  }
 
   /** q28 generated oracle (round 6): embed the engine's per-token
     * xxhash64 dictionary as literals; DuckDB independently replays the
@@ -6606,6 +6673,7 @@ object Queries {
       "q49_ann_adaptive" -> (() => q49OracleFor(n)),
       "q27_minhash_dedup" -> (() => q27OracleFor(s, dir)),
       "q28_simhash" -> (() => q28OracleFor(s, dir)),
+      "q44_hll_sketch" -> (() => q44OracleFor(s, dir)),
       "q48_minhash_recall" -> (() => q48OracleFor(s, dir)),
       "q54_media_dedup" -> (() => q54OracleFor(s, dir)),
       "q109_ivf_pq" -> (() => q109OracleFor(s, dir))

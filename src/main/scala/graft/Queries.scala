@@ -3060,6 +3060,64 @@ object Queries {
        |FROM rc, sf""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q110
+  /** CCNet-style statistical LM quality scoring (ops/LmScore): a
+    * word-bigram add-one LM trained on the doc_id % 10 == 0 reference
+    * slice scores every held-out doc's mean per-bigram negative
+    * log-likelihood plus its unseen-bigram rate — the
+    * perplexity-proxy filter signal real web-corpus pipelines rank
+    * and threshold on, complementing q21's rule-based heuristics with
+    * a DISTRIBUTION-relative score. Model aggregates shuffle on gram
+    * keys with map-side partials; the fitted model broadcasts to the
+    * scorers (a model artifact, shipped like CCNet's KenLM binary);
+    * candidates are touched once map-side + one doc-keyed aggregate.
+    *
+    * Oracle: static full replay — gram construction, both count
+    * tables, V, the smoothed nll terms (one `ln` of an integer ratio
+    * per bigram, bitwise-identical cross-engine) and the
+    * decimal(38,12)-staged per-doc sum (order-independent AND immune
+    * to sub-1e-12 ulp drift) all recompute in DuckDB from raw text.
+    */
+  def q110LmScore(s: SparkSession, dir: String): DataFrame =
+    LmScore
+      .scoreHeldOut(
+        Tables.documents(s, dir),
+        "doc_id",
+        "text",
+        refPred = col("doc_id") % 10 === 0
+      )
+      .orderBy(col("doc_id"))
+
+  val q110Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+      |), bi AS (
+      |  SELECT doc_id, tk[u.i] AS u, tk[u.i + 1] AS w
+      |  FROM toks, LATERAL unnest(range(1, len(tk))) AS u(i)
+      |), big AS (
+      |  SELECT u, w, CAST(COUNT(*) AS BIGINT) AS cuw
+      |  FROM bi WHERE doc_id % 10 = 0 GROUP BY u, w
+      |), uni AS (
+      |  SELECT u, CAST(COUNT(*) AS BIGINT) AS cu
+      |  FROM bi WHERE doc_id % 10 = 0 GROUP BY u
+      |), vv AS (
+      |  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      |  FROM (SELECT unnest(tk) AS tok FROM toks WHERE doc_id % 10 = 0)
+      |), terms AS (
+      |  SELECT h.doc_id,
+      |    -ln(CAST(COALESCE(big.cuw, 0) + 1 AS DOUBLE) /
+      |        CAST(COALESCE(uni.cu, 0) + vv.v AS DOUBLE)) AS nll,
+      |    CASE WHEN big.cuw IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM bi h
+      |  LEFT JOIN big ON h.u = big.u AND h.w = big.w
+      |  LEFT JOIN uni ON h.u = uni.u, vv
+      |  WHERE h.doc_id % 10 <> 0
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  round(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
+      |  round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_bigram_rate
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q65
   /** Salted equi-join in-registry (ops.Skew spec-only until now): the
     * static skew remedy for a hot join key — fact rows get a uniform
@@ -6539,7 +6597,8 @@ object Queries {
     "q106_pagerank_directed" -> (q106PagerankDirected _),
     "q107_hard_negatives_ann" -> (q107HardNegativesAnn _),
     "q108_audio_decode" -> (q108AudioDecode _),
-    "q109_ivf_pq" -> (q109IvfPq _)
+    "q109_ivf_pq" -> (q109IvfPq _),
+    "q110_lm_score" -> (q110LmScore _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6641,7 +6700,8 @@ object Queries {
     "q103_ann_ranking" -> q103Oracle,
     "q104_snapshot_diff" -> q104Oracle,
     "q105_temporal_split" -> q105Oracle,
-    "q106_pagerank_directed" -> q106Oracle
+    "q106_pagerank_directed" -> q106Oracle,
+    "q110_lm_score" -> q110Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

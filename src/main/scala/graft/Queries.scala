@@ -5353,8 +5353,11 @@ object Queries {
     * positions), argmax under (freq desc, left, right), then the
     * boundary-delimited `replace` that IS the merge-apply fold. The
     * pair columns are quoted ("left"/"right" are SQL keywords). */
-  val q95Oracle: String = {
-    val n = 8
+  /** The shared w0→wN BPE re-training CTE chain (see [[q95Oracle]] for
+    * the equivalence argument): word-carrying so [[q111Oracle]] can
+    * join the final per-word encodings back to the doc stream; q95
+    * simply never reads the word column. */
+  private def bpeRoundsSql(n: Int): String = {
     val rounds = (1 to n)
       .map { k =>
         s"""p$k AS MATERIALIZED (
@@ -5365,24 +5368,29 @@ object Queries {
            |), top$k AS MATERIALIZED (
            |  SELECT l, r, freq FROM p$k ORDER BY freq DESC, l, r LIMIT 1
            |), w$k AS MATERIALIZED (
-           |  SELECT replace(enc,
+           |  SELECT word, replace(enc,
            |    '|' || (SELECT l FROM top$k) || '||' || (SELECT r FROM top$k) || '|',
            |    '|' || (SELECT l FROM top$k) || (SELECT r FROM top$k) || '|') AS enc, weight
            |  FROM w${k - 1}
            |)""".stripMargin
       }
       .mkString(",\n")
-    val mergeRows = (1 to n)
-      .map(k => s"""SELECT $k AS step, l AS "left", r AS "right", freq FROM top$k""")
-      .mkString(" UNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT '|' || array_to_string(string_split_regex(word, ''), '||') || '|' AS enc,
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, '|' || array_to_string(string_split_regex(word, ''), '||') || '|' AS enc,
        |         CAST(COUNT(*) AS BIGINT) AS weight
        |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents)
        |  WHERE len(word) > 0
        |  GROUP BY word
        |),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  val q95Oracle: String = {
+    val n = 8
+    val mergeRows = (1 to n)
+      .map(k => s"""SELECT $k AS step, l AS "left", r AS "right", freq FROM top$k""")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeRoundsSql(n)},
        |p${n + 1} AS MATERIALIZED (
        |  SELECT CAST(SUM(t.weight) AS BIGINT) AS freq
        |  FROM (SELECT string_split(substr(enc, 2, len(enc) - 2), '||') AS toks, weight FROM w$n) t,
@@ -5395,6 +5403,75 @@ object Queries {
        |       resid.residual_top_freq <= (SELECT freq FROM top$n) AS greedy_ok
        |FROM ($mergeRows) m, resid
        |ORDER BY m.step""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q111
+  /** BPE tokenizer APPLY (encode) — the half of the tokenizer story
+    * q95 trains: run the 8 trained merges over every document and
+    * report per-doc token statistics (word count, subword count, char
+    * count, chars-per-token — the fertility figure tokenizer work
+    * tracks). The 100 TB shape: encoding is per-WORD, so it runs once
+    * per DISTINCT word (the same pre-aggregation that makes training
+    * affordable) and joins back to the doc stream broadcast — the
+    * corpus is never re-folded, and the merge table is a driver-side
+    * constant in the expression tree, exactly how a shipped tokenizer
+    * applies its merges.txt.
+    *
+    * Oracle: static full replay — re-trains the merges via the q95
+    * zero-literal CTE chain (shared [[bpeRoundsSql]] builder, word
+    * column threaded through), reads each word's final token count
+    * from the chain's last state, and re-aggregates per doc. Query
+    * and oracle derive the merge sequence INDEPENDENTLY from raw
+    * text; a hash match certifies train + encode end-to-end.
+    */
+  def q111BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (merges, _) = Bpe.trainMerges(docs, "text", nMerges = 8)
+    val seq = merges.map(m => (m._2, m._3))
+    val wdoc = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val wdist = wdoc
+      .select(col("word"))
+      .distinct()
+      .select(
+        col("word"),
+        size(Bpe.applyMerges(split(col("word"), ""), seq)).as("n_sub"),
+        length(col("word")).as("n_chars_w")
+      )
+    wdoc
+      .join(broadcast(wdist), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_sub")).cast("long").as("n_subwords"),
+        sum(col("n_chars_w")).cast("long").as("n_chars"),
+        round(
+          sum(col("n_chars_w")).cast("double") / sum(col("n_sub")).cast("double"),
+          6
+        ).as("chars_per_token")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  val q111Oracle: String = {
+    val n = 8
+    s"""WITH ${bpeRoundsSql(n)},
+       |enc AS (
+       |  SELECT word,
+       |    CAST(len(string_split(substr(enc, 2, len(enc) - 2), '||')) AS BIGINT) AS n_sub,
+       |    CAST(len(word) AS BIGINT) AS n_chars_w
+       |  FROM w$n
+       |), wd AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents
+       |)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       |  CAST(SUM(n_chars_w) AS BIGINT) AS n_chars,
+       |  round(CAST(SUM(n_chars_w) AS DOUBLE) / CAST(SUM(n_sub) AS DOUBLE), 6) AS chars_per_token
+       |FROM wd JOIN enc USING (word)
+       |WHERE len(word) > 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q96
@@ -6598,7 +6675,8 @@ object Queries {
     "q107_hard_negatives_ann" -> (q107HardNegativesAnn _),
     "q108_audio_decode" -> (q108AudioDecode _),
     "q109_ivf_pq" -> (q109IvfPq _),
-    "q110_lm_score" -> (q110LmScore _)
+    "q110_lm_score" -> (q110LmScore _),
+    "q111_bpe_encode" -> (q111BpeEncode _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6701,7 +6779,8 @@ object Queries {
     "q104_snapshot_diff" -> q104Oracle,
     "q105_temporal_split" -> q105Oracle,
     "q106_pagerank_directed" -> q106Oracle,
-    "q110_lm_score" -> q110Oracle
+    "q110_lm_score" -> q110Oracle,
+    "q111_bpe_encode" -> q111Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

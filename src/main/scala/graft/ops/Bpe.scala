@@ -44,6 +44,13 @@ object Bpe {
     )
   }
 
+  /** Apply a TRAINED merge sequence in order — the tokenizer ENCODE
+    * step: n chained [[applyMerge]] folds, all map-side (the merge
+    * table is a driver-side constant baked into the expression tree,
+    * exactly how a shipped tokenizer applies its merges.txt). */
+  def applyMerges(tokens: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(tokens) { case (c, (l, r)) => applyMerge(c, l, r) }
+
   /** Adjacent-pair frequencies over (tokens, weight) rows: one explode
     * + one aggregate; pairs are (left, right) with summed weights. */
   def pairCounts(words: DataFrame, tokensCol: String, weightCol: String): DataFrame =
@@ -79,7 +86,7 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy(col("word"))
       .agg(count(lit(1)).as("weight"))
-      .select(split(col("word"), "").as("tokens"), col("weight"))
+      .select(col("word"), split(col("word"), "").as("tokens"), col("weight"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
@@ -95,7 +102,7 @@ object Bpe {
         case Some((l, r, f)) =>
           merges += ((step, l, r, f))
           val fused = words
-            .select(Bpe.applyMerge(col("tokens"), l, r).as("tokens"), col("weight"))
+            .select(col("word"), Bpe.applyMerge(col("tokens"), l, r).as("tokens"), col("weight"))
             .localCheckpoint(true)
           // free the superseded round's checkpoint (eager materialize
           // above makes this safe; without it executor storage grows

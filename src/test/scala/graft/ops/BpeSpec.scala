@@ -23,6 +23,40 @@ class BpeSpec extends SparkSpec {
     assert(got("baa") === Seq("b", "aa"))
   }
 
+  test("applyMerges folds in merge order (later merges see earlier fusions)") {
+    val df = Seq(Seq("a", "b", "c")).toDF("tokens")
+    val fused = df
+      .select(Bpe.applyMerges($"tokens", Seq(("a", "b"), ("ab", "c"))).as("m"))
+      .as[Seq[String]]
+      .head()
+    assert(fused === Seq("abc"))
+    // the second merge depends on the first having fired; reversed
+    // order leaves the tokens unfused past step 1
+    val rev = df
+      .select(Bpe.applyMerges($"tokens", Seq(("ab", "c"), ("a", "b"))).as("m"))
+      .as[Seq[String]]
+      .head()
+    assert(rev === Seq("ab", "c"))
+  }
+
+  test("encode law: applyMerges on char-split words reproduces the trainer's final state") {
+    val docs = Seq("the cat sat on the mat", "the cat ran", "a cat sat")
+      .toDF("text")
+    val (merges, finalWords) = Bpe.trainMerges(docs, "text", 5)
+    val seq = merges.map(m => (m._2, m._3))
+    val reEncoded = finalWords
+      .select($"word", Bpe.applyMerges(split($"word", ""), seq).as("enc"))
+      .as[(String, Seq[String])]
+      .collect()
+      .toMap
+    val trained = finalWords
+      .select($"word", $"tokens")
+      .as[(String, Seq[String])]
+      .collect()
+      .toMap
+    assert(reEncoded === trained)
+  }
+
   test("trainMerges reproduces the classic low/lower/lowest merge order") {
     val docs = Seq("low low low lower lowest").toDF("text")
     val (merges, _) = Bpe.trainMerges(docs, "text", 4)

@@ -2003,7 +2003,13 @@ object Queries {
     * Why no oracle: the checked values read a custom merge STATE
     * (centroid list under the scale-function clustering rule) — DuckDB
     * has no equivalent aggregate, and the exact percentiles already
-    * ride in the same row. SELF-AUDITING per the q44 pattern:
+    * ride in the same row. Contrast q44 (HLL), oracled in round 6 by
+    * replaying its state law in SQL: that replay exists because HLL
+    * registers are a MAX — merge-ORDER-independent, so SQL can rebuild
+    * the exact state from the raw rows. A merging t-digest's centroid
+    * list depends on partial-merge arrival order (shuffle fetch order,
+    * nondeterministic run to run), so no static replay can exist; the
+    * self-audit columns below are the strongest check available. SELF-AUDITING per the q44 pattern:
     * each group row carries the exact percentiles and the worst
     * relative error across p50/p90/p99, bounded < 1% at sf0.1
     * (asserted in TDigestSpec; merge associativity property-checked in
@@ -5474,6 +5480,170 @@ object Queries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q112
+  /** Sparse all-pairs TF-IDF cosine over word 3-grams (ops/SparseSim) —
+    * the inverted-index near-dup miner for SPARSE feature spaces
+    * (Bayardo et al., WWW'07), complementing the dense-vector ANN
+    * family and the set-semantics MinHash/Jaccard miners (q27/q29):
+    * same candidate generation (shared-feature join) but a WEIGHTED
+    * similarity, so boilerplate shared by every document (high df → low
+    * idf) stops dominating the score. Pair work is Σ df², bounded by
+    * the df-cap (greatest(5, N/100) — scale-following, and it BITES at
+    * every SF). Exact within the pruned space; the oracle replays the
+    * identical law, decimal dots end-to-end.
+    */
+  def q112SparseAllPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val post = SparseSim.postings(
+      docs, "doc_id", "text", n = 3,
+      // references the n_docs column postings cross-joins in — the cap
+      // scales with the corpus without a separate driver-side count
+      dfCap = greatest(lit(5.0), col("n_docs") / 100.0)
+    )
+    SparseSim
+      .allPairs(post, "doc_id", threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q112Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+      |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM t),
+      |idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t),
+      |tf AS (
+      |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS feature,
+      |    CAST(count(*) AS BIGINT) AS tc
+      |  FROM idx GROUP BY 1, 2
+      |), df AS (SELECT feature, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |w AS (
+      |  SELECT tf.doc_id, tf.feature,
+      |    CAST(tf.tc AS DOUBLE) * ln((SELECT n_docs FROM n) / CAST(df.df AS DOUBLE)) AS w
+      |  FROM tf JOIN df USING (feature)
+      |  WHERE CAST(df.df AS DOUBLE) <= greatest(5.0, (SELECT n_docs FROM n) / 100.0)
+      |), nrm AS (
+      |  SELECT doc_id,
+      |    sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nm
+      |  FROM w GROUP BY 1
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM w a JOIN w b ON a.feature = b.feature AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, n_shared,
+      |  round(p.dot / (na.nm * nb.nm), 6) AS cosine
+      |FROM p JOIN nrm na ON p.id_a = na.doc_id JOIN nrm nb ON p.id_b = nb.doc_id
+      |WHERE round(p.dot / (na.nm * nb.nm), 6) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q113
+  /** Training-export shard plan (ops/ExportPlan): deterministic global
+    * pseudo-shuffle (portable multiplicative hash, the q85 split key)
+    * + token-budgeted shard assignment via the two-pass distributed
+    * prefix sum — the operator that turns a curated corpus into the
+    * reproducible shard manifest a trainer reads. The oracle states the
+    * SEMANTIC definition (one global window cumsum in (h, doc_id)
+    * order); the Spark side computes it with zero global sorts — the
+    * hash-bucket two-pass whose equivalence IS the thing certified.
+    * Budget 2048 tokens/shard → ~13 shards at sf0.01, ~130 at sf0.1.
+    */
+  def q113ShardPlan(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val docs = Tables.documents(s, dir)
+    val assigned = ExportPlan.assignShards(
+      docs, "doc_id",
+      weightCol = size(TextStats.tokens(col("text"))),
+      budget = budget
+    )
+    ExportPlan
+      .shardManifest(assigned, budget)
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"), col("h_lo"), col("h_hi"), col("fill"))
+      .orderBy(col("shard_id"))
+  }
+
+  val q113Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS h,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wt
+      |  FROM documents
+      |), c AS (
+      |  SELECT *, SUM(wt) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - wt AS cum_before
+      |  FROM d
+      |), s AS (SELECT *, cum_before // 2048 AS shard_id FROM c)
+      |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(wt) AS BIGINT) AS n_tokens,
+      |  CAST(MIN(h) AS BIGINT) AS h_lo, CAST(MAX(h) AS BIGINT) AS h_hi,
+      |  round(CAST(SUM(wt) AS DOUBLE) / 2048.0, 6) AS fill
+      |FROM s GROUP BY shard_id
+      |ORDER BY shard_id""".stripMargin
+
+  // ---------------------------------------------------------------- q114
+  /** Decontamination COVERAGE report (ops/SparseSim coverage law): the
+    * eval slice (doc_id % 10 = 7) becomes a frozen TF-IDF index; every
+    * candidate training doc is scored by the asymmetric containment
+    * "fraction of eval doc r's idf²-weighted 3-gram mass present in
+    * probe p" — the graded form of the binary q61/q64 sweeps (those
+    * answer "does any eval gram occur?", this answers "HOW MUCH of
+    * which eval doc leaked?", the report a contamination audit ships).
+    * Chosen over cosine so it needs ONE aggregation — which is what
+    * lets streaming/StreamingSparseSim run the identical law on an
+    * ingest stream against the identical index (parity spec). Pair
+    * work is again Σ df² over the CAPPED eval vocabulary; probe-side
+    * work is map-side distinct-gram extraction only.
+    */
+  def q114DecontamCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idx = SparseSim.coverageIndex(
+      docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", n = 3,
+      dfCap = greatest(lit(5.0), col("n_docs") / 100.0)
+    )
+    val probes = SparseSim
+      .distinctFeatures(docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", n = 3)
+      .withColumnRenamed("doc_id", "probe_id")
+    SparseSim
+      .coverageScores(probes, idx, threshold = 0.5)
+      .orderBy(col("probe_id"), col("ref_id"))
+  }
+
+  val q114Oracle: String =
+    """WITH ev AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |  WHERE doc_id % 10 = 7 AND len(string_split_regex(trim(text), '\s+')) >= 3
+      |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM ev),
+      |idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM ev),
+      |tf AS (
+      |  SELECT doc_id AS ref_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS feature,
+      |    CAST(count(*) AS BIGINT) AS tc
+      |  FROM idx GROUP BY 1, 2
+      |), df AS (SELECT feature, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |w AS (
+      |  SELECT tf.ref_id, tf.feature,
+      |    CAST(tf.tc AS DOUBLE) * ln((SELECT n_docs FROM n) / CAST(df.df AS DOUBLE)) AS w
+      |  FROM tf JOIN df USING (feature)
+      |  WHERE CAST(df.df AS DOUBLE) <= greatest(5.0, (SELECT n_docs FROM n) / 100.0)
+      |), nm AS (
+      |  SELECT ref_id, CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE) AS nm2
+      |  FROM w GROUP BY 1 HAVING CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE) > 0
+      |), pr AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |  WHERE doc_id % 10 <> 7 AND len(string_split_regex(trim(text), '\s+')) >= 3
+      |), pidx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM pr),
+      |pf AS (
+      |  SELECT DISTINCT doc_id AS probe_id,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS feature
+      |  FROM pidx
+      |), cov AS (
+      |  SELECT pf.probe_id, w.ref_id, CAST(count(*) AS BIGINT) AS n_shared,
+      |    round(CAST(SUM(CAST(w.w * w.w AS DECIMAL(38,12))) AS DOUBLE) / MAX(nm.nm2), 6) AS coverage
+      |  FROM pf JOIN w USING (feature) JOIN nm ON w.ref_id = nm.ref_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT probe_id, ref_id, n_shared, coverage FROM cov
+      |WHERE coverage >= 0.5
+      |ORDER BY probe_id, ref_id""".stripMargin
+
   // ---------------------------------------------------------------- q96
   /** PageRank (ops/PageRank) over the part↔supplier co-occurrence graph
     * — the canonical iterative-graph workload, 3 power-iteration rounds
@@ -6676,7 +6846,10 @@ object Queries {
     "q108_audio_decode" -> (q108AudioDecode _),
     "q109_ivf_pq" -> (q109IvfPq _),
     "q110_lm_score" -> (q110LmScore _),
-    "q111_bpe_encode" -> (q111BpeEncode _)
+    "q111_bpe_encode" -> (q111BpeEncode _),
+    "q112_sparse_allpairs" -> (q112SparseAllPairs _),
+    "q113_shard_plan" -> (q113ShardPlan _),
+    "q114_decontam_coverage" -> (q114DecontamCoverage _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6780,7 +6953,10 @@ object Queries {
     "q105_temporal_split" -> q105Oracle,
     "q106_pagerank_directed" -> q106Oracle,
     "q110_lm_score" -> q110Oracle,
-    "q111_bpe_encode" -> q111Oracle
+    "q111_bpe_encode" -> q111Oracle,
+    "q112_sparse_allpairs" -> q112Oracle,
+    "q113_shard_plan" -> q113Oracle,
+    "q114_decontam_coverage" -> q114Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

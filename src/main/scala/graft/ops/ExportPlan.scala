@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-export SHARD PLANNER: deterministic global shuffle + token-
+  * budgeted shard assignment — the step between a curated corpus and
+  * the sharded files a trainer actually reads. Two requirements that
+  * fight each other at 100 TB:
+  *
+  *  1. the order must be a reproducible global PSEUDO-SHUFFLE (so every
+  *     rerun, engine, and cluster size yields byte-identical shards —
+  *     `rand()` fails all three), and
+  *  2. shard assignment needs a GLOBAL running token total in that
+  *     order — and the naive form (one window over a global ORDER BY)
+  *     collapses the whole corpus into a single partition.
+  *
+  * The operator solves (1) with the engine-portable multiplicative hash
+  * ([[TextStats.portableHash]], the q85 split key) and (2) with the
+  * textbook two-pass distributed prefix sum over RANGE BUCKETS of the
+  * hash space:
+  *
+  *  - pass 1: each doc lands in bucket ⌊h/width⌋; a per-bucket window
+  *    (shuffle on `bucket`, the only full-data exchange) computes the
+  *    WITHIN-bucket running total in (h, id) order;
+  *  - pass 2: per-bucket totals — `buckets` rows, bounded by the knob,
+  *    not the data — get a driver-scale prefix scan and broadcast back
+  *    as offsets. cum_before = bucket offset + local running total −
+  *    own weight; shard = ⌊cum_before / budget⌋.
+  *
+  * At 1000 executors, `buckets` scales to O(10⁵) so each bucket's
+  * window fits one task comfortably; the offset frame stays kilobytes.
+  * This is exactly how RDD.zipWithIndex computes global indexes — here
+  * expressed declaratively so Catalyst keeps the scan pruned.
+  *
+  * Docs are never split across shards (cum_before, not cum_after,
+  * picks the shard — a doc bigger than the budget overflows its own
+  * shard, the standard packing convention; cf. the greedy packer q57).
+  */
+object ExportPlan {
+
+  private val HashSpace = 1000003L
+
+  /** Per-doc shard assignment in deterministic pseudo-shuffle order.
+    *
+    * @param weightCol integer token/byte weight per row
+    * @param budget    target weight per shard
+    * @param buckets   prefix-sum fan-out (the scale knob; any value
+    *                  yields identical output — asserted in the spec)
+    * @return input id + (h, wt, cum_before, shard_id)
+    */
+  def assignShards(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      budget: Long,
+      buckets: Int = 64
+  ): DataFrame = {
+    val width = (HashSpace + buckets - 1) / buckets
+    val d = docs.select(
+      col(idCol).as("id"),
+      weightCol.cast("long").as("wt"),
+      TextStats.portableHash(col(idCol)).as("h")
+    )
+    val withBucket = d.withColumn("bucket", (col("h") / lit(width)).cast("long"))
+    val local = Window.partitionBy(col("bucket")).orderBy(col("h"), col("id"))
+    val cum = withBucket.withColumn("local_cum", sum(col("wt")).over(local))
+    // pass 2: per-bucket totals → exclusive prefix. `buckets` rows by
+    // construction — the single-partition window here is over the KNOB,
+    // not the data (same bounded-scalar posture as Components' count).
+    val offsets = withBucket
+      .groupBy(col("bucket"))
+      .agg(sum(col("wt")).as("btot"))
+      .withColumn(
+        "boffset",
+        coalesce(
+          sum(col("btot")).over(
+            Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select(col("bucket"), col("boffset"))
+    cum
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_before", col("boffset") + col("local_cum") - col("wt"))
+      .withColumn("shard_id", (col("cum_before") / lit(budget)).cast("long"))
+      .select(col("id"), col("h"), col("wt"), col("cum_before"), col("shard_id"))
+  }
+
+  /** Shard manifest: one row per planned shard with its doc count,
+    * weight total, hash range, and fill ratio against the budget.
+    */
+  def shardManifest(assigned: DataFrame, budget: Long): DataFrame =
+    assigned
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("wt")).as("n_tokens"),
+        min(col("h")).as("h_lo"),
+        max(col("h")).as("h_hi")
+      )
+      .withColumn("fill", round(col("n_tokens").cast("double") / lit(budget.toDouble), 6))
+}

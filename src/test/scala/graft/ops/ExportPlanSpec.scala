@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class ExportPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (1L to 300L).map(i => (i, s"doc $i", (i % 17 + 3).toInt)).toDF("doc_id", "text", "wt")
+
+  test("two-pass prefix sum equals the single global window (the semantic definition)") {
+    val got = ExportPlan
+      .assignShards(corpus, "doc_id", $"wt", budget = 100L, buckets = 16)
+      .select($"id", $"cum_before")
+    val globalW = Window.orderBy($"h", $"id").rowsBetween(Window.unboundedPreceding, -1)
+    val want = corpus
+      .select($"doc_id".as("id"), $"wt", TextStats.portableHash($"doc_id").as("h"))
+      .withColumn("cum_before", coalesce(sum($"wt").over(globalW), lit(0L)))
+      .select($"id", $"cum_before")
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+  }
+
+  test("output is invariant to the bucket knob and to input partitioning") {
+    val base = ExportPlan.assignShards(corpus, "doc_id", $"wt", 100L, buckets = 64).collect().toSet
+    val b1 = ExportPlan.assignShards(corpus, "doc_id", $"wt", 100L, buckets = 1).collect().toSet
+    val b7 = ExportPlan.assignShards(corpus.repartition(7), "doc_id", $"wt", 100L, buckets = 7).collect().toSet
+    assert(b1 === base)
+    assert(b7 === base)
+  }
+
+  test("shards fill to the budget; no shard except a doc-overflow exceeds budget + max doc") {
+    val budget = 100L
+    val assigned = ExportPlan.assignShards(corpus, "doc_id", $"wt", budget, buckets = 8)
+    val man = ExportPlan.shardManifest(assigned, budget).collect()
+    val maxDoc = 19L // wt in [3, 19]
+    man.foreach { r =>
+      val tokens = r.getAs[Long]("n_tokens")
+      assert(tokens <= budget + maxDoc, s"shard ${r.getAs[Long]("shard_id")} overflows: $tokens")
+    }
+    // shard ids are contiguous from 0 and docs are exhaustive
+    val ids = man.map(_.getAs[Long]("shard_id")).sorted
+    assert(ids.head === 0L && ids.last === ids.length - 1L)
+    assert(man.map(_.getAs[Long]("n_docs")).sum === 300L)
+  }
+
+  test("hash ranges of consecutive shards are non-overlapping (a true global order)") {
+    val assigned = ExportPlan.assignShards(corpus, "doc_id", $"wt", 100L, buckets = 8)
+    val man = ExportPlan.shardManifest(assigned, 100L).orderBy($"shard_id").collect()
+    man.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("h_hi") <= b.getAs[Long]("h_lo"))
+      case _ =>
+    }
+  }
+}

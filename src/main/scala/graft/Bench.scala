@@ -107,11 +107,27 @@ object Bench {
         if (s0.nonEmpty) s0 else "unknown"
       } catch { case _: Throwable => "unknown" }
     val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse {
-      try {
-        val head = java.nio.file.Files.readString(java.nio.file.Paths.get("/root/repo/VERDICT.md"))
-          .linesIterator.take(1).mkString
-        "round (\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt + 1).getOrElse(-1)
-      } catch { case _: Throwable => -1 }
+      // PROGRESS.jsonl's last line carries the driver's own round counter
+      // and survives a skipped judge pass; VERDICT.md+1 (the round-6 rule)
+      // under-labels by one for every verdict the judge never wrote
+      // (observed: r6 verdict skipped → r7 records stamped round 6).
+      def progressRound: Option[Int] =
+        try {
+          val last = java.nio.file.Files
+            .readString(java.nio.file.Paths.get("/root/repo/PROGRESS.jsonl"))
+            .linesIterator.filter(_.nonEmpty).toSeq.lastOption
+          last.flatMap("\"round\": *(\\d+)".r.findFirstMatchIn(_)).map(_.group(1).toInt)
+        } catch { case _: Throwable => None }
+      def verdictRound: Option[Int] =
+        try {
+          val head = java.nio.file.Files.readString(java.nio.file.Paths.get("/root/repo/VERDICT.md"))
+            .linesIterator.take(1).mkString
+          "round (\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt + 1)
+        } catch { case _: Throwable => None }
+      // trust whichever source claims the LATER round: PROGRESS is wrong
+      // only if stale (driver not yet ticked), VERDICT only if skipped —
+      // both errors under-count, never over-count
+      (progressRound.toSeq ++ verdictRound.toSeq).maxOption.getOrElse(-1)
     }
     val stamp = java.time.Instant.now().toString
     val line =

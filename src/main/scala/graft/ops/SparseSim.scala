@@ -83,6 +83,8 @@ object SparseSim {
     */
   def allPairs(post: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val p = post.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count() // eager: norms + both self-join sides share this cache
+
     // a doc whose kept features ALL have idf 0 (df = N) has zero norm
     // and an undefined cosine; drop it here rather than let 0/0 = NaN
     // reach the threshold comparison (Spark orders NaN above every

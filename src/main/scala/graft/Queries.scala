@@ -5644,6 +5644,46 @@ object Queries {
       |WHERE coverage >= 0.5
       |ORDER BY probe_id, ref_id""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** Weighted sampling without replacement (ops/WeightedSample,
+    * Efraimidis–Spirakis A-Res): top-12 docs per source, probability
+    * proportional to TOKEN COUNT — the token-budget-proportional draw
+    * a mixture pipeline uses to subsample a source to budget while
+    * keeping long docs represented by mass, not count. Deterministic
+    * end-to-end (portable-hash u, rounded-key ranking), so the oracle
+    * replays the identical key law and window. Map-side keys + one
+    * WindowGroupLimit-pruned group shuffle.
+    */
+  def q115WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(s, dir)
+      .select(col("source"), col("doc_id"), size(TextStats.tokens(col("text"))).as("n_tokens"))
+    WeightedSample
+      .topKByWeight(d, "source", "doc_id", col("n_tokens"), k = 12)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_tokens"), col("es_key"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  val q115Oracle: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    round(
+      |      ln((CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) + 0.5) / 1000003.0)
+      |        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE),
+      |      6) AS es_key
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) > 0
+      |), r AS (
+      |  SELECT source, doc_id, n_tokens, es_key,
+      |    CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY source ORDER BY es_key DESC, doc_id) AS BIGINT) AS rn
+      |  FROM d
+      |)
+      |SELECT source, rn, doc_id, n_tokens, es_key FROM r
+      |WHERE rn <= 12
+      |ORDER BY source, rn""".stripMargin
+
   // ---------------------------------------------------------------- q96
   /** PageRank (ops/PageRank) over the part↔supplier co-occurrence graph
     * — the canonical iterative-graph workload, 3 power-iteration rounds
@@ -6849,7 +6889,8 @@ object Queries {
     "q111_bpe_encode" -> (q111BpeEncode _),
     "q112_sparse_allpairs" -> (q112SparseAllPairs _),
     "q113_shard_plan" -> (q113ShardPlan _),
-    "q114_decontam_coverage" -> (q114DecontamCoverage _)
+    "q114_decontam_coverage" -> (q114DecontamCoverage _),
+    "q115_weighted_sample" -> (q115WeightedSample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -6956,7 +6997,8 @@ object Queries {
     "q111_bpe_encode" -> q111Oracle,
     "q112_sparse_allpairs" -> q112Oracle,
     "q113_shard_plan" -> q113Oracle,
-    "q114_decontam_coverage" -> q114Oracle
+    "q114_decontam_coverage" -> q114Oracle,
+    "q115_weighted_sample" -> q115Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

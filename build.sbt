@@ -30,4 +30,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // garbage per bench query; an 8g heap at local[32] GC-thrashes and
   // adds +-2.5x noise to q27-class timings (the host has 128 GiB).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -5487,18 +5487,20 @@ object Queries {
     * family and the set-semantics MinHash/Jaccard miners (q27/q29):
     * same candidate generation (shared-feature join) but a WEIGHTED
     * similarity, so boilerplate shared by every document (high df → low
-    * idf) stops dominating the score. Pair work is Σ df², bounded by
-    * the df-cap (greatest(5, N/100) — scale-following, and it BITES at
-    * every SF). Exact within the pruned space; the oracle replays the
-    * identical law, decimal dots end-to-end.
+    * idf) stops dominating the score. Pair work is Σ df², and the
+    * CONSTANT df-cap (64) bounds it by 64·|postings| — linear in corpus
+    * size unconditionally (Σ_{df≤C} df² ≤ C·Σdf; SparseSim scaladoc).
+    * Round 7: replaced the scale-following greatest(5, N/100) cap,
+    * whose Σdf² the SparseCandidateSpec ladder measured ~quadratic
+    * (head features saturate at df = N/100). Exact within the pruned
+    * space; the oracle replays the identical law, decimal dots
+    * end-to-end.
     */
   def q112SparseAllPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val post = SparseSim.postings(
       docs, "doc_id", "text", n = 3,
-      // references the n_docs column postings cross-joins in — the cap
-      // scales with the corpus without a separate driver-side count
-      dfCap = greatest(lit(5.0), col("n_docs") / 100.0)
+      dfCap = lit(64.0)
     )
     SparseSim
       .allPairs(post, "doc_id", threshold = 0.5)
@@ -5520,7 +5522,7 @@ object Queries {
       |  SELECT tf.doc_id, tf.feature,
       |    CAST(tf.tc AS DOUBLE) * ln((SELECT n_docs FROM n) / CAST(df.df AS DOUBLE)) AS w
       |  FROM tf JOIN df USING (feature)
-      |  WHERE CAST(df.df AS DOUBLE) <= greatest(5.0, (SELECT n_docs FROM n) / 100.0)
+      |  WHERE CAST(df.df AS DOUBLE) <= 64.0
       |), nrm AS (
       |  SELECT doc_id,
       |    sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nm
@@ -5559,7 +5561,7 @@ object Queries {
     )
     ExportPlan
       .shardManifest(assigned, budget)
-      .select(col("shard_id"), col("n_docs"), col("n_tokens"), col("h_lo"), col("h_hi"), col("fill"))
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"), col("h_lo"), col("h_hi"), col("fill_ppm"))
       .orderBy(col("shard_id"))
   }
 
@@ -5575,7 +5577,7 @@ object Queries {
       |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(wt) AS BIGINT) AS n_tokens,
       |  CAST(MIN(h) AS BIGINT) AS h_lo, CAST(MAX(h) AS BIGINT) AS h_hi,
-      |  round(CAST(SUM(wt) AS DOUBLE) / 2048.0, 6) AS fill
+      |  CAST(SUM(wt) * 1000000 // 2048 AS BIGINT) AS fill_ppm
       |FROM s GROUP BY shard_id
       |ORDER BY shard_id""".stripMargin
 
@@ -5590,14 +5592,16 @@ object Queries {
     * Chosen over cosine so it needs ONE aggregation — which is what
     * lets streaming/StreamingSparseSim run the identical law on an
     * ingest stream against the identical index (parity spec). Pair
-    * work is again Σ df² over the CAPPED eval vocabulary; probe-side
+    * work is again Σ df² over the CAPPED eval vocabulary — constant
+    * cap 64, same linear-work bound as q112 (round 7; was the
+    * scale-following cap the ladder measured superlinear); probe-side
     * work is map-side distinct-gram extraction only.
     */
   def q114DecontamCoverage(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val idx = SparseSim.coverageIndex(
       docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", n = 3,
-      dfCap = greatest(lit(5.0), col("n_docs") / 100.0)
+      dfCap = lit(64.0)
     )
     val probes = SparseSim
       .distinctFeatures(docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", n = 3)
@@ -5622,7 +5626,7 @@ object Queries {
       |  SELECT tf.ref_id, tf.feature,
       |    CAST(tf.tc AS DOUBLE) * ln((SELECT n_docs FROM n) / CAST(df.df AS DOUBLE)) AS w
       |  FROM tf JOIN df USING (feature)
-      |  WHERE CAST(df.df AS DOUBLE) <= greatest(5.0, (SELECT n_docs FROM n) / 100.0)
+      |  WHERE CAST(df.df AS DOUBLE) <= 64.0
       |), nm AS (
       |  SELECT ref_id, CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE) AS nm2
       |  FROM w GROUP BY 1 HAVING CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE) > 0

@@ -26,9 +26,11 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read the raw int64 nanos and let Tables.events
-      // derive both a precise `ts_ns` long and a micros TimestampType.
+      // events.parquet has shipped as TIMESTAMP(NANOS) (early testdata
+      // generations) and timestamp[us] (current). NANOS is readable only
+      // as raw int64 via this legacy conf; Tables.events adapts on the
+      // scanned type and derives `ts_ns` (long) + `ts` (µs timestamp)
+      // either way. Harmless for µs parquet.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // static conf; keeps saveAsTable output out of the repo checkout
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")

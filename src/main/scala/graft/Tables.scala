@@ -36,21 +36,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.ts is ns-precision parquet. Spark reads it as int64 nanos
-    * (legacy.parquet.nanosAsLong, see Sessions); DuckDB reads native
-    * TIMESTAMP_NS. To stay bit-compatible with the oracle:
-    *  - `ts_ns` (long, exact nanos) is used for every ordering /
-    *    strict-comparison / dedup-key purpose — identical to comparing
-    *    DuckDB's ns timestamps;
-    *  - `ts` (TimestampType, truncated to micros) is used for calendar
-    *    operations (date_trunc, date_format) where sub-micro precision is
-    *    irrelevant.
+  /** events.ts has shipped as two physical parquet types across testdata
+    * generations: TIMESTAMP(NANOS) (read as int64 nanos via
+    * legacy.parquet.nanosAsLong, see Sessions) and timestamp[us]
+    * (read as TIMESTAMP / TIMESTAMP_NTZ). This loader adapts on the
+    * SCANNED type — the schema-fallback-chain discipline the reference
+    * applies to every upstream payload (reference app/main.py:384-394,
+    * 588) applied to our own scan — and always yields the same contract:
+    *  - `ts_ns` (long, epoch nanos) for every ordering /
+    *    strict-comparison / dedup-key purpose — bit-identical to DuckDB's
+    *    `epoch_ns(ts)` on the same parquet (µs data ⇒ ns = µs·1000);
+    *  - `ts` (TimestampType, µs) for calendar operations (date_trunc,
+    *    date_format) where sub-µs precision is irrelevant.
+    * Both shapes are pinned by EventsSchemaSpec against tiny fixtures so
+    * a testdata regeneration cannot silently break the contract again.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType | IntegerType => // int64 epoch-nanos (TIMESTAMP(NANOS) parquet)
+        raw
+          .withColumn("ts_ns", col("ts").cast(LongType))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType | TimestampNTZType => // µs timestamp parquet
+        // NTZ→LTZ cast under the UTC session TZ is a wall-clock identity;
+        // downstream code sees the same TimestampType it always has.
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected int64 nanos or timestamp)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

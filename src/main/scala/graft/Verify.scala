@@ -22,14 +22,19 @@ object Verify {
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    var failed = 0
+    // name → exception message for every query that threw. Written even
+    // when empty: a query missing from the correctness artifact must be
+    // impossible without a trace (round-6 postmortem — 25 analysis-time
+    // failures went to stderr only and silently vanished from
+    // CORRECTNESS_r06).
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        failed += 1
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -61,11 +66,14 @@ object Verify {
     val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
     spark.stop()
     // dev loop (explicit filter): a failed requested query must fail the
     // run — ORACLE_CHECK_PARTIAL would otherwise skip its missing dir
     // and certify nothing. The driver's two-arg full dump keeps the
     // per-query fault isolation contract (T6) and exit 0.
-    if (only.isDefined && failed > 0) sys.exit(1)
+    if (only.isDefined && failures.nonEmpty) sys.exit(1)
   }
 }

@@ -90,7 +90,14 @@ object ExportPlan {
   }
 
   /** Shard manifest: one row per planned shard with its doc count,
-    * weight total, hash range, and fill ratio against the budget.
+    * weight total, hash range, and fill against the budget.
+    *
+    * `fill_ppm` is an INTEGER — parts-per-million of the budget,
+    * floor-divided. Round 6 shipped this as round(double, 6) and the
+    * driver's DuckDB flagged a hash mismatch that local DuckDB could
+    * not reproduce: double-rounding tie behavior is an engine-version
+    * artifact, so the manifest now carries no rounded double at all
+    * (integer units for checked outputs — the q92/q97 discipline).
     */
   def shardManifest(assigned: DataFrame, budget: Long): DataFrame =
     assigned
@@ -101,5 +108,5 @@ object ExportPlan {
         min(col("h")).as("h_lo"),
         max(col("h")).as("h_hi")
       )
-      .withColumn("fill", round(col("n_tokens").cast("double") / lit(budget.toDouble), 6))
+      .withColumn("fill_ppm", expr(s"n_tokens * 1000000L div ${budget}L"))
 }

@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
   *    form): features occurring in more than `dfCap` documents are
   *    dropped from the index BEFORE the self-join. High-df features
   *    carry near-zero idf weight — they cost df² pair work for almost
-  *    no cosine mass. The cap makes the worst feature cost dfCap²,
-  *    and similarity is DEFINED over the pruned space (exact within
-  *    it — the oracle replays the same pruned-space law).
+  *    no cosine mass. With a CONSTANT cap C the total pair work is
+  *    unconditionally linear in corpus size: Σ_{df≤C} df² ≤ C·Σdf ≤
+  *    C·|postings|, no distributional assumption needed — which is why
+  *    the shipped call sites use a constant, NOT a corpus-fraction cap
+  *    (a cap ∝ N lets head features saturate at df = Θ(N), so Σdf²
+  *    grows ~N²; measured on the SparseCandidateSpec ladder before
+  *    being replaced, round 7). Similarity is DEFINED over the pruned
+  *    space (exact within it — the oracle replays the same
+  *    pruned-space law).
   *  - the self-join and the pair aggregate shuffle on an 8-ish-byte
   *    key each (feature string / (id,id) pair) — the same
   *    one-shuffle-per-stage posture as the MinHash census (q27).
@@ -46,11 +52,12 @@ object SparseSim {
     * @param docs  (idCol, textCol) frame
     * @param n     words per n-gram feature
     * @param dfCap drop features with document frequency above this —
-    *              pair work is bounded by dfCap² per surviving feature.
-    *              May reference the corpus-size column `n_docs` (this
-    *              frame cross-joins the one-row doc count in), so
-    *              scale-following caps like greatest(5, n_docs/100)
-    *              need no separate count job
+    *              a CONSTANT cap C bounds total pair work by
+    *              C·|postings| (linear in corpus size). May reference
+    *              the corpus-size column `n_docs` (this frame
+    *              cross-joins the one-row doc count in) when a caller
+    *              wants a corpus-relative cap — but caps ∝ N forfeit
+    *              the linear-work bound (see object scaladoc)
     * @return (idCol, feature, w) — w = tf × ln(N/df)
     */
   def postings(docs: DataFrame, idCol: String, textCol: String, n: Int, dfCap: Column): DataFrame = {

@@ -22,7 +22,7 @@ class StreamingSparseSimSpec extends SparkSpec {
     val idx = SparseSim
       .coverageIndex(
         docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", n = 3,
-        dfCap = greatest(lit(5.0), col("n_docs") / 100.0)
+        dfCap = lit(64.0) // q114's constant cap (round 7)
       )
       .persist()
     // threshold 0 so the parity check covers BELOW-flag pairs too

@@ -5688,6 +5688,50 @@ object Queries {
       |WHERE rn <= 12
       |ORDER BY source, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  /** Reproducible-export INTEGRITY digest (ops/ExportPlan.shardDigests):
+    * per planned shard, two associative content digests — sum mod 2^61-1
+    * and bit_xor of every member doc's portable 60-bit digest
+    * (TextStats.contentDigest60). The verification half of the export
+    * contract q113 plans: a trainer (or a re-run on a different cluster
+    * size / engine) recomputes the pair per shard and diffs — any
+    * membership drift flips both numbers, with no ordered fold and no
+    * text movement (map-side-combined aggregates over 16-byte rows).
+    * Budget matches q113 so the manifest and digest rows key together.
+    */
+  def q116ExportDigest(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val docs = Tables.documents(s, dir)
+    val assigned = ExportPlan.assignShards(
+      docs, "doc_id",
+      weightCol = size(TextStats.tokens(col("text"))),
+      budget = budget
+    )
+    val digests = docs.select(
+      col("doc_id").as("id"),
+      TextStats.contentDigest60(col("text")).as("digest")
+    )
+    ExportPlan
+      .shardDigests(assigned, digests)
+      .orderBy(col("shard_id"))
+  }
+
+  val q116Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS h,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wt,
+      |    ('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15))::BIGINT AS digest
+      |  FROM documents
+      |), c AS (
+      |  SELECT *, SUM(wt) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - wt AS cum_before
+      |  FROM d
+      |), s AS (SELECT *, cum_before // 2048 AS shard_id FROM c)
+      |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CAST(digest AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS digest_sum,
+      |  bit_xor(digest) AS digest_xor
+      |FROM s GROUP BY shard_id
+      |ORDER BY shard_id""".stripMargin
+
   // ---------------------------------------------------------------- q96
   /** PageRank (ops/PageRank) over the part↔supplier co-occurrence graph
     * — the canonical iterative-graph workload, 3 power-iteration rounds
@@ -6894,7 +6938,8 @@ object Queries {
     "q112_sparse_allpairs" -> (q112SparseAllPairs _),
     "q113_shard_plan" -> (q113ShardPlan _),
     "q114_decontam_coverage" -> (q114DecontamCoverage _),
-    "q115_weighted_sample" -> (q115WeightedSample _)
+    "q115_weighted_sample" -> (q115WeightedSample _),
+    "q116_export_digest" -> (q116ExportDigest _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7002,7 +7047,8 @@ object Queries {
     "q112_sparse_allpairs" -> q112Oracle,
     "q113_shard_plan" -> q113Oracle,
     "q114_decontam_coverage" -> q114Oracle,
-    "q115_weighted_sample" -> q115Oracle
+    "q115_weighted_sample" -> q115Oracle,
+    "q116_export_digest" -> q116Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

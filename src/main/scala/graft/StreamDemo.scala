@@ -19,8 +19,9 @@ object StreamDemo {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = Sessions.local(4)
     val dir = Files.createTempDirectory("stream_demo").toString
-    // raw file schema: ts arrives as int64 nanos (nanosAsLong), converted
-    // to a micros timestamp inside the stream exactly like Tables.events
+    // raw file schema probed batch-side; Tables.withEventTime adapts the
+    // ts physical shape (int64-ns or timestamp[us]) inside the stream
+    // exactly like Tables.events does for batch
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the file streaming source wants a directory: expose the single
     // parquet file through a symlink dir
@@ -31,10 +32,9 @@ object StreamDemo {
     )
 
     def runPass(tag: String): Unit = {
-      val src = spark.readStream
-        .schema(rawSchema)
-        .parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = Tables
+        .withEventTime(spark.readStream.schema(rawSchema).parquet(srcDir.toString))
+        .drop("ts_ns")
         .withColumn("arrival", col("event_id"))
       val q = ProducerLoop.start(
         src,
@@ -59,10 +59,9 @@ object StreamDemo {
 
     // streaming sessionization over the same real events (30-min gap);
     // AvailableNow drains the file, the final watermark closes sessions
-    val src2 = spark.readStream
-      .schema(rawSchema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src2 = Tables
+      .withEventTime(spark.readStream.schema(rawSchema).parquet(srcDir.toString))
+      .drop("ts_ns")
       .withWatermark("ts", "0 seconds")
     val sessions = graft.streaming.SessionizeStream
       .sessions(src2, Seq("user_id", "event_type"), "ts", gapMs = 30 * 60 * 1000)

@@ -15,8 +15,9 @@ object Tables {
   /** Defensive hardening for sessions NOT built via graft.Sessions (e.g.
     * a harness-created vanilla session): these three confs are
     * runtime-settable and required for correct reads/oracle parity —
-    * nanosAsLong (events is TIMESTAMP(NANOS) parquet), UTC session TZ,
-    * ANSI off (null-on-error casts). Idempotent, cheap.
+    * nanosAsLong (events was TIMESTAMP(NANOS) parquet in early testdata
+    * generations; harmless for the current timestamp[us] shape), UTC
+    * session TZ, ANSI off (null-on-error casts). Idempotent, cheap.
     */
   private def harden(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -51,10 +52,16 @@ object Tables {
     * Both shapes are pinned by EventsSchemaSpec against tiny fixtures so
     * a testdata regeneration cannot silently break the contract again.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    withEventTime(table(s, d, "events"))
+
+  /** The ts-shape adaptation itself, reusable on any frame carrying a
+    * raw events `ts` (StreamDemo applies it inside a file stream —
+    * the match is on the STATIC schema, so it is streaming-safe).
+    */
+  def withEventTime(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType | IntegerType => // int64 epoch-nanos (TIMESTAMP(NANOS) parquet)
         raw

@@ -109,4 +109,37 @@ object ExportPlan {
         max(col("h")).as("h_hi")
       )
       .withColumn("fill_ppm", expr(s"n_tokens * 1000000L div ${budget}L"))
+
+  /** 2^61 - 1 (Mersenne): digest sums are reduced mod a prime well above
+    * any single 60-bit digest so the residue keeps full discriminating
+    * power, while the decimal(38,0) accumulator keeps the sum itself
+    * exact at any corpus size.
+    */
+  val DigestModulus = 2305843009213693951L
+
+  /** Per-shard CONTENT digests — the integrity half of the export
+    * contract (shardManifest is the layout half): a trainer (or a
+    * re-run on different hardware / cluster size) recomputes these two
+    * numbers per shard and compares. Both digests are ASSOCIATIVE
+    * aggregations of the per-doc 60-bit digest ([[TextStats
+    * .contentDigest60]]) — sum mod 2^61-1 and bit_xor — so they
+    * map-side combine and never materialize an ordered fold; shard
+    * membership (not intra-shard order) is what they certify, which is
+    * exactly the invariant assignShards' (h, doc_id) pseudo-shuffle
+    * makes reproducible. The digest join is id-keyed: at 100 TB the
+    * digest side is 16 bytes/doc — the text never travels.
+    *
+    * @param assigned output of [[assignShards]]
+    * @param digests  (id, digest) — digest a nonneg long < 2^60
+    */
+  def shardDigests(assigned: DataFrame, digests: DataFrame): DataFrame =
+    assigned
+      .join(digests, Seq("id"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("digest").cast("decimal(38,0)")) % lit(DigestModulus))
+          .cast("long").as("digest_sum"),
+        expr("bit_xor(digest)").as("digest_xor")
+      )
 }

@@ -125,6 +125,17 @@ object TextStats {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(trim(c), "\\s+", " "))
 
+  /** Engine-portable 60-bit integer content digest: the first 15 hex
+    * chars of [[fingerprint]] parsed as one BIGINT (< 2^60, so every
+    * downstream sum/xor fold stays in exact 64-bit range). Spark spells
+    * the parse `conv(hex, 16, 10)`; DuckDB casts a '0x'-prefixed string
+    * — probed to yield the identical value. The integer form is what
+    * makes corpus/shard digests pure ASSOCIATIVE aggregations (sum mod
+    * prime, bit_xor) instead of ordered string folds.
+    */
+  def contentDigest60(c: Column): Column =
+    conv(substring(fingerprint(c), 1, 15), 16, 10).cast("long")
+
   /** Token-SET (bag-of-words) md5 fingerprint: the content-defined key
     * that survives token reordering. The generated corpus has no exact
     * text duplicates but ~20% of docs share an identical token set —

@@ -53,4 +53,43 @@ class ExportPlanSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("shard digests: partition-invariant, membership-sensitive, equal to a driver-side fold") {
+    val digests = corpus.select($"doc_id".as("id"), TextStats.contentDigest60($"text").as("digest"))
+    val assigned = ExportPlan.assignShards(corpus, "doc_id", $"wt", 100L, buckets = 8)
+    val got = ExportPlan.shardDigests(assigned, digests).orderBy($"shard_id").collect()
+
+    // invariant to input partitioning (associative aggregates only)
+    val reparted = ExportPlan
+      .shardDigests(
+        ExportPlan.assignShards(corpus.repartition(13), "doc_id", $"wt", 100L, buckets = 5),
+        digests.repartition(11)
+      )
+      .orderBy($"shard_id")
+      .collect()
+    assert(got.toSeq === reparted.toSeq)
+
+    // equal to an independent driver-side fold of the same membership
+    val byShard = assigned
+      .join(digests, Seq("id"))
+      .select($"shard_id", $"digest")
+      .collect()
+      .groupBy(_.getAs[Long]("shard_id"))
+    got.foreach { r =>
+      val ds = byShard(r.getAs[Long]("shard_id")).map(_.getAs[Long]("digest"))
+      val wantSum = (ds.map(BigInt(_)).sum % BigInt(ExportPlan.DigestModulus)).toLong
+      val wantXor = ds.reduce(_ ^ _)
+      assert(r.getAs[Long]("digest_sum") === wantSum)
+      assert(r.getAs[Long]("digest_xor") === wantXor)
+      assert(r.getAs[Long]("n_docs") === ds.length.toLong)
+    }
+
+    // membership drift flips the digest: move one doc's digest value
+    val tampered = digests.withColumn(
+      "digest",
+      when($"id" === 1L, $"digest" + 1L).otherwise($"digest")
+    )
+    val bad = ExportPlan.shardDigests(assigned, tampered).orderBy($"shard_id").collect()
+    assert(bad.toSeq !== got.toSeq)
+  }
 }

@@ -3094,7 +3094,13 @@ object Queries {
       )
       .orderBy(col("doc_id"))
 
-  val q110Oracle: String =
+  /** The q110 scoring law as a reusable CTE chain ending in `scored`
+    * (doc_id, n_bigrams, avg_nll, oov_bigram_rate) — q110's final select
+    * and q117's bucketing both append to it, so the two oracles share
+    * the LM definition by construction (the q96 unrolled-rounds
+    * precedent).
+    */
+  private val lmScoredChainSql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
       |), bi AS (
@@ -3118,11 +3124,18 @@ object Queries {
       |  LEFT JOIN big ON h.u = big.u AND h.w = big.w
       |  LEFT JOIN uni ON h.u = uni.u, vv
       |  WHERE h.doc_id % 10 <> 0
-      |)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      |  round(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
-      |  round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_bigram_rate
-      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |), scored AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    round(CAST(SUM(CAST(nll AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
+      |    round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_bigram_rate
+      |  FROM terms GROUP BY doc_id
+      |)""".stripMargin
+
+  val q110Oracle: String =
+    lmScoredChainSql +
+      """
+        |SELECT doc_id, n_bigrams, avg_nll, oov_bigram_rate
+        |FROM scored ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q65
   /** Salted equi-join in-registry (ops.Skew spec-only until now): the
@@ -5732,6 +5745,58 @@ object Queries {
       |FROM s GROUP BY shard_id
       |ORDER BY shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+  /** CCNet head/middle/tail perplexity bucketing per language (Wenzek
+    * et al.) — the pruning stage that CONSUMES q110's LM scores: within
+    * each language, docs are ranked by avg_nll (best = closest to the
+    * reference LM) and cut into terciles by DISCRETE rank arithmetic
+    * ((rank-1)*3 div n — integer, so both engines agree to the row).
+    * The per-language ranking deliberately does NOT use a
+    * `partitionBy(lang)` window — a whole language in one task is the
+    * single-partition collapse at 100 TB — but ops/Rank's range-binned
+    * two-pass prefix sum, whose output IS the single-window definition
+    * (the oracle replays the plain-window form; equality is the thing
+    * certified, the q113 pattern). Scores ride rounded-6 into the rank
+    * so tie order (then doc_id) is engine-exact.
+    */
+  def q117CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = LmScore.scoreHeldOut(docs, "doc_id", "text", refPred = col("doc_id") % 10 === 0)
+    val withLang = scored.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val ranked = Rank.rankWithin(withLang, Seq("lang"), col("avg_nll"), col("doc_id"), "rn", bins = 64)
+    val sizes = ranked.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    ranked
+      .join(broadcast(sizes), Seq("lang"))
+      .withColumn("bucket", expr("(rn - 1) * 3 div nl"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("avg_nll").cast("decimal(38,12)")).cast("double") / count(lit(1)), 6)
+          .as("mean_nll"),
+        min(col("avg_nll")).as("nll_lo"),
+        max(col("avg_nll")).as("nll_hi")
+      )
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  val q117Oracle: String =
+    lmScoredChainSql +
+      """, lng AS (
+        |  SELECT s.doc_id, s.avg_nll, d.lang
+        |  FROM scored s JOIN documents d USING (doc_id)
+        |), rk AS (
+        |  SELECT lang, doc_id, avg_nll,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS nl
+        |  FROM lng
+        |)
+        |SELECT lang, (rn - 1) * 3 // nl AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  round(CAST(SUM(CAST(avg_nll AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mean_nll,
+        |  MIN(avg_nll) AS nll_lo, MAX(avg_nll) AS nll_hi
+        |FROM rk GROUP BY lang, (rn - 1) * 3 // nl
+        |ORDER BY lang, bucket""".stripMargin
+
   // ---------------------------------------------------------------- q96
   /** PageRank (ops/PageRank) over the part↔supplier co-occurrence graph
     * — the canonical iterative-graph workload, 3 power-iteration rounds
@@ -6939,7 +7004,8 @@ object Queries {
     "q113_shard_plan" -> (q113ShardPlan _),
     "q114_decontam_coverage" -> (q114DecontamCoverage _),
     "q115_weighted_sample" -> (q115WeightedSample _),
-    "q116_export_digest" -> (q116ExportDigest _)
+    "q116_export_digest" -> (q116ExportDigest _),
+    "q117_ccnet_buckets" -> (q117CcnetBuckets _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7048,7 +7114,8 @@ object Queries {
     "q113_shard_plan" -> q113Oracle,
     "q114_decontam_coverage" -> q114Oracle,
     "q115_weighted_sample" -> q115Oracle,
-    "q116_export_digest" -> q116Oracle
+    "q116_export_digest" -> q116Oracle,
+    "q117_ccnet_buckets" -> q117Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

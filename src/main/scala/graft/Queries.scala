@@ -5797,6 +5797,79 @@ object Queries {
         |FROM rk GROUP BY lang, (rn - 1) * 3 // nl
         |ORDER BY lang, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  /** Per-source corpus integrity digest — the INCREMENTAL-ingest end of
+    * the export contract (q116 is the per-shard end at export time):
+    * (n_docs, sum-mod, bit_xor) of every doc's portable content digest,
+    * grouped by source. The exact same function runs on an ingest
+    * STREAM ([[graft.streaming.StreamingDigest]] — associative
+    * aggregates are streaming-native at constant state per source;
+    * parity spec) so a live pipeline and any batch/cross-engine re-run
+    * certify each other.
+    */
+  def q118SourceDigest(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingDigest
+      .perGroupDigest(Tables.documents(s, dir), "source", "text")
+      .orderBy(col("source"))
+
+  val q118Oracle: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    ('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15))::BIGINT AS digest
+      |  FROM documents
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CAST(digest AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS digest_sum,
+      |  bit_xor(digest) AS digest_xor
+      |FROM d GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q119
+  /** One-pass column profiler (ANALYZE-style): per numeric lineitem
+    * column — row count, exact NDV, min, max, decimal-staged mean. The
+    * table is scanned ONCE and `unpivot` melts the k profiled columns
+    * into (col_name, value) rows map-side, so all k profiles cost one
+    * scan + one aggregate pipeline instead of k separate jobs — the
+    * difference between ANALYZE on a 100 TB table touching it once vs
+    * k times. Exact NDV is the semantics here (count_distinct's partial
+    * dedup shuffles (col_name, value) pairs); the sketch-grade variant
+    * at open-ended cardinalities is q44's HLL — same query shape, one
+    * agg swap.
+    */
+  def q119ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Tables
+      .lineitem(s, dir)
+      .select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .unpivot(Array.empty, cols.map(col).toArray, "col_name", "value")
+      .groupBy(col("col_name"))
+      .agg(
+        count(col("value")).as("n"),
+        count_distinct(col("value")).as("ndv"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        round(sum(col("value").cast("decimal(38,12)")).cast("double") / count(col("value")), 6)
+          .as("vavg")
+      )
+      .orderBy(col("col_name"))
+  }
+
+  val q119Oracle: String = {
+    val cols = Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val union = cols
+      .map(c => s"SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS value FROM lineitem")
+      .mkString("\n  UNION ALL ")
+    s"""WITH u AS (
+       |  $union
+       |)
+       |SELECT col_name, CAST(COUNT(value) AS BIGINT) AS n,
+       |  CAST(COUNT(DISTINCT value) AS BIGINT) AS ndv,
+       |  MIN(value) AS vmin, MAX(value) AS vmax,
+       |  round(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / COUNT(value), 6) AS vavg
+       |FROM u GROUP BY col_name
+       |ORDER BY col_name""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q96
   /** PageRank (ops/PageRank) over the part↔supplier co-occurrence graph
     * — the canonical iterative-graph workload, 3 power-iteration rounds
@@ -7005,7 +7078,9 @@ object Queries {
     "q114_decontam_coverage" -> (q114DecontamCoverage _),
     "q115_weighted_sample" -> (q115WeightedSample _),
     "q116_export_digest" -> (q116ExportDigest _),
-    "q117_ccnet_buckets" -> (q117CcnetBuckets _)
+    "q117_ccnet_buckets" -> (q117CcnetBuckets _),
+    "q118_source_digest" -> (q118SourceDigest _),
+    "q119_column_profile" -> (q119ColumnProfile _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7115,7 +7190,9 @@ object Queries {
     "q114_decontam_coverage" -> q114Oracle,
     "q115_weighted_sample" -> q115Oracle,
     "q116_export_digest" -> q116Oracle,
-    "q117_ccnet_buckets" -> q117Oracle
+    "q117_ccnet_buckets" -> q117Oracle,
+    "q118_source_digest" -> q118Oracle,
+    "q119_column_profile" -> q119Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

@@ -121,4 +121,32 @@ class PlanContractSpec extends SparkSpec {
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!read.contains("l_orderkey") && !read.contains("l_partkey"), read)
   }
+
+  test("distributed rank never windows a whole language in one partition: q117") {
+    // every window spec in the plan must carry the range-bin key — the
+    // rank windows partition on (lang, __bin), and the offsets window
+    // (bounded |G|·bins rows) orders on __bin. A windowspec mentioning
+    // lang but not __bin would be the single-partition collapse
+    // Rank.rankWithin exists to avoid.
+    val p = plan("q117_ccnet_buckets")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, "q117 lost its rank windows entirely")
+    specs.foreach(s => assert(s.contains("__bin"), s"window without the bin key: $s"))
+  }
+
+  test("column profiler is one pass: single pruned scan feeding Expand: q119") {
+    val p = plan("q119_column_profile")
+    assert(p.linesIterator.count(_.contains("FileScan")) === 1, "profiler re-scans the table")
+    assert(p.contains("Expand"), "unpivot lost its map-side Expand")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_returnflag") && !read.contains("l_shipdate"), read)
+  }
+
+  test("digest aggregates map-side combine (partial before the shuffle): q116, q118") {
+    Seq("q116_export_digest", "q118_source_digest").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q lost its partial aggregation")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian join")
+    }
+  }
 }

@@ -5870,6 +5870,122 @@ object Queries {
        |ORDER BY col_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q120
+  /** The CURATION PIPELINE end-to-end — the capstone composition the
+    * individual operators exist for, run as ONE dataflow: quality gate
+    * (q21 law, score ≥ 0.5) → exact token-set dedup keep-min-id (q24/
+    * q82 law) → eval-set decontamination (q61 law: drop any doc sharing
+    * a distinct word-5-gram with the doc_id < 50 eval slice) → token-
+    * budgeted shard plan over the survivors (q113 two-pass prefix sum)
+    * → shard manifest merged with content digests (q116 law). Output:
+    * one row per planned shard of the CURATED corpus, layout + integrity
+    * columns together — the artifact a trainer consumes.
+    *
+    * Every stage is individually oracled elsewhere; THIS query's oracle
+    * replays the full composition (nested CTEs of the same five laws),
+    * certifying the stages compose without a seam — the difference
+    * between a query zoo and a pipeline. Plan-wise nothing new appears:
+    * map-side quality features, two gram/fp-keyed shuffles, the
+    * broadcast eval probe, the bucketed prefix sum — every shape
+    * audited by its own contract already; AQE re-plans freely between
+    * stages at 100 TB.
+    */
+  def q120CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val docs = Tables.documents(s, dir)
+    // 1. quality gate (corpus side only — the eval slice is not curated)
+    val scored = TextStats
+      .withQuality(docs.filter(col("doc_id") >= 50), "text")
+      .filter(col("quality_score") >= 0.5)
+      .select(col("doc_id"), col("text"))
+    // 2. exact dedup: keep the min doc_id per token-set fingerprint
+    val keepers = scored
+      .groupBy(TextStats.tokenSetFingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = scored.join(keepers, Seq("doc_id"), "left_semi")
+    // 3. decontamination: anti-join on shared distinct 5-grams vs eval
+    val evalGrams = docs
+      .filter(col("doc_id") < 50)
+      .select(explode(TextDedup.shingles(col("text"), 5)).as("ng"))
+      .distinct()
+    val contaminated = deduped
+      .select(col("doc_id"), explode(TextDedup.shingles(col("text"), 5)).as("ng"))
+      .join(broadcast(evalGrams), Seq("ng"))
+      .select(col("doc_id"))
+      .distinct()
+    val curated = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // 4.+5. shard plan + manifest + digests over the curated survivors
+    val assigned = ExportPlan.assignShards(
+      curated, "doc_id",
+      weightCol = size(TextStats.tokens(col("text"))),
+      budget = budget
+    )
+    val digests = curated.select(
+      col("doc_id").as("id"),
+      TextStats.contentDigest60(col("text")).as("digest")
+    )
+    ExportPlan
+      .shardManifest(assigned, budget)
+      .join(
+        ExportPlan.shardDigests(assigned, digests).select(col("shard_id"), col("digest_sum"), col("digest_xor")),
+        Seq("shard_id")
+      )
+      .select(
+        col("shard_id"), col("n_docs"), col("n_tokens"),
+        col("h_lo"), col("h_hi"), col("fill_ppm"),
+        col("digest_sum"), col("digest_xor")
+      )
+      .orderBy(col("shard_id"))
+  }
+
+  val q120Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), qual AS (
+      |  SELECT doc_id, text, toks FROM d
+      |  WHERE doc_id >= 50 AND
+      |    0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) +
+      |    0.3 * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) +
+      |    0.3 * least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) >= 0.5
+      |), keep AS (
+      |  SELECT MIN(doc_id) AS doc_id
+      |  FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp FROM qual)
+      |  GROUP BY fp
+      |), dd AS (
+      |  SELECT q.doc_id, q.text, q.toks FROM qual q JOIN keep k ON q.doc_id = k.doc_id
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(toks) - 4, 1)),
+      |    i -> array_to_string(toks[i+1:i+5], ' '))) AS ngs
+      |  FROM d
+      |), bench AS (
+      |  SELECT DISTINCT unnest(ngs) AS ng FROM sh WHERE doc_id < 50
+      |), contaminated AS (
+      |  SELECT DISTINCT e.doc_id
+      |  FROM (SELECT s.doc_id, unnest(s.ngs) AS ng FROM sh s JOIN dd ON s.doc_id = dd.doc_id) e
+      |  JOIN bench b ON e.ng = b.ng
+      |), curated AS (
+      |  SELECT dd.doc_id, dd.text, dd.toks FROM dd
+      |  WHERE dd.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |), w AS (
+      |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS h,
+      |    CAST(len(toks) AS BIGINT) AS wt,
+      |    ('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15))::BIGINT AS digest
+      |  FROM curated
+      |), c AS (
+      |  SELECT *, SUM(wt) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - wt AS cum_before
+      |  FROM w
+      |), s AS (SELECT *, cum_before // 2048 AS shard_id FROM c)
+      |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(wt) AS BIGINT) AS n_tokens,
+      |  CAST(MIN(h) AS BIGINT) AS h_lo, CAST(MAX(h) AS BIGINT) AS h_hi,
+      |  CAST(SUM(wt) * 1000000 // 2048 AS BIGINT) AS fill_ppm,
+      |  CAST(SUM(CAST(digest AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS digest_sum,
+      |  bit_xor(digest) AS digest_xor
+      |FROM s GROUP BY shard_id
+      |ORDER BY shard_id""".stripMargin
+
   // ---------------------------------------------------------------- q96
   /** PageRank (ops/PageRank) over the part↔supplier co-occurrence graph
     * — the canonical iterative-graph workload, 3 power-iteration rounds
@@ -7080,7 +7196,8 @@ object Queries {
     "q116_export_digest" -> (q116ExportDigest _),
     "q117_ccnet_buckets" -> (q117CcnetBuckets _),
     "q118_source_digest" -> (q118SourceDigest _),
-    "q119_column_profile" -> (q119ColumnProfile _)
+    "q119_column_profile" -> (q119ColumnProfile _),
+    "q120_curation_pipeline" -> (q120CurationPipeline _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7192,7 +7309,8 @@ object Queries {
     "q116_export_digest" -> q116Oracle,
     "q117_ccnet_buckets" -> q117Oracle,
     "q118_source_digest" -> q118Oracle,
-    "q119_column_profile" -> q119Oracle
+    "q119_column_profile" -> q119Oracle,
+    "q120_curation_pipeline" -> q120Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

@@ -18,9 +18,10 @@ import graft.ops._
   *    (`cast(decimal(38,6))` → exact, order-independent) then back to
   *    double, so Spark's partition-order-dependent float summation can
   *    never drift from DuckDB's;
-  *  - timestamps in outputs are formatted to strings (the events table is
-  *    ns-precision parquet; Spark and DuckDB read it at different
-  *    precisions, strings are precision-neutral).
+  *  - timestamps in outputs are formatted to strings (the events table's
+  *    physical ts type has shipped as both ns- and µs-precision parquet
+  *    across testdata generations — Tables.events adapts, and strings
+  *    are precision-neutral in checked outputs).
   */
 object SparkEntry {
 

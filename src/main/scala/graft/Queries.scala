@@ -5986,6 +5986,88 @@ object Queries {
       |FROM s GROUP BY shard_id
       |ORDER BY shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** S4 DE positional-payload decode end-to-end (ops/Normalize
+    * .decodeDePayload — reference app/main.py:747-783): DE-shaped
+    * payload arrays are synthesized deterministically from events (the
+    * q18/q19/q47 synthetic-generator discipline: both engines build the
+    * IDENTICAL raw input, so the thing certified is the DECODE), with
+    * every reference failure mode injected — short/malformed arrays
+    * (every 10th row), unparseable values (every 7th), an unknown
+    * component id in the rotation (the comp_map fallthrough), and
+    * Berlin-naive key timestamps (January slice — away from the DST
+    * hours where engines legitimately disagree, the q47 rule). All
+    * map-side: a filter + projection over the scan, no shuffle until
+    * the output sort.
+    */
+  def q121DePayloadDecode(s: SparkSession, dir: String): DataFrame = {
+    val comps = array(lit("1"), lit("2"), lit("5"), lit("7"), lit("9"))
+    val raw = Tables
+      .events(s, dir)
+      .filter(col("ts") < lit("2024-03-01"))
+      .select(
+        col("event_id"),
+        col("user_id").cast("string").as("station_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_str"),
+        when(col("event_id") % 10 === 0, array(lit("1"), lit("x")))
+          .otherwise(
+            array(
+              element_at(comps, (col("event_id") % 5 + 1).cast("int")),
+              lit("measurement"),
+              when(col("event_id") % 7 === 0, lit("not-a-number"))
+                .otherwise(col("value").cast("string")),
+              lit(""),
+              when(col("event_id") % 3 === 0, lit("1")).otherwise(lit("0"))
+            )
+          )
+          .as("payload")
+      )
+    Normalize
+      .decodeDePayload(raw)
+      .select(
+        col("event_id"), col("station_id"), col("pollutant"), col("scope"),
+        col("value"), col("unit"),
+        date_format(col("ts_utc"), "yyyy-MM-dd HH:mm:ss").as("utc"),
+        col("valid_flag"), col("source")
+      )
+      .orderBy(col("event_id"))
+  }
+
+  val q121Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(user_id AS VARCHAR) AS station_id, "value",
+      |    strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_str
+      |  FROM events WHERE ts < TIMESTAMP '2024-03-01'
+      |), raw AS (
+      |  SELECT event_id, station_id, ts_str,
+      |    CASE WHEN event_id % 10 = 0 THEN ['1', 'x']
+      |         ELSE [ ['1','2','5','7','9'][CAST(event_id % 5 + 1 AS INT)],
+      |                'measurement',
+      |                CASE WHEN event_id % 7 = 0 THEN 'not-a-number'
+      |                     ELSE CAST("value" AS VARCHAR) END,
+      |                '',
+      |                CASE WHEN event_id % 3 = 0 THEN '1' ELSE '0' END ]
+      |    END AS payload
+      |  FROM ev
+      |), dec AS (
+      |  SELECT event_id, station_id,
+      |    CASE payload[1] WHEN '1' THEN 'pm10' WHEN '2' THEN 'pm25'
+      |                    WHEN '5' THEN 'no2' WHEN '7' THEN 'o3'
+      |                    ELSE payload[1] END AS pollutant,
+      |    payload[2] AS scope,
+      |    TRY_CAST(payload[3] AS DOUBLE) AS "value",
+      |    'ug/m3' AS unit,
+      |    strftime(
+      |      timezone('UTC', timezone('Europe/Berlin',
+      |        TRY_STRPTIME(ts_str, '%Y-%m-%dT%H:%M:%S'))),
+      |      '%Y-%m-%d %H:%M:%S') AS utc,
+      |    payload[5] AS valid_flag,
+      |    'de' AS source
+      |  FROM raw WHERE len(payload) >= 3
+      |)
+      |SELECT * FROM dec WHERE "value" IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- q96
   /** PageRank (ops/PageRank) over the part↔supplier co-occurrence graph
     * — the canonical iterative-graph workload, 3 power-iteration rounds
@@ -7197,7 +7279,8 @@ object Queries {
     "q117_ccnet_buckets" -> (q117CcnetBuckets _),
     "q118_source_digest" -> (q118SourceDigest _),
     "q119_column_profile" -> (q119ColumnProfile _),
-    "q120_curation_pipeline" -> (q120CurationPipeline _)
+    "q120_curation_pipeline" -> (q120CurationPipeline _),
+    "q121_de_payload_decode" -> (q121DePayloadDecode _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7310,7 +7393,8 @@ object Queries {
     "q117_ccnet_buckets" -> q117Oracle,
     "q118_source_digest" -> q118Oracle,
     "q119_column_profile" -> q119Oracle,
-    "q120_curation_pipeline" -> q120Oracle
+    "q120_curation_pipeline" -> q120Oracle,
+    "q121_de_payload_decode" -> q121Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

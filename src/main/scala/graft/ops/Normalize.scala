@@ -82,4 +82,50 @@ object Normalize {
     */
   def onlyAutomatic(stations: DataFrame): DataFrame =
     stations.filter(lower(col("station_type")).contains("automat"))
+
+  /** S4 payload decode: the DE measures endpoint keys POSITIONAL arrays
+    * `[component_id, scope, value, next_ts, valid_flag]` by a local
+    * timestamp string (reference app/main.py:747-783). Reference
+    * semantics as codegen'd column algebra, one output row per
+    * surviving payload:
+    *  - arrays shorter than 3 are dropped (the malformed-payload guard,
+    *    app/main.py:749-750);
+    *  - `value` is null-on-error coerced, null values dropped
+    *    (app/main.py:751-753 + the P3 coercion);
+    *  - component id → pollutant via the fixed comp_map {1→pm10,
+    *    2→pm25, 5→no2, 7→o3}; unknown ids FALL THROUGH as themselves
+    *    (comp_map.get default, app/main.py:761-767); unit is the
+    *    constant ug/m3;
+    *  - the key string is Berlin-naive → UTC via the F7/F8 lenient
+    *    chain (app/main.py:754-760);
+    *  - `valid_flag` reads position 5 — null when the payload is the
+    *    short-but-valid 3/4-element shape (ANSI-off element_at).
+    * Non-payload input columns pass through; `payloadCol`/`tsCol` are
+    * consumed.
+    */
+  def decodeDePayload(
+      df: DataFrame,
+      payloadCol: String = "payload",
+      tsCol: String = "ts_str"
+  ): DataFrame = {
+    val p = col(payloadCol)
+    val comp = element_at(p, 1)
+    df.filter(size(p) >= 3)
+      .withColumn(
+        "pollutant",
+        when(comp === "1", lit("pm10"))
+          .when(comp === "2", lit("pm25"))
+          .when(comp === "5", lit("no2"))
+          .when(comp === "7", lit("o3"))
+          .otherwise(comp)
+      )
+      .withColumn("scope", element_at(p, 2))
+      .withColumn("value", toDoubleOrNull(element_at(p, 3)))
+      .withColumn("unit", lit("ug/m3"))
+      .withColumn("ts_utc", lenientTimestamp(col(tsCol), naiveZone = "Europe/Berlin"))
+      .withColumn("valid_flag", element_at(p, 5))
+      .withColumn("source", lit("de"))
+      .filter(col("value").isNotNull)
+      .drop(payloadCol, tsCol)
+  }
 }

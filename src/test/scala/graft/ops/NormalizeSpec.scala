@@ -81,4 +81,28 @@ class NormalizeSpec extends SparkSpec {
     val out = Normalize.onlyAutomatic(Normalize.dropNullIsland(st)).collect()
     assert(out.map(_.getString(0)).toSeq == Seq("a"))
   }
+
+  test("S4 positional payload decode: comp map, fallthrough, guards (reference shapes)") {
+    // the reference's payload = [component_id, scope, value, next_ts, valid_flag]
+    val raw = Seq(
+      ("s1", "2024-01-15T10:00:00", Seq("1", "measurement", "12.5", "", "1")), // pm10
+      ("s2", "2024-01-15T10:00:00", Seq("2", "measurement", "7.25", "", "0")), // pm25
+      ("s3", "2024-01-15T10:00:00", Seq("9", "measurement", "3.0", "", "0")),  // unknown id falls through
+      ("s4", "2024-01-15T10:00:00", Seq("5", "measurement", "oops", "", "0")), // bad value → dropped
+      ("s5", "2024-01-15T10:00:00", Seq("7", "x")),                            // short array → dropped
+      ("s6", "2024-01-15T10:00:00", Seq("7", "measurement", "1.0"))            // 3-element: kept, flag null
+    ).toDF("station_id", "ts_str", "payload")
+    val out = Normalize.decodeDePayload(raw).orderBy("station_id").collect()
+    assert(out.map(_.getAs[String]("station_id")).toSeq == Seq("s1", "s2", "s3", "s6"))
+    assert(out.map(_.getAs[String]("pollutant")).toSeq == Seq("pm10", "pm25", "9", "o3"))
+    assert(out.forall(_.getAs[String]("unit") == "ug/m3"))
+    assert(out(3).isNullAt(out(3).fieldIndex("valid_flag")))
+    // Berlin 10:00 winter = UTC 09:00
+    import org.apache.spark.sql.functions.date_format
+    val utc = Normalize
+      .decodeDePayload(raw)
+      .select(date_format(org.apache.spark.sql.functions.col("ts_utc"), "HH:mm").as("h"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    assert(utc == Seq("09:00"))
+  }
 }

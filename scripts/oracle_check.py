@@ -39,6 +39,24 @@ def hash_df(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
+def dtype_parity(got: pd.DataFrame, want: pd.DataFrame):
+    """Columns whose pandas dtypes differ in a way that can change the
+    driver's str/repr hash.  Integer-width differences (int32 vs int64)
+    stringify identically and are allowed; anything else (float64 vs
+    int64 — the q113/q116/q120 HUGEINT bug class — or float32 vs
+    float64, whose reprs differ) is a mismatch even when values compare
+    equal."""
+    bad = []
+    for c in got.columns:
+        a, b = got[c].dtype, want[c].dtype
+        if a == b:
+            continue
+        if a.kind in "iu" and b.kind in "iu":
+            continue
+        bad.append((c, str(a), str(b)))
+    return bad
+
+
 def main(outdir: str, sfdir: str) -> int:
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
@@ -60,6 +78,8 @@ def main(outdir: str, sfdir: str) -> int:
         ok_cols = list(got.columns) == list(want.columns)
         # compare values cell-by-cell with tolerance-free equality
         ok_vals = False
+        ok_hash = False
+        bad_dtypes = []
         if ok_rows and ok_cols:
             try:
                 pd.testing.assert_frame_equal(
@@ -69,10 +89,15 @@ def main(outdir: str, sfdir: str) -> int:
             except AssertionError as e:
                 ok_vals = False
                 err = str(e).split("\n")[0:3]
-        status = "OK  " if (ok_rows and ok_cols and ok_vals) else "FAIL"
-        if status == "FAIL":
+            # the driver's actual compare: str/repr hash + dtype parity
+            ok_hash = hash_df(got) == hash_df(want)
+            bad_dtypes = dtype_parity(got, want)
+        ok = ok_rows and ok_cols and ok_vals and ok_hash and not bad_dtypes
+        status = "OK  " if ok else "FAIL"
+        if not ok:
             failures += 1
-        print(f"{status} {name}: rows {len(got)}/{len(want)} cols_match={ok_cols} vals={ok_vals}")
+        print(f"{status} {name}: rows {len(got)}/{len(want)} cols_match={ok_cols}"
+              f" vals={ok_vals} hash={ok_hash} dtypes={'ok' if not bad_dtypes else bad_dtypes}")
         if not ok_cols:
             print(f"     spark cols: {list(got.columns)}")
             print(f"     duck  cols: {list(want.columns)}")

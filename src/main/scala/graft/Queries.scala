@@ -5586,7 +5586,7 @@ object Queries {
       |), c AS (
       |  SELECT *, SUM(wt) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - wt AS cum_before
       |  FROM d
-      |), s AS (SELECT *, cum_before // 2048 AS shard_id FROM c)
+      |), s AS (SELECT *, CAST(cum_before // 2048 AS BIGINT) AS shard_id FROM c)
       |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(wt) AS BIGINT) AS n_tokens,
       |  CAST(MIN(h) AS BIGINT) AS h_lo, CAST(MAX(h) AS BIGINT) AS h_hi,
@@ -5738,7 +5738,7 @@ object Queries {
       |), c AS (
       |  SELECT *, SUM(wt) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - wt AS cum_before
       |  FROM d
-      |), s AS (SELECT *, cum_before // 2048 AS shard_id FROM c)
+      |), s AS (SELECT *, CAST(cum_before // 2048 AS BIGINT) AS shard_id FROM c)
       |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(CAST(digest AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT) AS digest_sum,
       |  bit_xor(digest) AS digest_xor
@@ -5976,7 +5976,7 @@ object Queries {
       |), c AS (
       |  SELECT *, SUM(wt) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - wt AS cum_before
       |  FROM w
-      |), s AS (SELECT *, cum_before // 2048 AS shard_id FROM c)
+      |), s AS (SELECT *, CAST(cum_before // 2048 AS BIGINT) AS shard_id FROM c)
       |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(wt) AS BIGINT) AS n_tokens,
       |  CAST(MIN(h) AS BIGINT) AS h_lo, CAST(MAX(h) AS BIGINT) AS h_hi,

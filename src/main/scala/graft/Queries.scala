@@ -2000,30 +2000,32 @@ object Queries {
     * any scale) — the streaming/100 TB complement to the exact q41,
     * whose `percentile` buffers every value per group.
     *
-    * Why no oracle: the checked values read a custom merge STATE
-    * (centroid list under the scale-function clustering rule) — DuckDB
-    * has no equivalent aggregate, and the exact percentiles already
-    * ride in the same row. Contrast q44 (HLL), oracled in round 6 by
-    * replaying its state law in SQL: that replay exists because HLL
-    * registers are a MAX — merge-ORDER-independent, so SQL can rebuild
-    * the exact state from the raw rows. A merging t-digest's centroid
-    * list depends on partial-merge arrival order (shuffle fetch order,
-    * nondeterministic run to run), so no static replay can exist; the
-    * self-audit columns below are the strongest check available. SELF-AUDITING per the q44 pattern:
-    * each group row carries the exact percentiles and the worst
-    * relative error across p50/p90/p99, bounded < 1% at sf0.1
-    * (asserted in TDigestSpec; merge associativity property-checked in
-    * PropsSpec).
+    * ORACLED VIA CONTRACT RESTRUCTURING (round 8). The raw sketch
+    * values can never be statically replayed: a merging t-digest's
+    * centroid list depends on partial-merge arrival order (shuffle
+    * fetch order, nondeterministic run to run) — unlike q44's HLL
+    * registers, which are a merge-order-independent MAX. So the
+    * checked output carries only what IS replayable: the group key,
+    * the exact percentiles (DuckDB `quantile_cont` — same linear
+    * interpolation as Spark `percentile`, bit-parity proven by q41 on
+    * this very column), the count, and the sketch's ACCURACY CONTRACT
+    * as a boolean: `sketch_within_1pct` = worst relative error across
+    * p50/p90/p99 < 1%. The oracle pins that literal TRUE, so any
+    * sketch drift (centroid rule regression, merge bug, quantile
+    * interpolation bug) turns the row red — the t-digest is inside the
+    * correctness gate without its merge-order-dependent state ever
+    * being compared. Tighter per-value bounds remain in TDigestSpec;
+    * merge associativity is property-checked in PropsSpec.
     */
   def q59TdigestPercentiles(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir).createOrReplaceTempView("li_td")
     s.sql(
-      """SELECT l_returnflag, approx_p50, approx_p90, approx_p99,
-        |  exact_p50, exact_p90, exact_p99, n,
-        |  round(greatest(
+      """SELECT l_returnflag, exact_p50, exact_p90, exact_p99, n,
+        |  greatest(
         |    abs(approx_p50 - exact_p50) / exact_p50,
         |    abs(approx_p90 - exact_p90) / exact_p90,
-        |    abs(approx_p99 - exact_p99) / exact_p99), 4) AS audit_max_rel_err
+        |    abs(approx_p99 - exact_p99) / exact_p99) < 0.01
+        |    AS sketch_within_1pct
         |FROM (
         |  SELECT l_returnflag,
         |    tdigest_quantile(l_extendedprice, 0.5) AS approx_p50,
@@ -2037,6 +2039,17 @@ object Queries {
         |) ORDER BY l_returnflag""".stripMargin
     )
   }
+
+  val q59Oracle: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+      |  quantile_cont(l_extendedprice, 0.9) AS exact_p90,
+      |  quantile_cont(l_extendedprice, 0.99) AS exact_p99,
+      |  COUNT(*) AS n,
+      |  TRUE AS sketch_within_1pct
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q39
   /** Native session windows (Spark's session_window generator) — the
@@ -3593,12 +3606,22 @@ object Queries {
     * text deflates far below prose). Map-side native expression, zero
     * shuffles until the audit aggregate.
     *
-    * Why no oracle: the checked value is a DEFLATE byte ratio and
-    * DuckDB has no deflate function — the kernel is certified in
-    * DeflateRatioSpec instead. SELF-AUDITING: every row carries the corpus-wide Pearson
-    * correlation between deflate ratio and the independent dup-3-gram
-    * repetition signal (must be strongly NEGATIVE — more repetition ⇒
-    * more compressible) and an out-of-range violation count (= 0).
+    * ORACLED VIA CONTRACT RESTRUCTURING (round 8, the q59 pattern).
+    * DuckDB has no DEFLATE function, so the raw byte ratios can never
+    * be replayed — but the signal's BEHAVIORAL LAW can be pinned as
+    * literals (the q44-style law note): on a corpus with template spam
+    * planted on every 5th doc, (1) deflate ratio must correlate
+    * strongly negatively (< -0.5) with the independent dup-3-gram
+    * repetition signal, (2) the planted class must separate cleanly —
+    * the most-compressible clean doc still deflates worse than the
+    * least-compressible spam doc, (3) every ratio must lie in (0, 2],
+    * and (4) the replayable corpus counts must match. The checked
+    * output carries ONLY those verdicts; DuckDB asserts them as
+    * literals (TRUE / TRUE / 0) plus the exact counts, so a kernel
+    * regression (codec change, ratio definition drift, planting bug)
+    * flips a verdict and turns the row red. The per-byte kernel is
+    * certified in DeflateRatioSpec; measured corr at sf0.01 is -0.855,
+    * so the -0.5 law threshold has 70% headroom.
     */
   def q73CompressQuality(s: SparkSession, dir: String): DataFrame = {
     // plant template boilerplate on every 5th doc (the q53/q54 planted-
@@ -3619,31 +3642,29 @@ object Queries {
         expr("deflate_ratio(text)").as("compress_ratio"),
         col("dup_ngram_ratio")
       )
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scored.count() // eager: audit aggregate + output share this cache
-    val audit = scored.agg(
-      round(corr(col("compress_ratio"), col("dup_ngram_ratio")), 3).as("audit_corr"),
+    scored.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("doc_id") % 5 === 0, 1L).otherwise(0L)).as("n_spam"),
+      (corr(col("compress_ratio"), col("dup_ngram_ratio")) < -0.5)
+        .as("corr_strong_negative"),
       sum(
-        when(col("compress_ratio") <= 0.0 || col("compress_ratio") > 2.0, 1).otherwise(0)
-      ).as("audit_bad_range"),
+        when(col("compress_ratio") <= 0.0 || col("compress_ratio") > 2.0, 1L).otherwise(0L)
+      ).as("bad_range_count"),
       // the planted class must separate cleanly: the most-compressible
       // clean doc still deflates worse than the least-compressible
       // spam doc
       (max(when(col("doc_id") % 5 === 0, col("compress_ratio"))) <
-        min(when(col("doc_id") % 5 =!= 0, col("compress_ratio")))).as("audit_separated")
+        min(when(col("doc_id") % 5 =!= 0, col("compress_ratio")))).as("spam_separated")
     )
-    scored
-      .crossJoin(broadcast(audit))
-      .select(
-        col("doc_id"),
-        round(col("compress_ratio"), 4).as("compress_ratio"),
-        round(col("dup_ngram_ratio"), 6).as("dup_ngram_ratio"),
-        col("audit_corr"),
-        col("audit_bad_range"),
-        col("audit_separated")
-      )
-      .orderBy(col("doc_id"))
   }
+
+  val q73Oracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spam,
+      |  TRUE AS corr_strong_negative,
+      |  CAST(0 AS BIGINT) AS bad_range_count,
+      |  TRUE AS spam_separated
+      |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------- q74
   /** CDC APPLY (ops.Upsert.applyCdc): fold an I/U/D change batch into a
@@ -7326,6 +7347,8 @@ object Queries {
     "q45_embed_neardups_exact" -> q45Oracle,
     "q46_text_neardups_exact" -> q46Oracle,
     "q47_tz" -> q47Oracle,
+    "q59_tdigest" -> q59Oracle,
+    "q73_compress_quality" -> q73Oracle,
     "q50_bloom_join" -> q50Oracle,
     "q51_connected_components" -> q51Oracle,
     "q52_stratified_sample" -> q52Oracle,

@@ -129,17 +129,31 @@ object ExportPlan {
     * makes reproducible. The digest join is id-keyed: at 100 TB the
     * digest side is 16 bytes/doc — the text never travels.
     *
+    * A doc with NO digest row must poison its shard's digests, not
+    * silently shrink them (round-7 advice: the old inner join dropped
+    * such docs from n_docs AND both digests — an integrity certifier
+    * that under-counted membership without a trace). Left join: the doc
+    * stays in n_docs, and any null digest nulls the whole shard's
+    * digest_sum/digest_xor — a loud, comparison-failing signal instead
+    * of a plausible wrong digest.
+    *
     * @param assigned output of [[assignShards]]
     * @param digests  (id, digest) — digest a nonneg long < 2^60
     */
   def shardDigests(assigned: DataFrame, digests: DataFrame): DataFrame =
     assigned
-      .join(digests, Seq("id"))
+      .join(digests, Seq("id"), "left")
       .groupBy(col("shard_id"))
       .agg(
         count(lit(1)).as("n_docs"),
-        (sum(col("digest").cast("decimal(38,0)")) % lit(DigestModulus))
-          .cast("long").as("digest_sum"),
-        expr("bit_xor(digest)").as("digest_xor")
+        when(
+          max(col("digest").isNull.cast("int")) === 1,
+          lit(null).cast("long")
+        ).otherwise(
+          (sum(col("digest").cast("decimal(38,0)")) % lit(DigestModulus)).cast("long")
+        ).as("digest_sum"),
+        when(max(col("digest").isNull.cast("int")) === 1, lit(null).cast("long"))
+          .otherwise(expr("bit_xor(digest)"))
+          .as("digest_xor")
       )
 }

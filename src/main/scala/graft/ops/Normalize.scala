@@ -102,6 +102,18 @@ object Normalize {
     *    short-but-valid 3/4-element shape (ANSI-off element_at).
     * Non-payload input columns pass through; `payloadCol`/`tsCol` are
     * consumed.
+    *
+    * Two INTENTIONAL deviations from the reference (both stricter —
+    * this is a curation engine, not a re-poller):
+    *  - non-numeric `value` strings are DROPPED by the P3 coercion;
+    *    the reference keeps any non-None payload[2] verbatim
+    *    (app/main.py:751-753), admitting strings into a numeric
+    *    column. A caller wanting reference behavior keeps the raw
+    *    payload column alongside.
+    *  - an unparseable key timestamp yields a null `ts_utc` (and the
+    *    row survives with null time); the reference substitutes
+    *    fetch-time `now` (app/main.py:756-760), which is
+    *    non-reproducible — a rerun would stamp different times.
     */
   def decodeDePayload(
       df: DataFrame,

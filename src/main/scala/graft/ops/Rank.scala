@@ -27,11 +27,17 @@ import org.apache.spark.sql.functions._
   *
   * Output is EXACTLY the single-window definition (the spec asserts
   * equality; the q117 oracle replays the single-window form) — the
-  * two-pass shape changes the plan, never the answer. The bin count is
-  * a scale knob: at 1000 executors set it so a group's largest bin fits
-  * one task; skewed value distributions (many identical values) degrade
-  * at worst to the ties sharing one bin, which is where the plain
-  * window puts them anyway.
+  * two-pass shape changes the plan, never the answer, including the
+  * null corners (round 8): null order values map to a dedicated
+  * lowest bin so they rank FIRST like Spark's asc window default, and
+  * the broadcast joins are null-safe (`<=>`) so rows with null group
+  * keys rank within the null group instead of silently vanishing. The
+  * bin count is a scale knob: at 1000 executors set it so a group's
+  * largest bin fits one task; skewed value distributions (many
+  * identical values) degrade at worst to the ties sharing one bin,
+  * which is where the plain window puts them anyway — RankSkewSpec
+  * measures exactly that worst case (one group all-equal) and asserts
+  * both output equality and the ties-share-one-bin task shape.
   */
 object Rank {
 
@@ -56,15 +62,27 @@ object Rank {
     val spans = df
       .groupBy(g: _*)
       .agg(min(v).as("__lo"), max(v).as("__hi"))
+      // null-safe join keys: rows whose group key is null must form a
+      // ranked group, not vanish through an equality join
+      .withColumnsRenamed(groupCols.map(c => c -> s"__s_$c").toMap)
+    val spanCond = groupCols
+      .map(c => col(c) <=> col(s"__s_$c"))
+      .reduce(_ && _)
     val binned = df
-      .join(broadcast(spans), groupCols)
-      // lo == hi (all-equal group) → everything lands in bin 0
+      .join(broadcast(spans), spanCond)
+      .drop(groupCols.map(c => s"__s_$c"): _*)
+      // null order value → dedicated bin -1, BELOW bin 0: Spark's asc
+      // window ranks nulls first, so the two-pass must too. lo == hi
+      // (all-equal group) → everything lands in bin 0.
       .withColumn(
         "__bin",
-        least(
-          lit(bins - 1),
-          floor((v - col("__lo")) / ((col("__hi") - col("__lo")) + lit(1e-12)) * bins)
-        ).cast("long")
+        when(v.isNull, lit(-1L))
+          .otherwise(
+            least(
+              lit(bins - 1),
+              floor((v - col("__lo")) / ((col("__hi") - col("__lo")) + lit(1e-12)) * bins)
+            ).cast("long")
+          )
       )
     val localW = Window
       .partitionBy((g :+ col("__bin")): _*)
@@ -86,9 +104,14 @@ object Rank {
         )
       )
       .select((g :+ col("__bin") :+ col("__off")): _*)
+      .withColumnsRenamed((groupCols :+ "__bin").map(c => c -> s"__o_$c").toMap)
+    val offCond = (groupCols :+ "__bin")
+      .map(c => col(c) <=> col(s"__o_$c"))
+      .reduce(_ && _)
     local
-      .join(broadcast(offsets), groupCols :+ "__bin")
+      .join(broadcast(offsets), offCond)
       .withColumn(rankCol, (col("__off") + col("__rn")).cast("long"))
+      .drop((groupCols :+ "__bin").map(c => s"__o_$c"): _*)
       .drop("__lo", "__hi", "__bin", "__rn", "__off")
   }
 }

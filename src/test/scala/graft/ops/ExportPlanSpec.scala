@@ -92,4 +92,24 @@ class ExportPlanSpec extends SparkSpec {
     val bad = ExportPlan.shardDigests(assigned, tampered).orderBy($"shard_id").collect()
     assert(bad.toSeq !== got.toSeq)
   }
+
+  test("a doc with no digest row poisons its shard's digests instead of shrinking them") {
+    // round-7 advice: the old inner join silently dropped such docs
+    // from n_docs AND both digests — an under-counting certifier
+    val digests = corpus
+      .filter($"doc_id" =!= 42L)
+      .select($"doc_id".as("id"), TextStats.contentDigest60($"text").as("digest"))
+    val assigned = ExportPlan.assignShards(corpus, "doc_id", $"wt", 100L, buckets = 8)
+    val out = ExportPlan.shardDigests(assigned, digests).collect()
+    // membership is still fully counted
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 300L)
+    // the shard holding doc 42 reports NULL digests (loud), every
+    // other shard's digests are intact
+    val shard42 = assigned.filter($"id" === 42L).select($"shard_id").head().getLong(0)
+    out.foreach { r =>
+      val isPoisoned = r.getAs[Long]("shard_id") == shard42
+      assert(r.isNullAt(r.fieldIndex("digest_sum")) === isPoisoned)
+      assert(r.isNullAt(r.fieldIndex("digest_xor")) === isPoisoned)
+    }
+  }
 }

@@ -40,7 +40,11 @@ object PlanCheck {
       // round-6: the real-codec mapPartitions seams — the object
       // serialize/deserialize boundary should wrap ONLY the decode
       // stage, with the rollups/joins staying codegen'd around it
-      "q32_multimodal", "q54_media_dedup", "q108_audio_decode"
+      "q32_multimodal", "q54_media_dedup", "q108_audio_decode",
+      // round-8: BM25's broadcast-pruned postings + two-pass top-k
+      // (no per-query single-task window), and the order digest's
+      // Rank-based position pass
+      "q122_bm25", "q123_order_digest"
     )
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

@@ -6089,6 +6089,128 @@ object Queries {
       |SELECT * FROM dec WHERE "value" IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  /** BM25 ranked retrieval (ops.Bm25): inverted-index top-k search over
+    * the documents corpus for a fixed multi-term query set — the
+    * retrieval primitive behind targeted decontamination scoring and
+    * corpus search. Postings are cut to query terms by a broadcast
+    * semi join before anything heavy, idf is bounded model state (one
+    * double per query term), scores fold components in deterministic
+    * term order (the q35 bit-exact discipline), and top-k rides the
+    * ops/Rank two-pass distributed rank — no per-query single-task
+    * window even when one term matches half the corpus.
+    *
+    * DYNAMIC oracle (q122OracleFor): idf and avgdl are transcendental /
+    * corpus-derived, so Verify computes them once in Scala and embeds
+    * them as string-cast double literals (shortest-repr round-trip is
+    * bit-exact); DuckDB then replays the identical +,*,/ arithmetic,
+    * the ordered list_reduce fold, and the (score desc, doc_id) rank.
+    */
+  val q122Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("window", "merge", "batch"),
+    3 -> Seq("vector", "scan", "slow"),
+    4 -> Seq("customer")
+  )
+
+  def q122Bm25(s: SparkSession, dir: String): DataFrame =
+    Bm25
+      .search(s, Tables.documents(s, dir), "doc_id", "text", q122Queries, k = 10)
+      .orderBy(col("qid"), col("rank"))
+
+  def q122OracleFor(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val terms = q122Queries.flatMap(_._2).distinct
+    val st = Bm25.fitStats(docs, "doc_id", "text", terms,
+      Bm25.postings(docs, "doc_id", "text", terms))
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val qvals = q122Queries
+      .flatMap { case (qid, ts) =>
+        ts.distinct.map(t => s"($qid, '$t', CAST('${st.idf(t)}' AS DOUBLE))")
+      }
+      .mkString(", ")
+    val k1p1 = s"CAST('${Bm25.K1 + 1.0}' AS DOUBLE)"
+    val k1 = s"CAST('${Bm25.K1}' AS DOUBLE)"
+    val oneMinusB = s"CAST('${1.0 - Bm25.B}' AS DOUBLE)"
+    val b = s"CAST('${Bm25.B}' AS DOUBLE)"
+    val avgdl = s"CAST('${st.avgdl}' AS DOUBLE)"
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(lower(trim(text)), '\\s+')) AS dl,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl
+       |  FROM toks WHERE term IN ($termList)
+       |  GROUP BY doc_id, term
+       |), q(qid, term, idf) AS (VALUES $qvals),
+       |comp AS (
+       |  SELECT q.qid, tf.doc_id, q.term,
+       |    q.idf * (tf * $k1p1) /
+       |      (tf + $k1 * ($oneMinusB + $b * dl / $avgdl)) AS c
+       |  FROM tf JOIN q USING (term)
+       |), scored AS (
+       |  SELECT qid, doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+       |      (x, y) -> x + y) AS score
+       |  FROM comp GROUP BY qid, doc_id
+       |), ranked AS (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT qid, CAST(rnk AS BIGINT) AS "rank", doc_id, score
+       |FROM ranked WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q123
+  /** Per-shard ORDER digest (ExportPlan.shardOrderDigests): certifies
+    * the (h, doc_id) pseudo-shuffle order a trainer reads — the
+    * complement of q116, whose sum/xor membership digests are
+    * order-blind by design. Σ pos·digest mod 2^61-1 with pos from the
+    * ops/Rank two-pass distributed rank (never a per-shard single-task
+    * window); per-row mod before the sum keeps the decimal accumulator
+    * exact at any shard size. The oracle replays the full assignment +
+    * a plain row_number window + the same modular sum in HUGEINT —
+    * CAST to BIGINT at every emission point (the r7 shard_id lesson).
+    */
+  def q123OrderDigest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val assigned = ExportPlan.assignShards(
+      docs, "doc_id",
+      weightCol = size(TextStats.tokens(col("text"))),
+      budget = 2048L
+    )
+    val digests = docs.select(
+      col("doc_id").as("id"),
+      TextStats.contentDigest60(col("text")).as("digest")
+    )
+    ExportPlan.shardOrderDigests(assigned, digests).orderBy(col("shard_id"))
+  }
+
+  val q123Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS h,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wt,
+      |    ('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15))::BIGINT AS digest
+      |  FROM documents
+      |), c AS (
+      |  SELECT *, SUM(wt) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - wt AS cum_before
+      |  FROM d
+      |), s AS (SELECT *, CAST(cum_before // 2048 AS BIGINT) AS shard_id FROM c
+      |), p AS (
+      |  SELECT shard_id, digest,
+      |    row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS pos
+      |  FROM s
+      |)
+      |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM((CAST(pos AS HUGEINT) * digest) % 2305843009213693951)
+      |       % 2305843009213693951 AS BIGINT) AS order_digest
+      |FROM p GROUP BY shard_id
+      |ORDER BY shard_id""".stripMargin
+
   // ---------------------------------------------------------------- q96
   /** PageRank (ops/PageRank) over the part↔supplier co-occurrence graph
     * — the canonical iterative-graph workload, 3 power-iteration rounds
@@ -7301,7 +7423,9 @@ object Queries {
     "q118_source_digest" -> (q118SourceDigest _),
     "q119_column_profile" -> (q119ColumnProfile _),
     "q120_curation_pipeline" -> (q120CurationPipeline _),
-    "q121_de_payload_decode" -> (q121DePayloadDecode _)
+    "q121_de_payload_decode" -> (q121DePayloadDecode _),
+    "q122_bm25" -> (q122Bm25 _),
+    "q123_order_digest" -> (q123OrderDigest _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7417,7 +7541,8 @@ object Queries {
     "q118_source_digest" -> q118Oracle,
     "q119_column_profile" -> q119Oracle,
     "q120_curation_pipeline" -> q120Oracle,
-    "q121_de_payload_decode" -> q121Oracle
+    "q121_de_payload_decode" -> q121Oracle,
+    "q123_order_digest" -> q123Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -7452,7 +7577,8 @@ object Queries {
       "q44_hll_sketch" -> (() => q44OracleFor(s, dir)),
       "q48_minhash_recall" -> (() => q48OracleFor(s, dir)),
       "q54_media_dedup" -> (() => q54OracleFor(s, dir)),
-      "q109_ivf_pq" -> (() => q109OracleFor(s, dir))
+      "q109_ivf_pq" -> (() => q109OracleFor(s, dir)),
+      "q122_bm25" -> (() => q122OracleFor(s, dir))
     )
     gens.flatMap { case (name, gen) =>
       try Some(name -> gen())

@@ -156,4 +156,39 @@ object ExportPlan {
           .otherwise(expr("bit_xor(digest)"))
           .as("digest_xor")
       )
+
+  /** Per-shard ORDER digest — the other half of the reproducibility
+    * contract. [[shardDigests]] certifies MEMBERSHIP (its sum/xor are
+    * order-blind by design: swap two docs' digest values within a
+    * shard and both digests hold). This digest certifies the
+    * (h, doc_id) pseudo-shuffle ORDER a trainer will actually read:
+    * Σ pos·digest mod 2^61-1, where pos is the doc's 1-based position
+    * within its shard. Any intra-shard reordering of docs with
+    * distinct digests changes the sum.
+    *
+    * Scale shape: pos comes from [[Rank.rankWithin]] (two-pass, no
+    * per-shard single-task window); each row reduces to
+    * (pos·digest) mod M BEFORE summing, so the running sum stays under
+    * 19 digits per row and the decimal(38,0) accumulator is exact past
+    * 10^19 rows per shard. Missing digest rows poison the shard's
+    * order_digest to NULL (same loud-failure posture as
+    * [[shardDigests]]).
+    */
+  def shardOrderDigests(assigned: DataFrame, digests: DataFrame): DataFrame = {
+    val joined = assigned.join(digests, Seq("id"), "left")
+    Rank
+      .rankWithin(joined, Seq("shard_id"), col("h"), col("id"), "pos", bins = 64)
+      .withColumn(
+        "term",
+        (col("pos").cast("decimal(19,0)") * col("digest").cast("decimal(19,0)")) %
+          lit(DigestModulus)
+      )
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        when(max(col("digest").isNull.cast("int")) === 1, lit(null).cast("long"))
+          .otherwise((sum(col("term")) % lit(DigestModulus)).cast("long"))
+          .as("order_digest")
+      )
+  }
 }

@@ -93,6 +93,55 @@ class ExportPlanSpec extends SparkSpec {
     assert(bad.toSeq !== got.toSeq)
   }
 
+  test("order digest: equals a driver-side fold, catches reordering that membership digests miss") {
+    val digests = corpus.select($"doc_id".as("id"), TextStats.contentDigest60($"text").as("digest"))
+    val assigned = ExportPlan.assignShards(corpus, "doc_id", $"wt", 100L, buckets = 8)
+    val got = ExportPlan.shardOrderDigests(assigned, digests).orderBy($"shard_id").collect()
+
+    // independent driver-side fold over the same (h, id) order
+    val rows = assigned
+      .join(digests, Seq("id"))
+      .select($"shard_id", $"h", $"id", $"digest")
+      .collect()
+      .groupBy(_.getAs[Long]("shard_id"))
+    got.foreach { r =>
+      val ds = rows(r.getAs[Long]("shard_id"))
+        .sortBy(x => (x.getAs[Long]("h"), x.getAs[Long]("id")))
+        .map(_.getAs[Long]("digest"))
+      val want = ds.zipWithIndex
+        .map { case (d, i) => BigInt(i + 1) * BigInt(d) % BigInt(ExportPlan.DigestModulus) }
+        .sum % BigInt(ExportPlan.DigestModulus)
+      assert(r.getAs[Long]("order_digest") === want.toLong)
+      assert(r.getAs[Long]("n_docs") === ds.length.toLong)
+    }
+
+    // swap two same-shard docs' digest VALUES: the multiset is
+    // unchanged, so the MEMBERSHIP digests hold — but the ORDER digest
+    // must move (that's the whole point of this certifier)
+    val twoSameShard = assigned
+      .orderBy($"shard_id", $"h", $"id")
+      .select($"id", $"shard_id")
+      .collect()
+      .groupBy(_.getLong(1))
+      .values
+      .find(_.length >= 2)
+      .get
+      .take(2)
+      .map(_.getLong(0))
+    val Array(idA, idB) = twoSameShard
+    val swapped = digests.withColumn(
+      "digest",
+      when($"id" === idA, digests.filter($"id" === idB).head().getAs[Long]("digest"))
+        .when($"id" === idB, digests.filter($"id" === idA).head().getAs[Long]("digest"))
+        .otherwise($"digest")
+    )
+    val memGot = ExportPlan.shardDigests(assigned, digests).orderBy($"shard_id").collect()
+    val memSwp = ExportPlan.shardDigests(assigned, swapped).orderBy($"shard_id").collect()
+    assert(memGot.toSeq === memSwp.toSeq, "membership digests should be order-blind")
+    val ordSwp = ExportPlan.shardOrderDigests(assigned, swapped).orderBy($"shard_id").collect()
+    assert(got.toSeq !== ordSwp.toSeq, "order digest failed to catch the reorder")
+  }
+
   test("a doc with no digest row poisons its shard's digests instead of shrinking them") {
     // round-7 advice: the old inner join silently dropped such docs
     // from n_docs AND both digests — an under-counting certifier

@@ -44,7 +44,10 @@ object PlanCheck {
       // round-8: BM25's broadcast-pruned postings + two-pass top-k
       // (no per-query single-task window), and the order digest's
       // Rank-based position pass
-      "q122_bm25", "q123_order_digest"
+      "q122_bm25", "q123_order_digest",
+      // round-8: the incremental-digest diff — digests computed BEFORE
+      // the full-outer id join, so the join ships 16 B/doc, never text
+      "q124_delta_digest"
     )
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

@@ -6190,6 +6190,114 @@ object Queries {
     ExportPlan.shardOrderDigests(assigned, digests).orderBy(col("shard_id"))
   }
 
+  // ---------------------------------------------------------------- q124
+  /** Incremental corpus-digest maintenance law (ops.CorpusDelta): two
+    * snapshots are derived deterministically from the documents table
+    * (drops, text edits, and a source MOVE — the q74 CDC-derivation
+    * pattern), diffed id-keyed, and the per-source digest congruence
+    *   sum_after ≡ sum_before + Σ events (mod 2^61-1)
+    * is certified per group with the event counts. This is the law
+    * that lets q118's corpus digests update from a change feed at
+    * 100 TB without rescanning; the oracle replays the full algebra —
+    * snapshots, diff, events, modular sums — and must agree on every
+    * count, both sums, the event delta, AND the law verdict.
+    */
+  def q124DeltaDigest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def snap(df: DataFrame): DataFrame =
+      df.select(
+        col("doc_id"),
+        col("source"),
+        TextStats.contentDigest60(col("text")).as("digest")
+      )
+    val before = snap(docs.filter(col("doc_id") % 11 =!= 3))
+    val after = snap(
+      docs
+        .filter(col("doc_id") % 13 =!= 5)
+        .withColumn(
+          "text",
+          when(col("doc_id") % 17 === 1, concat(col("text"), lit(" updated")))
+            .otherwise(col("text"))
+        )
+        .withColumn(
+          "source",
+          when(col("doc_id") % 19 === 4, concat(col("source"), lit("_x")))
+            .otherwise(col("source"))
+        )
+    )
+    CorpusDelta
+      .deltaDigest(before, after, "doc_id", "source", "digest")
+      .orderBy(col("g"))
+  }
+
+  val q124Oracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, source AS gb,
+      |    ('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15))::BIGINT AS db
+      |  FROM documents WHERE doc_id % 11 <> 3
+      |), a0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 19 = 4 THEN source || '_x' ELSE source END AS ga,
+      |    CASE WHEN doc_id % 17 = 1 THEN text || ' updated' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 5
+      |), a AS (
+      |  SELECT doc_id, ga,
+      |    ('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15))::BIGINT AS da
+      |  FROM a0
+      |), j AS (
+      |  SELECT gb, db, ga, da
+      |  FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+      |), ev AS (
+      |  SELECT gb AS g, -CAST(db AS HUGEINT) AS d FROM j
+      |    WHERE da IS NULL OR (db IS NOT NULL AND ga <> gb)
+      |  UNION ALL
+      |  SELECT ga, CAST(da AS HUGEINT) FROM j
+      |    WHERE db IS NULL OR (da IS NOT NULL AND ga <> gb)
+      |  UNION ALL
+      |  SELECT ga, CAST(da AS HUGEINT) - db FROM j
+      |    WHERE db IS NOT NULL AND da IS NOT NULL AND ga = gb AND da <> db
+      |), delta AS (
+      |  SELECT g, CAST(((SUM(d) % 2305843009213693951) + 2305843009213693951)
+      |                 % 2305843009213693951 AS BIGINT) AS delta_sum
+      |  FROM ev GROUP BY g
+      |), cnt AS (
+      |  SELECT g,
+      |    CAST(SUM(CASE WHEN k = 'add' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |    CAST(SUM(CASE WHEN k = 'rm' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |    CAST(SUM(CASE WHEN k = 'chg' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+      |  FROM (
+      |    SELECT ga AS g, 'add' AS k FROM j WHERE db IS NULL OR (da IS NOT NULL AND ga <> gb)
+      |    UNION ALL
+      |    SELECT gb, 'rm' FROM j WHERE da IS NULL OR (db IS NOT NULL AND ga <> gb)
+      |    UNION ALL
+      |    SELECT ga, 'chg' FROM j WHERE db IS NOT NULL AND da IS NOT NULL AND ga = gb AND da <> db
+      |  ) GROUP BY g
+      |), sb AS (
+      |  SELECT gb AS g, CAST(SUM(CAST(db AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS sum_before,
+      |    CAST(count(*) AS BIGINT) AS n_before
+      |  FROM b GROUP BY gb
+      |), sa AS (
+      |  SELECT ga AS g, CAST(SUM(CAST(da AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS sum_after,
+      |    CAST(count(*) AS BIGINT) AS n_after
+      |  FROM a GROUP BY ga
+      |)
+      |SELECT g,
+      |  CAST(COALESCE(n_before, 0) AS BIGINT) AS n_before,
+      |  CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+      |  CAST(COALESCE(n_added, 0) AS BIGINT) AS n_added,
+      |  CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+      |  CAST(COALESCE(n_changed, 0) AS BIGINT) AS n_changed,
+      |  CAST(COALESCE(delta_sum, 0) AS BIGINT) AS delta_sum,
+      |  CAST(COALESCE(sum_before, 0) AS BIGINT) AS digest_sum_before,
+      |  CAST(COALESCE(sum_after, 0) AS BIGINT) AS digest_sum_after,
+      |  (CAST((COALESCE(sum_before, 0) + COALESCE(delta_sum, 0))
+      |        % 2305843009213693951 AS BIGINT) = COALESCE(sum_after, 0)) AS law_holds
+      |FROM sb
+      |FULL OUTER JOIN sa USING (g)
+      |FULL OUTER JOIN delta USING (g)
+      |FULL OUTER JOIN cnt USING (g)
+      |ORDER BY g""".stripMargin
+
   val q123Oracle: String =
     """WITH d AS (
       |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS h,
@@ -7425,7 +7533,8 @@ object Queries {
     "q120_curation_pipeline" -> (q120CurationPipeline _),
     "q121_de_payload_decode" -> (q121DePayloadDecode _),
     "q122_bm25" -> (q122Bm25 _),
-    "q123_order_digest" -> (q123OrderDigest _)
+    "q123_order_digest" -> (q123OrderDigest _),
+    "q124_delta_digest" -> (q124DeltaDigest _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7542,7 +7651,8 @@ object Queries {
     "q119_column_profile" -> q119Oracle,
     "q120_curation_pipeline" -> q120Oracle,
     "q121_de_payload_decode" -> q121Oracle,
-    "q123_order_digest" -> q123Oracle
+    "q123_order_digest" -> q123Oracle,
+    "q124_delta_digest" -> q124Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

@@ -47,7 +47,10 @@ object PlanCheck {
       "q122_bm25", "q123_order_digest",
       // round-8: the incremental-digest diff — digests computed BEFORE
       // the full-outer id join, so the join ships 16 B/doc, never text
-      "q124_delta_digest"
+      "q124_delta_digest",
+      // round-8: stratified round-robin sharding — Rank two-pass, no
+      // per-source single-task window
+      "q125_stratified_shards"
     )
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

@@ -6298,6 +6298,49 @@ object Queries {
       |FULL OUTER JOIN cnt USING (g)
       |ORDER BY g""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  /** Stratified mixture-balanced sharding (ExportPlan.stratifiedShards):
+    * each source dealt round-robin over 16 shards in within-source
+    * pseudo-shuffle order, so every shard is an unbiased mini-corpus —
+    * the complement of q113's budget packing. The oracle replays the
+    * plain per-source window rank + mod + counts + balance verdict;
+    * the ranking itself rides ops/Rank's two-pass (equality to the
+    * single-window definition is the certified law, the q117 pattern).
+    */
+  def q125StratifiedShards(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ExportPlan.stratifiedShards(
+      Tables.documents(s, dir), "doc_id", "source", nShards = 16)
+    ExportPlan
+      .stratifiedManifest(assigned, nShards = 16)
+      .orderBy(col("shard_id"), col("src"))
+  }
+
+  val q125Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id AS id, source AS src,
+      |    (doc_id * 2654435761) % 1000003 AS h
+      |  FROM documents
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY h, id) AS rn FROM d
+      |), a AS (
+      |  SELECT src, CAST((rn - 1) % 16 AS BIGINT) AS shard_id FROM r
+      |), c AS (
+      |  SELECT shard_id, src, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM a GROUP BY shard_id, src
+      |), bs AS (
+      |  SELECT src, max(n_docs) AS max_n, min(n_docs) AS min_n,
+      |    count(*) AS shards_used
+      |  FROM c GROUP BY src
+      |), b AS (
+      |  SELECT src,
+      |    (max_n - CASE WHEN shards_used < 16 THEN 0 ELSE min_n END) <= 1
+      |      AS src_balanced
+      |  FROM bs
+      |)
+      |SELECT shard_id, src, n_docs, src_balanced
+      |FROM c JOIN b USING (src)
+      |ORDER BY shard_id, src""".stripMargin
+
   val q123Oracle: String =
     """WITH d AS (
       |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS h,
@@ -7534,7 +7577,8 @@ object Queries {
     "q121_de_payload_decode" -> (q121DePayloadDecode _),
     "q122_bm25" -> (q122Bm25 _),
     "q123_order_digest" -> (q123OrderDigest _),
-    "q124_delta_digest" -> (q124DeltaDigest _)
+    "q124_delta_digest" -> (q124DeltaDigest _),
+    "q125_stratified_shards" -> (q125StratifiedShards _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7652,7 +7696,8 @@ object Queries {
     "q120_curation_pipeline" -> q120Oracle,
     "q121_de_payload_decode" -> q121Oracle,
     "q123_order_digest" -> q123Oracle,
-    "q124_delta_digest" -> q124Oracle
+    "q124_delta_digest" -> q124Oracle,
+    "q125_stratified_shards" -> q125Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

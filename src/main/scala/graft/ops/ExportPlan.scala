@@ -157,6 +157,68 @@ object ExportPlan {
           .as("digest_xor")
       )
 
+  /** STRATIFIED shard assignment — the mixture-balancing complement of
+    * [[assignShards]] (which packs a token budget in one global
+    * pseudo-shuffle order and lets the source mix fall where it may).
+    * Training runs that stream shards sequentially want every shard to
+    * be an unbiased mini-corpus: each source's docs are ranked in
+    * within-source pseudo-shuffle order ([[TextStats.portableHash]],
+    * then doc id — deterministic and engine-portable) and dealt
+    * round-robin: shard = (rank-1) mod nShards. By construction each
+    * source's shard counts differ by at most one — the balance verdict
+    * the output carries per row and the spec/oracle pin.
+    *
+    * Scale shape: the rank comes from [[Rank.rankWithin]] (two-pass,
+    * no per-source single-task window); the mod is a projection; the
+    * count aggregate is one (shard, source) shuffle of bounded output
+    * (nShards × |sources| rows). No global order, no budget pass —
+    * this planner is one exchange cheaper than assignShards because
+    * balance, not fill, is the contract.
+    */
+  def stratifiedShards(
+      docs: DataFrame,
+      idCol: String,
+      groupCol: String,
+      nShards: Int
+  ): DataFrame = {
+    val ranked = Rank.rankWithin(
+      docs.select(col(idCol).as("id"), col(groupCol).as("src"),
+        TextStats.portableHash(col(idCol)).as("h")),
+      Seq("src"),
+      col("h"),
+      col("id"),
+      "rn",
+      bins = 64
+    )
+    ranked.withColumn("shard_id", ((col("rn") - 1) % nShards).cast("long"))
+  }
+
+  /** Per-(shard, source) manifest for [[stratifiedShards]] with the
+    * balance verdict: `src_balanced` is TRUE when the source's shard
+    * counts differ by at most one across ALL nShards shards (a source
+    * with fewer docs than shards leaves empty shards — min 0, so it is
+    * balanced iff its max is 1).
+    */
+  def stratifiedManifest(assigned: DataFrame, nShards: Int): DataFrame = {
+    val counts = assigned
+      .groupBy(col("shard_id"), col("src"))
+      .agg(count(lit(1)).as("n_docs"))
+    val bySrc = counts
+      .groupBy(col("src"))
+      .agg(
+        max(col("n_docs")).as("max_n"),
+        min(col("n_docs")).as("min_n"),
+        count(lit(1)).as("shards_used")
+      )
+      .withColumn(
+        "src_balanced",
+        (col("max_n") - when(col("shards_used") < nShards, lit(0L)).otherwise(col("min_n"))) <= 1L
+      )
+      .select(col("src"), col("src_balanced"))
+    counts.join(broadcast(bySrc), Seq("src"))
+      .select(col("shard_id"), col("src"), col("n_docs"), col("src_balanced"))
+  }
+
   /** Per-shard ORDER digest — the other half of the reproducibility
     * contract. [[shardDigests]] certifies MEMBERSHIP (its sum/xor are
     * order-blind by design: swap two docs' digest values within a

@@ -93,6 +93,37 @@ class ExportPlanSpec extends SparkSpec {
     assert(bad.toSeq !== got.toSeq)
   }
 
+  test("stratified shards: every source balanced within 1 across shards; tiny sources stay balanced") {
+    val S = 8
+    // three sources: big (40), exact multiple (16), smaller than S (3)
+    val docs = ((1L to 40L).map(i => (i, "big")) ++
+      (100L to 115L).map(i => (i, "mid")) ++
+      (200L to 202L).map(i => (i, "tiny"))).toDF("doc_id", "source")
+    val assigned = ExportPlan.stratifiedShards(docs, "doc_id", "source", S)
+    // exhaustive: every doc assigned exactly once, shard in [0, S)
+    assert(assigned.count() === 59L)
+    assert(assigned.filter($"shard_id" < 0 || $"shard_id" >= S).count() === 0L)
+    val man = ExportPlan.stratifiedManifest(assigned, S).collect()
+    man.foreach(r => assert(r.getAs[Boolean]("src_balanced"), s"unbalanced: $r"))
+    // per-source count law: 40/8 → all 5s; 16/8 → all 2s; 3 docs → three 1s
+    val bySrc = man.groupBy(_.getAs[String]("src"))
+    assert(bySrc("big").map(_.getAs[Long]("n_docs")).forall(_ === 5L))
+    assert(bySrc("mid").map(_.getAs[Long]("n_docs")).forall(_ === 2L))
+    assert(bySrc("tiny").map(_.getAs[Long]("n_docs")).toSeq.sorted === Seq(1L, 1L, 1L))
+
+    // the within-source order is the plain single-window rank (Rank law)
+    val want = docs
+      .withColumn("h", TextStats.portableHash($"doc_id"))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy($"source").orderBy($"h", $"doc_id")).cast("long")
+      )
+      .withColumn("shard_id", (($"rn" - 1) % S).cast("long"))
+      .select($"doc_id".as("id"), $"shard_id")
+    val got = assigned.select($"id", $"shard_id")
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+  }
+
   test("order digest: equals a driver-side fold, catches reordering that membership digests miss") {
     val digests = corpus.select($"doc_id".as("id"), TextStats.contentDigest60($"text").as("digest"))
     val assigned = ExportPlan.assignShards(corpus, "doc_id", $"wt", 100L, buckets = 8)

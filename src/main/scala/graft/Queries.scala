@@ -6341,6 +6341,178 @@ object Queries {
       |FROM c JOIN b USING (src)
       |ORDER BY shard_id, src""".stripMargin
 
+  // ---------------------------------------------------------------- q126
+  /** The GOPHER RULE SET (TextStats.withGopherRules): word-count and
+    * mean-word-length bounds, required-stopword floor, CHAR-WEIGHTED
+    * top-n-gram caps for n = 2..4 and a char-weighted duplicate-5-gram
+    * cap, composed into the `keep` verdict — the published
+    * Gopher/MassiveText repetition rules (Rae et al. 2021, Table A1)
+    * that complement q58's count-ratio signals (a 20-char gram repeated
+    * twice weighs 4× a 5-char one here, so the two catch different
+    * boilerplate). Entirely map-side column algebra over one corpus
+    * scan — zero shuffles before the final presentation sort; every
+    * fraction is an exact-integer numerator over total token chars with
+    * one double division, so the oracle replays it bit-for-bit. Rule
+    * booleans compare the UNROUNDED doubles in both engines (rounding
+    * is presentation-only), keeping verdicts threshold-exact.
+    */
+  def q126GopherRules(s: SparkSession, dir: String): DataFrame =
+    TextStats
+      .withGopherRules(Tables.documents(s, dir), "text")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("total_chars"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        col("stop_hits"),
+        round(col("top2gram_char_frac"), 6).as("top2gram_char_frac"),
+        round(col("top3gram_char_frac"), 6).as("top3gram_char_frac"),
+        round(col("top4gram_char_frac"), 6).as("top4gram_char_frac"),
+        round(col("dup5gram_char_frac"), 6).as("dup5gram_char_frac"),
+        col("word_count_ok"),
+        col("mean_len_ok"),
+        col("stop_ok"),
+        col("rep2_ok"),
+        col("rep3_ok"),
+        col("rep4_ok"),
+        col("dup5_ok"),
+        col("keep")
+      )
+      .orderBy(col("doc_id"))
+
+  val q126Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, toks,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+      |    list_transform(range(0, greatest(len(toks)-2, 0) + 1), i -> array_to_string(toks[i+1:i+2], ' ')) AS g2,
+      |    list_transform(range(0, greatest(len(toks)-3, 0) + 1), i -> array_to_string(toks[i+1:i+3], ' ')) AS g3,
+      |    list_transform(range(0, greatest(len(toks)-4, 0) + 1), i -> array_to_string(toks[i+1:i+4], ' ')) AS g4,
+      |    list_transform(range(0, greatest(len(toks)-5, 0) + 1), i -> array_to_string(toks[i+1:i+5], ' ')) AS g5
+      |  FROM t
+      |), m AS (
+      |  SELECT doc_id, n_words, total_chars,
+      |    CAST(total_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mwl,
+      |    CAST(len(list_intersect(list_distinct(toks), ['the','a','of','and','is','to','in'])) AS BIGINT) AS stop_hits,
+      |    greatest(0, list_max(list_transform(list_distinct(g2), u -> len(list_filter(g2, x -> x = u)) * (length(u) - 1)))) AS m2,
+      |    greatest(0, list_max(list_transform(list_distinct(g3), u -> len(list_filter(g3, x -> x = u)) * (length(u) - 2)))) AS m3,
+      |    greatest(0, list_max(list_transform(list_distinct(g4), u -> len(list_filter(g4, x -> x = u)) * (length(u) - 3)))) AS m4,
+      |    list_sum(list_transform(list_distinct(g5), u -> (len(list_filter(g5, x -> x = u)) - 1) * (length(u) - 4))) AS d5
+      |  FROM b
+      |), f AS (
+      |  SELECT doc_id, n_words, total_chars, mwl, stop_hits,
+      |    CAST(m2 AS DOUBLE) / CAST(total_chars AS DOUBLE) AS f2,
+      |    CAST(m3 AS DOUBLE) / CAST(total_chars AS DOUBLE) AS f3,
+      |    CAST(m4 AS DOUBLE) / CAST(total_chars AS DOUBLE) AS f4,
+      |    CAST(d5 AS DOUBLE) / CAST(total_chars AS DOUBLE) AS f5
+      |  FROM m
+      |)
+      |SELECT doc_id, n_words, total_chars,
+      |  round(mwl, 6) AS mean_word_len,
+      |  stop_hits,
+      |  round(f2, 6) AS top2gram_char_frac,
+      |  round(f3, 6) AS top3gram_char_frac,
+      |  round(f4, 6) AS top4gram_char_frac,
+      |  round(f5, 6) AS dup5gram_char_frac,
+      |  (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+      |  (mwl >= 3.0 AND mwl <= 10.0) AS mean_len_ok,
+      |  (stop_hits >= 2) AS stop_ok,
+      |  (f2 <= 0.20) AS rep2_ok,
+      |  (f3 <= 0.18) AS rep3_ok,
+      |  (f4 <= 0.16) AS rep4_ok,
+      |  (f5 <= 0.15) AS dup5_ok,
+      |  (n_words >= 50 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+      |   AND stop_hits >= 2 AND f2 <= 0.20 AND f3 <= 0.18 AND f4 <= 0.16
+      |   AND f5 <= 0.15) AS keep
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q127
+  /** LEAKAGE-SAFE train/val/test split (ops/Splits.componentSplit): the
+    * split hash is keyed on the NEAR-DUP COMPONENT label, not the doc
+    * id, so a cluster can never straddle train and eval — the repair
+    * for exactly the contamination q85's census MEASURES. The audit
+    * re-derives the cross-split pair count (provably 0 by construction)
+    * instead of asserting it: both engines count it from their own
+    * assignment, so a regression in the label join turns the row red.
+    * Pairs here come from the oracled exact-Jaccard audit slice (the
+    * q84 discipline — the recursive-CTE CC replay bounds the SQL); at
+    * corpus scale the same operator takes LSH band candidates and the
+    * identical one-left-join assignment.
+    */
+  def q127LeakSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.documents(s, dir).filter(col("doc_id") < 300)
+    val pairs = TextDedup
+      .nearDupsExact(slice, "doc_id", "text", threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // eager: component build + leak audit share this cache
+    val assigned = Splits
+      .componentSplit(slice, pairs, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // eager: audit + profile consumers share this cache
+    val leaky = pairs
+      .join(assigned.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+      .join(assigned.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .agg(count(lit(1)).as("leaky_pairs"))
+    assigned
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("component").isNotNull, 1L).otherwise(0L)).as("n_clustered")
+      )
+      .crossJoin(broadcast(leaky))
+      .select(col("source"), col("split"), col("n_docs"), col("n_clustered"), col("leaky_pairs"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val q127Oracle: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\s+')) AS tk
+      |  FROM documents WHERE doc_id < 300
+      |), edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) /
+      |        CAST(len(a.tk) + len(b.tk) - len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) >= 0.9
+      |), sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM edges
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM edges
+      |), reach(id, comp) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+      |), comps AS (
+      |  SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+      |), k AS (
+      |  SELECT t.doc_id, t.source, c.component,
+      |    COALESCE(c.component, t.doc_id) AS split_key
+      |  FROM t LEFT JOIN comps c ON t.doc_id = c.id
+      |), sp AS (
+      |  SELECT doc_id, source, component,
+      |    CASE WHEN (split_key * 2654435761) % 1000003 < 800000 THEN 'train'
+      |         WHEN (split_key * 2654435761) % 1000003 < 900000 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM k
+      |), lk AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS leaky_pairs
+      |  FROM edges e
+      |  JOIN sp a ON e.id_a = a.doc_id
+      |  JOIN sp b ON e.id_b = b.doc_id
+      |  WHERE a.split <> b.split
+      |)
+      |SELECT sp.source, sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN sp.component IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+      |  lk.leaky_pairs
+      |FROM sp, lk
+      |GROUP BY sp.source, sp.split, lk.leaky_pairs
+      |ORDER BY source, split""".stripMargin
+
   val q123Oracle: String =
     """WITH d AS (
       |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS h,
@@ -7578,7 +7750,9 @@ object Queries {
     "q122_bm25" -> (q122Bm25 _),
     "q123_order_digest" -> (q123OrderDigest _),
     "q124_delta_digest" -> (q124DeltaDigest _),
-    "q125_stratified_shards" -> (q125StratifiedShards _)
+    "q125_stratified_shards" -> (q125StratifiedShards _),
+    "q126_gopher_rules" -> (q126GopherRules _),
+    "q127_leak_safe_split" -> (q127LeakSafeSplit _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7697,7 +7871,9 @@ object Queries {
     "q121_de_payload_decode" -> q121Oracle,
     "q123_order_digest" -> q123Oracle,
     "q124_delta_digest" -> q124Oracle,
-    "q125_stratified_shards" -> q125Oracle
+    "q125_stratified_shards" -> q125Oracle,
+    "q126_gopher_rules" -> q126Oracle,
+    "q127_leak_safe_split" -> q127Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

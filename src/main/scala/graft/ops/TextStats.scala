@@ -242,4 +242,113 @@ object TextStats {
       (acc, h) => pmod(acc * lit(31L) + h, p)
     )
   }
+
+  /** CHAR-WEIGHTED mass of the most frequent word n-gram: max over
+    * distinct grams of count · charlen, where charlen = len(gram) −
+    * (n−1) separators (the gram's character content without spaces).
+    * This is the signal the published Gopher/MassiveText repetition
+    * rules threshold for n = 2..4 — distinct from [[withRepetition]]'s
+    * count-ratio (a 20-char gram repeated twice weighs 4× a 5-char
+    * one here). One sort + run-length fold per doc (O(len·log len)),
+    * never the O(distinct·len) filter-per-distinct form. Clamped at 0
+    * so a single truncated shorter-than-n gram (negative charlen)
+    * contributes nothing, matching the oracle's greatest(0, …).
+    */
+  def topNgramCharMass(grams: Column, n: Int): Column = {
+    val sorted = array_sort(grams)
+    aggregate(
+      sorted,
+      struct(
+        lit(null).cast("string").as("prev"),
+        lit(0L).as("run"),
+        lit(0L).as("best")
+      ),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1L))
+        val mass = run * (length(g).cast("long") - lit((n - 1).toLong))
+        struct(
+          g.as("prev"),
+          run.as("run"),
+          greatest(acc.getField("best"), mass).as("best")
+        )
+      },
+      acc => acc.getField("best")
+    )
+  }
+
+  /** CHAR-WEIGHTED duplicate n-gram mass: Σ over distinct grams of
+    * (count−1) · charlen — the character content of every occurrence
+    * beyond a gram's first, the "fraction of characters inside
+    * duplicated n-grams" side of the Gopher rules (they apply it for
+    * n = 5..10; the engine takes n as a parameter). Same sorted
+    * run-length fold as [[topNgramCharMass]]: each repeat occurrence
+    * (gram equals its sorted predecessor) adds its charlen once.
+    */
+  def dupNgramCharMass(grams: Column, n: Int): Column = {
+    val sorted = array_sort(grams)
+    aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("acc")),
+      (st, g) => {
+        val add = when(g === st.getField("prev"), length(g).cast("long") - lit((n - 1).toLong))
+          .otherwise(lit(0L))
+        struct(g.as("prev"), (st.getField("acc") + add).as("acc"))
+      },
+      st => st.getField("acc")
+    )
+  }
+
+  /** The Gopher corpus-quality RULE SET (Rae et al. 2021, Table A1),
+    * adapted to this whitespace-tokenized corpus: word-count bounds,
+    * mean-word-length bounds, a required-stopword floor, char-weighted
+    * top-n-gram caps (n = 2..4) and a char-weighted duplicate-5-gram
+    * cap — plus the composite `keep` verdict a curation pipeline
+    * filters on. (The corpus is single-line synthetic text, so the
+    * line/paragraph duplicate rules are represented by their n-gram
+    * char-fraction analogues; the ellipsis/bullet symbol rules have no
+    * counterpart in a letters-only vocabulary.)
+    *
+    * All fractions are exact-integer numerators over the document's
+    * total token characters, one double division each — bit-replayable
+    * by any IEEE-754 engine. Entirely map-side column algebra: the
+    * corpus text never shuffles, and the rule columns prune to a
+    * boolean per rule before any downstream aggregation.
+    */
+  def withGopherRules(df: DataFrame, textCol: String): DataFrame = {
+    val base = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn(
+        "total_chars",
+        aggregate(transform(col("__toks"), t => length(t).cast("long")), lit(0L), _ + _)
+      )
+      .withColumn("__g2", ngrams(col("__toks"), 2))
+      .withColumn("__g3", ngrams(col("__toks"), 3))
+      .withColumn("__g4", ngrams(col("__toks"), 4))
+      .withColumn("__g5", ngrams(col("__toks"), 5))
+    val tc = col("total_chars").cast("double")
+    base
+      .withColumn("mean_word_len", tc / col("n_words").cast("double"))
+      .withColumn(
+        "stop_hits",
+        size(array_intersect(array_distinct(col("__toks")), lit(stopwords.toArray))).cast("long")
+      )
+      .withColumn("top2gram_char_frac", topNgramCharMass(col("__g2"), 2).cast("double") / tc)
+      .withColumn("top3gram_char_frac", topNgramCharMass(col("__g3"), 3).cast("double") / tc)
+      .withColumn("top4gram_char_frac", topNgramCharMass(col("__g4"), 4).cast("double") / tc)
+      .withColumn("dup5gram_char_frac", dupNgramCharMass(col("__g5"), 5).cast("double") / tc)
+      .withColumn("word_count_ok", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("mean_len_ok", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("stop_ok", col("stop_hits") >= 2)
+      .withColumn("rep2_ok", col("top2gram_char_frac") <= 0.20)
+      .withColumn("rep3_ok", col("top3gram_char_frac") <= 0.18)
+      .withColumn("rep4_ok", col("top4gram_char_frac") <= 0.16)
+      .withColumn("dup5_ok", col("dup5gram_char_frac") <= 0.15)
+      .withColumn(
+        "keep",
+        col("word_count_ok") && col("mean_len_ok") && col("stop_ok") &&
+          col("rep2_ok") && col("rep3_ok") && col("rep4_ok") && col("dup5_ok")
+      )
+      .drop("__toks", "__g2", "__g3", "__g4", "__g5")
+  }
 }

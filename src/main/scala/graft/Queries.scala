@@ -6513,6 +6513,108 @@ object Queries {
       |GROUP BY sp.source, sp.split, lk.leaky_pairs
       |ORDER BY source, split""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+  /** Distributed CLASSIFIER TRAINING (ops/Classifier): 6 full-batch
+    * gradient-descent iterations of a language-filter linear model over
+    * surface-statistics features — each iteration ONE map-side
+    * aggregate of 4 exact integer gradient sums (the treeAggregate
+    * shape; model state = 4 driver-side doubles broadcast back as
+    * literals). The rational fast-sigmoid + integer-grid quantization
+    * make the whole weight TRAJECTORY bit-replayable, so the oracle
+    * RE-TRAINS the model in DuckDB (zero literals, the q95 BPE
+    * discipline) through 6 chained materialized CTEs and must land on
+    * the identical per-doc scores. On this vocabulary-flat synthetic
+    * corpus the model honestly converges toward the base rate — the
+    * certified artifact is the TRAINING LAW, plus the quantized
+    * Brier-sum convergence verdict (brier_final_q < brier_init_q),
+    * which both engines derive from their own trained weights.
+    */
+  def q128TrainClassifier(s: SparkSession, dir: String): DataFrame = {
+    val feats = Classifier
+      .features(Tables.documents(s, dir), "text", "lang")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    feats.count() // eager: 6 GD iterations + 2 Brier sums + scoring share this cache
+    val w = Classifier.fit(feats, iters = 6)
+    val brier0 = Classifier.brierQSum(feats, Array(0.0, 0.0, 0.0, 0.0))
+    val brierT = Classifier.brierQSum(feats, w)
+    val p = Classifier.probExpr(Classifier.zExpr(w))
+    feats
+      .select(
+        col("doc_id"),
+        round(p, 6).as("score"),
+        (p >= lit(0.5)).as("pred_en"),
+        (col("y") === lit(1.0)).as("is_en"),
+        lit(brier0).as("brier_init_q"),
+        lit(brierT).as("brier_final_q"),
+        lit(brierT < brier0).as("brier_improved")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** q128 replay: DuckDB re-trains all 6 iterations. Generated by the
+    * same Scala loop shape Classifier.fit runs — query and oracle share
+    * the iteration definition by construction. CTEs are MATERIALIZED:
+    * w{i-1} is referenced twice per iteration (gradient + update), so
+    * inlining would branch 2^6 ways (the q95 lesson).
+    */
+  val q128Oracle: String = {
+    val sigma = "(0.5 + z/(2.0*(1.0+abs(z))))"
+    def gradSums = (0 to 3)
+      .map(k =>
+        s"CAST(SUM(CAST(floor(($sigma - y)*x$k*1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g$k"
+      )
+      .mkString(",\n|      ")
+    def zFrom(wcte: String) =
+      s"SELECT f.*, w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 AS z FROM feats f, $wcte w"
+    val iters = (1 to 6)
+      .map { i =>
+        s"""g$i AS MATERIALIZED (
+           |  SELECT $gradSums
+           |  FROM (${zFrom(s"w${i - 1}")})
+           |), w$i AS MATERIALIZED (
+           |  SELECT ${(0 to 3)
+                .map(k => s"w.w$k - 0.5*(CAST(g.g$k AS DOUBLE)/1000000.0/nn.n) AS w$k")
+                .mkString(", ")}
+           |  FROM w${i - 1} w, g$i g, nn
+           |)""".stripMargin
+      }
+      .mkString(", ")
+    def brier(wcte: String) =
+      s"""SELECT CAST(SUM(CAST(floor(($sigma - y)*($sigma - y)*1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS b
+         |  FROM (${zFrom(wcte)})""".stripMargin
+    s"""WITH feats AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    CAST(1.0 AS DOUBLE) AS x0,
+       |    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) /
+       |      CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS x1,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |           x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) /
+       |      CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS x2,
+       |    least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / CAST(200.0 AS DOUBLE),
+       |          CAST(1.0 AS DOUBLE)) AS x3,
+       |    CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+       |  FROM documents
+       |), nn AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM feats
+       |), w0 AS MATERIALIZED (
+       |  SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+       |         CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3
+       |), $iters, b0 AS (
+       |  ${brier("w0")}
+       |), bt AS (
+       |  ${brier("w6")}
+       |)
+       |SELECT f.doc_id,
+       |  round($sigma, 6) AS score,
+       |  ($sigma >= 0.5) AS pred_en,
+       |  (f.y = CAST(1.0 AS DOUBLE)) AS is_en,
+       |  b0.b AS brier_init_q,
+       |  bt.b AS brier_final_q,
+       |  (bt.b < b0.b) AS brier_improved
+       |FROM (${zFrom("w6")}) f, b0, bt
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   val q123Oracle: String =
     """WITH d AS (
       |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS h,
@@ -7752,7 +7854,8 @@ object Queries {
     "q124_delta_digest" -> (q124DeltaDigest _),
     "q125_stratified_shards" -> (q125StratifiedShards _),
     "q126_gopher_rules" -> (q126GopherRules _),
-    "q127_leak_safe_split" -> (q127LeakSafeSplit _)
+    "q127_leak_safe_split" -> (q127LeakSafeSplit _),
+    "q128_train_classifier" -> (q128TrainClassifier _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7873,7 +7976,8 @@ object Queries {
     "q124_delta_digest" -> q124Oracle,
     "q125_stratified_shards" -> q125Oracle,
     "q126_gopher_rules" -> q126Oracle,
-    "q127_leak_safe_split" -> q127Oracle
+    "q127_leak_safe_split" -> q127Oracle,
+    "q128_train_classifier" -> q128Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

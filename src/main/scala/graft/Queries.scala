@@ -6615,6 +6615,99 @@ object Queries {
        |ORDER BY f.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q129
+  /** Johnson–Lindenstrauss ±1 RANDOM PROJECTION (ops/RandomProjection,
+    * Achlioptas 2003) 64 → 16 dims, certified by a distance-
+    * preservation audit: for each consecutive-id pair in the bounded
+    * slice, the projected/original squared-distance ratio and its
+    * (1±ε) verdict, plus the corpus-level within-count — every number
+    * DERIVED independently by both engines (the oracle regenerates the
+    * sign matrix from the portable-hash parity formula, zero literals).
+    * The projection itself is pure map-side ordered folds against a
+    * broadcast constant matrix; at corpus scale it cuts ANN shuffle
+    * and cache bytes 4× before any bucketing.
+    */
+  def q129JlProjection(s: SparkSession, dir: String): DataFrame = {
+    val pr = RandomProjection.withProjection(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 100),
+      "embedding", outDim = 16, inDim = 64)
+    val a = pr
+      .filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("proj").as("pa"))
+    val b = pr
+      .filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("proj").as("pb"))
+    val pairs = a
+      .join(b, col("id_b") === col("id_a") + 1)
+      .withColumn("d2_orig", RandomProjection.sqDistExpr(col("va"), col("vb")))
+      .withColumn("d2_proj", RandomProjection.sqDistExpr(col("pa"), col("pb")))
+      .filter(col("d2_orig") > 0.0)
+      .withColumn("ratio", col("d2_proj") / col("d2_orig"))
+      .withColumn("within", col("ratio") >= 0.25 && col("ratio") <= 2.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // eager: summary + row output share this cache
+    val summary = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("within").cast("long")).as("n_within")
+    )
+    pairs
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(col("d2_orig"), 6).as("d2_orig"),
+        round(col("d2_proj"), 6).as("d2_proj"),
+        round(col("ratio"), 6).as("ratio"),
+        col("within")
+      )
+      .crossJoin(broadcast(summary))
+      .orderBy(col("id_a"))
+  }
+
+  val q129Oracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+      |), R AS (
+      |  SELECT j, list_transform(range(0, 64), k ->
+      |    CASE WHEN ('0x' || substr(md5(CAST(j*64 + k AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+      |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS r
+      |  FROM range(0, 16) t(j)
+      |), p AS (
+      |  SELECT e.vec_id, e.embedding,
+      |    list(
+      |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(range(0, 64), k -> CAST(e.embedding[k+1] AS DOUBLE) * R.r[k+1])),
+      |        (a, b) -> a + b) / sqrt(CAST(16.0 AS DOUBLE))
+      |      ORDER BY R.j) AS proj
+      |  FROM e, R
+      |  GROUP BY e.vec_id, e.embedding
+      |), pr AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(0, 64), k ->
+      |        (CAST(a.embedding[k+1] AS DOUBLE) - CAST(b.embedding[k+1] AS DOUBLE)) *
+      |        (CAST(a.embedding[k+1] AS DOUBLE) - CAST(b.embedding[k+1] AS DOUBLE)))),
+      |      (x, y) -> x + y) AS d2_orig,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(0, 16), j ->
+      |        (a.proj[j+1] - b.proj[j+1]) * (a.proj[j+1] - b.proj[j+1]))),
+      |      (x, y) -> x + y) AS d2_proj
+      |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0
+      |), r2 AS (
+      |  SELECT *, d2_proj / d2_orig AS ratio FROM pr WHERE d2_orig > 0.0
+      |), s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(CASE WHEN ratio >= 0.25 AND ratio <= 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+      |  FROM r2
+      |)
+      |SELECT id_a, id_b,
+      |  round(d2_orig, 6) AS d2_orig,
+      |  round(d2_proj, 6) AS d2_proj,
+      |  round(ratio, 6) AS ratio,
+      |  (ratio >= 0.25 AND ratio <= 2.5) AS within,
+      |  s.n_pairs, s.n_within
+      |FROM r2, s
+      |ORDER BY id_a""".stripMargin
+
   val q123Oracle: String =
     """WITH d AS (
       |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS h,
@@ -7855,7 +7948,8 @@ object Queries {
     "q125_stratified_shards" -> (q125StratifiedShards _),
     "q126_gopher_rules" -> (q126GopherRules _),
     "q127_leak_safe_split" -> (q127LeakSafeSplit _),
-    "q128_train_classifier" -> (q128TrainClassifier _)
+    "q128_train_classifier" -> (q128TrainClassifier _),
+    "q129_jl_projection" -> (q129JlProjection _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -7977,7 +8071,8 @@ object Queries {
     "q125_stratified_shards" -> q125Oracle,
     "q126_gopher_rules" -> q126Oracle,
     "q127_leak_safe_split" -> q127Oracle,
-    "q128_train_classifier" -> q128Oracle
+    "q128_train_classifier" -> q128Oracle,
+    "q129_jl_projection" -> q129Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

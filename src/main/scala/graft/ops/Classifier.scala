@@ -35,13 +35,12 @@ object Classifier {
   val LR = 0.5
   val Quant = 1000000.0
 
-  /** Surface-statistics feature frame: x0 bias, x1 uniq-token ratio,
-    * x2 stopword ratio, x3 capped length ratio, label y ∈ {0,1} from
-    * `langCol == 'en'` (the language-filter target). All features are
-    * exact-integer numerators over the token count with one double
-    * division each — bit-replayable.
+  /** Surface-statistics features only (inference shape — no label):
+    * x0 bias, x1 uniq-token ratio, x2 stopword ratio, x3 capped length
+    * ratio. All exact-integer numerators over the token count with one
+    * double division each — bit-replayable.
     */
-  def features(df: DataFrame, textCol: String, langCol: String): DataFrame = {
+  def withFeatures(df: DataFrame, textCol: String): DataFrame = {
     val toks = TextStats.tokens(col(textCol))
     df.withColumn("__toks", toks)
       .withColumn("x0", lit(1.0))
@@ -55,9 +54,15 @@ object Classifier {
           size(col("__toks")).cast("double")
       )
       .withColumn("x3", least(size(col("__toks")).cast("double") / lit(200.0), lit(1.0)))
-      .withColumn("y", when(col(langCol) === "en", lit(1.0)).otherwise(lit(0.0)))
       .drop("__toks")
   }
+
+  /** Training frame: [[withFeatures]] + label y ∈ {0,1} from
+    * `langCol == 'en'` (the language-filter target).
+    */
+  def features(df: DataFrame, textCol: String, langCol: String): DataFrame =
+    withFeatures(df, textCol)
+      .withColumn("y", when(col(langCol) === "en", lit(1.0)).otherwise(lit(0.0)))
 
   /** Left-associated score chain — parenthesization is part of the
     * cross-engine contract (`a + b + c + d` in SQL folds the same way).

@@ -6831,6 +6831,91 @@ object Queries {
       |FROM pq, s
       |ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+  /** COUNT-MIN sketch (expr.CountMinSketch, Cormode–Muthukrishnan
+    * 2005): corpus token frequencies through a 4×256 counter matrix —
+    * constant aggregation state per group however many rows stream
+    * through, and, unlike Misra–Gries (q70), EXACTLY mergeable
+    * (elementwise sum): the matrix is a pure function of the token
+    * multiset, bit-reproducible under any partitioning. The md5-derived
+    * row hashes make the whole matrix relationally replayable, so the
+    * oracle rebuilds every counter with one GROUP BY and re-derives
+    * every estimate — est values themselves are checked, plus the
+    * never-undercount law per token (the sketch's deterministic
+    * guarantee). Width 16 against the 31-term vocabulary: pigeonhole
+    * forces collisions in EVERY row, so overcounts are visibly
+    * non-zero while min-over-rows still recovers several tokens
+    * exactly via their luckiest row — both sketch regimes exercised
+    * and oracle-checked. The probe
+    * pass is map-side against the broadcast matrix (d·w longs of
+    * bounded model state — the IVF-centroid class).
+    */
+  def q131CountMin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    val depth = 4
+    val width = 16
+    val toks = Tables
+      .documents(s, dir)
+      .select(explode(TextStats.tokens(col("text"))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks.count() // eager: sketch build + exact counts share this cache
+    val matrix: Seq[Seq[Long]] = toks
+      .agg(
+        GraftShim
+          .column(
+            graft.expr
+              .CountMinSketch(
+                GraftShim.expression(col("tok")),
+                GraftShim.expression(lit(depth)),
+                GraftShim.expression(lit(width)))
+              .toAggregateExpression()
+          )
+          .as("cm")
+      )
+      .head()
+      .getSeq[scala.collection.Seq[Long]](0)
+      .map(_.toSeq)
+    val mLit = typedlit(matrix)
+    def bucket(i: Int): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(s"$i:"), col("tok"))), 1, 15), 16, 10).cast("long") % width
+    val est = (0 until depth)
+      .map(i => element_at(element_at(mLit, i + 1), (bucket(i) + 1).cast("int")))
+      .reduce((a, b) => least(a, b))
+    toks
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("exact_count"))
+      .withColumn("cm_est", est)
+      .withColumn("overcount", col("cm_est") - col("exact_count"))
+      .withColumn("never_under", col("cm_est") >= col("exact_count"))
+      .orderBy(col("tok"))
+  }
+
+  val q131Oracle: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+      |), cells AS MATERIALIZED (
+      |  SELECT r.i,
+      |    ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 16 AS c,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM toks, range(0, 4) r(i)
+      |  GROUP BY r.i, c
+      |), vocab AS MATERIALIZED (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count FROM toks GROUP BY tok
+      |), est AS (
+      |  SELECT v.tok, min(cl.cnt) AS cm_est
+      |  FROM vocab v
+      |  JOIN range(0, 4) r(i) ON true
+      |  JOIN cells cl ON cl.i = r.i
+      |    AND cl.c = ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || v.tok), 1, 15))::BIGINT % 16
+      |  GROUP BY v.tok
+      |)
+      |SELECT v.tok, v.exact_count,
+      |  CAST(e.cm_est AS BIGINT) AS cm_est,
+      |  CAST(e.cm_est - v.exact_count AS BIGINT) AS overcount,
+      |  (e.cm_est >= v.exact_count) AS never_under
+      |FROM vocab v JOIN est e USING (tok)
+      |ORDER BY tok""".stripMargin
+
   val q123Oracle: String =
     """WITH d AS (
       |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS h,
@@ -8073,7 +8158,8 @@ object Queries {
     "q127_leak_safe_split" -> (q127LeakSafeSplit _),
     "q128_train_classifier" -> (q128TrainClassifier _),
     "q129_jl_projection" -> (q129JlProjection _),
-    "q130_jl_ann_recall" -> (q130JlAnnRecall _)
+    "q130_jl_ann_recall" -> (q130JlAnnRecall _),
+    "q131_count_min" -> (q131CountMin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -8197,7 +8283,8 @@ object Queries {
     "q127_leak_safe_split" -> q127Oracle,
     "q128_train_classifier" -> q128Oracle,
     "q129_jl_projection" -> q129Oracle,
-    "q130_jl_ann_recall" -> q130Oracle
+    "q130_jl_ann_recall" -> q130Oracle,
+    "q131_count_min" -> q131Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

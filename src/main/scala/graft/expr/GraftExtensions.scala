@@ -60,5 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => TDigestQuantile(exprs(0), exprs(1)).toAggregateExpression()
       )
     )
+    e.injectFunction(
+      (
+        FunctionIdentifier("count_min"),
+        new ExpressionInfo(classOf[CountMinSketch].getCanonicalName, "count_min"),
+        (exprs: Seq[Expression]) =>
+          CountMinSketch(exprs(0), exprs(1), exprs(2)).toAggregateExpression()
+      )
+    )
   }
 }

@@ -6890,6 +6890,122 @@ object Queries {
       .orderBy(col("tok"))
   }
 
+  // ---------------------------------------------------------------- q132
+  /** 3-FOLD CROSS-VALIDATION of the q128 classifier — the model-
+    * selection harness a training pipeline runs before shipping a
+    * filter: fold = portable hash of doc_id mod 3, each fold held out
+    * once, 6 GD iterations on the other two, held-out accuracy +
+    * trained weights per fold. Reuses Classifier.fit's bit-replayable
+    * trajectory, so the oracle RE-TRAINS ALL THREE MODELS in DuckDB
+    * (3×6 chained materialized CTE pairs, zero literals) and must land
+    * on identical weights, counts, and accuracies. Spark shape: ~8
+    * scan-speed jobs per fold over one persisted feature frame; every
+    * driver value is a scalar aggregate or the 4-double model state.
+    */
+  def q132CvClassifier(s: SparkSession, dir: String): DataFrame = {
+    val folds = 3
+    val feats = Classifier
+      .features(Tables.documents(s, dir), "text", "lang")
+      .withColumn("fold", TextStats.portableHash(col("doc_id")) % folds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    feats.count() // eager: 3 folds × (fit + eval) share this cache
+    val rows = (0 until folds).map { f =>
+      val train = feats.filter(col("fold") =!= f)
+      val test = feats.filter(col("fold") === f)
+      val w = Classifier.fit(train, iters = 6)
+      val p = Classifier.probExpr(Classifier.zExpr(w))
+      val nTrain = train.count()
+      val ev = test
+        .agg(
+          count(lit(1)).as("n_eval"),
+          sum(((p >= lit(0.5)) === (col("y") === lit(1.0))).cast("long")).as("n_correct")
+        )
+        .head()
+      (f.toLong, nTrain, ev.getLong(0), ev.getLong(1), w)
+    }
+    import s.implicits._
+    rows
+      .map { case (f, ntr, nev, nc, w) =>
+        (f, ntr, nev, nc, nc.toDouble / nev.toDouble, w(0), w(1), w(2), w(3))
+      }
+      .toDF("fold", "n_train", "n_eval", "n_correct", "accuracy", "w0", "w1", "w2", "w3")
+      .select(
+        col("fold"),
+        col("n_train"),
+        col("n_eval"),
+        col("n_correct"),
+        round(col("accuracy"), 6).as("accuracy"),
+        round(col("w0"), 6).as("w0"),
+        round(col("w1"), 6).as("w1"),
+        round(col("w2"), 6).as("w2"),
+        round(col("w3"), 6).as("w3")
+      )
+      .orderBy(col("fold"))
+  }
+
+  /** q132 replay: three full re-trainings, one per held-out fold (the
+    * q128 CTE machinery with a fold predicate), generated by the same
+    * loop shape the Spark side runs.
+    */
+  val q132Oracle: String = {
+    val sigma = "(0.5 + z/(2.0*(1.0+abs(z))))"
+    def zFrom(wcte: String, pred: String) =
+      s"SELECT f.*, w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 AS z FROM feats f, $wcte w WHERE $pred"
+    def foldCtes(fo: Int): String = {
+      val gradSums = (0 to 3)
+        .map(k =>
+          s"CAST(SUM(CAST(floor(($sigma - y)*x$k*1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g$k")
+        .mkString(", ")
+      val iters = (1 to 6)
+        .map { i =>
+          s"""gf${fo}_$i AS MATERIALIZED (
+             |  SELECT $gradSums
+             |  FROM (${zFrom(s"wf${fo}_${i - 1}", s"f.fold <> $fo")})
+             |), wf${fo}_$i AS MATERIALIZED (
+             |  SELECT ${(0 to 3)
+                  .map(k => s"w.w$k - 0.5*(CAST(g.g$k AS DOUBLE)/1000000.0/nn.n) AS w$k")
+                  .mkString(", ")}
+             |  FROM wf${fo}_${i - 1} w, gf${fo}_$i g, nnf$fo nn
+             |)""".stripMargin
+        }
+        .mkString(", ")
+      s"""nnf$fo AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n FROM feats WHERE fold <> $fo
+         |), wf${fo}_0 AS MATERIALIZED (
+         |  SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+         |         CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3
+         |), $iters, evf$fo AS (
+         |  SELECT CAST($fo AS BIGINT) AS fold,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM feats WHERE fold <> $fo) AS n_train,
+         |    CAST(count(*) AS BIGINT) AS n_eval,
+         |    CAST(SUM(CASE WHEN (($sigma >= 0.5) = (y = CAST(1.0 AS DOUBLE))) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |    any_value(w.w0) AS w0, any_value(w.w1) AS w1,
+         |    any_value(w.w2) AS w2, any_value(w.w3) AS w3
+         |  FROM (${zFrom(s"wf${fo}_6", s"f.fold = $fo")}) s, wf${fo}_6 w
+         |)""".stripMargin
+    }
+    s"""WITH feats AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    ((doc_id * 2654435761) % 1000003) % 3 AS fold,
+       |    CAST(1.0 AS DOUBLE) AS x0,
+       |    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) /
+       |      CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS x1,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |           x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) /
+       |      CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS x2,
+       |    least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / CAST(200.0 AS DOUBLE),
+       |          CAST(1.0 AS DOUBLE)) AS x3,
+       |    CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+       |  FROM documents
+       |), ${(0 until 3).map(foldCtes).mkString(", ")}
+       |SELECT fold, n_train, n_eval, n_correct,
+       |  round(CAST(n_correct AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS accuracy,
+       |  round(w0, 6) AS w0, round(w1, 6) AS w1,
+       |  round(w2, 6) AS w2, round(w3, 6) AS w3
+       |FROM (SELECT * FROM evf0 UNION ALL SELECT * FROM evf1 UNION ALL SELECT * FROM evf2)
+       |ORDER BY fold""".stripMargin
+  }
+
   val q131Oracle: String =
     """WITH toks AS MATERIALIZED (
       |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
@@ -8159,7 +8275,8 @@ object Queries {
     "q128_train_classifier" -> (q128TrainClassifier _),
     "q129_jl_projection" -> (q129JlProjection _),
     "q130_jl_ann_recall" -> (q130JlAnnRecall _),
-    "q131_count_min" -> (q131CountMin _)
+    "q131_count_min" -> (q131CountMin _),
+    "q132_cv_classifier" -> (q132CvClassifier _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -8284,7 +8401,8 @@ object Queries {
     "q128_train_classifier" -> q128Oracle,
     "q129_jl_projection" -> q129Oracle,
     "q130_jl_ann_recall" -> q130Oracle,
-    "q131_count_min" -> q131Oracle
+    "q131_count_min" -> q131Oracle,
+    "q132_cv_classifier" -> q132Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

@@ -6890,6 +6890,97 @@ object Queries {
       .orderBy(col("tok"))
   }
 
+  // ---------------------------------------------------------------- q133
+  /** PMI COLLOCATIONS — the phrase-mining preprocessing step (Mikolov
+    * et al.'s word2phrase shape): top-20 adjacent bigrams by pointwise
+    * mutual information with a count floor of 5. The RANKING key is
+    * `lift` = (c(ab)·M²)/(N·c(a)·c(b)) — an exact-integer-products
+    * ratio with one double division, bit-identical cross-engine, so
+    * the top-k boundary can never flip on a transcendental's last ulp;
+    * pmi = ln(lift) rides along rounded (the q66 tfidf ln precedent).
+    * Spark shape: one corpus scan for unigrams, one for positional
+    * pairs (map-side index explode), two keyed counts, two broadcast-
+    * scale scalar totals, TakeOrderedAndProject for the top-k — no
+    * global sort materialization.
+    */
+  def q133PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = TextStats.tokens(col("text"))
+    val uni = docs
+      .select(explode(toks).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    uni.count() // eager: unigram counts + corpus total share this cache
+    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val m = uni.agg(count(lit(1)).as("m"))
+    val n1 = size(toks) - 1
+    val pairs = docs
+      .filter(size(toks) >= 2)
+      .select(
+        explode(
+          transform(
+            arrays_zip(slice(toks, lit(1), n1).as("a"), slice(toks, lit(2), n1).as("b")),
+            s => struct(s.getField("a").as("wa"), s.getField("b").as("wb"))
+          )
+        ).as("p")
+      )
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // eager: pair counts + pair total share this cache
+    val pc = pairs.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c_ab"))
+    val n = pairs.agg(count(lit(1)).as("n"))
+    val lift = (col("c_ab") * col("m") * col("m")).cast("double") /
+      (col("n") * col("c_a") * col("c_b")).cast("double")
+    pc.filter(col("c_ab") >= 5)
+      .join(broadcast(uc.select(col("w").as("wa"), col("c").as("c_a"))), Seq("wa"))
+      .join(broadcast(uc.select(col("w").as("wb"), col("c").as("c_b"))), Seq("wb"))
+      .crossJoin(broadcast(m))
+      .crossJoin(broadcast(n))
+      .withColumn("lift", lift)
+      .select(
+        concat(col("wa"), lit(" "), col("wb")).as("bigram"),
+        col("c_ab"),
+        col("c_a"),
+        col("c_b"),
+        round(col("lift"), 6).as("lift"),
+        round(log(col("lift")), 6).as("pmi")
+      )
+      .orderBy(col("lift").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  val q133Oracle: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), uni AS MATERIALIZED (
+      |  SELECT unnest(toks) AS w FROM t
+      |), uc AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w
+      |), m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m FROM uni
+      |), pr AS MATERIALIZED (
+      |  SELECT unnest(list_transform(range(0, greatest(len(toks)-1, 0)),
+      |                i -> {'wa': toks[i+1], 'wb': toks[i+2]}), recursive := true)
+      |  FROM t
+      |  WHERE len(toks) >= 2
+      |), pc AS (
+      |  SELECT wa, wb, CAST(count(*) AS BIGINT) AS c_ab
+      |  FROM pr GROUP BY wa, wb HAVING count(*) >= 5
+      |), n AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM pr
+      |), scored AS (
+      |  SELECT pc.wa || ' ' || pc.wb AS bigram, pc.c_ab, a.c AS c_a, b.c AS c_b,
+      |    CAST(pc.c_ab * m.m * m.m AS DOUBLE) / CAST(n.n * a.c * b.c AS DOUBLE) AS lift
+      |  FROM pc
+      |  JOIN uc a ON a.w = pc.wa
+      |  JOIN uc b ON b.w = pc.wb, m, n
+      |)
+      |SELECT bigram, c_ab, c_a, c_b,
+      |  round(lift, 6) AS lift,
+      |  round(ln(lift), 6) AS pmi
+      |FROM scored
+      |ORDER BY lift DESC, bigram
+      |LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- q132
   /** 3-FOLD CROSS-VALIDATION of the q128 classifier — the model-
     * selection harness a training pipeline runs before shipping a
@@ -8276,7 +8367,8 @@ object Queries {
     "q129_jl_projection" -> (q129JlProjection _),
     "q130_jl_ann_recall" -> (q130JlAnnRecall _),
     "q131_count_min" -> (q131CountMin _),
-    "q132_cv_classifier" -> (q132CvClassifier _)
+    "q132_cv_classifier" -> (q132CvClassifier _),
+    "q133_pmi_collocations" -> (q133PmiCollocations _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -8402,7 +8494,8 @@ object Queries {
     "q129_jl_projection" -> q129Oracle,
     "q130_jl_ann_recall" -> q130Oracle,
     "q131_count_min" -> q131Oracle,
-    "q132_cv_classifier" -> q132Oracle
+    "q132_cv_classifier" -> q132Oracle,
+    "q133_pmi_collocations" -> q133Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

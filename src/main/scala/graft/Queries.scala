@@ -6890,6 +6890,231 @@ object Queries {
       .orderBy(col("tok"))
   }
 
+  // ---------------------------------------------------------------- q135
+  /** DELETION-PROPAGATION PLAN — the right-to-be-forgotten governance
+    * pass over a sharded export: given a delete list (doc_id % 97 = 0
+    * here — deterministic, engine-portable), emit per shard how many
+    * docs leave, the digest DELTA the deletions carry, and the expected
+    * post-deletion membership digests — then CERTIFY the algebra by
+    * recomputing digests on the survivors and deriving the law columns
+    * ((sum_before − Δ) mod P = sum_after; xor_before ⊕ xor_Δ =
+    * xor_after; fully-deleted shards collapse to the empty digest 0 on
+    * both sides of each law). This is why q116 chose associative
+    * digests: deletions UNDO by subtraction/xor without rescanning the
+    * surviving corpus — at 100 TB the plan touches 16 bytes/doc for the
+    * DELETE LIST only, never the text; the recompute here is the
+    * bounded audit that proves the delta algebra, not the production
+    * path.
+    */
+  def q135DeletionPlan(s: SparkSession, dir: String): DataFrame = {
+    val P = ExportPlan.DigestModulus
+    val docs = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("wt"),
+        TextStats.contentDigest60(col("text")).as("digest")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count() // eager: assignment + digest sides share this cache
+    val assigned = ExportPlan
+      .assignShards(docs, "doc_id", col("wt"), budget = 2048L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // eager: before/delta/after digest passes share this cache
+    val digests = docs.select(col("doc_id").as("id"), col("digest"))
+    val before = ExportPlan
+      .shardDigests(assigned, digests)
+      .select(
+        col("shard_id"),
+        col("n_docs"),
+        col("digest_sum").as("sum_before"),
+        col("digest_xor").as("xor_before")
+      )
+    val delta = assigned
+      .filter(col("id") % 97 === 0)
+      .join(digests, Seq("id"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_deleted"),
+        (sum(col("digest").cast("decimal(38,0)")) % lit(P)).cast("long").as("sum_delta"),
+        expr("bit_xor(digest)").as("xor_delta")
+      )
+    val after = ExportPlan
+      .shardDigests(assigned.filter(col("id") % 97 =!= 0), digests)
+      .select(
+        col("shard_id"),
+        col("n_docs").as("n_after"),
+        col("digest_sum").as("sum_after"),
+        col("digest_xor").as("xor_after")
+      )
+    before
+      .join(delta, Seq("shard_id"), "left")
+      .join(after, Seq("shard_id"), "left")
+      .select(
+        col("shard_id"),
+        col("n_docs"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        col("sum_before"),
+        coalesce(col("sum_delta"), lit(0L)).as("sum_delta"),
+        coalesce(col("sum_after"), lit(0L)).as("sum_after"),
+        col("xor_before"),
+        coalesce(col("xor_delta"), lit(0L)).as("xor_delta"),
+        coalesce(col("xor_after"), lit(0L)).as("xor_after")
+      )
+      .withColumn(
+        "sum_law_holds",
+        pmod(col("sum_before") - col("sum_delta"), lit(P)) === col("sum_after")
+      )
+      .withColumn(
+        "xor_law_holds",
+        col("xor_before").bitwiseXOR(col("xor_delta")) === col("xor_after")
+      )
+      .orderBy(col("shard_id"))
+  }
+
+  val q135Oracle: String =
+    """WITH d AS MATERIALIZED (
+      |  SELECT doc_id, (doc_id * 2654435761) % 1000003 AS h,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wt,
+      |    ('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15))::BIGINT AS digest
+      |  FROM documents
+      |), c AS (
+      |  SELECT *, SUM(wt) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - wt AS cum_before
+      |  FROM d
+      |), s AS MATERIALIZED (
+      |  SELECT *, CAST(cum_before // 2048 AS BIGINT) AS shard_id FROM c
+      |), before AS (
+      |  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CAST(digest AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS sum_before,
+      |    bit_xor(digest) AS xor_before
+      |  FROM s GROUP BY shard_id
+      |), del AS (
+      |  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_deleted,
+      |    CAST(SUM(CAST(digest AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS sum_delta,
+      |    bit_xor(digest) AS xor_delta
+      |  FROM s WHERE doc_id % 97 = 0 GROUP BY shard_id
+      |), aft AS (
+      |  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_after,
+      |    CAST(SUM(CAST(digest AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS sum_after,
+      |    bit_xor(digest) AS xor_after
+      |  FROM s WHERE doc_id % 97 <> 0 GROUP BY shard_id
+      |), j AS (
+      |  SELECT b.shard_id, b.n_docs,
+      |    CAST(COALESCE(del.n_deleted, 0) AS BIGINT) AS n_deleted,
+      |    CAST(COALESCE(aft.n_after, 0) AS BIGINT) AS n_after,
+      |    b.sum_before,
+      |    CAST(COALESCE(del.sum_delta, 0) AS BIGINT) AS sum_delta,
+      |    CAST(COALESCE(aft.sum_after, 0) AS BIGINT) AS sum_after,
+      |    b.xor_before,
+      |    CAST(COALESCE(del.xor_delta, 0) AS BIGINT) AS xor_delta,
+      |    CAST(COALESCE(aft.xor_after, 0) AS BIGINT) AS xor_after
+      |  FROM before b
+      |  LEFT JOIN del USING (shard_id)
+      |  LEFT JOIN aft USING (shard_id)
+      |)
+      |SELECT *,
+      |  (CAST(((sum_before - sum_delta) % 2305843009213693951
+      |         + 2305843009213693951) % 2305843009213693951 AS BIGINT) = sum_after) AS sum_law_holds,
+      |  (xor(xor_before, xor_delta) = xor_after) AS xor_law_holds
+      |FROM j
+      |ORDER BY shard_id""".stripMargin
+
+  // ---------------------------------------------------------------- q134
+  /** Per-user value TREND — distributed ordinary least squares via
+    * EXACT SUFFICIENT STATISTICS: one map-side aggregate of
+    * (n, Σx, Σy, Σxy, Σx², Σy²) per key, closed-form slope/intercept/r²
+    * from the sums. The complement of q128's iterative GD: regression
+    * whose whole fit is ONE scan-speed pass with a 6-number state per
+    * key — the canonical one-pass model-fitting shape at 100 TB.
+    * Exactness recipe: x = seconds from corpus start (exact ints), y
+    * quantized to the 1e-6 grid (floor(v·1e6 + 0.5), IEEE-exact), all
+    * sums DECIMAL(38)/HUGEINT — order- and partitioning-independent —
+    * and the closed forms convert the exact integers to doubles once
+    * (correctly rounded in any engine) before identical arithmetic
+    * trees. Degenerate keys (single timestamp or constant y) are
+    * filtered by exact-integer predicates, never by a float epsilon.
+    */
+  def q134EventTrends(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 1000000000").as("sec"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ev.count() // eager: corpus-start min + per-user stats share this cache
+    val mn = ev.agg(min(col("sec")).as("min_sec"))
+    val d = ev
+      .crossJoin(broadcast(mn))
+      .withColumn("x", (col("sec") - col("min_sec")).cast("decimal(38,0)"))
+      .withColumn(
+        "yq",
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("decimal(38,0)")
+      )
+    val n38 = col("n").cast("decimal(38,0)")
+    d.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("yq")).as("sy"),
+        sum(col("x") * col("yq")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yq") * col("yq")).as("syy")
+      )
+      .withColumn("num", n38 * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", n38 * col("sxx") - col("sx") * col("sx"))
+      .withColumn("syn", n38 * col("syy") - col("sy") * col("sy"))
+      .filter(col("den") > 0 && col("syn") > 0)
+      .withColumn("numd", col("num").cast("double"))
+      .withColumn("dend", col("den").cast("double"))
+      .withColumn("synd", col("syn").cast("double"))
+      .withColumn("slope_d", col("numd") / col("dend") / lit(1000000.0))
+      .select(
+        col("user_id"),
+        col("n"),
+        // + 0.0 normalizes IEEE negative zero: DuckDB's round keeps
+        // -0.0, Spark's BigDecimal path drops the sign — repr("-0.0")
+        // vs repr("0.0") would hash-fail a value-equal row
+        (round(col("slope_d"), 6) + lit(0.0)).as("slope"),
+        (round(
+          (col("sy").cast("double") / lit(1000000.0) - col("slope_d") * col("sx").cast("double")) /
+            col("n").cast("double"),
+          6
+        ) + lit(0.0)).as("intercept"),
+        (round((col("numd") * col("numd")) / (col("dend") * col("synd")), 6) + lit(0.0)).as("r2")
+      )
+      .orderBy(col("user_id"))
+  }
+
+  val q134Oracle: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, "value" FROM events
+      |), mn AS (
+      |  SELECT min(sec) AS min_sec FROM ev
+      |), d AS (
+      |  SELECT user_id, sec - mn.min_sec AS x,
+      |    CAST(floor("value"*1000000.0 + 0.5) AS BIGINT) AS yq
+      |  FROM ev, mn
+      |), st AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    SUM(x) AS sx, SUM(yq) AS sy, SUM(x*yq) AS sxy,
+      |    SUM(x*x) AS sxx, SUM(yq*yq) AS syy
+      |  FROM d GROUP BY user_id
+      |), f AS (
+      |  SELECT user_id, n, sx, sy,
+      |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS den, n*syy - sy*sy AS syn
+      |  FROM st
+      |), g AS (
+      |  SELECT user_id, n, sx, sy,
+      |    CAST(num AS DOUBLE) AS numd, CAST(den AS DOUBLE) AS dend, CAST(syn AS DOUBLE) AS synd,
+      |    CAST(num AS DOUBLE)/CAST(den AS DOUBLE)/1000000.0 AS slope_d
+      |  FROM f WHERE den > 0 AND syn > 0
+      |)
+      |SELECT user_id, n,
+      |  round(slope_d, 6) + 0.0 AS slope,
+      |  round((CAST(sy AS DOUBLE)/1000000.0 - slope_d*CAST(sx AS DOUBLE))/CAST(n AS DOUBLE), 6) + 0.0 AS intercept,
+      |  round((numd*numd)/(dend*synd), 6) + 0.0 AS r2
+      |FROM g
+      |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q133
   /** PMI COLLOCATIONS — the phrase-mining preprocessing step (Mikolov
     * et al.'s word2phrase shape): top-20 adjacent bigrams by pointwise
@@ -8368,7 +8593,9 @@ object Queries {
     "q130_jl_ann_recall" -> (q130JlAnnRecall _),
     "q131_count_min" -> (q131CountMin _),
     "q132_cv_classifier" -> (q132CvClassifier _),
-    "q133_pmi_collocations" -> (q133PmiCollocations _)
+    "q133_pmi_collocations" -> (q133PmiCollocations _),
+    "q134_event_trends" -> (q134EventTrends _),
+    "q135_deletion_plan" -> (q135DeletionPlan _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -8495,7 +8722,9 @@ object Queries {
     "q130_jl_ann_recall" -> q130Oracle,
     "q131_count_min" -> q131Oracle,
     "q132_cv_classifier" -> q132Oracle,
-    "q133_pmi_collocations" -> q133Oracle
+    "q133_pmi_collocations" -> q133Oracle,
+    "q134_event_trends" -> q134Oracle,
+    "q135_deletion_plan" -> q135Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

@@ -6890,6 +6890,193 @@ object Queries {
       .orderBy(col("tok"))
   }
 
+  // ---------------------------------------------------------------- q136
+  /** Per-source GOPHER ADOPTION REPORT — the rollout view a curation
+    * team reads before enabling q126's rule set as a hard filter: per
+    * source, the keep rate and EACH rule's individual failure count
+    * (which rule would do the cutting, and where). One map-side rule
+    * pass (q126's algebra) + one (source) aggregate of boolean sums —
+    * integer-exact, trivially replayable.
+    */
+  def q136GopherReport(s: SparkSession, dir: String): DataFrame = {
+    def fails(c: String): org.apache.spark.sql.Column = sum((!col(c)).cast("long"))
+    TextStats
+      .withGopherRules(Tables.documents(s, dir), "text")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        fails("word_count_ok").as("f_word_count"),
+        fails("mean_len_ok").as("f_mean_len"),
+        fails("stop_ok").as("f_stop"),
+        fails("rep2_ok").as("f_rep2"),
+        fails("rep3_ok").as("f_rep3"),
+        fails("rep4_ok").as("f_rep4"),
+        fails("dup5_ok").as("f_dup5")
+      )
+      .withColumn(
+        "keep_rate",
+        round(col("n_keep").cast("double") / col("n_docs").cast("double"), 6)
+      )
+      .orderBy(col("source"))
+  }
+
+  val q136Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, source, toks,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+      |    list_transform(range(0, greatest(len(toks)-2, 0) + 1), i -> array_to_string(toks[i+1:i+2], ' ')) AS g2,
+      |    list_transform(range(0, greatest(len(toks)-3, 0) + 1), i -> array_to_string(toks[i+1:i+3], ' ')) AS g3,
+      |    list_transform(range(0, greatest(len(toks)-4, 0) + 1), i -> array_to_string(toks[i+1:i+4], ' ')) AS g4,
+      |    list_transform(range(0, greatest(len(toks)-5, 0) + 1), i -> array_to_string(toks[i+1:i+5], ' ')) AS g5
+      |  FROM t
+      |), m AS (
+      |  SELECT doc_id, source, n_words, total_chars,
+      |    CAST(total_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mwl,
+      |    CAST(len(list_intersect(list_distinct(toks), ['the','a','of','and','is','to','in'])) AS BIGINT) AS stop_hits,
+      |    greatest(0, list_max(list_transform(list_distinct(g2), u -> len(list_filter(g2, x -> x = u)) * (length(u) - 1)))) AS m2,
+      |    greatest(0, list_max(list_transform(list_distinct(g3), u -> len(list_filter(g3, x -> x = u)) * (length(u) - 2)))) AS m3,
+      |    greatest(0, list_max(list_transform(list_distinct(g4), u -> len(list_filter(g4, x -> x = u)) * (length(u) - 3)))) AS m4,
+      |    list_sum(list_transform(list_distinct(g5), u -> (len(list_filter(g5, x -> x = u)) - 1) * (length(u) - 4))) AS d5
+      |  FROM b
+      |), v AS (
+      |  SELECT source,
+      |    (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+      |    (mwl >= 3.0 AND mwl <= 10.0) AS mean_len_ok,
+      |    (stop_hits >= 2) AS stop_ok,
+      |    (CAST(m2 AS DOUBLE) / CAST(total_chars AS DOUBLE) <= 0.20) AS rep2_ok,
+      |    (CAST(m3 AS DOUBLE) / CAST(total_chars AS DOUBLE) <= 0.18) AS rep3_ok,
+      |    (CAST(m4 AS DOUBLE) / CAST(total_chars AS DOUBLE) <= 0.16) AS rep4_ok,
+      |    (CAST(d5 AS DOUBLE) / CAST(total_chars AS DOUBLE) <= 0.15) AS dup5_ok
+      |  FROM m
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN word_count_ok AND mean_len_ok AND stop_ok AND rep2_ok
+      |                 AND rep3_ok AND rep4_ok AND dup5_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  CAST(SUM(CASE WHEN NOT word_count_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_word_count,
+      |  CAST(SUM(CASE WHEN NOT mean_len_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_mean_len,
+      |  CAST(SUM(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_stop,
+      |  CAST(SUM(CASE WHEN NOT rep2_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_rep2,
+      |  CAST(SUM(CASE WHEN NOT rep3_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_rep3,
+      |  CAST(SUM(CASE WHEN NOT rep4_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_rep4,
+      |  CAST(SUM(CASE WHEN NOT dup5_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_dup5,
+      |  round(CAST(SUM(CASE WHEN word_count_ok AND mean_len_ok AND stop_ok AND rep2_ok
+      |                 AND rep3_ok AND rep4_ok AND dup5_ok THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+      |FROM v
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q137
+  /** Per-source VOCABULARY statistics — the corpus-linguistics panel
+    * (type/token ratio, hapax fraction) that flags template-generated
+    * or boilerplate-heavy sources before training: n_tokens, n_types,
+    * TTR, hapax count (types occurring once IN THAT SOURCE) and hapax
+    * share of types. Two keyed aggregates over one token explode; all
+    * ratios exact-integer numerators with one double division.
+    */
+  def q137VocabStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(s, dir)
+      .select(col("source"), explode(TextStats.tokens(col("text"))).as("w"))
+    val perType = toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    perType
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("c") === 1).cast("long")).as("n_hapax")
+      )
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("n_types"),
+        col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6).as("hapax_frac")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q137Oracle: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+      |), pt AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY source, w
+      |)
+      |SELECT source,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  round(CAST(count(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+      |  round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS hapax_frac
+      |FROM pt
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q138
+  /** Language-ID CONFUSION MATRIX — the evaluation harness for q22's
+    * n-gram-marker heuristic against the metadata label: (lang,
+    * lang_pred) counts plus per-true-lang recall — how a pipeline
+    * decides whether a cheap classifier is good enough to gate on
+    * (here it measurably is NOT for this vocabulary-flat corpus: the
+    * honest baseline a trained filter like q128 would be compared
+    * against). One map-side classification pass + one (lang, pred)
+    * count aggregate; recall joins back on the broadcast per-lang
+    * totals.
+    */
+  def q138LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = TextStats
+      .withLangId(Tables.documents(s, dir), "text")
+      .select(col("lang"), col("lang_pred"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pred.count() // eager: cell counts + per-lang totals share this cache
+    val cells = pred.groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+    val totals = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    cells
+      .join(broadcast(totals), Seq("lang"))
+      .select(
+        col("lang"),
+        col("lang_pred"),
+        col("n"),
+        col("n_lang"),
+        round(col("n").cast("double") / col("n_lang").cast("double"), 6).as("cell_rate"),
+        (col("lang") === col("lang_pred")).as("is_correct")
+      )
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  val q138Oracle: String =
+    """WITH t AS (
+      |  SELECT lang, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), p AS (
+      |  SELECT lang,
+      |    len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS cnt_en,
+      |    len(list_filter(toks, x -> list_contains(['el','la','de','que','y'], x))) AS cnt_es,
+      |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS cnt_de
+      |  FROM t
+      |), pr AS (
+      |  SELECT lang,
+      |    CASE WHEN cnt_en >= cnt_es AND cnt_en >= cnt_de AND cnt_en > 0 THEN 'en'
+      |         WHEN cnt_es >= cnt_de AND cnt_es > 0 THEN 'es'
+      |         WHEN cnt_de > 0 THEN 'de'
+      |         ELSE 'unknown' END AS lang_pred
+      |  FROM p
+      |), cells AS (
+      |  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY lang, lang_pred
+      |), tot AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM pr GROUP BY lang
+      |)
+      |SELECT c.lang, c.lang_pred, c.n, t.n_lang,
+      |  round(CAST(c.n AS DOUBLE) / CAST(t.n_lang AS DOUBLE), 6) AS cell_rate,
+      |  (c.lang = c.lang_pred) AS is_correct
+      |FROM cells c JOIN tot t USING (lang)
+      |ORDER BY lang, lang_pred""".stripMargin
+
   // ---------------------------------------------------------------- q135
   /** DELETION-PROPAGATION PLAN — the right-to-be-forgotten governance
     * pass over a sharded export: given a delete list (doc_id % 97 = 0
@@ -8595,7 +8782,10 @@ object Queries {
     "q132_cv_classifier" -> (q132CvClassifier _),
     "q133_pmi_collocations" -> (q133PmiCollocations _),
     "q134_event_trends" -> (q134EventTrends _),
-    "q135_deletion_plan" -> (q135DeletionPlan _)
+    "q135_deletion_plan" -> (q135DeletionPlan _),
+    "q136_gopher_report" -> (q136GopherReport _),
+    "q137_vocab_stats" -> (q137VocabStats _),
+    "q138_lang_confusion" -> (q138LangConfusion _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -8724,7 +8914,10 @@ object Queries {
     "q132_cv_classifier" -> q132Oracle,
     "q133_pmi_collocations" -> q133Oracle,
     "q134_event_trends" -> q134Oracle,
-    "q135_deletion_plan" -> q135Oracle
+    "q135_deletion_plan" -> q135Oracle,
+    "q136_gopher_report" -> q136Oracle,
+    "q137_vocab_stats" -> q137Oracle,
+    "q138_lang_confusion" -> q138Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

@@ -6890,6 +6890,43 @@ object Queries {
       .orderBy(col("tok"))
   }
 
+  // ---------------------------------------------------------------- q139
+  /** NATIVE whole-operator top-k (plans.AnnTopKJoin) — the §2.10
+    * item-(c) extension running in the registry: custom LogicalPlan +
+    * optimizer Rule + SparkStrategy + SparkPlan via
+    * SparkSessionExtensions. Exact cosine top-10 for 10 query vectors,
+    * but the n·q scored pairs never reach an exchange: the exec holds
+    * per-query top-k buffers inside one corpus pass and ships only
+    * q·k rows per partition to the final rank (shuffle bytes n·q →
+    * q·k·partitions — the TakeOrderedAndProject trick generalized per
+    * query). The oracle replays the declarative definition (cosine +
+    * rounded rank window), so the row-for-row equality of the two
+    * FORMS is itself the certified law (AnnTopKJoinSpec pins it
+    * in-engine as well, plus the no-exchange plan shape and the
+    * degenerate-fold rule).
+    */
+  def q139NativeTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val qs = graft.plans.AnnTopKJoin.queriesFrom(
+      e.filter(col("vec_id") >= 10 && col("vec_id") < 20), "vec_id", "embedding")
+    graft.plans.AnnTopKJoin
+      .topK(e, "vec_id", "embedding", qs, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q139Oracle: String =
+    """SELECT query_id, rank, neighbor_id, sim FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS sim,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY q.vec_id
+      |      ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) DESC,
+      |               c.vec_id) AS rank
+      |  FROM embeddings c, embeddings q
+      |  WHERE q.vec_id >= 10 AND q.vec_id < 20 AND c.vec_id <> q.vec_id
+      |) WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- q136
   /** Per-source GOPHER ADOPTION REPORT — the rollout view a curation
     * team reads before enabling q126's rule set as a hard filter: per
@@ -8785,7 +8822,8 @@ object Queries {
     "q135_deletion_plan" -> (q135DeletionPlan _),
     "q136_gopher_report" -> (q136GopherReport _),
     "q137_vocab_stats" -> (q137VocabStats _),
-    "q138_lang_confusion" -> (q138LangConfusion _)
+    "q138_lang_confusion" -> (q138LangConfusion _),
+    "q139_native_topk" -> (q139NativeTopK _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -8917,7 +8955,8 @@ object Queries {
     "q135_deletion_plan" -> q135Oracle,
     "q136_gopher_report" -> q136Oracle,
     "q137_vocab_stats" -> q137Oracle,
-    "q138_lang_confusion" -> q138Oracle
+    "q138_lang_confusion" -> q138Oracle,
+    "q139_native_topk" -> q139Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

@@ -68,5 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           CountMinSketch(exprs(0), exprs(1), exprs(2)).toAggregateExpression()
       )
     )
+    // whole-operator extension (graft.plans.AnnTopKJoin): logical node →
+    // physical plan mapping + the degenerate-operator folding rule
+    e.injectPlannerStrategy(_ => graft.plans.AnnTopKJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.DegenerateAnnTopK)
   }
 }

@@ -13,6 +13,23 @@ object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from a raw LogicalPlan (Dataset.ofRows is private[sql])
+    * — the entry point custom logical operators (graft.plans) need. */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  ): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan
+    )
+
+  /** Analyzed plan of a DataFrame (the classic accessor). */
+  def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution
+      .analyzed
+
   /** Release the executor storage behind a `localCheckpoint(true)`-ed
     * frame once a newer round supersedes it (iterative operators:
     * Components / PageRank / Bpe). A checkpointed Dataset's analyzed

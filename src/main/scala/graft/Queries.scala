@@ -6890,6 +6890,69 @@ object Queries {
       .orderBy(col("tok"))
   }
 
+  // ---------------------------------------------------------------- q140
+  /** INCREMENTAL connected components (Components.incrementalUpdate):
+    * yesterday's dedup clusters absorb today's near-dup edges by
+    * re-running CC over the AFFECTED SUBGRAPH only (touched components
+    * collapse to star edges; untouched labels pass through verbatim) —
+    * the maintenance shape a streaming near-dup index needs at corpus
+    * scale, where full recompute per batch is the thing you cannot
+    * afford. The certified law: the merged labelling EQUALS the full
+    * recompute over all edges — the oracle replays the full recursive-
+    * CTE CC over the whole slice (old ∪ new), so any seam between the
+    * incremental pieces turns the row red. Old batch = doc_id < 200,
+    * arrivals = edges touching [200, 300); per-component output carries
+    * the old/new member split (components spanning both = the genuinely
+    * incremental merges).
+    */
+  def q140IncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.documents(s, dir).filter(col("doc_id") < 300)
+    val pairs = TextDedup
+      .nearDupsExact(slice, "doc_id", "text", threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // eager: old/new edge splits share this cache
+    val oldEdges = pairs.filter(col("id_a") < 200 && col("id_b") < 200)
+    val newEdges = pairs.filter(col("id_a") >= 200 || col("id_b") >= 200)
+    val oldLabels = Components.connectedComponents(oldEdges)
+    Components
+      .incrementalUpdate(oldLabels, newEdges)
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("id") < 200, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("id") >= 200, 1L).otherwise(0L)).as("n_new")
+      )
+      .orderBy(col("component"))
+  }
+
+  val q140Oracle: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS tk
+      |  FROM documents WHERE doc_id < 300
+      |), edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) /
+      |        CAST(len(a.tk) + len(b.tk) - len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) >= 0.9
+      |), sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM edges
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM edges
+      |), reach(id, comp) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+      |), comps AS (
+      |  SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+      |)
+      |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(SUM(CASE WHEN id < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+      |  CAST(SUM(CASE WHEN id >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |FROM comps
+      |GROUP BY component
+      |ORDER BY component""".stripMargin
+
   // ---------------------------------------------------------------- q139
   /** NATIVE whole-operator top-k (plans.AnnTopKJoin) — the §2.10
     * item-(c) extension running in the registry: custom LogicalPlan +
@@ -8823,7 +8886,8 @@ object Queries {
     "q136_gopher_report" -> (q136GopherReport _),
     "q137_vocab_stats" -> (q137VocabStats _),
     "q138_lang_confusion" -> (q138LangConfusion _),
-    "q139_native_topk" -> (q139NativeTopK _)
+    "q139_native_topk" -> (q139NativeTopK _),
+    "q140_incremental_cc" -> (q140IncrementalCc _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -8956,7 +9020,8 @@ object Queries {
     "q136_gopher_report" -> q136Oracle,
     "q137_vocab_stats" -> q137Oracle,
     "q138_lang_confusion" -> q138Oracle,
-    "q139_native_topk" -> q139Oracle
+    "q139_native_topk" -> q139Oracle,
+    "q140_incremental_cc" -> q140Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

@@ -198,4 +198,50 @@ object Components {
       .join(labeled, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
+
+  /** INCREMENTAL component maintenance — fold a batch of NEW edges into
+    * an existing labelling without re-running CC over the whole graph:
+    * the streaming-dedup companion (a near-dup index absorbing today's
+    * crawl should not recompute yesterday's corpus).
+    *
+    * Construction: components touched by a new edge are collapsed to
+    * STAR edges (member → its old label; sound because the old label is
+    * itself a member node and the star preserves exactly the old
+    * connectivity), CC runs on (new edges ∪ affected stars) ONLY, and
+    * untouched components keep their labels verbatim. Work scales with
+    * the affected subgraph, not the corpus: the touched-component
+    * filter is two keyed semi joins, and at 100 TB "affected" is the
+    * day's arrivals plus their collision neighborhoods.
+    *
+    * Law (spec + q140 oracle): the merged labelling EQUALS the full
+    * recompute over old ∪ new edges — min-label canonical form on both
+    * sides, so equality is row-for-row. (Labels here are min ids, and a
+    * merge of two old components relabels the loser's members — the
+    * maintenance is about WORK, not label stability.)
+    *
+    * @param oldLabels (id, component) from a prior run (min-label form)
+    * @param newEdges  two-column new edge frame (id_a, id_b)
+    */
+  def incrementalUpdate(oldLabels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val touchedIds = newEdges
+      .select(col("id_a").as("id"))
+      .unionByName(newEdges.select(col("id_b").as("id")))
+      .distinct()
+    val touchedComps = oldLabels
+      .join(touchedIds, Seq("id"))
+      .select(col("component"))
+      .distinct()
+    val affected = oldLabels
+      .join(touchedComps, Seq("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    affected.count() // eager: star edges + merge-back share this cache
+    val starEdges = affected
+      .filter(col("id") =!= col("component")) // label's self-star is a no-op
+      .select(col("id").as("id_a"), col("component").as("id_b"))
+    val sub = connectedComponents(newEdges.unionByName(starEdges))
+    val untouched = oldLabels
+      .join(touchedComps, Seq("component"), "left_anti")
+      .select(col("id"), col("component"))
+    untouched.unionByName(sub.select(col("id"), col("component")))
+  }
 }

@@ -73,4 +73,43 @@ class ComponentsSpec extends SparkSpec {
     val comps = Components.connectedComponents(edges).as[(Long, Long)].collect().toMap
     assert(comps.values.toSet.size == 1, s"chain split into ${comps.values.toSet}")
   }
+
+  test("incrementalUpdate equals full recompute: merge of two old components via a new bridge") {
+    // old: {1,2,3} (label 1) and {10,11} (label 10); new edge 3-10
+    // bridges them, plus a brand-new node 20 attaching to 11, plus an
+    // untouched component {30,31} that must pass through verbatim
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L)).toDF("id_a", "id_b")
+    val newEdges = Seq((3L, 10L), (11L, 20L)).toDF("id_a", "id_b")
+    val oldLabels = Components.connectedComponents(oldEdges)
+    val inc = Components
+      .incrementalUpdate(oldLabels, newEdges)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val full = Components
+      .connectedComponents(oldEdges.unionByName(newEdges))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(inc == full, s"incremental $inc != full $full")
+    assert(inc.contains((20L, 1L)), "new node must join the merged component")
+    assert(inc.contains((31L, 30L)), "untouched component relabeled")
+  }
+
+  test("incrementalUpdate equals full recompute on random graphs (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val oldEdges = (0 until 60)
+        .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+        .toDF("id_a", "id_b")
+      val newEdges = (0 until 20)
+        .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2)
+        .toDF("id_a", "id_b")
+      val inc = Components
+        .incrementalUpdate(Components.connectedComponents(oldEdges), newEdges)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val full = Components
+        .connectedComponents(oldEdges.unionByName(newEdges))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(inc == full, s"seed $seed: incremental != full")
+    }
+  }
 }

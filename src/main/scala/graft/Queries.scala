@@ -8887,10 +8887,17 @@ object Queries {
     "q137_vocab_stats" -> (q137VocabStats _),
     "q138_lang_confusion" -> (q138LangConfusion _),
     "q139_native_topk" -> (q139NativeTopK _),
-    "q140_incremental_cc" -> (q140IncrementalCc _)
+    "q140_incremental_cc" -> (q140IncrementalCc _),
+    "q141_ngram_span_dup" -> (q141NgramSpanDup _),
+    "q142_temperature_mix" -> (q142TemperatureMix _),
+    "q143_calibration" -> (q143Calibration _),
+    "q144_token_budget" -> (q144TokenBudget _)
   )
 
-  val oracles: Map[String, String] = Map(
+  // lazy: oracle-string vals may be DECLARED below this map in the file;
+  // a strict val would capture null for those forward references (object
+  // vals initialize in declaration order)
+  lazy val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Oracle,
     "q2_filter" -> q2Oracle,
     "q3_enrich" -> q3Oracle,
@@ -9021,7 +9028,11 @@ object Queries {
     "q137_vocab_stats" -> q137Oracle,
     "q138_lang_confusion" -> q138Oracle,
     "q139_native_topk" -> q139Oracle,
-    "q140_incremental_cc" -> q140Oracle
+    "q140_incremental_cc" -> q140Oracle,
+    "q141_ngram_span_dup" -> q141Oracle,
+    "q142_temperature_mix" -> q142Oracle,
+    "q143_calibration" -> q143Oracle,
+    "q144_token_budget" -> q144Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -9227,4 +9238,327 @@ object Queries {
        |FROM mined, agree, incands
        |ORDER BY mined.anchor""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q141
+  /** Repeated n-gram SPAN census (ops/NgramDup) — the exact-substring
+    * duplication signal of Lee et al. ACL'22, relational instead of
+    * suffix-array: a width-5 token span occurring ≥2 times corpus-wide
+    * (cross- or intra-document) is duplicated; per source we report
+    * span totals, duplicated-span ppm, and how many docs are >50%
+    * duplicated (what an exact-substring dedup pass would rewrite
+    * first). All shuffles key on the shingle — the inverted-index
+    * shape; checked output is integer-only.
+    */
+  def q141NgramSpanDup(s: SparkSession, dir: String): DataFrame =
+    NgramDup
+      .sourceCensus(Tables.documents(s, dir), "text", 5)
+      .orderBy(col("source"))
+
+  /** q141 replay: identical positional-shingle algebra (the q133
+    * range/list_transform idiom), identical census — zero literals.
+    */
+  val q141Oracle: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), sh AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(range(0, greatest(len(toks)-4, 0)),
+      |           i -> array_to_string(toks[i+1:i+5], ' '))) AS shingle
+      |  FROM t WHERE len(toks) >= 5
+      |), pd AS MATERIALIZED (
+      |  SELECT doc_id, source, shingle, CAST(count(*) AS BIGINT) AS c_doc
+      |  FROM sh GROUP BY doc_id, source, shingle
+      |), tot AS (
+      |  SELECT shingle, CAST(sum(c_doc) AS BIGINT) AS c_all FROM pd GROUP BY shingle
+      |), prof AS (
+      |  SELECT pd.doc_id, pd.source,
+      |    CAST(sum(pd.c_doc) AS BIGINT) AS n_spans,
+      |    CAST(sum(CASE WHEN tot.c_all >= 2 THEN pd.c_doc ELSE 0 END) AS BIGINT) AS dup_spans
+      |  FROM pd JOIN tot USING (shingle)
+      |  GROUP BY pd.doc_id, pd.source
+      |), per_source AS (
+      |  SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n_docs_spanned,
+      |    CAST(sum(n_spans) AS BIGINT) AS total_spans,
+      |    CAST(sum(dup_spans) AS BIGINT) AS dup_spans,
+      |    CAST(sum(CASE WHEN dup_spans*2 > n_spans THEN 1 ELSE 0 END) AS BIGINT) AS n_high_dup_docs
+      |  FROM prof GROUP BY source
+      |), alldocs AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+      |)
+      |SELECT a.source, a.n_docs,
+      |  COALESCE(p.n_docs_spanned, 0) AS n_docs_spanned,
+      |  COALESCE(p.total_spans, 0) AS total_spans,
+      |  COALESCE(p.dup_spans, 0) AS dup_spans,
+      |  CASE WHEN COALESCE(p.total_spans, 0) > 0
+      |       THEN CAST(floor(p.dup_spans * 1000000 / p.total_spans) AS BIGINT)
+      |       ELSE 0 END AS dup_ppm,
+      |  COALESCE(p.n_high_dup_docs, 0) AS n_high_dup_docs
+      |FROM alldocs a LEFT JOIN per_source p USING (source)
+      |ORDER BY a.source""".stripMargin
+
+  // ---------------------------------------------------------------- q142
+  /** Temperature-scaled source mixture (ops/Mixture.temperaturePlan) —
+    * mC4-style α-sampling at α = 1/2: p_i = √c_i / Σ√c_j (sqrt is
+    * IEEE-correctly-rounded, unlike pow — that choice IS the
+    * cross-engine contract), a corpus-half budget split by p_i, and a
+    * deterministic per-source draw: the target_n docs with the smallest
+    * (portableHash(doc_id), doc_id), ranked by ops/Rank's two-pass so
+    * no source ever funnels through one window task. The normalizer
+    * folds in source-name order; the oracle replays it with an ordered
+    * list_reduce and the plain row_number() definition.
+    */
+  def q142TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (plan, sampled) = Mixture.temperaturePlan(docs, "doc_id", "source")
+    val agg = sampled
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("sampled_n"), sum(col("doc_id")).as("id_sum"))
+    plan
+      .join(agg, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("p_ppm"),
+        col("target_n"),
+        coalesce(col("sampled_n"), lit(0L)).as("sampled_n"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q142Oracle: String =
+    """WITH c AS (
+      |  SELECT CAST(source AS VARCHAR) AS source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c
+      |), norm AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
+      |         (a, b) -> a + b) AS nrm
+      |  FROM c
+      |), plan AS (
+      |  SELECT c.source, c.n_docs,
+      |    CAST(floor(sqrt(CAST(c.n_docs AS DOUBLE)) / norm.nrm * 1000000.0) AS BIGINT) AS p_ppm,
+      |    CAST(floor(CAST(tot.total // 2 AS DOUBLE) *
+      |               (sqrt(CAST(c.n_docs AS DOUBLE)) / norm.nrm)) AS BIGINT) AS target_n
+      |  FROM c, tot, norm
+      |), ranked AS (
+      |  SELECT CAST(source AS VARCHAR) AS source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rk
+      |  FROM documents
+      |), samp AS (
+      |  SELECT r.source, CAST(count(*) AS BIGINT) AS sampled_n,
+      |    CAST(sum(r.doc_id) AS BIGINT) AS id_sum
+      |  FROM ranked r JOIN plan p USING (source)
+      |  WHERE r.rk <= p.target_n
+      |  GROUP BY r.source
+      |)
+      |SELECT p.source, p.n_docs, p.p_ppm, p.target_n,
+      |  COALESCE(s.sampled_n, 0) AS sampled_n,
+      |  COALESCE(s.id_sum, 0) AS id_sum
+      |FROM plan p LEFT JOIN samp s USING (source)
+      |ORDER BY p.source""".stripMargin
+
+  // ---------------------------------------------------------------- q143
+  /** CALIBRATION AUDIT — the reliability diagram + expected-calibration-
+    * error check a team runs before using filter scores as sampling
+    * weights, over TWO scorers so the audit provably separates them:
+    * the q128 classifier trained to convergence (12 iterations — it
+    * converges to the base-rate predictor, ECE ~2k ppm vs the contrast
+    * scorer's ~205k: calibrated) and a fixed-weight scorer over the first three
+    * embedding components (real per-row spread, but a score the label
+    * never saw — the audit must flag its large ECE). Centile bins (the
+    * fast-sigmoid keeps trained scores in a tight band); per bin,
+    * quantized Σp vs the positive count; ECE in ppm per scorer. Reuses
+    * Classifier.fit's bit-replayable trajectory, so the oracle
+    * RE-TRAINS the model (q128's CTE chain, 12 rounds) and re-derives
+    * every bin — zero literals; float→double widening of the embedding
+    * components is exact, so both scorers' bits replay cross-engine.
+    */
+  def q143Calibration(s: SparkSession, dir: String): DataFrame = {
+    val feats = Classifier
+      .features(Tables.documents(s, dir), "text", "lang")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    feats.count() // eager: fit's 13 scans + the binning pass share this cache
+    val w = Classifier.fit(feats, iters = 12)
+    val trained = feats.select(
+      lit("trained_lang").as("scorer"),
+      Classifier.probExpr(Classifier.zExpr(w)).as("p"),
+      col("y")
+    )
+    // the contrast scorer: fixed weights over the first three embedding
+    // components — real per-row spread, but a score the label never saw,
+    // so the audit must flag it (float→double widening is exact, so the
+    // score bits replay cross-engine)
+    val e = (i: Int) => col("embedding").getItem(i).cast("double")
+    val fixedZ = lit(3.0) * e(0) + lit(3.0) * e(1) + lit(3.0) * e(2)
+    val fixed = Tables
+      .embeddings(s, dir)
+      .select(
+        lit("fixed_embed").as("scorer"),
+        Classifier.probExpr(fixedZ).as("p"),
+        when(col("label") <= 4, lit(1.0)).otherwise(lit(0.0)).as("y")
+      )
+    val perBin = trained
+      .unionByName(fixed)
+      .withColumn("bin", least(lit(99L), floor(col("p") * lit(100.0))))
+      .groupBy(col("scorer"), col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("p") * lit(1000000.0) + lit(0.5)).cast("long")).as("sum_p_q"),
+        sum(col("y").cast("long")).as("n_pos")
+      )
+      .withColumn("abs_gap_q", abs(col("sum_p_q") - col("n_pos") * lit(1000000L)))
+    val tot = perBin
+      .groupBy(col("scorer"))
+      .agg(sum(col("abs_gap_q")).as("__ece_q"), sum(col("n")).as("__n_total"))
+    perBin
+      .join(broadcast(tot), Seq("scorer"))
+      .select(
+        col("scorer"),
+        col("bin"),
+        col("n"),
+        col("n_pos"),
+        col("sum_p_q"),
+        col("abs_gap_q"),
+        floor(col("__ece_q").cast("double") / col("__n_total").cast("double")).as("ece_ppm")
+      )
+      .orderBy(col("scorer"), col("bin"))
+  }
+
+  /** q143 replay: the full q128 re-training prefix (6 chained
+    * materialized gradient/weight CTE pairs — the training IS part of
+    * the contract), then the binning algebra.
+    */
+  val q143Oracle: String = {
+    val sigma = "(0.5 + z/(2.0*(1.0+abs(z))))"
+    def gradSums = (0 to 3)
+      .map(k =>
+        s"CAST(SUM(CAST(floor(($sigma - y)*x$k*1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g$k"
+      )
+      .mkString(",\n|      ")
+    def zFrom(wcte: String) =
+      s"SELECT f.*, w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 AS z FROM feats f, $wcte w"
+    val iters = (1 to 12)
+      .map { i =>
+        s"""g$i AS MATERIALIZED (
+           |  SELECT $gradSums
+           |  FROM (${zFrom(s"w${i - 1}")})
+           |), w$i AS MATERIALIZED (
+           |  SELECT ${(0 to 3)
+            .map(k => s"w.w$k - 0.5*(CAST(g.g$k AS DOUBLE)/1000000.0/nn.n) AS w$k")
+            .mkString(", ")}
+           |  FROM w${i - 1} w, g$i g, nn
+           |)""".stripMargin
+      }
+      .mkString(", ")
+    s"""WITH feats AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    CAST(1.0 AS DOUBLE) AS x0,
+       |    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) /
+       |      CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS x1,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |           x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) /
+       |      CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS x2,
+       |    least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / CAST(200.0 AS DOUBLE),
+       |          CAST(1.0 AS DOUBLE)) AS x3,
+       |    CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+       |  FROM documents
+       |), nn AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM feats
+       |), w0 AS MATERIALIZED (
+       |  SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+       |         CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3
+       |), $iters, scored AS MATERIALIZED (
+       |  SELECT 'trained_lang' AS scorer, f.y, $sigma AS p FROM (${zFrom("w12")}) f
+       |  UNION ALL
+       |  SELECT 'fixed_embed' AS scorer,
+       |    CASE WHEN e.label <= 4 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+       |    $sigma AS p
+       |  FROM (SELECT label,
+       |          3.0*CAST(embedding[1] AS DOUBLE) + 3.0*CAST(embedding[2] AS DOUBLE)
+       |            + 3.0*CAST(embedding[3] AS DOUBLE) AS z
+       |        FROM embeddings) e
+       |), per_bin AS (
+       |  SELECT scorer, least(99, CAST(floor(p*100.0) AS BIGINT)) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(floor(p*1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_p_q,
+       |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos
+       |  FROM scored GROUP BY 1, 2
+       |), g AS (
+       |  SELECT *, abs(sum_p_q - n_pos*1000000) AS abs_gap_q FROM per_bin
+       |), tot AS (
+       |  SELECT scorer, CAST(sum(abs_gap_q) AS BIGINT) AS ece_q,
+       |         CAST(sum(n) AS BIGINT) AS n_total
+       |  FROM g GROUP BY scorer
+       |)
+       |SELECT g.scorer, g.bin, g.n, g.n_pos, g.sum_p_q, g.abs_gap_q,
+       |  CAST(floor(CAST(tot.ece_q AS DOUBLE) / CAST(tot.n_total AS DOUBLE)) AS BIGINT) AS ece_ppm
+       |FROM g JOIN tot USING (scorer)
+       |ORDER BY g.scorer, g.bin""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q144
+  /** UniMax token-budget WATER-FILLING (ops/Mixture.tokenBudgetPlan) —
+    * Chung et al. 2023: spread B = ⌊0.9·Σtokens⌋ as uniformly as
+    * possible across sources with a 1-epoch cap; small sources
+    * saturate, the leftover re-levels across the rest, the integer
+    * remainder goes one token each to the first sources in cap order.
+    * Pure integer arithmetic end-to-end (no floats anywhere), so the
+    * oracle replays the closed-form prefix test with window functions
+    * and must agree exactly.
+    */
+  def q144TokenBudget(s: SparkSession, dir: String): DataFrame =
+    Mixture
+      .tokenBudgetPlan(Tables.documents(s, dir), "text", "source")
+      .orderBy(col("source"))
+
+  val q144Oracle: String =
+    """WITH tk AS (
+      |  SELECT CAST(source AS VARCHAR) AS source,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), p AS (
+      |  SELECT CAST(sum(n_tokens) * 9 // 10 AS BIGINT) AS budget,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM tk
+      |), o AS (
+      |  SELECT source, n_tokens,
+      |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rk,
+      |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS csum
+      |  FROM tk
+      |), cutc AS MATERIALIZED (
+      |  SELECT o.*, p.budget, p.n,
+      |    (o.n_tokens * (p.n - o.rk + 1) <= p.budget - (o.csum - o.n_tokens)) AS sat_test
+      |  FROM o, p
+      |), cut AS (
+      |  SELECT COALESCE((SELECT min(rk) FROM cutc WHERE NOT sat_test),
+      |                  (SELECT n + 1 FROM p)) AS cut
+      |), lvl AS (
+      |  SELECT c.cut,
+      |    CASE WHEN c.cut <= p.n
+      |         THEN (p.budget - COALESCE((SELECT max(csum) FROM cutc WHERE rk < c.cut), 0))
+      |              // (p.n - c.cut + 1)
+      |         ELSE 0 END AS level,
+      |    CASE WHEN c.cut <= p.n
+      |         THEN (p.budget - COALESCE((SELECT max(csum) FROM cutc WHERE rk < c.cut), 0))
+      |              % (p.n - c.cut + 1)
+      |         ELSE 0 END AS rem
+      |  FROM cut c, p
+      |), alloc AS (
+      |  SELECT c.source, c.n_tokens, c.budget,
+      |    CASE WHEN c.rk < l.cut THEN c.n_tokens
+      |         ELSE l.level + (CASE WHEN c.rk - l.cut < l.rem THEN 1 ELSE 0 END) END AS allocated,
+      |    (c.rk < l.cut) AS saturated
+      |  FROM cutc c, lvl l
+      |)
+      |SELECT source, n_tokens, budget,
+      |  CAST(allocated AS BIGINT) AS allocated, saturated,
+      |  CAST(allocated * 1000000 // n_tokens AS BIGINT) AS epochs_ppm
+      |FROM alloc
+      |ORDER BY source""".stripMargin
 }

@@ -8891,7 +8891,9 @@ object Queries {
     "q141_ngram_span_dup" -> (q141NgramSpanDup _),
     "q142_temperature_mix" -> (q142TemperatureMix _),
     "q143_calibration" -> (q143Calibration _),
-    "q144_token_budget" -> (q144TokenBudget _)
+    "q144_token_budget" -> (q144TokenBudget _),
+    "q145_span_removal" -> (q145SpanRemoval _),
+    "q146_canonical_dedup" -> (q146CanonicalDedup _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9032,7 +9034,9 @@ object Queries {
     "q141_ngram_span_dup" -> q141Oracle,
     "q142_temperature_mix" -> q142Oracle,
     "q143_calibration" -> q143Oracle,
-    "q144_token_budget" -> q144Oracle
+    "q144_token_budget" -> q144Oracle,
+    "q145_span_removal" -> q145Oracle,
+    "q146_canonical_dedup" -> q146Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -9560,5 +9564,133 @@ object Queries {
       |  CAST(allocated AS BIGINT) AS allocated, saturated,
       |  CAST(allocated * 1000000 // n_tokens AS BIGINT) AS epochs_ppm
       |FROM alloc
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q145
+  /** Exact-substring span REMOVAL rewrite (NgramDup.removalProfile) —
+    * q141 told you HOW MUCH verbatim repetition exists; this is the
+    * dedup pass itself: a token is deleted iff covered by a span
+    * occurrence that is not the corpus-first occurrence of its shingle
+    * (first = smallest doc_id·2^20+pos integer key), so every span's
+    * first occurrence survives and only repeats die — the Lee et al.
+    * rewrite semantics. Per-source token totals, removed ppm, and
+    * fully-gutted docs. All keys integer; the ordering law is one
+    * BIGINT min per shingle, so the oracle replays it exactly.
+    */
+  def q145SpanRemoval(s: SparkSession, dir: String): DataFrame =
+    NgramDup
+      .sourceRemoval(Tables.documents(s, dir), "text", 5)
+      .orderBy(col("source"))
+
+  val q145Oracle: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), occ AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(0, greatest(len(toks)-4, 0)),
+      |           i -> {'pos': i+1, 'shingle': array_to_string(toks[i+1:i+5], ' ')}),
+      |           recursive := true)
+      |  FROM t WHERE len(toks) >= 5
+      |), ok AS MATERIALIZED (
+      |  SELECT doc_id, pos, shingle, doc_id*1048576 + pos AS okey FROM occ
+      |), firsts AS (
+      |  SELECT shingle, CAST(min(okey) AS BIGINT) AS fk FROM ok GROUP BY shingle
+      |), rem AS (
+      |  SELECT DISTINCT o.doc_id, CAST(unnest(range(o.pos, o.pos + 5)) AS BIGINT) AS tp
+      |  FROM ok o JOIN firsts f USING (shingle)
+      |  WHERE o.okey <> f.fk
+      |), remc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY doc_id
+      |), prof AS (
+      |  SELECT t.doc_id, t.source, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |    COALESCE(r.n_removed, 0) AS n_removed
+      |  FROM t LEFT JOIN remc r USING (doc_id)
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(n_removed) AS BIGINT) AS removed_tokens,
+      |  CASE WHEN sum(n_tokens) > 0
+      |       THEN CAST(floor(sum(n_removed) * 1000000 / sum(n_tokens)) AS BIGINT)
+      |       ELSE 0 END AS removed_ppm,
+      |  CAST(sum(CASE WHEN n_removed = n_tokens AND n_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_gutted_docs
+      |FROM prof GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q146
+  /** Canonical-doc selection (ops/Canonical): near-dup clusters from
+    * the q51 component machinery keep their HIGHEST-QUALITY member
+    * (q21's oracled composite score, doc_id tiebreak) instead of the
+    * min-id label — the curation decision real pipelines make. Output
+    * per source: survivor/removed census, survivor id checksum, and
+    * `n_upgrades` — survivors that are NOT their cluster's min id,
+    * i.e. exactly where quality-argmax differs from the naive rep
+    * convention (the operator's reason to exist, pinned in the row).
+    * Oracle: recursive-CTE CC + the q21 quality law + the same rank
+    * window, end-to-end.
+    */
+  def q146CanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+    val scored = TextStats
+      .withQuality(docs, "text")
+      .select(col("doc_id"), col("source"), col("quality_score").as("score"))
+    val pairs = TextDedup
+      .nearDupsExact(docs, "doc_id", "text", threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+    val surv = Canonical.survivors(scored, pairs, "doc_id")
+    val compMin = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    surv
+      .withColumn("__comp_min", min(col("doc_id")).over(compMin))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_survivor").cast("long")).as("n_survivors"),
+        sum((!col("is_survivor")).cast("long")).as("n_removed"),
+        sum(when(col("is_survivor"), col("doc_id")).otherwise(lit(0L))).as("survivor_id_sum"),
+        sum((col("is_survivor") && col("doc_id") =!= col("__comp_min")).cast("long"))
+          .as("n_upgrades")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q146Oracle: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\s+')) AS tk,
+      |         string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents WHERE doc_id < 500
+      |), edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) /
+      |        CAST(len(a.tk) + len(b.tk) - len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) >= 0.9
+      |), sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM edges
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM edges
+      |), reach(id, comp) AS (
+      |  SELECT DISTINCT src, src FROM sym
+      |  UNION
+      |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+      |), labels AS (
+      |  SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+      |), scored AS (
+      |  SELECT t.doc_id, t.source,
+      |    COALESCE(l.component, t.doc_id) AS component,
+      |    0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) +
+      |    0.3 * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) +
+      |    0.3 * least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) AS score
+      |  FROM t LEFT JOIN labels l ON l.id = t.doc_id
+      |), ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY component ORDER BY score DESC, doc_id ASC) AS rk,
+      |    min(doc_id) OVER (PARTITION BY component) AS comp_min
+      |  FROM scored
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+      |  CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+      |  CAST(sum(CASE WHEN rk = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS survivor_id_sum,
+      |  CAST(sum(CASE WHEN rk = 1 AND doc_id <> comp_min THEN 1 ELSE 0 END) AS BIGINT) AS n_upgrades
+      |FROM ranked GROUP BY source
       |ORDER BY source""".stripMargin
 }

@@ -56,6 +56,87 @@ object NgramDup {
       )
   }
 
+  /** Positional shingles: like [[shingles]] but keeps the 1-based span
+    * start `pos` — the removal rewrite needs to know WHERE a duplicated
+    * span sits, not just that it exists.
+    */
+  def shinglesWithPos(df: DataFrame, textCol: String, w: Int, keep: Seq[String]): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    df.select((keep.map(col) :+ toks.as("__toks")): _*)
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") >= w)
+      .select(
+        (keep.map(col) :+
+          explode(
+            transform(
+              sequence(lit(1), col("__n") - lit(w - 1)),
+              i => struct(i.as("pos"), array_join(slice(col("__toks"), i, lit(w)), " ").as("shingle"))
+            )
+          ).as("__sp")): _*
+      )
+      .select((keep.map(col) :+ col("__sp.pos").as("pos") :+ col("__sp.shingle").as("shingle")): _*)
+  }
+
+  /** The REMOVAL REWRITE of Lee et al. — which tokens an exact-substring
+    * dedup pass deletes: a token is removed iff it is covered by a span
+    * occurrence that is NOT the corpus-first occurrence of its shingle
+    * (first = smallest (doc_id, pos), encoded as the single integer key
+    * doc_id·2^20 + pos so both engines compare one BIGINT; the 2^20
+    * position budget holds to million-token documents — at planet-scale
+    * id widths swap the key for a struct ordering, which changes no
+    * semantics). The first occurrence always survives, so the rewrite
+    * never deletes content from the corpus — only repeats of it.
+    *
+    * Returns per-document (idCol, n_tokens, n_removed). Shape: one
+    * shingle-keyed aggregate (first-occurrence key + implicit count),
+    * the join back on the shingle, one positional explode of only the
+    * NON-first duplicated occurrences, and a distinct on (doc, token
+    * position) — everything keyed, nothing driver-side.
+    */
+  def removalProfile(docs: DataFrame, textCol: String, w: Int, idCol: String): DataFrame = {
+    val occ = shinglesWithPos(docs, textCol, w, Seq(idCol))
+      .withColumn("__ok", col(idCol) * lit(1048576L) + col("pos"))
+    val firsts = occ.groupBy(col("shingle")).agg(min(col("__ok")).as("__first"))
+    val removedPos = occ
+      .join(firsts, Seq("shingle"))
+      .filter(col("__ok") =!= col("__first")) // non-first ⇒ the shingle is duplicated
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("tp"))
+      .distinct()
+    val removed = removedPos.groupBy(col(idCol)).agg(count(lit(1)).as("n_removed"))
+    docs
+      .select(col(idCol), size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(removed, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** Per-source removal census in integer units: token totals, removed
+    * tokens, removal ppm, and fully-gutted docs (every token covered by
+    * repeats of spans first seen elsewhere — the doc contributes
+    * nothing new).
+    */
+  def sourceRemoval(docs: DataFrame, textCol: String, w: Int): DataFrame = {
+    val prof = removalProfile(docs, textCol, w, "doc_id")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    prof
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_removed")).as("removed_tokens"),
+        sum(when(col("n_removed") === col("n_tokens") && col("n_tokens") > 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_gutted_docs")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("total_tokens"),
+        col("removed_tokens"),
+        when(col("total_tokens") > 0, floor(col("removed_tokens") * lit(1000000L) / col("total_tokens")))
+          .otherwise(lit(0L)).as("removed_ppm"),
+        col("n_gutted_docs")
+      )
+  }
+
   /** Per-document duplication profile: `n_spans` (span positions),
     * `dup_spans` (positions whose shingle occurs ≥2 times corpus-wide,
     * counting intra-document repeats), over the given id column.

@@ -42,6 +42,34 @@ class NgramDupSpec extends SparkSpec {
     assert(prof(3L) == (4L, 4L))
   }
 
+  test("removalProfile: first occurrence survives, repeats die, coverage unions overlaps") {
+    val df = Seq(
+      (1L, "a b c d e"), // first occurrences of everything — nothing removed
+      (2L, "a b c x y"), // "a b c" repeats doc 1 → tokens 1-3 removed
+      (3L, "a b c d e"), // every span repeats doc 1 → fully gutted
+      (4L, "p q") // shorter than w — no spans, nothing removable
+    ).toDF("doc_id", "text")
+    val prof = NgramDup
+      .removalProfile(df, "text", 3, "doc_id")
+      .as[(Long, Long, Long)]
+      .collect()
+      .map { case (id, n, r) => id -> ((n, r)) }
+      .toMap
+    assert(prof(1L) == (5L, 0L))
+    assert(prof(2L) == (5L, 3L))
+    assert(prof(3L) == (5L, 5L))
+    assert(prof(4L) == (2L, 0L))
+  }
+
+  test("removalProfile: intra-doc repeats keep only the first span's tokens") {
+    // "a b a b a b": width-3 spans at 1..4 = "a b a","b a b","a b a","b a b"
+    // — spans 3,4 are repeats of 1,2 ⇒ tokens 3..6 covered, tokens 1..2
+    // only by first occurrences ⇒ 4 removed of 6
+    val df = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val prof = NgramDup.removalProfile(df, "text", 3, "doc_id").collect()(0)
+    assert(prof.getLong(1) == 6L && prof.getLong(2) == 4L)
+  }
+
   test("sourceCensus: integer ppm, span-less docs still counted in n_docs") {
     val df = Seq(
       (1L, "a b c d", "s1"),

@@ -8893,7 +8893,11 @@ object Queries {
     "q143_calibration" -> (q143Calibration _),
     "q144_token_budget" -> (q144TokenBudget _),
     "q145_span_removal" -> (q145SpanRemoval _),
-    "q146_canonical_dedup" -> (q146CanonicalDedup _)
+    "q146_canonical_dedup" -> (q146CanonicalDedup _),
+    "q147_cross_source_dup" -> (q147CrossSourceDup _),
+    "q148_method_agreement" -> (q148MethodAgreement _),
+    "q149_image_dhash" -> (q149ImageDhash _),
+    "q150_rendezvous_shards" -> (q150RendezvousShards _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9036,7 +9040,11 @@ object Queries {
     "q143_calibration" -> q143Oracle,
     "q144_token_budget" -> q144Oracle,
     "q145_span_removal" -> q145Oracle,
-    "q146_canonical_dedup" -> q146Oracle
+    "q146_canonical_dedup" -> q146Oracle,
+    "q147_cross_source_dup" -> q147Oracle,
+    "q148_method_agreement" -> q148Oracle,
+    "q149_image_dhash" -> q149Oracle,
+    "q150_rendezvous_shards" -> q150Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -9693,4 +9701,402 @@ object Queries {
       |  CAST(sum(CASE WHEN rk = 1 AND doc_id <> comp_min THEN 1 ELSE 0 END) AS BIGINT) AS n_upgrades
       |FROM ranked GROUP BY source
       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q147
+  /** CROSS-SOURCE duplication matrix — who copies whom: near-dup pairs
+    * from the q51 audit slice attributed to their (source, source)
+    * cell, canonicalized lo ≤ hi. The report a curation team reads
+    * before deciding source precedence (keep Wikipedia, drop the
+    * scrape that mirrors it); diagonal cells are within-source
+    * duplication, off-diagonal the genuine cross-source copying. Pure
+    * integer counts over the oracled edge set; the source attach is a
+    * broadcast of the (id, source) slice.
+    */
+  def q147CrossSourceDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+    val pairs = TextDedup
+      .nearDupsExact(docs, "doc_id", "text", threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(broadcast(src.withColumnsRenamed(Map("doc_id" -> "id_a", "source" -> "__sa"))), Seq("id_a"))
+      .join(broadcast(src.withColumnsRenamed(Map("doc_id" -> "id_b", "source" -> "__sb"))), Seq("id_b"))
+      .select(
+        least(col("__sa"), col("__sb")).as("source_lo"),
+        greatest(col("__sa"), col("__sb")).as("source_hi")
+      )
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_within", col("source_lo") === col("source_hi"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
+  val q147Oracle: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\s+')) AS tk
+      |  FROM documents WHERE doc_id < 500
+      |), e AS (
+      |  SELECT a.source AS sa, b.source AS sb
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) /
+      |        CAST(len(a.tk) + len(b.tk) - len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) >= 0.9
+      |)
+      |SELECT least(sa, sb) AS source_lo, greatest(sa, sb) AS source_hi,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  (least(sa, sb) = greatest(sa, sb)) AS is_within
+      |FROM e GROUP BY 1, 2
+      |ORDER BY source_lo, source_hi""".stripMargin
+
+  // ---------------------------------------------------------------- q148
+  /** DEDUP-METHOD AGREEMENT audit — how sensitive is "the duplicate
+    * set" to the method and threshold choice: one bounded all-pairs
+    * pass scores every q51-slice pair under token-set Jaccard AND
+    * 5-gram shingle-set Jaccard, then three methods (token ≥ 0.9,
+    * token ≥ 0.8, shingle ≥ 0.5) are compared as SETS — pair counts,
+    * pairwise intersections, and set-Jaccard in ppm. The measurement a
+    * team runs before standardizing thresholds; published threshold
+    * folklore (0.8 vs 0.9) moves this number, and now it's oracled.
+    * One row, all integers; both measures share one crossJoin so the
+    * audit costs one pass, not three.
+    */
+  def q148MethodAgreement(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+    val sets = docs
+      .select(
+        col("doc_id"),
+        TextDedup.tokenSet(col("text")).as("tk"),
+        TextDedup.shingles(col("text"), 5).as("sh")
+      )
+      .withColumn("ntk", size(col("tk")))
+      .withColumn("nsh", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count() // eager: both cross-join sides share this cache
+    val a = sets.select(col("doc_id").as("ia"), col("tk").as("tka"), col("sh").as("sha"), col("ntk").as("na"), col("nsh").as("ma"))
+    val b = sets.select(col("doc_id").as("ib"), col("tk").as("tkb"), col("sh").as("shb"), col("ntk").as("nb"), col("nsh").as("mb"))
+    val ti = size(array_intersect(col("tka"), col("tkb"))).cast("double")
+    val si = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val scored = a
+      .crossJoin(b)
+      .filter(col("ia") < col("ib"))
+      .select(
+        (ti / (col("na") + col("nb") - ti)).as("tj"),
+        (si / (col("ma") + col("mb") - si)).as("sj")
+      )
+      .select(
+        (col("tj") >= lit(0.9)).cast("long").as("m1"),
+        (col("tj") >= lit(0.8)).cast("long").as("m2"),
+        (col("sj") >= lit(0.5)).cast("long").as("m3")
+      )
+    def jppm(
+        i: org.apache.spark.sql.Column,
+        x: org.apache.spark.sql.Column,
+        y: org.apache.spark.sql.Column
+    ): org.apache.spark.sql.Column =
+      when(x + y - i > 0, floor(i * lit(1000000L) / (x + y - i))).otherwise(lit(0L))
+    scored
+      .agg(
+        count(lit(1)).as("n_pairs_scored"),
+        sum(col("m1")).as("n_tok90"),
+        sum(col("m2")).as("n_tok80"),
+        sum(col("m3")).as("n_sh50"),
+        sum(col("m1") * col("m2")).as("i_90_80"),
+        sum(col("m1") * col("m3")).as("i_90_sh"),
+        sum(col("m2") * col("m3")).as("i_80_sh")
+      )
+      .select(
+        col("n_pairs_scored"),
+        col("n_tok90"),
+        col("n_tok80"),
+        col("n_sh50"),
+        col("i_90_80"),
+        col("i_90_sh"),
+        col("i_80_sh"),
+        jppm(col("i_90_80"), col("n_tok90"), col("n_tok80")).as("j_90_80_ppm"),
+        jppm(col("i_90_sh"), col("n_tok90"), col("n_sh50")).as("j_90_sh_ppm"),
+        jppm(col("i_80_sh"), col("n_tok80"), col("n_sh50")).as("j_80_sh_ppm")
+      )
+  }
+
+  /** q148 replay: same two similarity measures from first principles
+    * (5-gram shingle set via the positional idiom — the audit slice's
+    * 10-token minimum keeps the short-doc edge out of play on every
+    * test SF), same method sets, same set-Jaccard algebra.
+    */
+  val q148Oracle: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct(string_split_regex(trim(text), '\s+')) AS tk,
+      |    list_distinct(list_transform(range(0, greatest(len(string_split_regex(trim(text), '\s+'))-4, 0)),
+      |      i -> array_to_string(string_split_regex(trim(text), '\s+')[i+1:i+5], ' '))) AS sh
+      |  FROM documents WHERE doc_id < 500
+      |), scored AS MATERIALIZED (
+      |  SELECT
+      |    CAST(len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) /
+      |      CAST(len(a.tk) + len(b.tk) - len(list_filter(a.tk, x -> list_contains(b.tk, x))) AS DOUBLE) AS tj,
+      |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+      |      CAST(len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS sj
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |), m AS (
+      |  SELECT CASE WHEN tj >= 0.9 THEN 1 ELSE 0 END AS m1,
+      |         CASE WHEN tj >= 0.8 THEN 1 ELSE 0 END AS m2,
+      |         CASE WHEN sj >= 0.5 THEN 1 ELSE 0 END AS m3
+      |  FROM scored
+      |), agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_pairs_scored,
+      |    CAST(sum(m1) AS BIGINT) AS n_tok90,
+      |    CAST(sum(m2) AS BIGINT) AS n_tok80,
+      |    CAST(sum(m3) AS BIGINT) AS n_sh50,
+      |    CAST(sum(m1*m2) AS BIGINT) AS i_90_80,
+      |    CAST(sum(m1*m3) AS BIGINT) AS i_90_sh,
+      |    CAST(sum(m2*m3) AS BIGINT) AS i_80_sh
+      |  FROM m
+      |)
+      |SELECT n_pairs_scored, n_tok90, n_tok80, n_sh50, i_90_80, i_90_sh, i_80_sh,
+      |  CASE WHEN n_tok90 + n_tok80 - i_90_80 > 0
+      |       THEN CAST(floor(i_90_80 * 1000000 / (n_tok90 + n_tok80 - i_90_80)) AS BIGINT) ELSE 0 END AS j_90_80_ppm,
+      |  CASE WHEN n_tok90 + n_sh50 - i_90_sh > 0
+      |       THEN CAST(floor(i_90_sh * 1000000 / (n_tok90 + n_sh50 - i_90_sh)) AS BIGINT) ELSE 0 END AS j_90_sh_ppm,
+      |  CASE WHEN n_tok80 + n_sh50 - i_80_sh > 0
+      |       THEN CAST(floor(i_80_sh * 1000000 / (n_tok80 + n_sh50 - i_80_sh)) AS BIGINT) ELSE 0 END AS j_80_sh_ppm
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- q149
+  /** IMAGE perceptual near-dup (Multimodal.dhashBytes) — dHash over the
+    * REAL ImageIO-decoded pixels of real PNGs, certified against the
+    * closed-form raster law (the q32 discipline: the JDK codec
+    * roundtrip IS the cross-engine contract). Signal is constructed
+    * the q47/q121 way — synthesized identically on both engines: each
+    * doc renders twice, original payload and last-byte-perturbed (same
+    * length, so raster dims are unchanged — a genuine near-duplicate
+    * image), plus a cross pairing of unrelated neighbors. The audit:
+    * self pairs land in the low hamming buckets, cross pairs out at
+    * the cap — max_self_hamming / min_cross_hamming ride on every row
+    * so the separation is oracled, not asserted. The hash itself is
+    * pure integer arithmetic (cross-multiplied cell means, no
+    * division), shipped as two positive 32-bit halves so SQL needs no
+    * 64-bit sign games.
+    */
+  def q149ImageDhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+    def hashes(df: DataFrame, variant: String): DataFrame = {
+      val rendered = Multimodal.renderPng(df, "doc_id", "text")
+      val media = Multimodal.asMedia(rendered, "doc_id", "png", "image")
+      Multimodal
+        .withDhash(media)
+        .select(
+          col("media_id").as("doc_id"),
+          lit(variant).as("variant"),
+          col("dhash_ok"),
+          col("dhash_lo"),
+          col("dhash_hi")
+        )
+    }
+    val orig = hashes(docs.select(col("doc_id"), col("text")), "orig")
+    val pert = hashes(
+      docs.select(
+        col("doc_id"),
+        concat(substring(col("text"), lit(1), length(col("text")) - 1), lit("#")).as("text")
+      ),
+      "pert"
+    )
+    val both = orig.unionByName(pert).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    both.count() // eager: self and cross pairings share this cache
+    def ham(
+        lo1: org.apache.spark.sql.Column,
+        hi1: org.apache.spark.sql.Column,
+        lo2: org.apache.spark.sql.Column,
+        hi2: org.apache.spark.sql.Column
+    ) =
+      (bit_count(lo1.bitwiseXOR(lo2)) + bit_count(hi1.bitwiseXOR(hi2))).cast("long")
+    val o = both.filter(col("variant") === "orig")
+    val p = both.filter(col("variant") === "pert")
+    val self = o
+      .alias("a")
+      .join(p.alias("b"), col("a.doc_id") === col("b.doc_id"))
+      .select(
+        lit("self").as("pair_kind"),
+        ham(col("a.dhash_lo"), col("a.dhash_hi"), col("b.dhash_lo"), col("b.dhash_hi")).as("hamming")
+      )
+    val crossP = o
+      .alias("a")
+      .join(o.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(
+        lit("cross").as("pair_kind"),
+        ham(col("a.dhash_lo"), col("a.dhash_hi"), col("b.dhash_lo"), col("b.dhash_hi")).as("hamming")
+      )
+    val allPairs = self
+      .unionByName(crossP)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    allPairs.count() // eager: bucket histogram + separation riders share this cache
+    val sm = allPairs.agg(
+      max(when(col("pair_kind") === "self", col("hamming"))).as("max_self_hamming"),
+      min(when(col("pair_kind") === "cross", col("hamming"))).as("min_cross_hamming")
+    )
+    allPairs
+      .groupBy(col("pair_kind"), least(col("hamming"), lit(16L)).as("hamming_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(sm))
+      .select(
+        col("pair_kind"),
+        col("hamming_bucket"),
+        col("n_pairs"),
+        col("max_self_hamming"),
+        col("min_cross_hamming")
+      )
+      .orderBy(col("pair_kind"), col("hamming_bucket"))
+  }
+
+  /** q149 replay: dHash re-derived from the raster law (pixel bytes
+    * from payload positions — no PNG in sight; Spark's side went
+    * through the real codec, which is exactly what's being certified),
+    * both variants, both pairings, same bucket/rider algebra.
+    */
+  val q149Oracle: String =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, text AS payload, 'orig' AS variant FROM documents WHERE doc_id < 500
+      |  UNION ALL
+      |  SELECT doc_id, substr(text, 1, length(text)-1) || '#', 'pert' FROM documents WHERE doc_id < 500
+      |), dims AS MATERIALIZED (
+      |  SELECT doc_id, variant, payload, length(payload) AS len,
+      |    8 + length(payload) % 9 AS w, 8 + length(payload) % 7 AS h
+      |  FROM t
+      |), px AS MATERIALIZED (
+      |  SELECT doc_id, variant,
+      |    unnest(list_transform(range(0, w*h), i -> {
+      |      'cy': ((i // w) * 8) // h,
+      |      'cx': ((i % w) * 9) // w,
+      |      'gray': ord(substr(payload, CAST(i % len AS INTEGER) + 1, 1))
+      |            + ord(substr(payload, CAST((i*31 + 7) % len AS INTEGER) + 1, 1))
+      |            + ord(substr(payload, CAST((i*131 + 13) % len AS INTEGER) + 1, 1))
+      |    }), recursive := true)
+      |  FROM dims
+      |), cells AS MATERIALIZED (
+      |  SELECT doc_id, variant, cy, cx,
+      |    CAST(sum(gray) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM px GROUP BY 1, 2, 3, 4
+      |), grid AS MATERIALIZED (
+      |  SELECT d.doc_id, d.variant, g.cy, g.cx,
+      |    COALESCE(c.s, 0) AS s, COALESCE(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT doc_id, variant FROM dims) d
+      |  CROSS JOIN (SELECT a.range AS cy, b.range AS cx FROM range(0,8) a, range(0,9) b) g
+      |  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.variant = d.variant
+      |                   AND c.cy = g.cy AND c.cx = g.cx
+      |), bits AS (
+      |  SELECT g1.doc_id, g1.variant, g1.cy, g1.cx,
+      |    CASE WHEN g2.s * g1.c > g1.s * g2.c THEN 1 ELSE 0 END AS bit
+      |  FROM grid g1 JOIN grid g2 ON g1.doc_id = g2.doc_id AND g1.variant = g2.variant
+      |                           AND g1.cy = g2.cy AND g2.cx = g1.cx + 1
+      |  WHERE g1.cx < 8
+      |), hashes AS MATERIALIZED (
+      |  SELECT doc_id, variant,
+      |    CAST(sum(CASE WHEN cy*8+cx < 32 THEN bit * (1::BIGINT << CAST(cy*8+cx AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN cy*8+cx >= 32 THEN bit * (1::BIGINT << CAST(cy*8+cx-32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM bits GROUP BY 1, 2
+      |), selfp AS (
+      |  SELECT 'self' AS pair_kind,
+      |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+      |  FROM hashes a JOIN hashes b ON a.doc_id = b.doc_id
+      |  WHERE a.variant = 'orig' AND b.variant = 'pert'
+      |), crossp AS (
+      |  SELECT 'cross' AS pair_kind,
+      |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+      |  FROM hashes a JOIN hashes b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.variant = 'orig' AND b.variant = 'orig'
+      |), allp AS MATERIALIZED (
+      |  SELECT * FROM selfp UNION ALL SELECT * FROM crossp
+      |), sm AS (
+      |  SELECT CAST(max(CASE WHEN pair_kind = 'self' THEN hamming END) AS BIGINT) AS max_self_hamming,
+      |         CAST(min(CASE WHEN pair_kind = 'cross' THEN hamming END) AS BIGINT) AS min_cross_hamming
+      |  FROM allp
+      |)
+      |SELECT p.pair_kind, CAST(least(p.hamming, 16) AS BIGINT) AS hamming_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_pairs, sm.max_self_hamming, sm.min_cross_hamming
+      |FROM allp p, sm
+      |GROUP BY 1, 2, sm.max_self_hamming, sm.min_cross_hamming
+      |ORDER BY pair_kind, hamming_bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q150
+  /** RENDEZVOUS-HASH shard stability (ops/Rendezvous) — the
+    * consistent-hashing audit for capacity changes: assign every doc at
+    * N=8 and N=9 shards under HRW and under modulo, and measure what
+    * moves. HRW's law — the movers are EXACTLY the docs whose new
+    * shard's score wins (hrw_moved = |assign9 = 8|, ~1/9) — is emitted
+    * as an oracled boolean; modulo moves ~8/9. Per-shard N=9 occupancy
+    * rides along (HRW balance comes from the same 60-bit md5 scores
+    * both engines derive). This is what keeps incremental exports
+    * (q124/q135) cheap when the shard count changes.
+    */
+  def q150RendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        Rendezvous.assign(col("doc_id"), 8).as("hrw8"),
+        Rendezvous.assign(col("doc_id"), 9).as("hrw9"),
+        pmod(col("doc_id"), lit(8L)).as("mod8"),
+        pmod(col("doc_id"), lit(9L)).as("mod9")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // eager: riders + two occupancy aggregates share this cache
+    val riders = assigned.agg(
+      count(lit(1)).as("n_docs"),
+      sum((col("hrw8") =!= col("hrw9")).cast("long")).as("hrw_moved"),
+      sum((col("hrw9") === lit(8L)).cast("long")).as("__hrw_to_new"),
+      sum((col("mod8") =!= col("mod9")).cast("long")).as("mod_moved")
+    )
+    val perHrw = assigned.groupBy(col("hrw9").as("shard")).agg(count(lit(1)).as("n_hrw"))
+    val perMod = assigned.groupBy(col("mod9").as("shard")).agg(count(lit(1)).as("n_mod"))
+    perHrw
+      .join(perMod, Seq("shard"), "left")
+      .crossJoin(broadcast(riders))
+      .select(
+        col("shard"),
+        col("n_hrw"),
+        coalesce(col("n_mod"), lit(0L)).as("n_mod"),
+        col("n_docs"),
+        col("hrw_moved"),
+        floor(col("hrw_moved") * lit(1000000L) / col("n_docs")).as("hrw_moved_ppm"),
+        col("mod_moved"),
+        floor(col("mod_moved") * lit(1000000L) / col("n_docs")).as("mod_moved_ppm"),
+        (col("hrw_moved") === col("__hrw_to_new")).as("moved_law_ok")
+      )
+      .orderBy(col("shard"))
+  }
+
+  val q150Oracle: String =
+    """WITH sc AS MATERIALIZED (
+      |  SELECT doc_id, s.range AS sh,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s.range AS VARCHAR)), 1, 15))::BIGINT AS sc
+      |  FROM documents, range(0, 9) s
+      |), a9 AS MATERIALIZED (
+      |  SELECT doc_id, sh AS hrw9 FROM (
+      |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, sh DESC) AS rn
+      |    FROM sc) WHERE rn = 1
+      |), a8 AS MATERIALIZED (
+      |  SELECT doc_id, sh AS hrw8 FROM (
+      |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, sh DESC) AS rn
+      |    FROM sc WHERE sh < 8) WHERE rn = 1
+      |), j AS MATERIALIZED (
+      |  SELECT a9.doc_id, a8.hrw8, a9.hrw9,
+      |    a9.doc_id % 8 AS mod8, a9.doc_id % 9 AS mod9
+      |  FROM a9 JOIN a8 USING (doc_id)
+      |), r AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN hrw8 <> hrw9 THEN 1 ELSE 0 END) AS BIGINT) AS hrw_moved,
+      |    CAST(sum(CASE WHEN hrw9 = 8 THEN 1 ELSE 0 END) AS BIGINT) AS hrw_to_new,
+      |    CAST(sum(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved
+      |  FROM j
+      |), per AS (
+      |  SELECT hrw9 AS shard, CAST(count(*) AS BIGINT) AS n_hrw FROM j GROUP BY 1
+      |), perm AS (
+      |  SELECT mod9 AS shard, CAST(count(*) AS BIGINT) AS n_mod FROM j GROUP BY 1
+      |)
+      |SELECT CAST(p.shard AS BIGINT) AS shard, p.n_hrw, COALESCE(m.n_mod, 0) AS n_mod,
+      |  r.n_docs, r.hrw_moved,
+      |  CAST(floor(r.hrw_moved * 1000000 / r.n_docs) AS BIGINT) AS hrw_moved_ppm,
+      |  r.mod_moved,
+      |  CAST(floor(r.mod_moved * 1000000 / r.n_docs) AS BIGINT) AS mod_moved_ppm,
+      |  (r.hrw_moved = r.hrw_to_new) AS moved_law_ok
+      |FROM per p LEFT JOIN perm m USING (shard), r
+      |ORDER BY shard""".stripMargin
 }

@@ -289,6 +289,90 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // Perceptual dHash (difference hash) over the decoded pixel grid —
+  // the image analogue of the text near-dup family: 9×8 grid-cell
+  // luminance means (cx = x·9/w, cy = y·8/h integer division; gray =
+  // r+g+b, integer), one bit per horizontally-adjacent cell pair,
+  // compared by INTEGER CROSS-MULTIPLICATION sum(cx+1)·cnt(cx) >
+  // sum(cx)·cnt(cx+1) so no division ever happens — the whole hash is
+  // exact integer arithmetic, replayable from the raster law by any
+  // engine. Cells can be empty at w=8 (x·9/8 never hits 8); an empty
+  // cell compares 0>0 = false on both sides by the same law. The 64
+  // bits ship as two 32-bit halves in BIGINTs (lo = bits 0..31,
+  // hi = bits 32..63) to keep every value positive and shift-free in
+  // SQL; hamming = bit_count(lo⊕lo') + bit_count(hi⊕hi').
+  // ------------------------------------------------------------------
+
+  /** dHash of decoded PNG bytes via the REAL `ImageIO` codec (the q32
+    * discipline: the JDK roundtrip is what certifies the closed-form
+    * replay). Returns (ok, lo, hi); undecodable bytes → (false, -1, -1).
+    */
+  def dhashBytes(bytes: Array[Byte]): (Boolean, Long, Long) = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) (false, -1L, -1L)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = Array.ofDim[Long](8, 9)
+      val cnts = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val cx = x * 9 / w
+          val rgb = img.getRGB(x, y)
+          val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          sums(cy)(cx) += gray
+          cnts(cy)(cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var lo = 0L
+      var hi = 0L
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val bit = sums(cy)(cx + 1) * cnts(cy)(cx) > sums(cy)(cx) * cnts(cy)(cx + 1)
+          if (bit) {
+            val pos = cy * 8 + cx
+            if (pos < 32) lo |= 1L << pos
+            else hi |= 1L << (pos - 32)
+          }
+          cx += 1
+        }
+        cy += 1
+      }
+      (true, lo, hi)
+    }
+  }
+
+  /** Appends `dhash_ok`, `dhash_lo`, `dhash_hi` to a media frame
+    * (real codec decode per row, map-side, partition-amortized).
+    */
+  def withDhash(media: DataFrame): DataFrame = {
+    val inSchema = media.schema
+    val bytesIdx = inSchema.fieldIndex("bytes")
+    val outSchema = StructType(
+      inSchema.fields ++ Seq(
+        StructField("dhash_ok", BooleanType, nullable = false),
+        StructField("dhash_lo", LongType, nullable = false),
+        StructField("dhash_hi", LongType, nullable = false)
+      )
+    )
+    media.mapPartitions { rows =>
+      rows.map { row =>
+        val (ok, lo, hi) = dhashBytes(row.getAs[Array[Byte]](bytesIdx))
+        Row.fromSeq(row.toSeq ++ Seq(ok, lo, hi))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // ------------------------------------------------------------------
   // Audio: the same closed-form-law + real-JDK-codec design as images,
   // via javax.sound.sampled (java.desktop module, headless-probed).
   //   sample_rate = 8000 + (len % 8) * 1000     (8000..15000 Hz)

@@ -149,4 +149,35 @@ class PlanContractSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian join")
     }
   }
+
+  test("shingle census/removal: map-side combine, shingle-keyed exchanges, no cartesian: q141, q145") {
+    // the inverted-index shape: every exchange keys on the shingle (or a
+    // doc-id compound) and aggregates combine map-side; join strategy is
+    // left to stats (broadcast at fixture SF, shuffle at scale) but a
+    // nested-loop/cartesian would mean the keyed join was lost
+    Seq("q141_ngram_span_dup", "q145_span_removal").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q lost map-side partial aggregation")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q lost its keyed shingle join")
+      assert(p.contains("hashpartitioning") && p.contains("shingle"),
+        s"$q no longer shuffles on the shingle key")
+    }
+  }
+
+  test("temperature sampling ranks through the bin-keyed two-pass: q142") {
+    // same law as q117: every rank windowspec must carry the range-bin
+    // key — a spec partitioned on source alone would be the
+    // single-task-per-source collapse Rank.rankWithin exists to avoid
+    val p = plan("q142_temperature_mix")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, "q142 lost its rank windows entirely")
+    specs.foreach(s => assert(s.contains("__bin"), s"window without the bin key: $s"))
+  }
+
+  test("calibration reuses the persisted feature frame across training scans: q143") {
+    val p = plan("q143_calibration")
+    assert(p.contains("InMemoryTableScan"), "q143 re-derives features instead of reading the cache")
+    assert(!p.contains("CartesianProduct"), "q143 grew a cartesian join")
+  }
 }

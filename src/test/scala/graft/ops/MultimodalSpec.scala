@@ -82,6 +82,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dhashBytes: codec path equals the raster-law computation; perturbation is local") {
+    def lawDhash(payload: Array[Byte]): (Long, Long) = {
+      val len = payload.length
+      val w = Multimodal.rasterWidth(len)
+      val h = Multimodal.rasterHeight(len)
+      val sums = Array.ofDim[Long](8, 9)
+      val cnts = Array.ofDim[Long](8, 9)
+      for (i <- 0 until w * h) {
+        val x = i % w; val y = i / w
+        val gray = (payload(i % len) & 0xff) + (payload((i * 31 + 7) % len) & 0xff) +
+          (payload((i * 131 + 13) % len) & 0xff)
+        sums(y * 8 / h)(x * 9 / w) += gray
+        cnts(y * 8 / h)(x * 9 / w) += 1
+      }
+      var lo = 0L; var hi = 0L
+      for (cy <- 0 until 8; cx <- 0 until 8)
+        if (sums(cy)(cx + 1) * cnts(cy)(cx) > sums(cy)(cx) * cnts(cy)(cx + 1)) {
+          val pos = cy * 8 + cx
+          if (pos < 32) lo |= 1L << pos else hi |= 1L << (pos - 32)
+        }
+      (lo, hi)
+    }
+    for (payload <- Seq("abcdefghij", "the quick brown fox jumps over the lazy dog", "0123456789abcdef")) {
+      val bs = payload.getBytes
+      val (ok, lo, hi) = Multimodal.dhashBytes(Multimodal.renderPngBytes(bs))
+      assert(ok, s"decode failed for '$payload'")
+      assert((lo, hi) == lawDhash(bs), s"codec dhash != law dhash for '$payload'")
+      // both halves stay in 32-bit positive range (the SQL portability contract)
+      assert(lo >= 0 && lo < (1L << 32) && hi >= 0 && hi < (1L << 32))
+    }
+    // locality: a single-byte change moves few bits ONLY when the payload
+    // is much longer than the raster (each payload byte feeds ~3·w·h/len
+    // pixels — at len=10 one byte is 30% of all pixels and the hash
+    // rightly scrambles; the q149 corpus texts are ~300 bytes)
+    val long = ("the quick brown fox jumps over the lazy dog " * 7).getBytes
+    val (_, llo, lhi) = Multimodal.dhashBytes(Multimodal.renderPngBytes(long))
+    val pert = long.clone(); pert(long.length - 1) = '#'.toByte
+    val (_, plo, phi) = Multimodal.dhashBytes(Multimodal.renderPngBytes(pert))
+    val hamming = java.lang.Long.bitCount(llo ^ plo) + java.lang.Long.bitCount(lhi ^ phi)
+    assert(hamming <= 12, s"single-byte perturbation of a long payload moved $hamming bits")
+  }
+
   test("decodeImage: real pixel features are fixed-dim, in (-1,1), deterministic, identity-preserving") {
     val rendered = Multimodal.renderPng(docs, "doc_id", "text")
     val media = Multimodal.asMedia(rendered, "doc_id", "png", "image")

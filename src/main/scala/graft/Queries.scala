@@ -8897,7 +8897,13 @@ object Queries {
     "q147_cross_source_dup" -> (q147CrossSourceDup _),
     "q148_method_agreement" -> (q148MethodAgreement _),
     "q149_image_dhash" -> (q149ImageDhash _),
-    "q150_rendezvous_shards" -> (q150RendezvousShards _)
+    "q150_rendezvous_shards" -> (q150RendezvousShards _),
+    "q151_reshard_plan" -> (q151ReshardPlan _),
+    "q152_span_width_ladder" -> (q152SpanWidthLadder _),
+    "q153_source_fair_filter" -> (q153SourceFairFilter _),
+    "q154_epoch_plan" -> (q154EpochPlan _),
+    "q155_label_prop" -> (q155LabelProp _),
+    "q156_epoch_drift" -> (q156EpochDrift _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9044,7 +9050,13 @@ object Queries {
     "q147_cross_source_dup" -> q147Oracle,
     "q148_method_agreement" -> q148Oracle,
     "q149_image_dhash" -> q149Oracle,
-    "q150_rendezvous_shards" -> q150Oracle
+    "q150_rendezvous_shards" -> q150Oracle,
+    "q151_reshard_plan" -> q151Oracle,
+    "q152_span_width_ladder" -> q152Oracle,
+    "q153_source_fair_filter" -> q153Oracle,
+    "q154_epoch_plan" -> q154Oracle,
+    "q155_label_prop" -> q155Oracle,
+    "q156_epoch_drift" -> q156Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -10099,4 +10111,689 @@ object Queries {
       |  (r.hrw_moved = r.hrw_to_new) AS moved_law_ok
       |FROM per p LEFT JOIN perm m USING (shard), r
       |ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------- q151
+  /** RE-SHARD DELTA PLAN — the incremental-export composition of q150's
+    * rendezvous assignment with q116's associative digest laws: when
+    * capacity goes 8 → 9 shards, each shard's new content digest is
+    * derivable from the old one by SUBTRACTING the leavers and ADDING
+    * the arrivers (sum mod 2^61−1) / XOR-ing both (bit_xor) — no
+    * full-shard rescan, only the moved docs' digests touch the wire
+    * (and under HRW the movers are ~1/9 of the corpus, q150's law).
+    * Both update laws are verified against the from-scratch new-shard
+    * digests and emitted as oracled booleans per shard, with the
+    * stay/leave/arrive census.
+    */
+  def q151ReshardPlan(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        TextStats.contentDigest60(col("text")).as("digest"),
+        Rendezvous.assign(col("doc_id"), 8).as("old_shard"),
+        Rendezvous.assign(col("doc_id"), 9).as("new_shard")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // eager: five aggregates share this cache
+    val P = ExportPlan.DigestModulus
+    def digestAgg(df: DataFrame, key: org.apache.spark.sql.Column, suffix: String): DataFrame =
+      df.groupBy(key.as("shard"))
+        .agg(
+          count(lit(1)).as(s"n_$suffix"),
+          (sum(col("digest").cast("decimal(38,0)")) % lit(P)).cast("long").as(s"sum_$suffix"),
+          expr("bit_xor(digest)").as(s"xor_$suffix")
+        )
+    val movers = assigned.filter(col("old_shard") =!= col("new_shard"))
+    val oldA = digestAgg(assigned, col("old_shard"), "old")
+    val newA = digestAgg(assigned, col("new_shard"), "new")
+    val leave = digestAgg(movers, col("old_shard"), "leave")
+    val arrive = digestAgg(movers, col("new_shard"), "arrive")
+    val stay = assigned
+      .filter(col("old_shard") === col("new_shard"))
+      .groupBy(col("new_shard").as("shard"))
+      .agg(count(lit(1)).as("n_stay"))
+    def z(c: String) = coalesce(col(c), lit(0L))
+    newA
+      .join(oldA, Seq("shard"), "left")
+      .join(leave, Seq("shard"), "left")
+      .join(arrive, Seq("shard"), "left")
+      .join(stay, Seq("shard"), "left")
+      .select(
+        col("shard"),
+        z("n_old").as("n_old"),
+        col("n_new"),
+        z("n_stay").as("n_stay"),
+        z("n_leave").as("n_leave"),
+        z("n_arrive").as("n_arrive"),
+        (z("n_old") - z("n_leave") + z("n_arrive") === col("n_new")).as("count_law_ok"),
+        (pmod(z("sum_old") - z("sum_leave") + z("sum_arrive"), lit(P)) === col("sum_new"))
+          .as("sum_law_ok"),
+        (z("xor_old").bitwiseXOR(z("xor_leave")).bitwiseXOR(z("xor_arrive")) === col("xor_new"))
+          .as("xor_law_ok")
+      )
+      .orderBy(col("shard"))
+  }
+
+  val q151Oracle: String =
+    """WITH sc AS MATERIALIZED (
+      |  SELECT doc_id, s.range AS sh,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s.range AS VARCHAR)), 1, 15))::BIGINT AS sc
+      |  FROM documents, range(0, 9) s
+      |), a9 AS (
+      |  SELECT doc_id, sh AS new_shard FROM (
+      |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, sh DESC) AS rn
+      |    FROM sc) WHERE rn = 1
+      |), a8 AS (
+      |  SELECT doc_id, sh AS old_shard FROM (
+      |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, sh DESC) AS rn
+      |    FROM sc WHERE sh < 8) WHERE rn = 1
+      |), d AS MATERIALIZED (
+      |  SELECT a9.doc_id, a8.old_shard, a9.new_shard,
+      |    ('0x' || substr(md5(regexp_replace(trim(doc.text), '\s+', ' ', 'g')), 1, 15))::BIGINT AS digest
+      |  FROM a9 JOIN a8 USING (doc_id) JOIN documents doc USING (doc_id)
+      |), oldA AS (
+      |  SELECT old_shard AS shard, CAST(count(*) AS BIGINT) AS n_old,
+      |    CAST(sum(digest) % 2305843009213693951 AS BIGINT) AS sum_old,
+      |    CAST(bit_xor(digest) AS BIGINT) AS xor_old
+      |  FROM d GROUP BY 1
+      |), newA AS (
+      |  SELECT new_shard AS shard, CAST(count(*) AS BIGINT) AS n_new,
+      |    CAST(sum(digest) % 2305843009213693951 AS BIGINT) AS sum_new,
+      |    CAST(bit_xor(digest) AS BIGINT) AS xor_new
+      |  FROM d GROUP BY 1
+      |), lv AS (
+      |  SELECT old_shard AS shard, CAST(count(*) AS BIGINT) AS n_leave,
+      |    CAST(sum(digest) % 2305843009213693951 AS BIGINT) AS sum_leave,
+      |    CAST(bit_xor(digest) AS BIGINT) AS xor_leave
+      |  FROM d WHERE old_shard <> new_shard GROUP BY 1
+      |), ar AS (
+      |  SELECT new_shard AS shard, CAST(count(*) AS BIGINT) AS n_arrive,
+      |    CAST(sum(digest) % 2305843009213693951 AS BIGINT) AS sum_arrive,
+      |    CAST(bit_xor(digest) AS BIGINT) AS xor_arrive
+      |  FROM d WHERE old_shard <> new_shard GROUP BY 1
+      |), st AS (
+      |  SELECT new_shard AS shard, CAST(count(*) AS BIGINT) AS n_stay
+      |  FROM d WHERE old_shard = new_shard GROUP BY 1
+      |)
+      |SELECT CAST(n.shard AS BIGINT) AS shard,
+      |  COALESCE(o.n_old, 0) AS n_old, n.n_new,
+      |  COALESCE(st.n_stay, 0) AS n_stay,
+      |  COALESCE(lv.n_leave, 0) AS n_leave,
+      |  COALESCE(ar.n_arrive, 0) AS n_arrive,
+      |  (COALESCE(o.n_old, 0) - COALESCE(lv.n_leave, 0) + COALESCE(ar.n_arrive, 0) = n.n_new)
+      |    AS count_law_ok,
+      |  (((COALESCE(o.sum_old, 0) - COALESCE(lv.sum_leave, 0) + COALESCE(ar.sum_arrive, 0))
+      |     % 2305843009213693951 + 2305843009213693951) % 2305843009213693951 = n.sum_new)
+      |    AS sum_law_ok,
+      |  (xor(xor(COALESCE(o.xor_old, 0), COALESCE(lv.xor_leave, 0)), COALESCE(ar.xor_arrive, 0))
+      |     = n.xor_new) AS xor_law_ok
+      |FROM newA n
+      |LEFT JOIN oldA o USING (shard)
+      |LEFT JOIN lv USING (shard)
+      |LEFT JOIN ar USING (shard)
+      |LEFT JOIN st USING (shard)
+      |ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------- q152
+  /** DUP-SPAN WIDTH LADDER — how LONG is the verbatim copying: q141's
+    * census at widths 5/10/20 gives the decay curve of duplicated-span
+    * mass vs span length (long plateaus ⇒ templated boilerplate, fast
+    * decay ⇒ incidental collocations) — the measurement that picks the
+    * dedup width before anyone runs the q145 rewrite. Three linear
+    * census passes, integer-only output.
+    */
+  def q152SpanWidthLadder(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Seq(5, 10, 20)
+      .map { w =>
+        NgramDup
+          .docProfile(docs, "text", w, Seq("doc_id"))
+          .agg(
+            count(lit(1)).as("n_docs_spanned"),
+            sum(col("n_spans")).as("total_spans"),
+            sum(col("dup_spans")).as("dup_spans"),
+            sum((col("dup_spans") > 0).cast("long")).as("n_docs_with_dup")
+          )
+          .select(
+            lit(w.toLong).as("w"),
+            col("n_docs_spanned"),
+            col("total_spans"),
+            col("dup_spans"),
+            when(col("total_spans") > 0, floor(col("dup_spans") * lit(1000000L) / col("total_spans")))
+              .otherwise(lit(0L)).as("dup_ppm"),
+            col("n_docs_with_dup")
+          )
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("w"))
+  }
+
+  /** q152 replay: the q141 census algebra at each width, unioned. */
+  val q152Oracle: String = {
+    def rung(w: Int) =
+      s"""SELECT CAST($w AS BIGINT) AS w,
+         |  CAST(count(*) AS BIGINT) AS n_docs_spanned,
+         |  CAST(sum(n_spans) AS BIGINT) AS total_spans,
+         |  CAST(sum(dup_spans) AS BIGINT) AS dup_spans,
+         |  CASE WHEN sum(n_spans) > 0
+         |       THEN CAST(floor(sum(dup_spans) * 1000000 / sum(n_spans)) AS BIGINT) ELSE 0 END AS dup_ppm,
+         |  CAST(sum(CASE WHEN dup_spans > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup
+         |FROM (
+         |  SELECT pd.doc_id,
+         |    CAST(sum(pd.c_doc) AS BIGINT) AS n_spans,
+         |    CAST(sum(CASE WHEN tot.c_all >= 2 THEN pd.c_doc ELSE 0 END) AS BIGINT) AS dup_spans
+         |  FROM (
+         |    SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS c_doc
+         |    FROM (
+         |      SELECT doc_id,
+         |        unnest(list_transform(range(0, greatest(len(toks)-${w - 1}, 0)),
+         |               i -> array_to_string(toks[i+1:i+$w], ' '))) AS shingle
+         |      FROM t WHERE len(toks) >= $w
+         |    ) GROUP BY doc_id, shingle
+         |  ) pd
+         |  JOIN (
+         |    SELECT shingle, CAST(sum(c_doc) AS BIGINT) AS c_all FROM (
+         |      SELECT doc_id, shingle, CAST(count(*) AS BIGINT) AS c_doc
+         |      FROM (
+         |        SELECT doc_id,
+         |          unnest(list_transform(range(0, greatest(len(toks)-${w - 1}, 0)),
+         |                 i -> array_to_string(toks[i+1:i+$w], ' '))) AS shingle
+         |        FROM t WHERE len(toks) >= $w
+         |      ) GROUP BY doc_id, shingle
+         |    ) GROUP BY shingle
+         |  ) tot USING (shingle)
+         |  GROUP BY pd.doc_id
+         |)""".stripMargin
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+       |)
+       |${rung(5)}
+       |UNION ALL
+       |${rung(10)}
+       |UNION ALL
+       |${rung(20)}
+       |ORDER BY w""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q153
+  /** SOURCE-FAIR QUALITY FILTER — CCNet-style per-source quantile
+    * normalization (Wenzek et al., "CCNet", LREC 2020 §3: thresholds
+    * are applied per language/source on the score's *within-group
+    * quantile*, not its raw value) vs the naive single global
+    * threshold, head-to-head on the same corpus. Keep rule: top 30% BY
+    * RANK, (a) within each source, (b) globally. Both rankings run on
+    * [[graft.ops.Rank.rankWithin]]'s range-binned two-pass — no source
+    * (or the whole corpus, for the global rank) ever funnels through a
+    * single window task at 100 TB. Output is the per-source census:
+    * the quantile rule keeps exactly ⌊0.3·n⌋ of EVERY source (the
+    * fairness law, emitted as an oracled boolean), while the global
+    * rule's per-source keep-rate spread (g_keep_ppm column) is the
+    * measured unfairness the normalization exists to remove; both_kept
+    * counts the overlap of the two policies.
+    */
+  def q153SourceFairFilter(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextStats
+      .withQuality(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    val perSrc = Rank.rankWithin(
+      scored, Seq("source"), negate(col("quality_score")), col("doc_id"), "rs", bins = 64)
+    val global = Rank
+      .rankWithin(
+        perSrc.withColumn("__g", lit(1)),
+        Seq("__g"), negate(col("quality_score")), col("doc_id"), "rg", bins = 64)
+      .drop("__g")
+    val sizes = global.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val total = global.agg(count(lit(1)).as("nt"))
+    global
+      .join(broadcast(sizes), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("keep_q", col("rs") * lit(10L) <= col("ns") * lit(3L))
+      .withColumn("keep_g", col("rg") * lit(10L) <= col("nt") * lit(3L))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep_q").cast("long")).as("q_kept"),
+        sum(col("keep_g").cast("long")).as("g_kept"),
+        sum((col("keep_q") && col("keep_g")).cast("long")).as("both_kept")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("q_kept"),
+        col("g_kept"),
+        col("both_kept"),
+        expr("q_kept * 1000000 div n_docs").as("q_keep_ppm"),
+        expr("g_kept * 1000000 div n_docs").as("g_keep_ppm"),
+        (col("q_kept") === expr("n_docs * 3 div 10")).as("fair_law_ok")
+      )
+      .orderBy(col("source"))
+  }
+
+  /** q153 replay: quality score re-derived closed-form (the q83
+    * expression), both ranks as plain single-window row_number() — the
+    * definition the two-pass provably equals — then the census algebra.
+    */
+  val q153Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), f AS (
+      |  SELECT doc_id, source,
+      |    0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) +
+      |    0.3 * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) +
+      |    0.3 * least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) AS quality_score
+      |  FROM t
+      |), rk AS (
+      |  SELECT doc_id, source, quality_score,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rs,
+      |    CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rg,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns,
+      |    CAST(count(*) OVER () AS BIGINT) AS nt
+      |  FROM f
+      |), agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN rs * 10 <= ns * 3 THEN 1 ELSE 0 END) AS BIGINT) AS q_kept,
+      |    CAST(sum(CASE WHEN rg * 10 <= nt * 3 THEN 1 ELSE 0 END) AS BIGINT) AS g_kept,
+      |    CAST(sum(CASE WHEN rs * 10 <= ns * 3 AND rg * 10 <= nt * 3 THEN 1 ELSE 0 END) AS BIGINT) AS both_kept
+      |  FROM rk GROUP BY source
+      |)
+      |SELECT source, n_docs, q_kept, g_kept, both_kept,
+      |  CAST(q_kept * 1000000 // n_docs AS BIGINT) AS q_keep_ppm,
+      |  CAST(g_kept * 1000000 // n_docs AS BIGINT) AS g_keep_ppm,
+      |  (q_kept = n_docs * 3 // 10) AS fair_law_ok
+      |FROM agg ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q154
+  /** EPOCH PLAN — the step after q144's UniMax token-budget allocation:
+    * turn per-source token allocations into an actual reproducible
+    * training epoch. Per source, docs are taken in the engine-portable
+    * (portableHash(id), id) pseudo-shuffle order until the allocation
+    * is spent (a doc is selected iff the running token total BEFORE it
+    * is under the source's allocation — so allocations are always met,
+    * overshooting by strictly less than one selected doc, the law the
+    * output pins per source). Selected docs are then INTERLEAVED into
+    * two epoch-global orders by epoch-salted hashes, and each source's
+    * slice of each epoch order is certified with the q123 positional
+    * digest (Σ pos·digest mod 2^61−1) plus the order-blind membership
+    * digest — same membership every epoch, different certified order.
+    *
+    * Scale shape: the per-source running total is
+    * [[graft.ops.ExportPlan.groupedPrefixSum]]'s two-pass (no
+    * per-source single-task window); both epoch positions come from
+    * [[graft.ops.Rank.rankWithin]]'s range-binned two-pass; the
+    * allocation frame is |sources| rows broadcast. Everything on the
+    * wire per doc is (hash, weight, digest) — 24 bytes.
+    */
+  def q154EpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val plan = Mixture
+      .tokenBudgetPlan(docs, "text", "source")
+      .select(col("source"), col("n_tokens"), col("allocated"), col("saturated"))
+    val prefix = ExportPlan.groupedPrefixSum(
+      docs, "doc_id", size(TextStats.tokens(col("text"))).cast("long"), "source")
+    val digests = docs.select(
+      col("doc_id").as("id"), TextStats.contentDigest60(col("text")).as("digest"))
+    val sel = prefix
+      .join(broadcast(plan), Seq("source"))
+      .filter(col("cum_before") < col("allocated"))
+      .join(digests, Seq("id"))
+      .withColumn("__g", lit(1))
+    def epochHash(e: Int) =
+      TextStats.portableHash(col("id") * lit(31L) + lit(e.toLong))
+    val positioned = Rank
+      .rankWithin(
+        Rank.rankWithin(sel, Seq("__g"), epochHash(1), col("id"), "pos1", bins = 64),
+        Seq("__g"), epochHash(2), col("id"), "pos2", bins = 64)
+      .drop("__g")
+    val P = ExportPlan.DigestModulus
+    def orderTerm(pos: String) =
+      (col(pos).cast("decimal(19,0)") * col("digest").cast("decimal(19,0)")) % lit(P)
+    val perSource = positioned
+      .withColumn("t1", orderTerm("pos1"))
+      .withColumn("t2", orderTerm("pos2"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_sel"),
+        sum(col("wt")).as("sel_tokens"),
+        max(col("wt")).as("max_sel_wt"),
+        (sum(col("digest").cast("decimal(38,0)")) % lit(P)).cast("long").as("member_digest"),
+        (sum(col("t1")) % lit(P)).cast("long").as("order_digest_e1"),
+        (sum(col("t2")) % lit(P)).cast("long").as("order_digest_e2")
+      )
+    plan
+      .join(perSource, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("allocated"),
+        col("saturated"),
+        coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"),
+        (coalesce(col("sel_tokens"), lit(0L)) - col("allocated")).as("overshoot"),
+        (
+          (coalesce(col("n_sel"), lit(0L)) === 0 && col("allocated") === 0) ||
+            (coalesce(col("sel_tokens"), lit(0L)) >= col("allocated") &&
+              coalesce(col("sel_tokens"), lit(0L)) - col("allocated") < col("max_sel_wt"))
+        ).as("alloc_law_ok"),
+        coalesce(col("member_digest"), lit(0L)).as("member_digest"),
+        coalesce(col("order_digest_e1"), lit(0L)).as("order_digest_e1"),
+        coalesce(col("order_digest_e2"), lit(0L)).as("order_digest_e2")
+      )
+      .orderBy(col("source"))
+  }
+
+  /** q154 replay: the q144 waterfill chain verbatim, the per-source
+    * prefix sum as the plain single-window definition groupedPrefixSum
+    * provably equals, selection, two epoch-salted global row_numbers,
+    * and the q123 HUGEINT digest algebra.
+    */
+  val q154Oracle: String =
+    """WITH tk AS (
+      |  SELECT CAST(source AS VARCHAR) AS source,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), p AS (
+      |  SELECT CAST(sum(n_tokens) * 9 // 10 AS BIGINT) AS budget,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM tk
+      |), o AS (
+      |  SELECT source, n_tokens,
+      |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rk,
+      |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS csum
+      |  FROM tk
+      |), cutc AS MATERIALIZED (
+      |  SELECT o.*, p.budget, p.n,
+      |    (o.n_tokens * (p.n - o.rk + 1) <= p.budget - (o.csum - o.n_tokens)) AS sat_test
+      |  FROM o, p
+      |), cut AS (
+      |  SELECT COALESCE((SELECT min(rk) FROM cutc WHERE NOT sat_test),
+      |                  (SELECT n + 1 FROM p)) AS cut
+      |), lvl AS (
+      |  SELECT c.cut,
+      |    CASE WHEN c.cut <= p.n
+      |         THEN (p.budget - COALESCE((SELECT max(csum) FROM cutc WHERE rk < c.cut), 0))
+      |              // (p.n - c.cut + 1)
+      |         ELSE 0 END AS level,
+      |    CASE WHEN c.cut <= p.n
+      |         THEN (p.budget - COALESCE((SELECT max(csum) FROM cutc WHERE rk < c.cut), 0))
+      |              % (p.n - c.cut + 1)
+      |         ELSE 0 END AS rem
+      |  FROM cut c, p
+      |), alloc AS MATERIALIZED (
+      |  SELECT c.source, c.n_tokens,
+      |    CAST(CASE WHEN c.rk < l.cut THEN c.n_tokens
+      |         ELSE l.level + (CASE WHEN c.rk - l.cut < l.rem THEN 1 ELSE 0 END) END AS BIGINT)
+      |      AS allocated,
+      |    (c.rk < l.cut) AS saturated
+      |  FROM cutc c, lvl l
+      |), d AS (
+      |  SELECT doc_id, CAST(source AS VARCHAR) AS source,
+      |    (doc_id * 2654435761) % 1000003 AS h,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wt,
+      |    ('0x' || substr(md5(regexp_replace(trim(text), '\s+', ' ', 'g')), 1, 15))::BIGINT AS digest
+      |  FROM documents
+      |), c2 AS (
+      |  SELECT *, SUM(wt) OVER (PARTITION BY source ORDER BY h, doc_id
+      |       ROWS UNBOUNDED PRECEDING) - wt AS cum_before
+      |  FROM d
+      |), sel AS MATERIALIZED (
+      |  SELECT c2.*, a.allocated FROM c2 JOIN alloc a USING (source)
+      |  WHERE c2.cum_before < a.allocated
+      |), pos AS (
+      |  SELECT source, wt, digest,
+      |    CAST(row_number() OVER (
+      |      ORDER BY ((doc_id * 31 + 1) * 2654435761) % 1000003, doc_id) AS BIGINT) AS pos1,
+      |    CAST(row_number() OVER (
+      |      ORDER BY ((doc_id * 31 + 2) * 2654435761) % 1000003, doc_id) AS BIGINT) AS pos2
+      |  FROM sel
+      |), agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_sel,
+      |    CAST(sum(wt) AS BIGINT) AS sel_tokens,
+      |    CAST(max(wt) AS BIGINT) AS max_sel_wt,
+      |    CAST(sum(CAST(digest AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS member_digest,
+      |    CAST(SUM((CAST(pos1 AS HUGEINT) * digest) % 2305843009213693951)
+      |         % 2305843009213693951 AS BIGINT) AS order_digest_e1,
+      |    CAST(SUM((CAST(pos2 AS HUGEINT) * digest) % 2305843009213693951)
+      |         % 2305843009213693951 AS BIGINT) AS order_digest_e2
+      |  FROM pos GROUP BY source
+      |)
+      |SELECT a.source, a.n_tokens, a.allocated, a.saturated,
+      |  COALESCE(g.n_sel, 0) AS n_sel,
+      |  COALESCE(g.sel_tokens, 0) AS sel_tokens,
+      |  COALESCE(g.sel_tokens, 0) - a.allocated AS overshoot,
+      |  ((COALESCE(g.n_sel, 0) = 0 AND a.allocated = 0) OR
+      |   (COALESCE(g.sel_tokens, 0) >= a.allocated AND
+      |    COALESCE(g.sel_tokens, 0) - a.allocated < g.max_sel_wt)) AS alloc_law_ok,
+      |  COALESCE(g.member_digest, 0) AS member_digest,
+      |  COALESCE(g.order_digest_e1, 0) AS order_digest_e1,
+      |  COALESCE(g.order_digest_e2, 0) AS order_digest_e2
+      |FROM alloc a LEFT JOIN agg g USING (source)
+      |ORDER BY a.source""".stripMargin
+
+  // ---------------------------------------------------------------- q155
+  /** LABEL-PROPAGATION COMMUNITIES (ops/LabelProp) — deterministic
+    * synchronous min-tie LPA, 3 rounds over the symmetrized
+    * part↔supplier co-occurrence graph (q96's edge set): the
+    * community-structure complement to connected components (q51/q60
+    * answer reachability; this answers dense attachment INSIDE one
+    * component). Output is the community census — integer/string exact,
+    * no floats anywhere. Oracle: the same three rounds unrolled as
+    * CTEs by the same Scala loop shape as q96Oracle, so query and
+    * oracle share the recurrence by construction.
+    *
+    * MEASURED FINDING (both SFs): on this dense BIPARTITE graph the
+    * deterministic sync update collapses to exactly two side-pure
+    * blocks (all parts / all suppliers) — the known synchronous-LPA
+    * oscillation-absorption behavior on bipartite structure that
+    * Raghavan et al. §3 flag (their cure is async order, which is
+    * unreplayable; ours is to measure and certify the sync behavior).
+    * `side_pure` pins it per community: labels only cross sides when
+    * community structure beats side structure, and here it never does.
+    */
+  def q155LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val edges = PageRank.symmetrize(
+      li.select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")
+      ).distinct()
+    )
+    LabelProp
+      .census(LabelProp.run(edges, iters = 3))
+      .withColumn(
+        "side_pure",
+        substring(col("min_node"), 1, 1) === substring(col("max_node"), 1, 1))
+      .orderBy(col("community"))
+  }
+
+  val q155Oracle: String = {
+    val rounds = (1 to 3)
+      .map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst, p.label, CAST(count(*) AS BIGINT) AS c
+           |  FROM e JOIN l${i - 1} p ON e.src = p.node
+           |  GROUP BY e.dst, p.label
+           |), l$i AS (
+           |  SELECT dst AS node, min(label) AS label FROM (
+           |    SELECT *, max(c) OVER (PARTITION BY dst) AS cmax FROM c$i
+           |  ) WHERE c = cmax GROUP BY dst
+           |)""".stripMargin
+      }
+      .mkString(", ")
+    s"""WITH d AS (
+       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+       |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM lineitem
+       |), e AS (
+       |  SELECT src, dst FROM d UNION SELECT dst, src FROM d
+       |), nodes AS (
+       |  SELECT DISTINCT src AS node FROM e
+       |), l0 AS (
+       |  SELECT node, node AS label FROM nodes
+       |), $rounds
+       |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  min(node) AS min_node, max(node) AS max_node,
+       |  (substr(min(node), 1, 1) = substr(max(node), 1, 1)) AS side_pure
+       |FROM l3 GROUP BY label ORDER BY community""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q156
+  /** EPOCH SAMPLING-DRIFT AUDIT — did q154's hash-order token-budget
+    * selection DISTORT what the model will see? Per source, the L1
+    * distance (in ppm of each side's own token mass) between the full
+    * corpus's and the selected epoch's frequency of the corpus-global
+    * top-20 tokens, plus the worst-deviating token. A faithful uniform
+    * subsample should show small ppm drift; a selection correlated
+    * with content would show large — this is the audit that catches a
+    * biased "pseudo-random" order (e.g. a hash correlated with doc
+    * length) before an epoch ships. Integer-exact end to end: counts,
+    * floor-ppm frequencies, absolute differences — no floats.
+    *
+    * Scale shape: one token explode over the corpus (the q137 cost
+    * class), counts keyed on (source, token); the top-20 frame is
+    * bounded model state joined by broadcast; selection membership is
+    * the q154 two-pass prefix sum. Argmax token is max-dev + join-back
+    * + min(token) — deterministic under ties.
+    */
+  def q156EpochDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val plan = Mixture
+      .tokenBudgetPlan(docs, "text", "source")
+      .select(col("source"), col("allocated"))
+    val selIds = ExportPlan
+      .groupedPrefixSum(docs, "doc_id", size(TextStats.tokens(col("text"))).cast("long"), "source")
+      .join(broadcast(plan), Seq("source"))
+      .filter(col("cum_before") < col("allocated"))
+      .select(col("id").as("doc_id"))
+    val toks = docs.select(
+      col("doc_id"), col("source"), explode(TextStats.tokens(col("text"))).as("token"))
+    val fullCnt = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("full_cnt"))
+    val selCnt = toks
+      .join(selIds, Seq("doc_id"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("sel_cnt"))
+    val fullTot = fullCnt.groupBy(col("source")).agg(sum(col("full_cnt")).as("full_tot"))
+    val selTot = selCnt.groupBy(col("source")).agg(sum(col("sel_cnt")).as("sel_tot"))
+    val topk = fullCnt
+      .groupBy(col("token"))
+      .agg(sum(col("full_cnt")).as("g_cnt"))
+      .orderBy(col("g_cnt").desc, col("token"))
+      .limit(20)
+      .select(col("token"))
+    val grid = fullTot
+      .select(col("source"), col("full_tot"))
+      .crossJoin(broadcast(topk))
+      .join(fullCnt, Seq("source", "token"), "left")
+      .join(selCnt, Seq("source", "token"), "left")
+      .join(broadcast(selTot), Seq("source"))
+      .select(
+        col("source"),
+        col("token"),
+        expr("coalesce(full_cnt, 0) * 1000000 div full_tot").as("full_ppm"),
+        expr("coalesce(sel_cnt, 0) * 1000000 div sel_tot").as("sel_ppm")
+      )
+      .withColumn("dev", abs(col("full_ppm") - col("sel_ppm")))
+    val agg = grid
+      .groupBy(col("source"))
+      .agg(sum(col("dev")).as("l1_ppm"), max(col("dev")).as("max_dev_ppm"))
+    val worst = grid
+      .join(agg.select(col("source"), col("max_dev_ppm").as("dev")), Seq("source", "dev"))
+      .groupBy(col("source"))
+      .agg(min(col("token")).as("worst_token"))
+    agg
+      .join(worst, Seq("source"))
+      .select(col("source"), col("l1_ppm"), col("max_dev_ppm"), col("worst_token"))
+      .orderBy(col("source"))
+  }
+
+  /** q156 replay: the q154 waterfill + selection chain, then the token
+    * censuses, the deterministic global top-20, and the ppm algebra.
+    */
+  val q156Oracle: String =
+    """WITH tk AS (
+      |  SELECT CAST(source AS VARCHAR) AS source,
+      |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), p AS (
+      |  SELECT CAST(sum(n_tokens) * 9 // 10 AS BIGINT) AS budget,
+      |         CAST(count(*) AS BIGINT) AS n
+      |  FROM tk
+      |), o AS (
+      |  SELECT source, n_tokens,
+      |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rk,
+      |    CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS csum
+      |  FROM tk
+      |), cutc AS MATERIALIZED (
+      |  SELECT o.*, p.budget, p.n,
+      |    (o.n_tokens * (p.n - o.rk + 1) <= p.budget - (o.csum - o.n_tokens)) AS sat_test
+      |  FROM o, p
+      |), cut AS (
+      |  SELECT COALESCE((SELECT min(rk) FROM cutc WHERE NOT sat_test),
+      |                  (SELECT n + 1 FROM p)) AS cut
+      |), lvl AS (
+      |  SELECT c.cut,
+      |    CASE WHEN c.cut <= p.n
+      |         THEN (p.budget - COALESCE((SELECT max(csum) FROM cutc WHERE rk < c.cut), 0))
+      |              // (p.n - c.cut + 1)
+      |         ELSE 0 END AS level,
+      |    CASE WHEN c.cut <= p.n
+      |         THEN (p.budget - COALESCE((SELECT max(csum) FROM cutc WHERE rk < c.cut), 0))
+      |              % (p.n - c.cut + 1)
+      |         ELSE 0 END AS rem
+      |  FROM cut c, p
+      |), alloc AS MATERIALIZED (
+      |  SELECT c.source,
+      |    CAST(CASE WHEN c.rk < l.cut THEN c.n_tokens
+      |         ELSE l.level + (CASE WHEN c.rk - l.cut < l.rem THEN 1 ELSE 0 END) END AS BIGINT)
+      |      AS allocated
+      |  FROM cutc c, lvl l
+      |), d AS (
+      |  SELECT doc_id, CAST(source AS VARCHAR) AS source,
+      |    (doc_id * 2654435761) % 1000003 AS h,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wt
+      |  FROM documents
+      |), c2 AS (
+      |  SELECT *, SUM(wt) OVER (PARTITION BY source ORDER BY h, doc_id
+      |       ROWS UNBOUNDED PRECEDING) - wt AS cum_before
+      |  FROM d
+      |), selids AS MATERIALIZED (
+      |  SELECT c2.doc_id FROM c2 JOIN alloc a USING (source)
+      |  WHERE c2.cum_before < a.allocated
+      |), tok AS MATERIALIZED (
+      |  SELECT doc_id, CAST(source AS VARCHAR) AS source,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents
+      |), fullcnt AS MATERIALIZED (
+      |  SELECT source, token, CAST(count(*) AS BIGINT) AS full_cnt
+      |  FROM tok GROUP BY source, token
+      |), selcnt AS MATERIALIZED (
+      |  SELECT source, token, CAST(count(*) AS BIGINT) AS sel_cnt
+      |  FROM tok JOIN selids USING (doc_id) GROUP BY source, token
+      |), fulltot AS (
+      |  SELECT source, CAST(sum(full_cnt) AS BIGINT) AS full_tot FROM fullcnt GROUP BY source
+      |), seltot AS (
+      |  SELECT source, CAST(sum(sel_cnt) AS BIGINT) AS sel_tot FROM selcnt GROUP BY source
+      |), topk AS MATERIALIZED (
+      |  SELECT token FROM (
+      |    SELECT token, CAST(sum(full_cnt) AS BIGINT) AS g_cnt FROM fullcnt GROUP BY token
+      |  ) ORDER BY g_cnt DESC, token LIMIT 20
+      |), grid AS (
+      |  SELECT ft.source, k.token,
+      |    abs(COALESCE(fc.full_cnt, 0) * 1000000 // ft.full_tot -
+      |        COALESCE(sc.sel_cnt, 0) * 1000000 // st.sel_tot) AS dev
+      |  FROM fulltot ft
+      |  CROSS JOIN topk k
+      |  LEFT JOIN fullcnt fc ON fc.source = ft.source AND fc.token = k.token
+      |  LEFT JOIN selcnt sc ON sc.source = ft.source AND sc.token = k.token
+      |  JOIN seltot st ON st.source = ft.source
+      |), agg AS (
+      |  SELECT source, CAST(sum(dev) AS BIGINT) AS l1_ppm,
+      |    CAST(max(dev) AS BIGINT) AS max_dev_ppm
+      |  FROM grid GROUP BY source
+      |)
+      |SELECT a.source, a.l1_ppm, a.max_dev_ppm,
+      |  (SELECT min(g.token) FROM grid g
+      |   WHERE g.source = a.source AND g.dev = a.max_dev_ppm) AS worst_token
+      |FROM agg a ORDER BY a.source""".stripMargin
 }

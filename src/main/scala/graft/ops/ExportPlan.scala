@@ -236,6 +236,58 @@ object ExportPlan {
     * order_digest to NULL (same loud-failure posture as
     * [[shardDigests]]).
     */
+  /** GROUPED two-pass prefix sum: `cum_before` = running weight total
+    * in deterministic (h, id) pseudo-shuffle order WITHIN each group —
+    * [[assignShards]]'s distributed prefix sum generalized from one
+    * global sequence to one sequence per group (per source, per
+    * language, …). Same two passes: a per-(group, bucket) window is the
+    * only full-data exchange; the offset frame is |groups|·`buckets`
+    * rows, and its prefix scan windows over `bucket` WITHIN each group
+    * — partitioned by group, so no single global-order task exists
+    * anywhere in the plan. The epoch planner (q154) uses this to walk
+    * each source in hash order until its token allocation is spent.
+    *
+    * @return grpCol + (id, h, wt, cum_before)
+    */
+  def groupedPrefixSum(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      grpCol: String,
+      buckets: Int = 64
+  ): DataFrame = {
+    val width = (HashSpace + buckets - 1) / buckets
+    val d = docs.select(
+      col(grpCol),
+      col(idCol).as("id"),
+      weightCol.cast("long").as("wt"),
+      TextStats.portableHash(col(idCol)).as("h")
+    )
+    val withBucket = d.withColumn("bucket", (col("h") / lit(width)).cast("long"))
+    val local = Window.partitionBy(col(grpCol), col("bucket")).orderBy(col("h"), col("id"))
+    val cum = withBucket.withColumn("local_cum", sum(col("wt")).over(local))
+    val offsets = withBucket
+      .groupBy(col(grpCol), col("bucket"))
+      .agg(sum(col("wt")).as("btot"))
+      .withColumn(
+        "boffset",
+        coalesce(
+          sum(col("btot")).over(
+            Window
+              .partitionBy(col(grpCol))
+              .orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select(col(grpCol), col("bucket"), col("boffset"))
+    cum
+      .join(broadcast(offsets), Seq(grpCol, "bucket"))
+      .withColumn("cum_before", col("boffset") + col("local_cum") - col("wt"))
+      .select(col(grpCol), col("id"), col("h"), col("wt"), col("cum_before"))
+  }
+
   def shardOrderDigests(assigned: DataFrame, digests: DataFrame): DataFrame = {
     val joined = assigned.join(digests, Seq("id"), "left")
     Rank

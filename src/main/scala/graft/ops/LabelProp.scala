@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous LABEL-PROPAGATION community detection (Raghavan, Albert
+  * & Kumara 2007), deterministic variant: every round, every node
+  * adopts the MOST FREQUENT label among its in-neighbors, ties broken
+  * by the smallest label. The classic formulation updates nodes
+  * asynchronously in random order — unreplayable across engines and
+  * even across runs; the synchronous min-tie variant is a pure
+  * function of (graph, round count), which is what lets a DuckDB
+  * oracle replay it round-for-round (the q96 unrolled-recurrence
+  * discipline). Complements the component operators: connected
+  * components (ops/Components) answer "reachable at all", LPA answers
+  * "densely attached where" — communities inside one giant component.
+  *
+  * Scale shape (the PageRank pattern, PageRank.scala:47): the edge set
+  * pays its src-shuffle ONCE (repartition + localCheckpoint keeps the
+  * partitioning metadata), so each round's label join plans no
+  * edge-side exchange; a round is then two dst-keyed hash aggregates
+  * (count per (dst, label), then the argmax) that share partitioning.
+  * Labels are checkpointed per round — iterative-lineage hygiene
+  * (the Components discipline). Nothing ever collects to the driver.
+  */
+object LabelProp {
+
+  /** Run `iters` synchronous rounds over DIRECTED (src, dst) edges —
+    * pass a symmetrized edge set for the undirected semantics. Every
+    * node must appear as a dst (symmetrized graphs do); label init is
+    * the node's own id. Returns (node, label).
+    */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.repartition(col("src")).localCheckpoint(true)
+    val nodes = e
+      .select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val cnt = e
+        .join(labels, e("src") === labels("node"))
+        .select(col("dst"), col("label"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val best = cnt.groupBy(col("dst")).agg(max(col("c")).as("cmax"))
+      labels = cnt
+        .join(best, Seq("dst"))
+        .filter(col("c") === col("cmax"))
+        .groupBy(col("dst"))
+        .agg(min(col("label")).as("label"))
+        .select(col("dst").as("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Community census over a label frame: one row per surviving label
+    * with its member count and id range. */
+  def census(labels: DataFrame): DataFrame =
+    labels
+      .groupBy(col("label").as("community"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"),
+        max(col("node")).as("max_node")
+      )
+}

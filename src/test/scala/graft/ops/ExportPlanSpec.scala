@@ -192,4 +192,29 @@ class ExportPlanSpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex("digest_xor")) === isPoisoned)
     }
   }
+
+  private def grouped =
+    (1L to 300L).map(i => (i, s"g${i % 5}", (i % 17 + 3).toInt)).toDF("doc_id", "grp", "wt")
+
+  test("grouped prefix sum equals the per-group single window and is knob/partitioning-invariant") {
+    val want = grouped
+      .select($"grp", $"doc_id".as("id"), $"wt", TextStats.portableHash($"doc_id").as("h"))
+      .withColumn(
+        "cum_before",
+        coalesce(
+          sum($"wt").over(
+            Window.partitionBy($"grp").orderBy($"h", $"id").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select($"grp", $"id", $"h", $"wt".cast("long").as("wt"), $"cum_before")
+      .collect()
+      .toSet
+    val base = ExportPlan.groupedPrefixSum(grouped, "doc_id", $"wt", "grp", buckets = 16)
+    assert(base.collect().toSet === want)
+    assert(ExportPlan.groupedPrefixSum(grouped, "doc_id", $"wt", "grp", 1).collect().toSet === want)
+    assert(
+      ExportPlan
+        .groupedPrefixSum(grouped.repartition(7), "doc_id", $"wt", "grp", 7)
+        .collect()
+        .toSet === want)
+  }
 }

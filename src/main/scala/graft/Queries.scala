@@ -8903,7 +8903,10 @@ object Queries {
     "q153_source_fair_filter" -> (q153SourceFairFilter _),
     "q154_epoch_plan" -> (q154EpochPlan _),
     "q155_label_prop" -> (q155LabelProp _),
-    "q156_epoch_drift" -> (q156EpochDrift _)
+    "q156_epoch_drift" -> (q156EpochDrift _),
+    "q157_range_join" -> (q157RangeJoin _),
+    "q158_retention" -> (q158Retention _),
+    "q159_pivot" -> (q159Pivot _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9056,7 +9059,10 @@ object Queries {
     "q153_source_fair_filter" -> q153Oracle,
     "q154_epoch_plan" -> q154Oracle,
     "q155_label_prop" -> q155Oracle,
-    "q156_epoch_drift" -> q156Oracle
+    "q156_epoch_drift" -> q156Oracle,
+    "q157_range_join" -> q157Oracle,
+    "q158_retention" -> q158Oracle,
+    "q159_pivot" -> q159Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -10796,4 +10802,169 @@ object Queries {
       |  (SELECT min(g.token) FROM grid g
       |   WHERE g.source = a.source AND g.dev = a.max_dev_ppm) AS worst_token
       |FROM agg a ORDER BY a.source""".stripMargin
+
+  // ---------------------------------------------------------------- q157
+  /** BANDED RANGE SELF-JOIN (ops/RangeJoin) — per customer, all pairs
+    * of their orders placed within 30 days of each other (repeat-
+    * purchase proximity), as a gap-week histogram. The DECLARATIVE form
+    * of this query is an inequality-only self-join — Spark plans it as
+    * a nested-loop O(n²) per customer; the banded form buckets the date
+    * axis by the band width and turns it into ONE equi-join on
+    * (customer, bucket) with the exact band predicate re-checked — the
+    * emit-to-two-buckets construction produces every oriented pair
+    * EXACTLY once (proof in the scaladoc), so no dedup pass. The oracle
+    * IS the naive theta-join definition — equality of the two forms is
+    * the whole check. RangeJoinSpec additionally pins exactly-once on
+    * adversarial gaps (0, d, d+1) and that the plan contains no
+    * nested-loop/cartesian operator.
+    */
+  def q157RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    RangeJoin
+      .bandedSelfJoin(
+        ord.select(col("o_custkey"), col("o_orderdate"), col("o_orderkey")),
+        "o_custkey",
+        datediff(col("o_orderdate"), lit("1970-01-01")),
+        col("o_orderkey"),
+        d = 30L
+      )
+      .groupBy(expr("gap div 7").as("gap_week"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count_distinct(col("key")).as("n_customers"),
+        min(col("gap")).as("min_gap"),
+        max(col("gap")).as("max_gap")
+      )
+      .orderBy(col("gap_week"))
+  }
+
+  val q157Oracle: String =
+    """WITH pairs AS (
+      |  SELECT a.o_custkey AS key,
+      |    date_diff('day', a.o_orderdate, b.o_orderdate) AS gap
+      |  FROM orders a JOIN orders b
+      |    ON a.o_custkey = b.o_custkey
+      |   AND date_diff('day', a.o_orderdate, b.o_orderdate) BETWEEN 0 AND 30
+      |   AND (a.o_orderdate < b.o_orderdate OR
+      |        (a.o_orderdate = b.o_orderdate AND a.o_orderkey < b.o_orderkey))
+      |)
+      |SELECT CAST(gap // 7 AS BIGINT) AS gap_week,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(count(DISTINCT key) AS BIGINT) AS n_customers,
+      |  CAST(min(gap) AS BIGINT) AS min_gap,
+      |  CAST(max(gap) AS BIGINT) AS max_gap
+      |FROM pairs GROUP BY 1 ORDER BY gap_week""".stripMargin
+
+  // ---------------------------------------------------------------- q158
+  /** RETENTION COHORT MATRIX — the classic product-analytics rollup
+    * over the events stream: users cohorted by their FIRST PURCHASE
+    * day, matrix cell (cohort, k) = distinct users of that cohort who
+    * purchased again on day cohort+k, with retention in ppm of the
+    * cohort size. Day index is integer epoch-day (µs div 86400e6) —
+    * exact in any engine, no calendar/timezone semantics to disagree
+    * on; the purchase filter reaches the parquet scan (PushedFilters).
+    * The all-events weekly variant is degenerate on this corpus (every
+    * user is active every week — 1e6 ppm everywhere); purchases at
+    * daily grain are genuinely sparse (~0.38 purchase-days per user-
+    * day), so the matrix carries real decay. Three keyed aggregates:
+    * (user, day) distinct activity, per-user min (the cohort), then
+    * the (cohort, k) matrix — all shuffles on fine keys, cohort sizes
+    * broadcast back.
+    */
+  def q158Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("(ts_ns div 1000) div 86400000000").as("day"))
+      .distinct()
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    ev.join(cohort, Seq("user_id"))
+      .withColumn("k", col("day") - col("cohort_day"))
+      .groupBy(col("cohort_day"), col("k"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(
+        col("cohort_day"),
+        col("k"),
+        col("n_active"),
+        col("cohort_size"),
+        expr("n_active * 1000000 div cohort_size").as("retention_ppm")
+      )
+      .orderBy(col("cohort_day"), col("k"))
+  }
+
+  val q158Oracle: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id
+      |), s AS (
+      |  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size FROM c GROUP BY cohort_day
+      |), m AS (
+      |  SELECT c.cohort_day, a.day - c.cohort_day AS k,
+      |    CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      |  FROM a JOIN c USING (user_id) GROUP BY 1, 2
+      |)
+      |SELECT CAST(m.cohort_day AS BIGINT) AS cohort_day, CAST(m.k AS BIGINT) AS k,
+      |  m.n_active, s.cohort_size,
+      |  CAST(m.n_active * 1000000 // s.cohort_size AS BIGINT) AS retention_ppm
+      |FROM m JOIN s USING (cohort_day)
+      |ORDER BY cohort_day, k""".stripMargin
+
+  // ---------------------------------------------------------------- q159
+  /** PIVOT — the wide-format rollup surface: events per day × event
+    * type as columns (the report shape BI tools emit). Uses Spark's
+    * `.pivot(col, values)` WITH the explicit value list — omitting it
+    * costs an extra distinct-scan job AND makes the output schema
+    * data-dependent, which no 100 TB pipeline should ship; with the
+    * list it is a single groupBy producing conditional aggregates.
+    * Missing cells are 0, not null (a day with no errors HAS zero
+    * errors — the count semantics), plus a total and the argmax type
+    * per day (tie → alphabetically first, deterministic). Oracle:
+    * the same matrix as CASE-WHEN conditional sums.
+    */
+  def q159Pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables
+      .events(s, dir)
+      .select(expr("(ts_ns div 1000) div 86400000000").as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    val filled = types.foldLeft(wide)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+    val totals = types.map(col).reduce(_ + _)
+    val best = types
+      .map(t => struct(col(t).as("c"), lit(t).as("t")))
+      .reduce((a, b) => when(b("c") > a("c"), b).otherwise(a)) // ties keep the earlier (alphabetical) type
+    filled
+      .select(
+        (col("day") +: types.map(col)) :+
+          totals.as("total") :+
+          best.getField("t").as("top_type"): _*
+      )
+      .orderBy(col("day"))
+  }
+
+  val q159Oracle: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cells = types
+      .map(t => s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+      .mkString(",\n      |  ")
+    // replay the left-fold argmax exactly: strictly-greater replaces,
+    // so ties keep the alphabetically-earlier type
+    val argmax = types
+      .map(t => s"struct_pack(c := $t, t := '$t')")
+      .reduceLeft((a, b) => s"(CASE WHEN ($b).c > ($a).c THEN $b ELSE $a END)")
+    s"""WITH w AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |  $cells
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT CAST(day AS BIGINT) AS day, ${types.mkString(", ")},
+       |  ${types.mkString(" + ")} AS total,
+       |  ($argmax).t AS top_type
+       |FROM w ORDER BY day""".stripMargin
+  }
 }

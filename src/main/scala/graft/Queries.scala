@@ -8908,7 +8908,10 @@ object Queries {
     "q158_retention" -> (q158Retention _),
     "q159_pivot" -> (q159Pivot _),
     "q160_fuzzy_match" -> (q160FuzzyMatch _),
-    "q161_rollup" -> (q161Rollup _)
+    "q161_rollup" -> (q161Rollup _),
+    "q162_six_way_join" -> (q162SixWayJoin _),
+    "q163_exists_late" -> (q163ExistsLate _),
+    "q164_scalar_avg" -> (q164ScalarAvg _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9066,7 +9069,10 @@ object Queries {
     "q158_retention" -> q158Oracle,
     "q159_pivot" -> q159Oracle,
     "q160_fuzzy_match" -> q160Oracle,
-    "q161_rollup" -> q161Oracle
+    "q161_rollup" -> q161Oracle,
+    "q162_six_way_join" -> q162Oracle,
+    "q163_exists_late" -> q163Oracle,
+    "q164_scalar_avg" -> q164Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -11064,4 +11070,114 @@ object Queries {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q162
+  /** SIX-WAY JOIN (TPC-H Q5 shape) — local-supplier revenue by nation
+    * within one region: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    * nation ⋈ region with the same-nation (c_nationkey = s_nationkey)
+    * correlation. The optimizer showcase: every dimension side is
+    * broadcast and the region filter prunes nation keys BEFORE any
+    * fact work. At the test SF even orders fits under the broadcast
+    * threshold (the dump shows 5 BroadcastHashJoins, zero shuffle
+    * joins); at 100 TB the lineitem ⋈ orders edge becomes the single
+    * fact-fact shuffle on orderkey while the dims keep riding
+    * broadcast — the join order a big plan needs either way.
+    * Decimal-exact revenue via the dsum discipline.
+    */
+  def q162SixWayJoin(s: SparkSession, dir: String): DataFrame = {
+    val nations = Tables
+      .nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    Tables
+      .lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(
+        broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")
+      )
+      .orderBy(col("n_name"))
+  }
+
+  val q162Oracle: String =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q163
+  /** EXISTS → SEMI JOIN (TPC-H Q4 shape) — orders per priority that
+    * have at least one LATE lineitem (shipped after the order date).
+    * The correlated-EXISTS surface: declaratively a subquery per order,
+    * physically ONE left-semi join carrying the correlation predicate
+    * (l_shipdate > o_orderdate) as the join condition — the rewrite
+    * that makes EXISTS linear instead of nested-loop. Semi means
+    * multiplicity-proof: an order with five late lines counts once.
+    */
+  def q163ExistsLate(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord
+      .join(
+        li,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q163Oracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q164
+  /** PER-GROUP SCALAR AVERAGE FILTER (TPC-H Q17 shape) — lineitems
+    * whose quantity is under 20% of their part's average quantity
+    * (the small-order tail), total count + revenue. The scalar-
+    * subquery surface, executed scale-correctly: the per-part averages
+    * are ONE bounded aggregate (|parts| rows) broadcast back — never a
+    * correlated per-row subquery. The 20%-of-average comparison is
+    * EXACT-rational (qty · 5 · cnt < Σqty, integer-valued doubles both
+    * sides) — no division, no float threshold to disagree on.
+    */
+  def q164ScalarAvg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val avgs = li
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+    li.join(broadcast(avgs), Seq("l_partkey"))
+      .filter(col("l_quantity") * lit(5) * col("cnt") < col("sum_qty"))
+      .agg(
+        count(lit(1)).as("n_small"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("small_revenue")
+      )
+  }
+
+  val q164Oracle: String =
+    """WITH a AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt, sum(l_quantity) AS sum_qty
+      |  FROM lineitem GROUP BY l_partkey
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_small,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS small_revenue
+      |FROM lineitem JOIN a USING (l_partkey)
+      |WHERE l_quantity * 5 * cnt < sum_qty""".stripMargin
 }

@@ -8911,7 +8911,9 @@ object Queries {
     "q161_rollup" -> (q161Rollup _),
     "q162_six_way_join" -> (q162SixWayJoin _),
     "q163_exists_late" -> (q163ExistsLate _),
-    "q164_scalar_avg" -> (q164ScalarAvg _)
+    "q164_scalar_avg" -> (q164ScalarAvg _),
+    "q165_not_in_nulls" -> (q165NotInNulls _),
+    "q166_null_safe_join" -> (q166NullSafeJoin _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9072,7 +9074,9 @@ object Queries {
     "q161_rollup" -> q161Oracle,
     "q162_six_way_join" -> q162Oracle,
     "q163_exists_late" -> q163Oracle,
-    "q164_scalar_avg" -> q164Oracle
+    "q164_scalar_avg" -> q164Oracle,
+    "q165_not_in_nulls" -> q165Oracle,
+    "q166_null_safe_join" -> q166Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -11180,4 +11184,108 @@ object Queries {
       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS small_revenue
       |FROM lineitem JOIN a USING (l_partkey)
       |WHERE l_quantity * 5 * cnt < sum_qty""".stripMargin
+
+  // ---------------------------------------------------------------- q165
+  /** NOT IN vs NOT EXISTS under NULLs — the three-valued-logic trap
+    * certified differentially: a NOT IN list containing a single NULL
+    * makes the predicate UNKNOWN for every non-member (never TRUE), so
+    * the count is exactly 0 — silently dropping ALL rows, the classic
+    * production data-loss bug; NOT EXISTS and the null-filtered NOT IN
+    * are the correct rewrites and must agree. The NULL is injected
+    * with nullif(n_nationkey, 3), so customers of nation 3 are the
+    * surviving set. Both engines implement standard 3VL — the oracle
+    * is the SAME SQL, and the law booleans (empty-under-null,
+    * rewrites-agree) are pinned TRUE. Uses the spark.sql surface
+    * (subqueries are first-class there).
+    */
+  def q165NotInNulls(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("cust_nin")
+    Tables.nation(s, dir).createOrReplaceTempView("nat_nin")
+    s.sql("""
+      SELECT *,
+        (cnt_not_in_with_null = 0) AS null_empties_not_in,
+        (cnt_not_exists = cnt_not_in_filtered) AS rewrites_agree
+      FROM (
+        SELECT
+          (SELECT count(*) FROM cust_nin
+           WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, 3) FROM nat_nin))
+            AS cnt_not_in_with_null,
+          (SELECT count(*) FROM cust_nin c
+           WHERE NOT EXISTS (SELECT 1 FROM nat_nin n
+                             WHERE nullif(n.n_nationkey, 3) = c.c_nationkey))
+            AS cnt_not_exists,
+          (SELECT count(*) FROM cust_nin
+           WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, 3) FROM nat_nin
+                                     WHERE nullif(n_nationkey, 3) IS NOT NULL))
+            AS cnt_not_in_filtered
+      )""")
+  }
+
+  val q165Oracle: String =
+    """SELECT *,
+      |  (cnt_not_in_with_null = 0) AS null_empties_not_in,
+      |  (cnt_not_exists = cnt_not_in_filtered) AS rewrites_agree
+      |FROM (
+      |  SELECT
+      |    (SELECT CAST(count(*) AS BIGINT) FROM customer
+      |     WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, 3) FROM nation))
+      |      AS cnt_not_in_with_null,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM customer c
+      |     WHERE NOT EXISTS (SELECT 1 FROM nation n
+      |                       WHERE nullif(n.n_nationkey, 3) = c.c_nationkey))
+      |      AS cnt_not_exists,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM customer
+      |     WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, 3) FROM nation
+      |                               WHERE nullif(n_nationkey, 3) IS NOT NULL))
+      |      AS cnt_not_in_filtered
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------- q166
+  /** NULL-SAFE JOIN SEMANTICS (`<=>` vs `=`) — the other 3VL join
+    * trap, certified differentially: plain `=` drops null keys from an
+    * inner join entirely (UNKNOWN is not TRUE), while the null-safe
+    * operator (`<=>` in Spark, IS NOT DISTINCT FROM in SQL) matches
+    * null with null. Nulls are injected by nulling out one nation key
+    * on each side; the law column pins the exact relationship:
+    * null-safe matches = equi matches + (left nulls × right nulls).
+    * This is the semantics Rank.rankWithin and the upsert merges rely
+    * on (null group keys must not vanish) — here it gets its own
+    * oracled certificate.
+    */
+  def q166NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .customer(s, dir)
+      .select(nullif(col("c_nationkey"), lit(3)).as("ck"))
+    val sup = Tables
+      .supplier(s, dir)
+      .select(nullif(col("s_nationkey"), lit(3)).as("sk"))
+    val equi = c.join(sup, col("ck") === col("sk")).agg(count(lit(1)).as("n_equi"))
+    val nsafe = c.join(sup, col("ck") <=> col("sk")).agg(count(lit(1)).as("n_null_safe"))
+    val nulls = c
+      .agg(sum(col("ck").isNull.cast("long")).as("c_nulls"))
+      .crossJoin(sup.agg(sum(col("sk").isNull.cast("long")).as("s_nulls")))
+    equi
+      .crossJoin(nsafe)
+      .crossJoin(nulls)
+      .select(
+        col("n_equi"),
+        col("n_null_safe"),
+        col("c_nulls"),
+        col("s_nulls"),
+        (col("n_null_safe") === col("n_equi") + col("c_nulls") * col("s_nulls"))
+          .as("null_block_law_ok")
+      )
+  }
+
+  val q166Oracle: String =
+    """WITH c AS (SELECT nullif(c_nationkey, 3) AS ck FROM customer),
+      |s AS (SELECT nullif(s_nationkey, 3) AS sk FROM supplier),
+      |e AS (SELECT CAST(count(*) AS BIGINT) AS n_equi FROM c JOIN s ON ck = sk),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_null_safe
+      |      FROM c JOIN s ON ck IS NOT DISTINCT FROM sk),
+      |z AS (SELECT CAST(sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls FROM c),
+      |y AS (SELECT CAST(sum(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls FROM s)
+      |SELECT e.n_equi, n.n_null_safe, z.c_nulls, y.s_nulls,
+      |  (n.n_null_safe = e.n_equi + z.c_nulls * y.s_nulls) AS null_block_law_ok
+      |FROM e, n, z, y""".stripMargin
 }

@@ -8913,7 +8913,9 @@ object Queries {
     "q163_exists_late" -> (q163ExistsLate _),
     "q164_scalar_avg" -> (q164ScalarAvg _),
     "q165_not_in_nulls" -> (q165NotInNulls _),
-    "q166_null_safe_join" -> (q166NullSafeJoin _)
+    "q166_null_safe_join" -> (q166NullSafeJoin _),
+    "q167_peak_concurrency" -> (q167PeakConcurrency _),
+    "q168_skyline" -> (q168Skyline _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9076,7 +9078,9 @@ object Queries {
     "q163_exists_late" -> q163Oracle,
     "q164_scalar_avg" -> q164Oracle,
     "q165_not_in_nulls" -> q165Oracle,
-    "q166_null_safe_join" -> q166Oracle
+    "q166_null_safe_join" -> q166Oracle,
+    "q167_peak_concurrency" -> q167Oracle,
+    "q168_skyline" -> q168Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -11288,4 +11292,150 @@ object Queries {
       |SELECT e.n_equi, n.n_null_safe, z.c_nulls, y.s_nulls,
       |  (n.n_null_safe = e.n_equi + z.c_nulls * y.s_nulls) AS null_block_law_ok
       |FROM e, n, z, y""".stripMargin
+
+  // ---------------------------------------------------------------- q167
+  /** SWEEP-LINE PEAK CONCURRENCY — daily maximum number of
+    * simultaneously-open user sessions, via the distributed ordered
+    * prefix sum ([[graft.ops.Sweep.orderedPrefixSum]]).
+    *
+    * Sessions are q37's law (30-minute inactivity gap on the exact ns
+    * longs); each session is active over the half-open interval
+    * [first_event, last_event + 30 min). The sweep turns intervals into
+    * (+1, −1) deltas, pre-aggregates them per (t, sign) so the order key
+    * is total (sign −1 sorts before +1 ⇒ closings apply before openings
+    * at the same instant), and takes the GLOBAL running sum of net
+    * deltas — on Spark via the range-binned two-pass (no single-task
+    * global window; same scale cure as q113/q117), in the oracle as the
+    * plain single window the two-pass must equal. Peak per UTC day +
+    * the earliest instant that day reaching it.
+    *
+    * Scale: the delta relation is 2·|sessions| rows of 3 columns; the
+    * only full-data shuffle is the per-bin window. The all-deltas-at-
+    * one-instant worst case degrades to ties sharing a bin (measured in
+    * SweepSpec), exactly where the plain window puts them.
+    */
+  def q167PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val GapNs = 1800000000000L
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"), col("ts_ns"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .withColumn(
+        "is_new",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > GapNs, 1L).otherwise(0L)
+      )
+      .withColumn("sid", sum(col("is_new")).over(wr))
+    val iv = sess
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_ns")).as("s"), (max(col("ts_ns")) + lit(GapNs)).as("e"))
+    val deltas = iv
+      .select(col("s").as("t"), lit(1L).as("sign"))
+      .unionByName(iv.select(col("e").as("t"), lit(-1L).as("sign")))
+      .groupBy(col("t"), col("sign"))
+      .agg(sum(col("sign")).as("net"))
+    val run = graft.ops.Sweep
+      .orderedPrefixSum(deltas, Nil, col("t"), col("sign"), col("net"), "level")
+      .withColumn("day", to_date(expr("timestamp_micros(t div 1000)")))
+    val peaks = run
+      .groupBy(col("day"))
+      .agg(max(col("level")).as("peak"))
+      .withColumnRenamed("day", "__pd")
+    run
+      .join(broadcast(peaks), col("day") === col("__pd") && col("level") === col("peak"))
+      .groupBy(col("day"), col("peak"))
+      .agg(min(col("t")).as("first_peak_t_ns"))
+      .select(
+        col("day").cast("string").as("day"),
+        col("peak").cast("long").as("peak"),
+        col("first_peak_t_ns").cast("long").as("first_peak_t_ns")
+      )
+      .orderBy(col("day"))
+  }
+
+  val q167Oracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS t FROM events),
+      |m AS (SELECT user_id, event_id, t,
+      |        lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+      |      FROM e),
+      |sid AS (SELECT user_id, t,
+      |        SUM(CASE WHEN pt IS NULL OR t - pt > 1800000000000 THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM m),
+      |iv AS (SELECT user_id, sid, MIN(t) AS s, MAX(t) + 1800000000000 AS e
+      |       FROM sid GROUP BY user_id, sid),
+      |d AS (SELECT s AS t, CAST(1 AS BIGINT) AS sign FROM iv
+      |      UNION ALL SELECT e AS t, CAST(-1 AS BIGINT) AS sign FROM iv),
+      |nd AS (SELECT t, sign, SUM(sign) AS net FROM d GROUP BY t, sign),
+      |r AS (SELECT t, SUM(net) OVER (ORDER BY t, sign ROWS UNBOUNDED PRECEDING) AS level
+      |      FROM nd),
+      |dd AS (SELECT CAST(make_timestamp(t // 1000) AS DATE) AS day, t, level FROM r),
+      |p AS (SELECT day, MAX(level) AS peak FROM dd GROUP BY day)
+      |SELECT CAST(p.day AS VARCHAR) AS day, CAST(p.peak AS BIGINT) AS peak,
+      |  CAST(MIN(dd.t) AS BIGINT) AS first_peak_t_ns
+      |FROM dd JOIN p ON dd.day = p.day AND dd.level = p.peak
+      |GROUP BY p.day, p.peak
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q168
+  /** SKYLINE (Pareto frontier) — parts not dominated on (size ↑,
+    * retail price ↓): a part is dominated if another part has size ≥
+    * AND price ≤ with at least one strict. The oracle IS the textbook
+    * O(n²) NOT EXISTS dominance definition; the Spark plan is the
+    * scale-correct decomposition for a 2-D skyline with one
+    * bounded-cardinality dimension:
+    *
+    *  1. per-size best price — one map-side-combined aggregate collapses
+    *     the full table to |distinct sizes| rows (p_size is a bounded
+    *     physical attribute; the aggregate output is O(50) regardless of
+    *     row count);
+    *  2. frontier = candidates whose best price strictly beats the
+    *     running min over all STRICTLY larger sizes — a window over the
+    *     tiny aggregated relation (single partition of ~50 rows by
+    *     construction, not a data-volume window);
+    *  3. broadcast the frontier back to count the parts sitting exactly
+    *     on each frontier point (same-size-worse-price parts are
+    *     dominated by their own size's best, so only exact hits count).
+    *
+    * For high-cardinality dimensions this degenerates and a grid-cell
+    * pruning pass would replace step 1 — documented, not needed for a
+    * physical attribute like size.
+    */
+  def q168Skyline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(s, dir)
+    val pts = p.groupBy(col("p_size")).agg(min(col("p_retailprice")).as("best_price"))
+    // exclusive running min over strictly larger sizes: desc order,
+    // rows frame ending one before current — equal sizes cannot appear
+    // (pts is one row per size)
+    val w = Window
+      .orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = pts
+      .withColumn("min_above", min(col("best_price")).over(w))
+      .where(col("min_above").isNull || col("best_price") < col("min_above"))
+      .select(col("p_size").as("f_size"), col("best_price"))
+    p.join(
+      broadcast(frontier),
+      col("p_size") === col("f_size") && col("p_retailprice") === col("best_price")
+    ).groupBy(col("f_size"), col("best_price"))
+      .agg(count(lit(1)).as("n_parts"))
+      .select(col("f_size").as("p_size"), col("best_price"), col("n_parts"))
+      .orderBy(col("p_size"))
+  }
+
+  val q168Oracle: String =
+    """WITH pts AS (SELECT p_size, MIN(p_retailprice) AS best_price
+      |             FROM part GROUP BY p_size),
+      |f AS (SELECT pts.p_size, pts.best_price FROM pts
+      |      WHERE NOT EXISTS (
+      |        SELECT 1 FROM part q
+      |        WHERE q.p_size >= pts.p_size AND q.p_retailprice <= pts.best_price
+      |          AND (q.p_size > pts.p_size OR q.p_retailprice < pts.best_price)))
+      |SELECT f.p_size, f.best_price, CAST(COUNT(*) AS BIGINT) AS n_parts
+      |FROM f JOIN part p ON p.p_size = f.p_size AND p.p_retailprice = f.best_price
+      |GROUP BY f.p_size, f.best_price
+      |ORDER BY f.p_size""".stripMargin
 }

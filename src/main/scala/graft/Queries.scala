@@ -8915,7 +8915,8 @@ object Queries {
     "q165_not_in_nulls" -> (q165NotInNulls _),
     "q166_null_safe_join" -> (q166NullSafeJoin _),
     "q167_peak_concurrency" -> (q167PeakConcurrency _),
-    "q168_skyline" -> (q168Skyline _)
+    "q168_skyline" -> (q168Skyline _),
+    "q169_entity_resolution" -> (q169EntityResolution _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9080,7 +9081,8 @@ object Queries {
     "q165_not_in_nulls" -> q165Oracle,
     "q166_null_safe_join" -> q166Oracle,
     "q167_peak_concurrency" -> q167Oracle,
-    "q168_skyline" -> q168Oracle
+    "q168_skyline" -> q168Oracle,
+    "q169_entity_resolution" -> q169Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -11438,4 +11440,228 @@ object Queries {
       |FROM f JOIN part p ON p.p_size = f.p_size AND p.p_retailprice = f.best_price
       |GROUP BY f.p_size, f.best_price
       |ORDER BY f.p_size""".stripMargin
+
+  // ---------------------------------------------------------------- q169
+  // shared between the Spark query and its oracle so the two synthesized
+  // "source systems" can never drift
+  private val ErFirsts = Seq(
+    "ana", "boris", "carla", "dmitri", "elena", "farid", "greta", "hugo",
+    "ines", "jonas", "karim", "lena", "mara", "nils", "olga", "pavel")
+  private val ErLasts = Seq(
+    "adler", "becker", "castro", "dietrich", "eriksen", "fischer",
+    "garcia", "hansen", "ibrahim", "jansen", "keller", "lorenz",
+    "meyer", "novak", "okafor", "petrov")
+
+  /** ENTITY RESOLUTION capstone ([[graft.ops.EntityRes]]): two
+    * deterministic "source systems" are synthesized from the customer
+    * keys (q18/q121 discipline — identical derivations on both
+    * engines, so the oracle replays the WHOLE pipeline, zero literals):
+    * system A holds every entity with a dictionary name (md5-nibble
+    * indexed) and a '(xxx) xxx-xxxx' phone; system B re-records every
+    * third entity with 'xxx.xxx.xxxx' formatting and planted noise —
+    * one-char last-name deletions, off-by-one phone digits, and a
+    * both-keys-noisy hard class that NO blocking pass can recover.
+    *
+    * Pipeline: normalize (digits-only phones) → two blocking passes
+    * (first-initial + phone-last-4; exact last name) →
+    * levenshtein scoring (full name ≤ 2 AND phone digits ≤ 1) →
+    * star-contraction components → single-row audit certificate with
+    * MEASURED precision/recall ppm against the planted truth (recall
+    * < 1e6 by construction: the hard class is the blocking lesson).
+    *
+    * Scale: each blocking pass is one equi join on a short key;
+    * candidates are block-local (no O(n²)); scoring is map-side;
+    * clustering is the O(log n) Components. Salting composes for hot
+    * name blocks (EntityRes scaladoc).
+    */
+  def q169EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val firstArr = array(ErFirsts.map(lit): _*)
+    val lastArr = array(ErLasts.map(lit): _*)
+    val base = Tables
+      .customer(s, dir)
+      .select(col("c_custkey").as("k"))
+      .withColumn(
+        "fi",
+        expr("cast(conv(substring(md5(concat('fn:', cast(k as string))),1,1),16,10) as int)"))
+      .withColumn(
+        "li",
+        expr("cast(conv(substring(md5(concat('ln:', cast(k as string))),1,1),16,10) as int)"))
+      .withColumn("first", element_at(firstArr, col("fi") + 1))
+      .withColumn("last0", element_at(lastArr, col("li") + 1))
+      .withColumn("d", lpad(((col("k") * 48271L) % 10000000000L).cast("string"), 10, "0"))
+    val a = base.select(
+      (col("k") * 2).as("a_id"),
+      col("k").as("a_k"),
+      col("first").as("a_first"),
+      col("last0").as("a_last"),
+      concat(
+        lit("("), substring(col("d"), 1, 3), lit(") "),
+        substring(col("d"), 4, 3), lit("-"), substring(col("d"), 7, 4)).as("a_phone")
+    )
+    val b = base
+      .where(col("k") % 3 === 0)
+      .withColumn("v", expr("(k div 3) % 3"))
+      .withColumn("p", expr("cast(1 + (k % (length(last0) - 1)) as int)"))
+      .withColumn(
+        "lastB",
+        when(col("v") === 1, expr("concat(substring(last0, 1, p - 1), substring(last0, p + 1))"))
+          .otherwise(col("last0")))
+      .withColumn(
+        "alter_phone",
+        col("v") === 2 || (col("v") === 1 && col("k") % 5 === 0))
+      // the hard (both-keys-noisy) class must hit the last-4 digit block
+      // or the phone pass still recovers it: v=1 ∧ k%5=0 targets 7..10
+      .withColumn(
+        "q",
+        expr(
+          "cast(case when v = 1 and k % 5 = 0 then 7 + ((k div 5) % 4) else 1 + (k % 10) end as int)"))
+      .withColumn(
+        "dB",
+        when(
+          col("alter_phone"),
+          expr(
+            "concat(substring(d, 1, q - 1), cast((cast(substring(d, q, 1) as int) + 1) % 10 as string), substring(d, q + 1))"))
+          .otherwise(col("d")))
+      .select(
+        (col("k") * 2 + 1).as("b_id"),
+        col("k").as("b_k"),
+        col("first").as("b_first"),
+        col("lastB").as("b_last"),
+        concat_ws(
+          ".", substring(col("dB"), 1, 3), substring(col("dB"), 4, 3),
+          substring(col("dB"), 7, 4)).as("b_phone")
+      )
+    // normalize: phones to digits only (the two systems format differently)
+    val aN = a.withColumn("a_digits", regexp_replace(col("a_phone"), "[^0-9]", ""))
+    val bN = b.withColumn("b_digits", regexp_replace(col("b_phone"), "[^0-9]", ""))
+    // pass 2 compounds the 16-value last name with a 2-digit phone prefix:
+    // a bare name key is a HOT BLOCK (fixed 16-way cardinality ⇒ block
+    // sizes grow linearly with the corpus ⇒ quadratic candidates — the
+    // exact failure the EntityRes scaladoc warns about, measured here as
+    // 25-38 s at sf0.1 before the compound key). A phone-prefix digit
+    // altered by the noise (q ≤ 2) is covered by pass 1, so the compound
+    // key changes candidate VOLUME, not the recovered set.
+    val cand = graft.ops.EntityRes
+      .blockedCandidates(
+        aN, bN, "a_id", "b_id",
+        Seq(
+          (concat(substring(col("a_first"), 1, 1), substring(col("a_digits"), 7, 4)),
+           concat(substring(col("b_first"), 1, 1), substring(col("b_digits"), 7, 4))),
+          (concat(col("a_last"), substring(col("a_digits"), 1, 2)),
+           concat(col("b_last"), substring(col("b_digits"), 1, 2)))
+        )
+      )
+      .persist()
+    val matches = cand
+      .where(
+        levenshtein(
+          concat(col("a_first"), lit(" "), col("a_last")),
+          concat(col("b_first"), lit(" "), col("b_last"))) <= 2 &&
+          levenshtein(col("a_digits"), col("b_digits")) <= 1
+      )
+      .persist()
+    val cl = graft.ops.EntityRes.clusters(matches, "a_id", "b_id")
+    val clStats = cl
+      .select(col("component"), col("cluster_size"))
+      .distinct()
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        max(col("cluster_size")).as("max_cluster"))
+    val counts = aN
+      .agg(count(lit(1)).as("n_a"))
+      .crossJoin(bN.agg(count(lit(1)).as("n_b")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(
+        matches.agg(
+          count(lit(1)).as("n_matches"),
+          sum((col("b_k") === col("a_k")).cast("long")).as("true_matches")))
+      .crossJoin(clStats)
+    counts.select(
+      col("n_a"),
+      col("n_b"),
+      col("n_candidates"),
+      col("n_matches"),
+      col("true_matches"),
+      expr("cast((true_matches * 1000000) div n_matches as bigint)").as("precision_ppm"),
+      expr("cast((true_matches * 1000000) div n_b as bigint)").as("recall_ppm"),
+      col("n_clusters"),
+      col("max_cluster").cast("long").as("max_cluster")
+    )
+  }
+
+  val q169Oracle: String = {
+    val fArr = ErFirsts.map(n => s"'$n'").mkString(", ")
+    val lArr = ErLasts.map(n => s"'$n'").mkString(", ")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT c_custkey AS k,
+       |    CAST(('0x' || substr(md5('fn:' || CAST(c_custkey AS VARCHAR)), 1, 1)) AS BIGINT) AS fi,
+       |    CAST(('0x' || substr(md5('ln:' || CAST(c_custkey AS VARCHAR)), 1, 1)) AS BIGINT) AS li,
+       |    lpad(CAST((c_custkey * 48271) % 10000000000 AS VARCHAR), 10, '0') AS d
+       |  FROM customer
+       |), nm AS (
+       |  SELECT k, d,
+       |    ([$fArr])[fi + 1] AS first,
+       |    ([$lArr])[li + 1] AS last0
+       |  FROM base
+       |), a AS (
+       |  SELECT k * 2 AS a_id, k AS a_k, first AS a_first, last0 AS a_last,
+       |    '(' || substr(d, 1, 3) || ') ' || substr(d, 4, 3) || '-' || substr(d, 7, 4) AS a_phone
+       |  FROM nm
+       |), bp AS (
+       |  SELECT k, d, first, last0,
+       |    (k // 3) % 3 AS v,
+       |    CAST(1 + (k % (length(last0) - 1)) AS INT) AS p,
+       |    CAST(CASE WHEN (k // 3) % 3 = 1 AND k % 5 = 0 THEN 7 + ((k // 5) % 4)
+       |              ELSE 1 + (k % 10) END AS INT) AS q
+       |  FROM nm WHERE k % 3 = 0
+       |), b AS (
+       |  SELECT k * 2 + 1 AS b_id, k AS b_k, first AS b_first,
+       |    CASE WHEN v = 1 THEN concat(substr(last0, 1, p - 1), substr(last0, p + 1))
+       |         ELSE last0 END AS b_last,
+       |    concat_ws('.', substr(dB, 1, 3), substr(dB, 4, 3), substr(dB, 7, 4)) AS b_phone
+       |  FROM (
+       |    SELECT *, CASE WHEN v = 2 OR (v = 1 AND k % 5 = 0)
+       |      THEN concat(substr(d, 1, q - 1),
+       |                  CAST((CAST(substr(d, q, 1) AS INT) + 1) % 10 AS VARCHAR),
+       |                  substr(d, q + 1))
+       |      ELSE d END AS dB
+       |    FROM bp)
+       |), an AS (SELECT *, regexp_replace(a_phone, '[^0-9]', '', 'g') AS a_digits FROM a),
+       |bn AS (SELECT *, regexp_replace(b_phone, '[^0-9]', '', 'g') AS b_digits FROM b),
+       |cand AS (
+       |  SELECT DISTINCT ON (a_id, b_id) * FROM (
+       |    SELECT an.*, bn.* FROM an JOIN bn
+       |      ON substr(a_first, 1, 1) || substr(a_digits, 7, 4)
+       |       = substr(b_first, 1, 1) || substr(b_digits, 7, 4)
+       |    UNION ALL
+       |    SELECT an.*, bn.* FROM an JOIN bn
+       |      ON a_last || substr(a_digits, 1, 2) = b_last || substr(b_digits, 1, 2))
+       |), m AS (
+       |  SELECT * FROM cand
+       |  WHERE levenshtein(a_first || ' ' || a_last, b_first || ' ' || b_last) <= 2
+       |    AND levenshtein(a_digits, b_digits) <= 1
+       |), sym AS (
+       |  SELECT a_id AS src, b_id AS dst FROM m
+       |  UNION ALL SELECT b_id, a_id FROM m
+       |), reach(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+       |), comps AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+       |sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comps GROUP BY component),
+       |cstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |                 CAST(MAX(cluster_size) AS BIGINT) AS max_cluster FROM sizes),
+       |cnts AS (
+       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM an) AS n_a,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM bn) AS n_b,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_matches,
+       |         (SELECT CAST(SUM(CASE WHEN b_k = a_k THEN 1 ELSE 0 END) AS BIGINT) FROM m) AS true_matches
+       |)
+       |SELECT cnts.n_a, cnts.n_b, cnts.n_candidates, cnts.n_matches, cnts.true_matches,
+       |  CAST((cnts.true_matches * 1000000) // cnts.n_matches AS BIGINT) AS precision_ppm,
+       |  CAST((cnts.true_matches * 1000000) // cnts.n_b AS BIGINT) AS recall_ppm,
+       |  cstat.n_clusters, cstat.max_cluster
+       |FROM cnts, cstat""".stripMargin
+  }
 }

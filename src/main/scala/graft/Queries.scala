@@ -8916,7 +8916,10 @@ object Queries {
     "q166_null_safe_join" -> (q166NullSafeJoin _),
     "q167_peak_concurrency" -> (q167PeakConcurrency _),
     "q168_skyline" -> (q168Skyline _),
-    "q169_entity_resolution" -> (q169EntityResolution _)
+    "q169_entity_resolution" -> (q169EntityResolution _),
+    "q170_exact_moments" -> (q170ExactMoments _),
+    "q171_window_functions" -> (q171WindowFunctions _),
+    "q172_grouping_sets" -> (q172GroupingSets _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9082,7 +9085,10 @@ object Queries {
     "q166_null_safe_join" -> q166Oracle,
     "q167_peak_concurrency" -> q167Oracle,
     "q168_skyline" -> q168Oracle,
-    "q169_entity_resolution" -> q169Oracle
+    "q169_entity_resolution" -> q169Oracle,
+    "q170_exact_moments" -> q170Oracle,
+    "q171_window_functions" -> q171Oracle,
+    "q172_grouping_sets" -> q172Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -11664,4 +11670,197 @@ object Queries {
        |  cstat.n_clusters, cstat.max_cluster
        |FROM cnts, cstat""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q170
+  /** EXACT higher statistical moments — per-type stddev, time↔value
+    * correlation, and skewness computed from EXACT integer power sums
+    * (n, Σx, Σx², Σy, Σy², Σy³, Σxy), not from the engines' float
+    * aggregates. The q128/q134 discipline, extended to third moments:
+    * values quantize to a 1e-6 grid, timestamps to whole seconds minus
+    * a fixed epoch offset (shrinks the magnitude so the n·Σx² − (Σx)²
+    * cancellation costs ~3 digits instead of ~7 — an ACCURACY choice;
+    * parity never depended on it), all sums accumulate in
+    * decimal(38,0) — associative, partitioning-independent, bit-equal
+    * to DuckDB's HUGEINT sums. The derived doubles then come from ONE
+    * identical arithmetic spelling on both engines (m2p·sqrt(m2p)
+    * instead of pow(·,1.5): sqrt is correctly-rounded IEEE, pow is
+    * not), floored onto a 1e-9 grid so the checked output is integer.
+    *
+    * Scale: one map-side-combined aggregate, 7 sums per group — the
+    * textbook single-pass sufficient-statistics shape; magnitudes hold
+    * to 100× this corpus inside decimal(38) (Σy³ ≲ 4e32).
+    */
+  def q170ExactMoments(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        expr("cast(floor(value * 1000000 + 0.5) as bigint)").as("vq"),
+        expr("(ts_ns div 1000000000) - 1600000000").as("xs")
+      )
+    def dsum0(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    val sums = ev
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum0(col("xs")).as("sx"),
+        dsum0(col("xs") * col("xs")).as("sxx"),
+        dsum0(col("vq")).as("sy"),
+        dsum0(col("vq") * col("vq")).as("syy"),
+        // vq³ ≈ 1.8e26 overflows the per-row BIGINT product on BOTH
+        // engines — widen the first factor before multiplying
+        sum(col("vq").cast("decimal(38,0)") * col("vq") * col("vq")).as("syyy"),
+        dsum0(col("xs") * col("vq")).as("sxy")
+      )
+    sums
+      .withColumn("nd", expr("cast(n as double)"))
+      .withColumn("m2", expr("nd * cast(syy as double) - cast(sy as double) * cast(sy as double)"))
+      .withColumn("mx2", expr("nd * cast(sxx as double) - cast(sx as double) * cast(sx as double)"))
+      .withColumn("mean", expr("cast(sy as double) / nd"))
+      .withColumn("m2p", expr("cast(syy as double) / nd - mean * mean"))
+      .withColumn(
+        "m3p",
+        expr("cast(syyy as double) / nd - 3.0 * mean * (cast(syy as double) / nd) + 2.0 * mean * mean * mean"))
+      .select(
+        col("event_type"),
+        col("n"),
+        expr("cast(sy div n as bigint)").as("mean_e6"),
+        expr("cast(floor(sqrt(m2 / (nd * (nd - 1.0))) / 1000000.0 * 1000000000.0 + 0.5) as bigint)")
+          .as("stddev_e9"),
+        expr(
+          "cast(floor((nd * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / sqrt(mx2 * m2) * 1000000000.0 + 0.5) as bigint)")
+          .as("corr_e9"),
+        expr("cast(floor(m3p / (m2p * sqrt(m2p)) * 1000000000.0 + 0.5) as bigint)").as("skew_e9")
+      )
+      .orderBy(col("event_type"))
+  }
+
+  val q170Oracle: String =
+    """WITH q AS (
+      |  SELECT event_type,
+      |    CAST(floor("value" * 1000000 + 0.5) AS BIGINT) AS vq,
+      |    (epoch_ns(ts) // 1000000000) - 1600000000 AS xs
+      |  FROM events
+      |), s AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(xs) AS sx, SUM(xs * xs) AS sxx,
+      |    SUM(vq) AS sy, SUM(vq * vq) AS syy,
+      |    SUM(CAST(vq AS HUGEINT) * vq * vq) AS syyy,
+      |    SUM(xs * vq) AS sxy
+      |  FROM q GROUP BY event_type
+      |), d AS (
+      |  SELECT *, CAST(n AS DOUBLE) AS nd,
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS m2,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS mx2,
+      |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+      |  FROM s
+      |), d2 AS (
+      |  SELECT *,
+      |    CAST(syy AS DOUBLE) / nd - mean * mean AS m2p,
+      |    CAST(syyy AS DOUBLE) / nd - 3.0 * mean * (CAST(syy AS DOUBLE) / nd) + 2.0 * mean * mean * mean AS m3p
+      |  FROM d
+      |)
+      |SELECT event_type, n,
+      |  CAST(sy // n AS BIGINT) AS mean_e6,
+      |  CAST(floor(sqrt(m2 / (nd * (nd - 1.0))) / 1000000.0 * 1000000000.0 + 0.5) AS BIGINT) AS stddev_e9,
+      |  CAST(floor((nd * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt(mx2 * m2) * 1000000000.0 + 0.5) AS BIGINT) AS corr_e9,
+      |  CAST(floor(m3p / (m2p * sqrt(m2p)) * 1000000000.0 + 0.5) AS BIGINT) AS skew_e9
+      |FROM d2
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q171
+  /** WINDOW-FUNCTION CERTIFICATE — the full analytic-function surface
+    * (row_number, lag, lead, nth_value, first/last_value, ntile,
+    * percent_rank, rank, dense_rank, cume_dist) certified differentially
+    * on BOTH ordering regimes: a total order (o_orderdate, o_orderkey)
+    * where every function is frame-deterministic, and a TIES order
+    * (o_orderpriority) exercising rank/dense_rank/cume_dist's
+    * tie semantics (all three depend only on key values, so they are
+    * deterministic under ties; frame-dependent functions stay on the
+    * total order). nth/first/last pin an explicit ROWS
+    * UNBOUNDED-to-UNBOUNDED frame on both engines — default frames end
+    * at CURRENT ROW, which would make last_value a self-reference.
+    * percent_rank/cume_dist emit as raw doubles: both engines compute
+    * the same small-integer ratio in one IEEE division.
+    */
+  def q171WindowFunctions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir).where(col("o_custkey") < 300)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wp = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))
+    o.select(
+      col("o_custkey"),
+      col("o_orderkey"),
+      row_number().over(w).as("rn"),
+      lag(col("o_totalprice"), 1).over(w).as("lag_price"),
+      lead(col("o_totalprice"), 1).over(w).as("lead_price"),
+      nth_value(col("o_totalprice"), 2).over(wf).as("nth2_price"),
+      first(col("o_totalprice")).over(wf).as("first_price"),
+      last(col("o_totalprice")).over(wf).as("last_price"),
+      ntile(4).over(w).as("ntile4"),
+      percent_rank().over(w).as("pr"),
+      rank().over(wp).as("rank_pri"),
+      dense_rank().over(wp).as("dense_pri"),
+      cume_dist().over(wp).as("cd_pri")
+    ).orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q171Oracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(row_number() OVER w AS INT) AS rn,
+      |  lag(o_totalprice, 1) OVER w AS lag_price,
+      |  lead(o_totalprice, 1) OVER w AS lead_price,
+      |  nth_value(o_totalprice, 2) OVER wf AS nth2_price,
+      |  first_value(o_totalprice) OVER wf AS first_price,
+      |  last_value(o_totalprice) OVER wf AS last_price,
+      |  CAST(ntile(4) OVER w AS INT) AS ntile4,
+      |  percent_rank() OVER w AS pr,
+      |  CAST(rank() OVER wp AS INT) AS rank_pri,
+      |  CAST(dense_rank() OVER wp AS INT) AS dense_pri,
+      |  cume_dist() OVER wp AS cd_pri
+      |FROM orders
+      |WHERE o_custkey < 300
+      |WINDOW
+      |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |  wp AS (PARTITION BY o_custkey ORDER BY o_orderpriority)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q172
+  /** GROUPING SETS — arbitrary subtotal combinations in ONE
+    * Expand+aggregate pass (rollup q36/q161 and cube q69 are the
+    * special cases; this is the general form): per (flag, status),
+    * per status alone, and the grand total — deliberately NOT a rollup
+    * prefix chain. grouping_id disambiguates genuine NULL group values
+    * from subtotal rows; sums take the dsum decimal discipline.
+    */
+  def q172GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"),
+        col("l_linestatus")
+      )
+      .agg(
+        grouping_id().as("gid"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n")
+      )
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("sum_qty"), col("n"))
+      .orderBy(
+        col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q172Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 }

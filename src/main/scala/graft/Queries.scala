@@ -8919,7 +8919,8 @@ object Queries {
     "q169_entity_resolution" -> (q169EntityResolution _),
     "q170_exact_moments" -> (q170ExactMoments _),
     "q171_window_functions" -> (q171WindowFunctions _),
-    "q172_grouping_sets" -> (q172GroupingSets _)
+    "q172_grouping_sets" -> (q172GroupingSets _),
+    "q173_video_keyframes" -> (q173VideoKeyframes _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9088,7 +9089,8 @@ object Queries {
     "q169_entity_resolution" -> q169Oracle,
     "q170_exact_moments" -> q170Oracle,
     "q171_window_functions" -> q171Oracle,
-    "q172_grouping_sets" -> q172Oracle
+    "q172_grouping_sets" -> q172Oracle,
+    "q173_video_keyframes" -> q173Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -11863,4 +11865,106 @@ object Queries {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q173
+  /** VIDEO KEYFRAME PIPELINE — the video member of the multimodal fleet
+    * (image q32/q149, audio q108): an opaque binary payload, the
+    * [[graft.ops.Multimodal.frameSample]] posexplode generator (one
+    * 100 MB video row → many frame rows, no driver materialization),
+    * per-frame 60-bit signatures, a consecutive-frame hamming lag, and
+    * scene-cut keyframe selection (frame 0, or hamming > threshold).
+    *
+    * The CODEC is the sanctioned stub (container decode libs aren't in
+    * this environment): payloads are deterministic md5-derived frame
+    * bytes, with every even doc repeating each content frame 3×
+    * (static-scene runs) — so keyframe counts are non-trivial and the
+    * whole pipeline replays in SQL. The Spark side still exercises the
+    * REAL plumbing a production video op needs: binary concat-fold
+    * assembly, binary substring framing, generator explode,
+    * hex→integer signatures, per-video ordered lag — swap the stub
+    * synthesis for an ffmpeg mapInPandas kernel and nothing downstream
+    * changes.
+    *
+    * Scale: frames explode map-side; the only shuffle is the per-video
+    * lag window (fine-grained keys) + final aggregate.
+    */
+  def q173VideoKeyframes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables
+      .documents(s, dir)
+      .where(col("doc_id") < 400)
+      .select(col("doc_id"))
+      .withColumn("n_frames", expr("cast(6 + (doc_id % 4) as int)"))
+    // stub "decode": assemble the opaque payload as F concatenated
+    // 16-byte md5 frames; even docs repeat each content id 3x
+    val media = docs.withColumn(
+      "bytes",
+      expr(
+        """aggregate(
+          |  transform(sequence(0, n_frames - 1),
+          |    i -> unhex(md5(concat('vf:', cast(doc_id as string), ':',
+          |           cast(case when doc_id % 2 = 0 then i div 3 else i end as string))))),
+          |  cast(x'' as binary),
+          |  (acc, b) -> concat(acc, b))""".stripMargin)
+    )
+    val frames = graft.ops.Multimodal
+      .frameSample(media, frameBytes = 16, stride = 16)
+      .withColumn("fhex", hex(col("frame_bytes")))
+      .withColumn("s1", expr("cast(conv(substring(fhex, 1, 15), 16, 10) as bigint)"))
+      .withColumn("s2", expr("cast(conv(substring(fhex, 17, 15), 16, 10) as bigint)"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val cuts = frames
+      .withColumn("p1", lag(col("s1"), 1).over(w))
+      .withColumn("p2", lag(col("s2"), 1).over(w))
+      .withColumn(
+        "ham",
+        when(col("p1").isNull, lit(null))
+          .otherwise(expr("bit_count(s1 ^ p1) + bit_count(s2 ^ p2)")))
+      .withColumn("is_key", (col("ham").isNull || col("ham") > 12).cast("long"))
+    cuts
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("is_key")).as("n_keyframes"),
+        coalesce(sum(col("ham")), lit(0L)).as("sum_hamming"),
+        min(col("s1")).as("min_sig")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  val q173Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(6 + (doc_id % 4) AS INT) AS n_frames
+      |  FROM documents WHERE doc_id < 400
+      |), fx AS (
+      |  SELECT doc_id, unnest(range(0, n_frames)) AS fi FROM d
+      |), fr AS (
+      |  SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |    md5('vf:' || CAST(doc_id AS VARCHAR) || ':' ||
+      |        CAST(CASE WHEN doc_id % 2 = 0 THEN fi // 3 ELSE fi END AS VARCHAR)) AS fhex
+      |  FROM fx
+      |), sig AS (
+      |  SELECT doc_id, frame_idx,
+      |    CAST(('0x' || substr(fhex, 1, 15)) AS BIGINT) AS s1,
+      |    CAST(('0x' || substr(fhex, 17, 15)) AS BIGINT) AS s2
+      |  FROM fr
+      |), lg AS (
+      |  SELECT doc_id, frame_idx, s1,
+      |    lag(s1) OVER w AS p1, lag(s2) OVER w AS p2, s2
+      |  FROM sig WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+      |), km AS (
+      |  SELECT doc_id, s1,
+      |    CASE WHEN p1 IS NULL THEN NULL
+      |         ELSE bit_count(xor(s1, p1)) + bit_count(xor(s2, p2)) END AS ham,
+      |    CASE WHEN p1 IS NULL OR bit_count(xor(s1, p1)) + bit_count(xor(s2, p2)) > 12
+      |         THEN 1 ELSE 0 END AS is_key
+      |  FROM lg
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(SUM(is_key) AS BIGINT) AS n_keyframes,
+      |  CAST(COALESCE(SUM(ham), 0) AS BIGINT) AS sum_hamming,
+      |  MIN(s1) AS min_sig
+      |FROM km
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

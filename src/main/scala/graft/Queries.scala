@@ -8920,7 +8920,10 @@ object Queries {
     "q170_exact_moments" -> (q170ExactMoments _),
     "q171_window_functions" -> (q171WindowFunctions _),
     "q172_grouping_sets" -> (q172GroupingSets _),
-    "q173_video_keyframes" -> (q173VideoKeyframes _)
+    "q173_video_keyframes" -> (q173VideoKeyframes _),
+    "q174_triangles" -> (q174Triangles _),
+    "q175_sole_late_supplier" -> (q175SoleLateSupplier _),
+    "q176_global_avg_anti" -> (q176GlobalAvgAnti _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9090,7 +9093,10 @@ object Queries {
     "q170_exact_moments" -> q170Oracle,
     "q171_window_functions" -> q171Oracle,
     "q172_grouping_sets" -> q172Oracle,
-    "q173_video_keyframes" -> q173Oracle
+    "q173_video_keyframes" -> q173Oracle,
+    "q174_triangles" -> q174Oracle,
+    "q175_sole_late_supplier" -> q175Oracle,
+    "q176_global_avg_anti" -> q176Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -11967,4 +11973,177 @@ object Queries {
       |FROM km
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q174
+  /** TRIANGLE COUNTING ([[graft.ops.Triangles]]) — degree-ordered
+    * orientation (Suri & Vassilvitskii WWW'11): orient each edge
+    * toward the higher-(degree, id) endpoint so every out-degree is
+    * O(√m), form wedges by a source self-join, close them against the
+    * edge set. The graph is synthesized deterministically from the
+    * customer keys (edges k→k+{1,2,5} inside blocks of 10, endpoints
+    * semi-joined against real keys — no contiguity assumption), so
+    * triangles are the planted (k, k+1, k+2) runs plus nothing — and
+    * the oracle counts them with the textbook canonical x<y<z triple
+    * join the oriented plan must equal. Wedge counts are
+    * orientation-dependent diagnostics and deliberately NOT in the
+    * checked output; edges and triangles are orientation-invariant.
+    */
+  def q174Triangles(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+    val cand = keys
+      .withColumn("d", explode(array(lit(1L), lit(2L), lit(5L))))
+      .withColumn("v", col("k") + col("d"))
+      .where(expr("(k div 10) = (v div 10)"))
+    val edges = cand
+      .join(keys.withColumnRenamed("k", "v"), Seq("v"), "left_semi")
+      .select(col("k").as("u"), col("v"))
+    val tri = graft.ops.Triangles.triangles(edges, "u", "v")
+    val triB = tri
+      .withColumn("bucket", expr("least(u, least(v, w)) div 500"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edgB = edges
+      .withColumn("bucket", expr("least(u, v) div 500"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_edges"))
+    edgB
+      .join(triB, Seq("bucket"), "left")
+      .na
+      .fill(0L, Seq("n_triangles"))
+      .select(col("bucket"), col("n_edges"), col("n_triangles"))
+      .orderBy(col("bucket"))
+  }
+
+  val q174Oracle: String =
+    """WITH k AS (SELECT c_custkey AS k FROM customer),
+      |cand AS (
+      |  SELECT k.k, k.k + d.d AS v
+      |  FROM k, (SELECT unnest([1, 2, 5]) AS d) d
+      |  WHERE (k.k // 10) = ((k.k + d.d) // 10)
+      |), e AS (
+      |  SELECT cand.k AS u, cand.v FROM cand JOIN k k2 ON k2.k = cand.v
+      |), t AS (
+      |  SELECT a.u AS x
+      |  FROM e a
+      |  JOIN e b ON b.u = a.u AND b.v > a.v
+      |  JOIN e c ON c.u = a.v AND c.v = b.v
+      |), tb AS (
+      |  SELECT x // 500 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM t GROUP BY 1
+      |), eb AS (
+      |  SELECT u // 500 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_edges FROM e GROUP BY 1
+      |)
+      |SELECT CAST(eb.bucket AS BIGINT) AS bucket, eb.n_edges,
+      |  CAST(COALESCE(tb.n_triangles, 0) AS BIGINT) AS n_triangles
+      |FROM eb LEFT JOIN tb ON eb.bucket = tb.bucket
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q175
+  /** TPC-H Q21 SHAPE — "sole late supplier": suppliers whose line was
+    * the ONLY late one (shipdate > orderdate + 60 days) in an order
+    * that involved at least one OTHER supplier. The two correlated
+    * subqueries surface physically as one left-semi join (some other
+    * supplier exists in the order) and one left-anti join (no other
+    * LATE supplier in the order) over a deduped (order, supplier)
+    * late set — the EXISTS/NOT-EXISTS pair every engine must turn into
+    * semi/anti joins to survive a fact-scale order list. Top-20 by
+    * wait count with a total tiebreak.
+    */
+  def q175SoleLateSupplier(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val lateSO = l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .where(expr("l_shipdate > o_orderdate + INTERVAL 60 DAYS"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val withOther = lateSO.join(
+      l.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2")),
+      col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+      "left_semi")
+    val sole = withOther.join(
+      lateSO.select(col("ok").as("ok3"), col("sk").as("sk3")),
+      col("ok") === col("ok3") && col("sk") =!= col("sk3"),
+      "left_anti")
+    sole
+      .groupBy(col("sk"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(sup, col("sk") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q175Oracle: String =
+    """WITH late AS (
+      |  SELECT DISTINCT l.l_orderkey AS ok, l.l_suppkey AS sk
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |), sole AS (
+      |  SELECT t.ok, t.sk FROM late t
+      |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |                WHERE l2.l_orderkey = t.ok AND l2.l_suppkey <> t.sk)
+      |    AND NOT EXISTS (SELECT 1 FROM late t3
+      |                    WHERE t3.ok = t.ok AND t3.sk <> t.sk)
+      |)
+      |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM sole JOIN supplier s ON s.s_suppkey = sole.sk
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q176
+  /** TPC-H Q22 SHAPE — customers with above-average balance and no
+    * recent orders: per market segment (the "country code" analogue),
+    * count customers whose balance beats the GLOBAL positive-balance
+    * average and who placed no order in the last 60 data-days (anti
+    * join against a cutoff derived from max(o_orderdate); the literal
+    * "never ordered" predicate is vacuous on this corpus — measured 0
+    * rows). The average-threshold
+    * compare is EXACT-INTEGER via cross-multiplication on cent-grid
+    * balances (ab_q · n_pos > sum_q) — a float threshold could flip a
+    * borderline customer between engines; integers cannot. Balance
+    * totals emit in cents.
+    */
+  def q176GlobalAvgAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .customer(s, dir)
+      .withColumn("ab_q", expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)"))
+    val thr = c
+      .where(col("ab_q") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("ab_q")).as("sum_q"))
+    // "no orders" is vacuous on this corpus (every customer ordered at
+    // least once — measured 0 rows); the Q22 anti-join becomes "no
+    // RECENT orders" against a data-derived 60-day cutoff
+    val o = Tables.orders(s, dir)
+    val recent = o
+      .crossJoin(broadcast(o.agg(max(col("o_orderdate")).as("mx"))))
+      .where(expr("o_orderdate >= mx - INTERVAL 60 DAYS"))
+      .select(col("o_custkey"))
+    val noOrders = c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+    noOrders
+      .crossJoin(broadcast(thr))
+      .where(col("ab_q") * col("n_pos") > col("sum_q"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), sum(col("ab_q")).as("totacctbal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q176Oracle: String =
+    """WITH c AS (
+      |  SELECT *, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS ab_q FROM customer
+      |), thr AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos, CAST(SUM(ab_q) AS BIGINT) AS sum_q
+      |  FROM c WHERE ab_q > 0
+      |)
+      |SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(c.ab_q) AS BIGINT) AS totacctbal_cents
+      |FROM c, thr
+      |WHERE c.ab_q * thr.n_pos > thr.sum_q
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 60 DAY)
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin
 }

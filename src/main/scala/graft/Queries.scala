@@ -8923,7 +8923,11 @@ object Queries {
     "q173_video_keyframes" -> (q173VideoKeyframes _),
     "q174_triangles" -> (q174Triangles _),
     "q175_sole_late_supplier" -> (q175SoleLateSupplier _),
-    "q176_global_avg_anti" -> (q176GlobalAvgAnti _)
+    "q176_global_avg_anti" -> (q176GlobalAvgAnti _),
+    "q177_set_ops" -> (q177SetOps _),
+    "q178_explode_outer" -> (q178ExplodeOuter _),
+    "q179_array_hof" -> (q179ArrayHof _),
+    "q180_ivm" -> (q180Ivm _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9096,7 +9100,11 @@ object Queries {
     "q173_video_keyframes" -> q173Oracle,
     "q174_triangles" -> q174Oracle,
     "q175_sole_late_supplier" -> q175Oracle,
-    "q176_global_avg_anti" -> q176Oracle
+    "q176_global_avg_anti" -> q176Oracle,
+    "q177_set_ops" -> q177Oracle,
+    "q178_explode_outer" -> q178Oracle,
+    "q179_array_hof" -> q179Oracle,
+    "q180_ivm" -> q180Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -12146,4 +12154,269 @@ object Queries {
       |      AND o.o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 60 DAY)
       |GROUP BY c.c_mktsegment
       |ORDER BY c.c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q177
+  /** SET-OPERATION CERTIFICATE — bag (ALL) vs set semantics across
+    * INTERSECT/EXCEPT/UNION, certified differentially. Multiset
+    * semantics are a classic cross-engine trap: `INTERSECT ALL` keeps
+    * min(multiplicities), `EXCEPT ALL` subtracts them, plain
+    * INTERSECT/EXCEPT deduplicate FIRST — engines that implement bag
+    * ops as join rewrites get the multiplicities wrong. Inputs are two
+    * suppkey multisets (A-flag vs R-flag lines, folded mod 100 so
+    * multiplicities are deep); outputs are the six cardinalities plus
+    * two content checksums, all scalars.
+    */
+  def q177SetOps(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val a = l.where(col("l_returnflag") === "A").select((col("l_suppkey") % 100).as("x"))
+    val b = l.where(col("l_returnflag") === "R").select((col("l_suppkey") % 100).as("x"))
+    val ia = a.intersectAll(b)
+    val ea = a.exceptAll(b)
+    def cnt(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
+    def sm(df: DataFrame, name: String) =
+      df.agg(coalesce(sum(col("x")), lit(0L)).as(name))
+    cnt(ia, "n_intersect_all")
+      .crossJoin(cnt(a.intersect(b), "n_intersect"))
+      .crossJoin(cnt(ea, "n_except_all"))
+      .crossJoin(cnt(a.except(b), "n_except"))
+      .crossJoin(cnt(a.unionAll(b), "n_union_all"))
+      .crossJoin(cnt(a.unionAll(b).distinct(), "n_union_distinct"))
+      .crossJoin(sm(ia, "sum_intersect_all"))
+      .crossJoin(sm(ea, "sum_except_all"))
+  }
+
+  val q177Oracle: String =
+    """WITH a AS (SELECT l_suppkey % 100 AS x FROM lineitem WHERE l_returnflag = 'A'),
+      |b AS (SELECT l_suppkey % 100 AS x FROM lineitem WHERE l_returnflag = 'R'),
+      |ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+      |ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ia) AS n_intersect_all,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_intersect,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ea) AS n_except_all,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_except,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM a UNION ALL SELECT * FROM b)) AS n_union_all,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_union_distinct,
+      |  (SELECT CAST(COALESCE(SUM(x), 0) AS BIGINT) FROM ia) AS sum_intersect_all,
+      |  (SELECT CAST(COALESCE(SUM(x), 0) AS BIGINT) FROM ea) AS sum_except_all""".stripMargin
+
+  // ---------------------------------------------------------------- q178
+  /** EXPLODE vs EXPLODE_OUTER CERTIFICATE — generator null/empty
+    * semantics: `explode` DROPS rows whose array is empty or null,
+    * `explode_outer` keeps them as a single null-element row (the LEFT
+    * JOIN LATERAL shape in SQL). Arrays are planted per doc: every
+    * 3rd empty, every 3rd+1 null, the rest real token slices. The
+    * conservation law (outer rows − inner rows = empty-or-null docs)
+    * is pinned TRUE, and posexplode's 0-BASED index is certified via
+    * the Σ n(n−1)/2 closed form — a 1-based generator would miss by
+    * exactly Σn.
+    */
+  def q178ExplodeOuter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(s, dir)
+      .where(col("doc_id") < 600)
+      .withColumn(
+        "arr",
+        expr(
+          """case when doc_id % 3 = 0 then array()
+            |     when doc_id % 3 = 1 then cast(null as array<string>)
+            |     else slice(split(trim(text), '\\s+'), 1, 5) end""".stripMargin))
+    val inner = d.select(col("doc_id"), explode(col("arr")).as("tok"))
+    val outer = d.select(col("doc_id"), explode_outer(col("arr")).as("tok"))
+    val pos = d.select(col("doc_id"), posexplode(col("arr")).as(Seq("p", "tok")))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val nInner = inner.agg(count(lit(1)).as("n_inner"))
+    val nOuter = outer.agg(
+      count(lit(1)).as("n_outer"),
+      sum(col("tok").isNull.cast("long")).as("n_null_tok_rows"))
+    val nEmpty = d.agg(
+      sum((col("arr").isNull || size(col("arr")) === 0).cast("long")).as("n_empty_or_null"))
+    val sumPos = pos.agg(coalesce(sum(col("p")), lit(0L)).as("sum_pos"))
+    // NOTE: with ANSI off, Spark's size(NULL) is the legacy -1, not
+    // null — coalesce would never fire; guard explicitly
+    val closed = d.agg(
+      coalesce(
+        sum(expr(
+          "(case when arr is null then 0 else size(arr) end) * ((case when arr is null then 0 else size(arr) end) - 1) div 2")),
+        lit(0L)).as("sum_pos_closed"))
+    nDocs
+      .crossJoin(nInner)
+      .crossJoin(nOuter)
+      .crossJoin(nEmpty)
+      .crossJoin(sumPos)
+      .crossJoin(closed)
+      .select(
+        col("n_docs"),
+        col("n_inner"),
+        col("n_outer"),
+        col("n_null_tok_rows"),
+        col("n_empty_or_null"),
+        (col("n_outer") - col("n_inner") === col("n_empty_or_null")).as("conservation_ok"),
+        (col("n_null_tok_rows") === col("n_empty_or_null")).as("null_rows_ok"),
+        col("sum_pos"),
+        (col("sum_pos") === col("sum_pos_closed")).as("pos_zero_based_ok")
+      )
+  }
+
+  val q178Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN []
+      |         WHEN doc_id % 3 = 1 THEN NULL
+      |         ELSE list_slice(string_split_regex(trim(text), '\s+'), 1, 5) END AS arr
+      |  FROM documents WHERE doc_id < 600
+      |), inner_e AS (
+      |  SELECT doc_id, unnest(arr) AS tok FROM d
+      |), outer_e AS (
+      |  SELECT d.doc_id, u.tok
+      |  FROM d LEFT JOIN LATERAL (SELECT unnest(d.arr) AS tok) u ON true
+      |), stats AS (
+      |  SELECT
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM inner_e) AS n_inner,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM outer_e) AS n_outer,
+      |    (SELECT CAST(SUM(CASE WHEN tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM outer_e) AS n_null_tok_rows,
+      |    (SELECT CAST(SUM(CASE WHEN arr IS NULL OR len(arr) = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM d) AS n_empty_or_null,
+      |    (SELECT CAST(COALESCE(SUM(COALESCE(len(arr), 0) * (COALESCE(len(arr), 0) - 1) // 2), 0) AS BIGINT) FROM d) AS sum_pos_closed
+      |)
+      |SELECT n_docs, n_inner, n_outer, n_null_tok_rows, n_empty_or_null,
+      |  (n_outer - n_inner = n_empty_or_null) AS conservation_ok,
+      |  (n_null_tok_rows = n_empty_or_null) AS null_rows_ok,
+      |  sum_pos_closed AS sum_pos,
+      |  TRUE AS pos_zero_based_ok
+      |FROM stats""".stripMargin
+
+  // ---------------------------------------------------------------- q179
+  /** ARRAY HIGHER-ORDER-FUNCTION CERTIFICATE — the lambda surface
+    * (transform, filter, aggregate/fold, sort, slice, distinct,
+    * position) certified against DuckDB's list_* family. Indexing
+    * conventions differ per engine (Spark slice is (start, LENGTH),
+    * DuckDB list_slice is (begin, END-inclusive); Spark array_position
+    * is 0-when-missing, DuckDB NULL-when-missing) — the certificate
+    * pins the translation table the engine's users rely on.
+    * list_distinct is order-unstable in DuckDB, so only its LENGTH is
+    * checked.
+    */
+  def q179ArrayHof(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .where(col("doc_id") < 300)
+      .withColumn("toks", expr("slice(split(trim(text), '\\\\s+'), 1, 8)"))
+      .select(
+        col("doc_id"),
+        expr("size(toks)").as("n"),
+        expr("aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x)")
+          .cast("long").as("sum_lens"),
+        expr("size(filter(toks, x -> length(x) > 4))").as("n_long"),
+        expr("array_join(slice(array_sort(toks), 1, 3), ',')").as("first3_sorted"),
+        expr("size(array_distinct(toks))").as("nd"),
+        expr("array_position(array_sort(toks), element_at(toks, 1))").as("pos_first")
+      )
+      .orderBy(col("doc_id"))
+
+  val q179Oracle: String =
+    """SELECT doc_id,
+      |  CAST(len(tk) AS INT) AS n,
+      |  CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS BIGINT) AS sum_lens,
+      |  CAST(len(list_filter(tk, x -> length(x) > 4)) AS INT) AS n_long,
+      |  array_to_string(list_slice(list_sort(tk), 1, 3), ',') AS first3_sorted,
+      |  CAST(len(list_distinct(tk)) AS INT) AS nd,
+      |  CAST(list_position(list_sort(tk), tk[1]) AS BIGINT) AS pos_first
+      |FROM (
+      |  SELECT doc_id, list_slice(string_split_regex(trim(text), '\s+'), 1, 8) AS tk
+      |  FROM documents WHERE doc_id < 300)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q180
+  /** INCREMENTAL VIEW MAINTENANCE ([[graft.ops.Ivm]]) — a per-key
+    * (count, sum) view over early events is maintained from a weighted
+    * changelog (inserts: the next 6 data-days; retractions: every 5th
+    * base event) and certified EQUAL to recomputing the view from the
+    * changed base — per key, with the equality laws in the checked row.
+    * Maintenance cost is O(|delta|): the delta aggregate reads only
+    * the changelog and the merge is one outer join on the key — the
+    * property that makes a 100 TB materialized view refreshable.
+    * Values ride the integer cent grid so sums are associative-exact.
+    */
+  def q180Ivm(s: SparkSession, dir: String): DataFrame = {
+    val Day = 86400000000000L
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("ts_ns"),
+        (col("user_id") % 200).as("k"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vq"))
+      .crossJoin(broadcast(
+        Tables.events(s, dir).agg(min(col("ts_ns")).as("t_min"))))
+      .withColumn("t0", col("t_min") + lit(18 * Day))
+      .withColumn("t1", col("t_min") + lit(24 * Day))
+    val base = ev.where(col("ts_ns") < col("t0"))
+    val state0 = base
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"), sum(col("vq")).as("sm"))
+    val inserts = ev
+      .where(col("ts_ns") >= col("t0") && col("ts_ns") < col("t1"))
+      .select(col("k"), lit(1L).as("w"), col("vq").as("v"))
+    val retracts = base
+      .where(col("event_id") % 5 === 0)
+      .select(col("k"), lit(-1L).as("w"), col("vq").as("v"))
+    val maintained = graft.ops.Ivm
+      .maintain(state0, inserts.unionByName(retracts), Seq("k"))
+      .withColumnsRenamed(Map("cnt" -> "m_cnt", "sm" -> "m_sm"))
+    val recomputed = ev
+      .where(
+        (col("ts_ns") < col("t0") && col("event_id") % 5 =!= 0) ||
+          (col("ts_ns") >= col("t0") && col("ts_ns") < col("t1")))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("r_cnt"), sum(col("vq")).as("r_sm"))
+    maintained
+      .join(recomputed, Seq("k"), "full_outer")
+      .select(
+        col("k"),
+        coalesce(col("m_cnt"), lit(-1L)).as("cnt"),
+        coalesce(col("m_sm"), lit(-1L)).as("sm"),
+        (col("m_cnt") <=> col("r_cnt")).as("cnt_law_ok"),
+        (col("m_sm") <=> col("r_sm")).as("sum_law_ok")
+      )
+      .orderBy(col("k"))
+  }
+
+  val q180Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, epoch_ns(ts) AS t, user_id % 200 AS k,
+      |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS vq,
+      |    (SELECT MIN(epoch_ns(ts)) FROM events) + 18 * 86400000000000 AS t0,
+      |    (SELECT MIN(epoch_ns(ts)) FROM events) + 24 * 86400000000000 AS t1
+      |  FROM events
+      |), base AS (SELECT * FROM ev WHERE t < t0),
+      |state0 AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(vq) AS BIGINT) AS sm
+      |  FROM base GROUP BY k
+      |), changes AS (
+      |  SELECT k, CAST(1 AS BIGINT) AS w, vq AS v FROM ev WHERE t >= t0 AND t < t1
+      |  UNION ALL
+      |  SELECT k, CAST(-1 AS BIGINT) AS w, vq AS v FROM base WHERE event_id % 5 = 0
+      |), delta AS (
+      |  SELECT k, CAST(SUM(w) AS BIGINT) AS d_cnt, CAST(SUM(w * v) AS BIGINT) AS d_sm
+      |  FROM changes GROUP BY k
+      |), maintained AS (
+      |  SELECT COALESCE(s.k, d.k) AS k,
+      |    COALESCE(s.cnt, 0) + COALESCE(d.d_cnt, 0) AS m_cnt,
+      |    COALESCE(s.sm, 0) + COALESCE(d.d_sm, 0) AS m_sm
+      |  FROM state0 s FULL OUTER JOIN delta d ON s.k = d.k
+      |), kept AS (SELECT * FROM maintained WHERE m_cnt > 0),
+      |recomputed AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS r_cnt, CAST(SUM(vq) AS BIGINT) AS r_sm
+      |  FROM ev
+      |  WHERE (t < t0 AND event_id % 5 <> 0) OR (t >= t0 AND t < t1)
+      |  GROUP BY k
+      |)
+      |SELECT COALESCE(kept.k, recomputed.k) AS k,
+      |  CAST(COALESCE(kept.m_cnt, -1) AS BIGINT) AS cnt,
+      |  CAST(COALESCE(kept.m_sm, -1) AS BIGINT) AS sm,
+      |  (kept.m_cnt IS NOT DISTINCT FROM recomputed.r_cnt) AS cnt_law_ok,
+      |  (kept.m_sm IS NOT DISTINCT FROM recomputed.r_sm) AS sum_law_ok
+      |FROM kept FULL OUTER JOIN recomputed ON kept.k = recomputed.k
+      |ORDER BY k""".stripMargin
 }

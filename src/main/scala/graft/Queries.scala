@@ -8927,7 +8927,10 @@ object Queries {
     "q177_set_ops" -> (q177SetOps _),
     "q178_explode_outer" -> (q178ExplodeOuter _),
     "q179_array_hof" -> (q179ArrayHof _),
-    "q180_ivm" -> (q180Ivm _)
+    "q180_ivm" -> (q180Ivm _),
+    "q181_attribution" -> (q181Attribution _),
+    "q182_twap" -> (q182Twap _),
+    "q183_ohlc" -> (q183Ohlc _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9104,7 +9107,10 @@ object Queries {
     "q177_set_ops" -> q177Oracle,
     "q178_explode_outer" -> q178Oracle,
     "q179_array_hof" -> q179Oracle,
-    "q180_ivm" -> q180Oracle
+    "q180_ivm" -> q180Oracle,
+    "q181_attribution" -> q181Oracle,
+    "q182_twap" -> q182Oracle,
+    "q183_ohlc" -> q183Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -12419,4 +12425,208 @@ object Queries {
       |  (kept.m_sm IS NOT DISTINCT FROM recomputed.r_sm) AS sum_law_ok
       |FROM kept FULL OUTER JOIN recomputed ON kept.k = recomputed.k
       |ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------- q181
+  /** MULTI-TOUCH ATTRIBUTION — for every purchase, the view/click
+    * touches of the same user in the prior 7 days earn credit under
+    * three industry rules at once: last-touch (most recent touch takes
+    * the conversion), first-touch (earliest takes it), and linear
+    * (1/n in ppm, floor — deterministic integer credit). One
+    * user-keyed equi join with the window predicate (per-user touch
+    * lists are small; the join never goes quadratic in the corpus),
+    * then per-conversion argmin/argmax via struct-ordered min/max
+    * (exact (ts, event_id) tie-break). Reported per channel.
+    */
+  def q181Attribution(s: SparkSession, dir: String): DataFrame = {
+    val Week = 604800000000000L
+    val ev = Tables.events(s, dir)
+    val conv = ev
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("cu"), col("ts_ns").as("cts"), col("event_id").as("cid"))
+    val touch = ev
+      .where(col("event_type").isin("view", "click"))
+      .select(
+        col("user_id").as("tu"),
+        col("ts_ns").as("tts"),
+        col("event_id").as("tid"),
+        col("event_type").as("channel"))
+    val pairs = conv.join(
+      touch,
+      col("cu") === col("tu") &&
+        col("tts") < col("cts") && col("tts") >= col("cts") - lit(Week))
+    val perConv = pairs
+      .groupBy(col("cu"), col("cid"))
+      .agg(
+        count(lit(1)).as("n_touch"),
+        max(struct(col("tts"), col("tid"), col("channel"))).as("last_t"),
+        min(struct(col("tts"), col("tid"), col("channel"))).as("first_t"))
+    val credited = pairs
+      .join(
+        perConv.select(col("cid").as("cid2"), col("n_touch"), col("last_t"), col("first_t")),
+        col("cid") === col("cid2"))
+    // a pair IS the winning touch iff its (ts, id) equals the argmax —
+    // (tts, tid) is a total order, so channel equality is implied
+    credited
+      .groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_credited_pairs"),
+        sum((struct(col("tts"), col("tid")) ===
+          struct(col("last_t.tts"), col("last_t.tid"))).cast("long")).as("last_touch_convs"),
+        sum((struct(col("tts"), col("tid")) ===
+          struct(col("first_t.tts"), col("first_t.tid"))).cast("long")).as("first_touch_convs"),
+        sum(expr("1000000 div n_touch")).as("linear_ppm_total")
+      )
+      .orderBy(col("channel"))
+  }
+
+  val q181Oracle: String =
+    """WITH conv AS (
+      |  SELECT user_id AS cu, epoch_ns(ts) AS cts, event_id AS cid
+      |  FROM events WHERE event_type = 'purchase'
+      |), touch AS (
+      |  SELECT user_id AS tu, epoch_ns(ts) AS tts, event_id AS tid, event_type AS channel
+      |  FROM events WHERE event_type IN ('view', 'click')
+      |), pairs AS (
+      |  SELECT * FROM conv JOIN touch
+      |    ON cu = tu AND tts < cts AND tts >= cts - 604800000000000
+      |), pr AS (
+      |  SELECT channel,
+      |    row_number() OVER (PARTITION BY cid ORDER BY tts DESC, tid DESC) AS rl,
+      |    row_number() OVER (PARTITION BY cid ORDER BY tts ASC, tid ASC) AS rf,
+      |    COUNT(*) OVER (PARTITION BY cid) AS n_touch
+      |  FROM pairs
+      |)
+      |SELECT channel,
+      |  CAST(COUNT(*) AS BIGINT) AS n_credited_pairs,
+      |  CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch_convs,
+      |  CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch_convs,
+      |  CAST(SUM(1000000 // n_touch) AS BIGINT) AS linear_ppm_total
+      |FROM pr
+      |GROUP BY channel
+      |ORDER BY channel""".stripMargin
+
+  // ---------------------------------------------------------------- q182
+  /** TIME-WEIGHTED AVERAGE (TWAP) — per user, the step-function
+    * integral of `value` over time divided by the covered duration:
+    * each observation holds from its timestamp to the next (lead), the
+    * last one contributes no interval. Products ride
+    * decimal(38,0)·ns — a cents×ns product reaches ~1.5e20 and
+    * OVERFLOWS a per-row BIGINT, so the first factor widens before
+    * multiplying (the q170 lesson); the final ratio is an integral
+    * division of exact integers, so both engines floor the same value.
+    */
+  def q182Twap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("ts_ns"),
+        col("event_id"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+      .withColumn("nxt", lead(col("ts_ns"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .withColumn("dur", col("nxt") - col("ts_ns"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("vc").cast("decimal(38,0)") * col("dur")).as("wsum"),
+        sum(col("dur")).as("tsum"))
+      .where(col("tsum") > 0)
+      .select(
+        col("user_id"),
+        col("n_intervals"),
+        expr("cast(wsum div tsum as bigint)").as("twap_cents"),
+        col("tsum").cast("long").as("covered_ns"))
+      .orderBy(col("user_id"))
+  }
+
+  val q182Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id,
+      |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS vc
+      |  FROM events
+      |), l AS (
+      |  SELECT user_id, vc,
+      |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dur
+      |  FROM e
+      |), d AS (SELECT * FROM l WHERE dur IS NOT NULL)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(CAST(vc AS HUGEINT) * dur) // SUM(dur) AS BIGINT) AS twap_cents,
+      |  CAST(SUM(dur) AS BIGINT) AS covered_ns
+      |FROM d
+      |GROUP BY user_id
+      |HAVING SUM(dur) > 0
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q183
+  /** OHLC BARS — per (event_type, UTC day): open/close via
+    * struct-ordered argmin/argmax on the exact (ts_ns, event_id) total
+    * order (never "first row seen" — that's partition-order
+    * nondeterminism), high/low as plain extremes, plus the overnight
+    * gap (open − previous close) through a lag window OVER THE
+    * AGGREGATED bars — the window-on-aggregate composition every OHLC
+    * pipeline needs. All prices in integer cents.
+    */
+  def q183Ohlc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        to_date(expr("timestamp_micros(ts_ns div 1000)")).as("day"),
+        col("ts_ns"),
+        col("event_id"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+    val bars = ev
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(struct(col("ts_ns"), col("event_id"), col("vc"))).getField("vc").as("open_cents"),
+        max(col("vc")).as("high_cents"),
+        min(col("vc")).as("low_cents"),
+        max(struct(col("ts_ns"), col("event_id"), col("vc"))).getField("vc").as("close_cents"))
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    bars
+      .withColumn(
+        "gap_cents",
+        coalesce(col("open_cents") - lag(col("close_cents"), 1).over(wd), lit(0L)))
+      .select(
+        col("event_type"),
+        col("day").cast("string").as("day"),
+        col("n"),
+        col("open_cents"),
+        col("high_cents"),
+        col("low_cents"),
+        col("close_cents"),
+        col("gap_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q183Oracle: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+      |    epoch_ns(ts) AS t, event_id,
+      |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS vc
+      |  FROM events
+      |), e2 AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, day ORDER BY t ASC, event_id ASC) AS ra,
+      |    row_number() OVER (PARTITION BY event_type, day ORDER BY t DESC, event_id DESC) AS rd
+      |  FROM e
+      |), bars AS (
+      |  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+      |    MAX(CASE WHEN ra = 1 THEN vc END) AS open_cents,
+      |    MAX(vc) AS high_cents, MIN(vc) AS low_cents,
+      |    MAX(CASE WHEN rd = 1 THEN vc END) AS close_cents
+      |  FROM e2 GROUP BY event_type, day
+      |)
+      |SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+      |  open_cents, high_cents, low_cents, close_cents,
+      |  CAST(COALESCE(open_cents - lag(close_cents) OVER
+      |    (PARTITION BY event_type ORDER BY day), 0) AS BIGINT) AS gap_cents
+      |FROM bars
+      |ORDER BY event_type, day""".stripMargin
 }

@@ -8930,7 +8930,10 @@ object Queries {
     "q180_ivm" -> (q180Ivm _),
     "q181_attribution" -> (q181Attribution _),
     "q182_twap" -> (q182Twap _),
-    "q183_ohlc" -> (q183Ohlc _)
+    "q183_ohlc" -> (q183Ohlc _),
+    "q184_kcore" -> (q184KCore _),
+    "q185_trending" -> (q185Trending _),
+    "q186_ratio_report" -> (q186RatioReport _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9110,7 +9113,10 @@ object Queries {
     "q180_ivm" -> q180Oracle,
     "q181_attribution" -> q181Oracle,
     "q182_twap" -> q182Oracle,
-    "q183_ohlc" -> q183Oracle
+    "q183_ohlc" -> q183Oracle,
+    "q184_kcore" -> q184Oracle,
+    "q185_trending" -> q185Oracle,
+    "q186_ratio_report" -> q186Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -12002,15 +12008,31 @@ object Queries {
     * orientation-dependent diagnostics and deliberately NOT in the
     * checked output; edges and triangles are orientation-invariant.
     */
-  def q174Triangles(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic bounded-degree test graph shared by q174/q184:
+    * edges k→k+{1,2,5} inside blocks of 10 over the real customer keys
+    * (semi-joined — no contiguity assumption).
+    */
+  private def blockGraph(s: SparkSession, dir: String): DataFrame = {
     val keys = Tables.customer(s, dir).select(col("c_custkey").as("k"))
     val cand = keys
       .withColumn("d", explode(array(lit(1L), lit(2L), lit(5L))))
       .withColumn("v", col("k") + col("d"))
       .where(expr("(k div 10) = (v div 10)"))
-    val edges = cand
+    cand
       .join(keys.withColumnRenamed("k", "v"), Seq("v"), "left_semi")
       .select(col("k").as("u"), col("v"))
+  }
+
+  // the same graph as a DuckDB CTE body (shared by the q174/q184 oracles)
+  private val BlockGraphSql: String =
+    """SELECT cand.k AS u, cand.v
+      |  FROM (SELECT k.c_custkey AS k, k.c_custkey + d.d AS v
+      |        FROM customer k, (SELECT unnest([1, 2, 5]) AS d) d
+      |        WHERE (k.c_custkey // 10) = ((k.c_custkey + d.d) // 10)) cand
+      |  JOIN customer k2 ON k2.c_custkey = cand.v""".stripMargin
+
+  def q174Triangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = blockGraph(s, dir)
     val tri = graft.ops.Triangles.triangles(edges, "u", "v")
     val triB = tri
       .withColumn("bucket", expr("least(u, least(v, w)) div 500"))
@@ -12029,13 +12051,8 @@ object Queries {
   }
 
   val q174Oracle: String =
-    """WITH k AS (SELECT c_custkey AS k FROM customer),
-      |cand AS (
-      |  SELECT k.k, k.k + d.d AS v
-      |  FROM k, (SELECT unnest([1, 2, 5]) AS d) d
-      |  WHERE (k.k // 10) = ((k.k + d.d) // 10)
-      |), e AS (
-      |  SELECT cand.k AS u, cand.v FROM cand JOIN k k2 ON k2.k = cand.v
+    s"""WITH e AS (
+      |$BlockGraphSql
       |), t AS (
       |  SELECT a.u AS x
       |  FROM e a
@@ -12628,5 +12645,244 @@ object Queries {
       |  CAST(COALESCE(open_cents - lag(close_cents) OVER
       |    (PARTITION BY event_type ORDER BY day), 0) AS BIGINT) AS gap_cents
       |FROM bars
+      |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------- q184
+  /** K-CORE DECOMPOSITION ([[graft.ops.KCore]]) — iterative peeling to
+    * the maximal subgraph of minimum degree ≥ k, on the shared block
+    * graph, for k = 3 and k = 4. The deletion CASCADE is the point:
+    * block ends start under-degree, their removal pushes interior
+    * nodes under, and the fixpoint is reached only after several
+    * rounds. The oracle UNROLLS 8 peel rounds per k as chained CTEs
+    * (the q155 unrolled-rounds discipline) and pins a computed
+    * stability verdict (|round 7| = |round 8| — peeling is monotone,
+    * so equal cardinality ⟺ equal sets); Spark iterates to its own
+    * fixpoint, so a cascade deeper than the unroll turns the row red
+    * instead of silently passing.
+    */
+  def q184KCore(s: SparkSession, dir: String): DataFrame = {
+    val edges = blockGraph(s, dir).persist()
+    val allBuckets = edges.select(expr("u div 500").as("bucket")).distinct()
+    val perK = Seq(3, 4).map { k =>
+      val ce = graft.ops.KCore.coreEdges(edges, k)
+      val nodes = ce
+        .select(col("u").as("id"))
+        .unionByName(ce.select(col("v").as("id")))
+        .distinct()
+      val nb = nodes
+        .groupBy(expr("id div 500").as("bucket"))
+        .agg(count(lit(1)).as("n_core_nodes"))
+      val eb = ce
+        .groupBy(expr("u div 500").as("bucket"))
+        .agg(count(lit(1)).as("n_core_edges"))
+      allBuckets
+        .join(nb, Seq("bucket"), "left")
+        .join(eb, Seq("bucket"), "left")
+        .na
+        .fill(0L, Seq("n_core_nodes", "n_core_edges"))
+        .withColumn("k", lit(k))
+        .withColumn("stable_ok", lit(true))
+    }
+    perK
+      .reduce(_ unionByName _)
+      .select(
+        col("k"),
+        col("bucket"),
+        col("n_core_nodes"),
+        col("n_core_edges"),
+        col("stable_ok"))
+      .orderBy(col("k"), col("bucket"))
+  }
+
+  val q184Oracle: String = {
+    val rounds = 8
+    def chain(k: Int): String = {
+      val sb = new StringBuilder
+      // MATERIALIZED is load-bearing: each round references its
+      // predecessor 3x, and DuckDB's default CTE inlining would go
+      // exponential over 8 rounds (the q95 BPE lesson — here it
+      // surfaced as "Too many open files" from 2^8 base-table scans)
+      sb ++= s"e${k}_0 AS MATERIALIZED (SELECT u, v FROM eset),\n"
+      for (r <- 1 to rounds) {
+        val p = s"e${k}_${r - 1}"
+        sb ++= s"""d${k}_$r AS (
+                  |  SELECT id, COUNT(*) AS deg FROM (
+                  |    SELECT u AS id FROM $p UNION ALL SELECT v FROM $p) GROUP BY id),
+                  |k${k}_$r AS (SELECT id FROM d${k}_$r WHERE deg >= $k),
+                  |e${k}_$r AS MATERIALIZED (
+                  |  SELECT e.u, e.v FROM $p e
+                  |  JOIN k${k}_$r a ON a.id = e.u
+                  |  JOIN k${k}_$r b ON b.id = e.v),
+                  |""".stripMargin
+      }
+      sb.toString
+    }
+    def summary(k: Int): String =
+      s"""SELECT $k AS k, bkt.bucket,
+         |  COALESCE(nb.n_core_nodes, 0) AS n_core_nodes,
+         |  COALESCE(eb.n_core_edges, 0) AS n_core_edges,
+         |  (SELECT COUNT(*) FROM e${k}_${rounds - 1}) = (SELECT COUNT(*) FROM e${k}_$rounds) AS stable_ok
+         |FROM (SELECT DISTINCT u // 500 AS bucket FROM eset) bkt
+         |LEFT JOIN (
+         |  SELECT id // 500 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_core_nodes FROM (
+         |    SELECT DISTINCT id FROM (
+         |      SELECT u AS id FROM e${k}_$rounds UNION ALL SELECT v FROM e${k}_$rounds))
+         |  GROUP BY 1) nb ON nb.bucket = bkt.bucket
+         |LEFT JOIN (
+         |  SELECT u // 500 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_core_edges
+         |  FROM e${k}_$rounds GROUP BY 1) eb ON eb.bucket = bkt.bucket""".stripMargin
+    s"""WITH eset AS MATERIALIZED (
+       |$BlockGraphSql
+       |),
+       |${chain(3)}${chain(4)}
+       |dummy AS (SELECT 1)
+       |SELECT CAST(k AS INT) AS k, CAST(bucket AS BIGINT) AS bucket,
+       |  n_core_nodes, n_core_edges, stable_ok
+       |FROM (
+       |${summary(3)}
+       |UNION ALL
+       |${summary(4)}
+       |)
+       |ORDER BY k, bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q185
+  /** TRENDING VALUES — day-over-day frequency lift with +1 smoothing:
+    * per day, the top-3 prop-k values by
+    * lift_ppm = ⌊cnt_today · (total_prev + D) · 10⁶ /
+    *            ((cnt_prev + 1) · (total_today) · 1)⌋-style ratio
+    * (exact integer floor on both engines — the FLOOR IS the
+    * definition, so ranking can never flip on a stray ulp), ties to
+    * the smaller value. First day has no previous and is excluded.
+    * The JSON prop surface (get_json_object / json_extract_string)
+    * feeds the counts.
+    */
+  def q185Trending(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        to_date(expr("timestamp_micros(ts_ns div 1000)")).as("day"),
+        expr("cast(get_json_object(props, '$.k') as bigint)").as("kv"))
+      .where(col("kv").isNotNull)
+    val counts = ev.groupBy(col("day"), col("kv")).agg(count(lit(1)).as("cnt"))
+    val totals = ev.groupBy(col("day")).agg(count(lit(1)).as("total"))
+    val wt = Window.orderBy(col("day"))
+    // previous-day count per value (0 when absent yesterday) via a
+    // self-join on (kv, day-1); previous-day total via lag over the
+    // tiny per-day totals
+    val prevCounts = counts.select(
+      col("kv").as("pkv"),
+      expr("date_add(day, 1)").as("pday"),
+      col("cnt").as("prev_cnt"))
+    val prevTotals = totals
+      .withColumn("prev_total", lag(col("total"), 1).over(wt))
+      .where(col("prev_total").isNotNull)
+    val lifted = counts
+      .join(prevTotals, Seq("day"))
+      .join(
+        prevCounts,
+        col("kv") === col("pkv") && col("day") === col("pday"),
+        "left")
+      .withColumn("pc", coalesce(col("prev_cnt"), lit(0L)))
+      .withColumn(
+        "lift_ppm",
+        expr("cast((cnt * prev_total * 1000000) div ((pc + 1) * total) as bigint)"))
+    val wr = Window
+      .partitionBy(col("day"))
+      .orderBy(col("lift_ppm").desc, col("kv").asc)
+    lifted
+      .withColumn("rnk", row_number().over(wr))
+      .where(col("rnk") <= 3)
+      .select(
+        col("day").cast("string").as("day"),
+        col("rnk"),
+        col("kv"),
+        col("cnt"),
+        col("lift_ppm"))
+      .orderBy(col("day"), col("rnk"))
+  }
+
+  val q185Oracle: String =
+    """WITH ev AS (
+      |  SELECT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+      |  FROM events
+      |), e AS (SELECT * FROM ev WHERE kv IS NOT NULL),
+      |counts AS (SELECT day, kv, CAST(COUNT(*) AS BIGINT) AS cnt FROM e GROUP BY day, kv),
+      |totals AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS total FROM e GROUP BY day),
+      |pt AS (
+      |  SELECT day, total, lag(total) OVER (ORDER BY day) AS prev_total FROM totals
+      |), lifted AS (
+      |  SELECT c.day, c.kv, c.cnt,
+      |    CAST((c.cnt * pt.prev_total * 1000000) //
+      |         ((COALESCE(p.cnt, 0) + 1) * pt.total) AS BIGINT) AS lift_ppm
+      |  FROM counts c
+      |  JOIN pt ON pt.day = c.day AND pt.prev_total IS NOT NULL
+      |  LEFT JOIN counts p ON p.kv = c.kv AND p.day + 1 = c.day
+      |), rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY day ORDER BY lift_ppm DESC, kv ASC) AS rnk
+      |  FROM lifted
+      |)
+      |SELECT CAST(day AS VARCHAR) AS day, CAST(rnk AS INT) AS rnk, kv, cnt, lift_ppm
+      |FROM rk WHERE rnk <= 3
+      |ORDER BY day, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q186
+  /** RATIO-TO-REPORT CERTIFICATE — the percent-of-total analytic
+    * family: each (type, day) cell's share of its type (whole-partition
+    * window sum — no ORDER BY, unbounded frame), its cumulative share
+    * through time (ordered running sum over the same partition), and
+    * the type's share of the grand total (window over the empty
+    * partition). All shares are integer ppm via exact integral
+    * division — cnt·10⁶ div total — so no float ratio can drift.
+    */
+  def q186RatioReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cell = Tables
+      .events(s, dir)
+      .groupBy(
+        col("event_type"),
+        to_date(expr("timestamp_micros(ts_ns div 1000)")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wType = Window.partitionBy(col("event_type"))
+    val wCum = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    cell
+      .withColumn("type_total", sum(col("cnt")).over(wType))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("grand", sum(col("cnt")).over(wAll))
+      .select(
+        col("event_type"),
+        col("day").cast("string").as("day"),
+        col("cnt"),
+        expr("cast((cnt * 1000000) div type_total as bigint)").as("share_ppm"),
+        expr("cast((cum * 1000000) div type_total as bigint)").as("cum_share_ppm"),
+        expr("cast((type_total * 1000000) div grand as bigint)").as("type_share_ppm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q186Oracle: String =
+    """WITH cell AS (
+      |  SELECT event_type,
+      |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), w AS (
+      |  SELECT event_type, day, cnt,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS type_total,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |                   ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(cnt) OVER () AS grand
+      |  FROM cell
+      |)
+      |SELECT event_type, CAST(day AS VARCHAR) AS day, cnt,
+      |  CAST((cnt * 1000000) // type_total AS BIGINT) AS share_ppm,
+      |  CAST((cum * 1000000) // type_total AS BIGINT) AS cum_share_ppm,
+      |  CAST((type_total * 1000000) // grand AS BIGINT) AS type_share_ppm
+      |FROM w
       |ORDER BY event_type, day""".stripMargin
 }

@@ -8933,7 +8933,10 @@ object Queries {
     "q183_ohlc" -> (q183Ohlc _),
     "q184_kcore" -> (q184KCore _),
     "q185_trending" -> (q185Trending _),
-    "q186_ratio_report" -> (q186RatioReport _)
+    "q186_ratio_report" -> (q186RatioReport _),
+    "q187_moving_median" -> (q187MovingMedian _),
+    "q188_benford" -> (q188Benford _),
+    "q189_weighted_median" -> (q189WeightedMedian _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9116,7 +9119,10 @@ object Queries {
     "q183_ohlc" -> q183Oracle,
     "q184_kcore" -> q184Oracle,
     "q185_trending" -> q185Oracle,
-    "q186_ratio_report" -> q186Oracle
+    "q186_ratio_report" -> q186Oracle,
+    "q187_moving_median" -> q187Oracle,
+    "q188_benford" -> q188Oracle,
+    "q189_weighted_median" -> q189Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -12885,4 +12891,205 @@ object Queries {
       |  CAST((type_total * 1000000) // grand AS BIGINT) AS type_share_ppm
       |FROM w
       |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------- q187
+  /** MOVING MEDIAN — 7-day discrete sliding median of daily event
+    * counts per type. Interpolated medians diverge cross-engine in the
+    * last ulp (the q41/q92 lesson), so the DISCRETE lower median IS
+    * the definition: order the window's values by (count, day) —
+    * a total order — and take position ⌈n/2⌉. The window materializes
+    * as a banded self-join on the date offset (0..6) over the tiny
+    * per-day grid, then one rank window per (type, day) cell — the
+    * rank-selection recipe, slid through time.
+    */
+  def q187MovingMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(
+        col("event_type"),
+        to_date(expr("timestamp_micros(ts_ns div 1000)")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val win = daily
+      .join(
+        daily.select(
+          col("event_type").as("et2"),
+          col("day").as("wday"),
+          col("cnt").as("wcnt")),
+        col("event_type") === col("et2") &&
+          expr("datediff(day, wday)").between(0, 6))
+    val wr = Window
+      .partitionBy(col("event_type"), col("day"))
+      .orderBy(col("wcnt").asc, col("wday").asc)
+    win
+      .withColumn("rn", row_number().over(wr))
+      .withColumn(
+        "n_win",
+        count(lit(1)).over(Window.partitionBy(col("event_type"), col("day"))))
+      .where(col("rn") === expr("(n_win + 1) div 2"))
+      .select(
+        col("event_type"),
+        col("day").cast("string").as("day"),
+        col("cnt"),
+        col("n_win").cast("long").as("n_win"),
+        col("wcnt").as("med7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q187Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), win AS (
+      |  SELECT a.event_type, a.day, a.cnt, b.day AS wday, b.cnt AS wcnt
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type
+      |   AND a.day - b.day BETWEEN 0 AND 6
+      |), rk AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, day ORDER BY wcnt ASC, wday ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type, day) AS n_win
+      |  FROM win
+      |)
+      |SELECT event_type, CAST(day AS VARCHAR) AS day, cnt,
+      |  CAST(n_win AS BIGINT) AS n_win, wcnt AS med7
+      |FROM rk WHERE rn = (n_win + 1) // 2
+      |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------- q188
+  /** BENFORD FIRST-DIGIT AUDIT — the data-quality screen for fabricated
+    * or truncated numeric columns: per event type, the first-digit
+    * distribution of positive cent values against Benford's
+    * log10(1 + 1/d), with a scaled chi-square statistic. The Benford
+    * masses are fixed 1e-6-grid integer literals (transcendental-free
+    * recipe), the digit comes from the decimal string head (no
+    * floating log10), and the chi-square numerator (obs·10⁶ − n·p)²
+    * reaches ~4e20 — per-row INT64 overflow, so it rides
+    * decimal(38,0)/HUGEINT (the q170/q182 widen-first lesson).
+    */
+  def q188Benford(s: SparkSession, dir: String): DataFrame = {
+    val p6 = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L, 45757L)
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .where(col("cents") > 0)
+      .withColumn("d", expr("cast(substring(cast(cents as string), 1, 1) as int)"))
+    val obs = ev.groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("obs"))
+    val totals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    import s.implicits._
+    val bexp = Seq.tabulate(9)(i => (i + 1, p6(i))).toDF("d_e", "p_e6")
+    val obs2 = obs.withColumnsRenamed(Map("event_type" -> "o_et", "d" -> "o_d"))
+    val full = totals
+      .crossJoin(bexp)
+      .join(obs2, col("event_type") === col("o_et") && col("d_e") === col("o_d"), "left")
+      .select(
+        col("event_type"),
+        col("d_e"),
+        coalesce(col("obs"), lit(0L)).as("obs"),
+        col("n"),
+        col("p_e6"))
+    val chi = full
+      .withColumn(
+        "dev2",
+        expr("(cast(obs as decimal(38,0)) * 1000000 - cast(n as decimal(38,0)) * p_e6) * " +
+          "(cast(obs as decimal(38,0)) * 1000000 - cast(n as decimal(38,0)) * p_e6)"))
+      .withColumn("term", expr("cast(dev2 div (cast(n as decimal(38,0)) * p_e6 * 1000000) as bigint)"))
+    chi
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        sum(when(col("d_e") === 1, col("obs")).otherwise(0L)).as("obs_d1"),
+        sum(when(col("d_e") === 9, col("obs")).otherwise(0L)).as("obs_d9"),
+        sum(col("term")).as("chi2_scaled"))
+      .orderBy(col("event_type"))
+  }
+
+  val q188Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), pos AS (
+      |  SELECT event_type,
+      |    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS d
+      |  FROM ev WHERE cents > 0
+      |), obs AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS obs FROM pos GROUP BY 1, 2),
+      |totals AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM pos GROUP BY 1),
+      |bexp AS (
+      |  SELECT CAST(u.d AS INT) AS d_e, u.p AS p_e6 FROM (
+      |    SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d,
+      |           unnest([301029,176091,124938,96910,79181,66946,57991,51152,45757]) AS p) u
+      |), fl AS (
+      |  SELECT t.event_type, b.d_e, COALESCE(o.obs, 0) AS obs, t.n, b.p_e6
+      |  FROM totals t CROSS JOIN bexp b
+      |  LEFT JOIN obs o ON o.event_type = t.event_type AND o.d = b.d_e
+      |), chi AS (
+      |  SELECT event_type, n, d_e, obs,
+      |    CAST(((CAST(obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * p_e6) *
+      |          (CAST(obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * p_e6))
+      |         // (CAST(n AS HUGEINT) * p_e6 * 1000000) AS BIGINT) AS term
+      |  FROM fl
+      |)
+      |SELECT event_type, n,
+      |  CAST(SUM(CASE WHEN d_e = 1 THEN obs ELSE 0 END) AS BIGINT) AS obs_d1,
+      |  CAST(SUM(CASE WHEN d_e = 9 THEN obs ELSE 0 END) AS BIGINT) AS obs_d9,
+      |  CAST(SUM(term) AS BIGINT) AS chi2_scaled
+      |FROM chi
+      |GROUP BY event_type, n
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q189
+  /** WEIGHTED MEDIAN via the distributed prefix sum
+    * ([[graft.ops.Sweep.orderedPrefixSum]]) — per return flag, the
+    * smallest price whose cumulative quantity weight reaches half the
+    * total. Weights pre-aggregate per (flag, price) so the order key
+    * is UNIQUE within each group — the (l_orderkey, l_linenumber)
+    * non-uniqueness gotcha never enters — and the crossing-point
+    * definition (min price with cum ≥ ⌈W/2⌉) is tie-free by
+    * construction. The cumulative sum is the range-binned two-pass;
+    * the oracle replays the plain single window it must equal.
+    */
+  def q189WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_returnflag").as("flag"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("pc"),
+        expr("cast(floor(l_quantity + 0.5) as bigint)").as("w"))
+    val byPrice = li.groupBy(col("flag"), col("pc")).agg(sum(col("w")).as("wsum"))
+    val cum = graft.ops.Sweep.orderedPrefixSum(
+      byPrice, Seq("flag"), col("pc"), col("pc"), col("wsum"), "cumw")
+    val tot = byPrice
+      .groupBy(col("flag"))
+      .agg(sum(col("wsum")).as("wtot"))
+      .withColumnRenamed("flag", "__tf")
+    cum
+      .join(broadcast(tot), col("flag") === col("__tf"))
+      .where(col("cumw") * 2 >= col("wtot"))
+      .groupBy(col("flag"), col("wtot"))
+      .agg(min(col("pc")).as("wmedian_cents"))
+      .select(col("flag"), col("wtot"), col("wmedian_cents"))
+      .orderBy(col("flag"))
+  }
+
+  val q189Oracle: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+      |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+      |  FROM lineitem
+      |), bp AS (
+      |  SELECT flag, pc, CAST(SUM(w) AS BIGINT) AS wsum FROM li GROUP BY flag, pc
+      |), c AS (
+      |  SELECT flag, pc, wsum,
+      |    SUM(wsum) OVER (PARTITION BY flag ORDER BY pc ROWS UNBOUNDED PRECEDING) AS cumw
+      |  FROM bp
+      |), t AS (SELECT flag, CAST(SUM(wsum) AS BIGINT) AS wtot FROM bp GROUP BY flag)
+      |SELECT c.flag, t.wtot, CAST(MIN(c.pc) AS BIGINT) AS wmedian_cents
+      |FROM c JOIN t ON c.flag = t.flag
+      |WHERE c.cumw * 2 >= t.wtot
+      |GROUP BY c.flag, t.wtot
+      |ORDER BY c.flag""".stripMargin
 }

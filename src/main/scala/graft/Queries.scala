@@ -8936,7 +8936,9 @@ object Queries {
     "q186_ratio_report" -> (q186RatioReport _),
     "q187_moving_median" -> (q187MovingMedian _),
     "q188_benford" -> (q188Benford _),
-    "q189_weighted_median" -> (q189WeightedMedian _)
+    "q189_weighted_median" -> (q189WeightedMedian _),
+    "q190_journey_patterns" -> (q190JourneyPatterns _),
+    "q191_clamped_balance" -> (q191ClampedBalance _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9122,7 +9124,9 @@ object Queries {
     "q186_ratio_report" -> q186Oracle,
     "q187_moving_median" -> q187Oracle,
     "q188_benford" -> q188Oracle,
-    "q189_weighted_median" -> q189Oracle
+    "q189_weighted_median" -> q189Oracle,
+    "q190_journey_patterns" -> q190Oracle,
+    "q191_clamped_balance" -> q191Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -11592,12 +11596,15 @@ object Queries {
         )
       )
       .persist()
+    // bounded_levenshtein(a,b,k) <= k ⟺ levenshtein(a,b) <= k
+    // (BoundedLevenshteinSpec pins it) — the banded DP scores the
+    // candidate pairs 3.7x faster than the full-matrix builtin
+    // (graft.ExprBench), and the oracle keeps the plain form
     val matches = cand
       .where(
-        levenshtein(
-          concat(col("a_first"), lit(" "), col("a_last")),
-          concat(col("b_first"), lit(" "), col("b_last"))) <= 2 &&
-          levenshtein(col("a_digits"), col("b_digits")) <= 1
+        expr("bounded_levenshtein(concat(a_first, ' ', a_last), " +
+          "concat(b_first, ' ', b_last), 2) <= 2") &&
+          expr("bounded_levenshtein(a_digits, b_digits, 1) <= 1")
       )
       .persist()
     val cl = graft.ops.EntityRes.clusters(matches, "a_id", "b_id")
@@ -13092,4 +13099,124 @@ object Queries {
       |WHERE c.cumw * 2 >= t.wtot
       |GROUP BY c.flag, t.wtot
       |ORDER BY c.flag""".stripMargin
+
+  // ---------------------------------------------------------------- q190
+  /** JOURNEY PATTERN MINING — each user's event history collapses to an
+    * ordered initial string ('v','c','p','s','e' by the exact
+    * (ts, event_id) order), and a pattern table counts the users whose
+    * journey matches each regex: the anywhere-funnel v.*c.*p, the
+    * adjacency vc, repeat purchase p.*p, starts-with-signup ^s, and
+    * ends-in-error e$. Construction is one sorted struct collect per
+    * user (Spark) ≡ ordered string_agg (DuckDB) — the deterministic
+    * sequence-to-string recipe; the regex subset (classes, anchors,
+    * dot-star) is engine-portable.
+    */
+  def q190JourneyPatterns(s: SparkSession, dir: String): DataFrame = {
+    val pats = Seq("v.*c.*p", "vc", "p.*p", "^s", "e$")
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("ts_ns"),
+        col("event_id"),
+        expr("substring(event_type, 1, 1)").as("ini"))
+    import s.implicits._
+    val journeys = ev
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(
+          expr("transform(array_sort(collect_list(struct(ts_ns, event_id, ini))), x -> x.ini)"),
+          "").as("j"))
+    pats
+      .toDF("pattern")
+      .crossJoin(journeys)
+      .groupBy(col("pattern"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(expr("case when regexp_like(j, pattern) then 1 else 0 end")).as("n_matched"))
+      .orderBy(col("pattern"))
+  }
+
+  val q190Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id, substr(event_type, 1, 1) AS ini
+      |  FROM events
+      |), j AS (
+      |  SELECT user_id, string_agg(ini, '' ORDER BY t, event_id) AS j
+      |  FROM e GROUP BY user_id
+      |), pats AS (
+      |  SELECT unnest(['v.*c.*p', 'vc', 'p.*p', '^s', 'e$']) AS pattern
+      |)
+      |SELECT pattern,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(CASE WHEN regexp_matches(j.j, pattern) THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+      |FROM pats CROSS JOIN j
+      |GROUP BY pattern
+      |ORDER BY pattern""".stripMargin
+
+  // ---------------------------------------------------------------- q191
+  /** CLAMPED RUNNING BALANCE ([[graft.ops.Sweep.clampedRunningSum]]) —
+    * per-user inventory-style level where purchases draw down and other
+    * events deposit, floored at zero: level_i = max(0, level_{i−1} +
+    * delta_i). The sequential-looking recurrence is computed
+    * declaratively via the two-window identity level = cum − min(0,
+    * running-min(cum)) — ClampedLawSpec PROVES the identity against
+    * the sequential fold; the oracle replays the same windows, so the
+    * cross-engine check pins the arithmetic and the spec pins the
+    * semantics. Outputs per user: final level (struct-ordered last),
+    * max level, floor-hit count.
+    */
+  def q191ClampedBalance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("ts_ns"),
+        col("event_id"),
+        when(
+          col("event_type") === "purchase",
+          -expr("cast(floor(value * 100 + 0.5) as bigint)"))
+          .otherwise(expr("cast(floor(value * 100 + 0.5) as bigint)")).as("delta"))
+    val lvl = graft.ops.Sweep.clampedRunningSum(
+      ev, Seq("user_id"), col("ts_ns"), col("event_id"), col("delta"), "lvl")
+    lvl
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("lvl")).as("max_lvl"),
+        max(struct(col("ts_ns"), col("event_id"), col("lvl")))
+          .getField("lvl").as("final_lvl"),
+        sum((col("lvl") === 0).cast("long")).as("n_floor_hits"))
+      .orderBy(col("user_id"))
+  }
+
+  val q191Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS t, event_id,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN -CAST(floor("value" * 100 + 0.5) AS BIGINT)
+      |         ELSE CAST(floor("value" * 100 + 0.5) AS BIGINT) END AS delta
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, t, event_id,
+      |    SUM(delta) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM e
+      |), l AS (
+      |  SELECT user_id, t, event_id,
+      |    cum - LEAST(0, MIN(cum) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                                  ROWS UNBOUNDED PRECEDING)) AS lvl
+      |  FROM c
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rd
+      |  FROM l
+      |)
+      |SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MAX(lvl) AS BIGINT) AS max_lvl,
+      |  CAST(MAX(CASE WHEN rd = 1 THEN lvl END) AS BIGINT) AS final_lvl,
+      |  CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_floor_hits
+      |FROM r
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 }

@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("bounded_levenshtein"),
+        new ExpressionInfo(classOf[BoundedLevenshtein].getCanonicalName, "bounded_levenshtein"),
+        (exprs: Seq[Expression]) => BoundedLevenshtein(exprs(0), exprs(1), exprs(2))
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("deflate_ratio"),
         new ExpressionInfo(classOf[DeflateRatio].getCanonicalName, "deflate_ratio"),
         (exprs: Seq[Expression]) => DeflateRatio(exprs.head)

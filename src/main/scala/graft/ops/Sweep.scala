@@ -105,6 +105,39 @@ object Sweep {
       .drop((if (groupCols.isEmpty) Seq("__sweep_g") else Seq.empty[String]): _*)
   }
 
+  /** CLAMPED (floor-at-zero) running sum — inventory/balance semantics
+    * where the level can never go negative: level_i = max(0, level_{i−1}
+    * + w_i). The recurrence looks inherently sequential, but it has a
+    * closed two-window form:
+    *
+    *   level_i = cum_i − min(0, min_{j ≤ i} cum_j)
+    *
+    * (each time the raw prefix sum dips to a new low, the clamp has
+    * absorbed exactly that dip). `ClampedLawSpec` proves the identity
+    * against the sequential fold on random data — including
+    * all-negative and oscillating streams. Partitioned per key here
+    * (fine-grained keys); a single global sequence at 100 TB would
+    * compose two [[orderedPrefixSum]]-style two-pass scans (sum, then
+    * running min) with the same algebra.
+    */
+  def clampedRunningSum(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCol: Column,
+      tieCol: Column,
+      weightCol: Column,
+      outCol: String
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(orderCol.asc, tieCol.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(weightCol).over(w))
+      .withColumn("__rm", min(col("__cum")).over(w))
+      .withColumn(outCol, col("__cum") - least(lit(0L), col("__rm")))
+      .drop("__cum", "__rm")
+  }
+
   /** Sweep-line peak concurrency over half-open intervals [start, end):
     * the maximum number of simultaneously-open intervals, per group.
     *

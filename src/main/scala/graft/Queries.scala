@@ -8938,7 +8938,10 @@ object Queries {
     "q188_benford" -> (q188Benford _),
     "q189_weighted_median" -> (q189WeightedMedian _),
     "q190_journey_patterns" -> (q190JourneyPatterns _),
-    "q191_clamped_balance" -> (q191ClampedBalance _)
+    "q191_clamped_balance" -> (q191ClampedBalance _),
+    "q192_mergeable_distinct" -> (q192MergeableDistinct _),
+    "q193_time_to_convert" -> (q193TimeToConvert _),
+    "q194_rfm" -> (q194Rfm _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9126,7 +9129,10 @@ object Queries {
     "q188_benford" -> q188Oracle,
     "q189_weighted_median" -> q189Oracle,
     "q190_journey_patterns" -> q190Oracle,
-    "q191_clamped_balance" -> q191Oracle
+    "q191_clamped_balance" -> q191Oracle,
+    "q192_mergeable_distinct" -> q192Oracle,
+    "q193_time_to_convert" -> q193Oracle,
+    "q194_rfm" -> q194Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -13219,4 +13225,187 @@ object Queries {
       |FROM r
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q192
+  /** EXACT MERGEABLE DISTINCT — the bitmap-rollup law HLL only
+    * approximates: daily per-(type, day) distinct-user sets materialize
+    * as sorted id arrays (the partial), weekly counts come from FOLDING
+    * the daily partials with array_union — never rescanning the base —
+    * and the law `|merged| = direct COUNT(DISTINCT)` is pinned per
+    * cell, alongside the naive Σ(daily distinct) overcount that
+    * motivates mergeable structures in the first place. Weeks are
+    * epoch-day div 7 (integer, engine-portable — weekofyear semantics
+    * are not).
+    */
+  def q192MergeableDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        expr("(ts_ns div 86400000000000)").as("eday"),
+        expr("((ts_ns div 86400000000000) div 7)").as("wk"),
+        col("user_id"))
+    val daily = ev
+      .groupBy(col("event_type"), col("wk"), col("eday"))
+      .agg(
+        sort_array(collect_set(col("user_id"))).as("u_arr"),
+        countDistinct(col("user_id")).as("n_day"))
+    val weekly = daily
+      .groupBy(col("event_type"), col("wk"))
+      .agg(
+        expr(
+          "size(aggregate(collect_list(u_arr), cast(array() as array<bigint>), (acc, x) -> array_union(acc, x)))")
+          .cast("long").as("n_merged"),
+        sum(col("n_day")).as("sum_daily"))
+    val direct = ev
+      .groupBy(col("event_type"), col("wk"))
+      .agg(countDistinct(col("user_id")).as("n_direct"))
+    weekly
+      .join(direct, Seq("event_type", "wk"))
+      .select(
+        col("event_type"),
+        col("wk"),
+        col("n_direct"),
+        col("n_merged"),
+        col("sum_daily"),
+        (col("n_merged") === col("n_direct")).as("merge_law_ok"),
+        (col("sum_daily") - col("n_direct")).as("naive_overcount"))
+      .orderBy(col("event_type"), col("wk"))
+  }
+
+  val q192Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    epoch_ns(ts) // 86400000000000 AS eday,
+      |    (epoch_ns(ts) // 86400000000000) // 7 AS wk,
+      |    user_id
+      |  FROM events
+      |), daily AS (
+      |  SELECT event_type, wk, eday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_day
+      |  FROM ev GROUP BY 1, 2, 3
+      |), weekly AS (
+      |  SELECT event_type, wk, CAST(SUM(n_day) AS BIGINT) AS sum_daily
+      |  FROM daily GROUP BY 1, 2
+      |), direct AS (
+      |  SELECT event_type, wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_direct
+      |  FROM ev GROUP BY 1, 2
+      |)
+      |SELECT d.event_type, CAST(d.wk AS BIGINT) AS wk, d.n_direct,
+      |  d.n_direct AS n_merged,
+      |  w.sum_daily,
+      |  TRUE AS merge_law_ok,
+      |  w.sum_daily - d.n_direct AS naive_overcount
+      |FROM direct d JOIN weekly w ON d.event_type = w.event_type AND d.wk = w.wk
+      |ORDER BY d.event_type, d.wk""".stripMargin
+
+  // ---------------------------------------------------------------- q193
+  /** FUNNEL TIME-TO-CONVERT — users whose first purchase follows their
+    * first view, with DISCRETE p50/p90 of the conversion latency
+    * (rank-selected order statistics, the q92/q97 recipe — interpolated
+    * quantiles diverge cross-engine): order latencies by (latency,
+    * user_id), p50 at row (n+1) div 2, p90 at row (9n) div 10 + 1.
+    * Latencies in whole milliseconds.
+    */
+  def q193TimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val firsts = ev
+      .where(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_ns"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts_ns"))).as("first_purchase"))
+      .where(
+        col("first_view").isNotNull && col("first_purchase").isNotNull &&
+          col("first_purchase") > col("first_view"))
+      .select(
+        col("user_id"),
+        expr("(first_purchase - first_view) div 1000000").as("tt_ms"))
+    val w = Window.orderBy(col("tt_ms").asc, col("user_id").asc)
+    val ranked = firsts
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(firsts.agg(count(lit(1)).as("n"))))
+    ranked
+      .where(
+        col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n * 9) div 10 + 1"))
+      .groupBy(col("n"))
+      .agg(
+        min(when(col("rn") === expr("(n + 1) div 2"), col("tt_ms"))).as("p50_ms"),
+        min(when(col("rn") === expr("(n * 9) div 10 + 1"), col("tt_ms"))).as("p90_ms"))
+      .select(col("n").as("n_converting"), col("p50_ms"), col("p90_ms"))
+  }
+
+  val q193Oracle: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS fv,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS fp
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY user_id
+      |), c AS (
+      |  SELECT user_id, (fp - fv) // 1000000 AS tt_ms
+      |  FROM f WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv
+      |), r AS (
+      |  SELECT *, row_number() OVER (ORDER BY tt_ms ASC, user_id ASC) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM c
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_converting,
+      |  CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN tt_ms END) AS BIGINT) AS p50_ms,
+      |  CAST(MIN(CASE WHEN rn = (n * 9) // 10 + 1 THEN tt_ms END) AS BIGINT) AS p90_ms
+      |FROM r
+      |WHERE rn = (n + 1) // 2 OR rn = (n * 9) // 10 + 1
+      |GROUP BY n""".stripMargin
+
+  // ---------------------------------------------------------------- q194
+  /** RFM SEGMENTATION — the classic marketing cube: per user, Recency
+    * (last purchase instant), Frequency (purchase count), Monetary
+    * (cent sum), each cut into quintiles by ntile(5) over a TOTAL
+    * order ((metric desc, user_id) — ntile under ties is
+    * order-dependent, so the tiebreak is part of the definition);
+    * output is the populated (r, f, m) cells with user counts and
+    * monetary mass. Users who never purchased are excluded up front
+    * (their R/M are undefined, not zero).
+    */
+  def q194Rfm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables
+      .events(s, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("ts_ns")).as("last_p"),
+        count(lit(1)).as("freq"),
+        sum(expr("cast(floor(value * 100 + 0.5) as bigint)")).as("cents"))
+    val rq = Window.orderBy(col("last_p").desc, col("user_id").asc)
+    val fq = Window.orderBy(col("freq").desc, col("user_id").asc)
+    val mq = Window.orderBy(col("cents").desc, col("user_id").asc)
+    p.withColumn("r_q", ntile(5).over(rq))
+      .withColumn("f_q", ntile(5).over(fq))
+      .withColumn("m_q", ntile(5).over(mq))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val q194Oracle: String =
+    """WITH p AS (
+      |  SELECT user_id, MAX(epoch_ns(ts)) AS last_p,
+      |    CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id
+      |), q AS (
+      |  SELECT *,
+      |    ntile(5) OVER (ORDER BY last_p DESC, user_id ASC) AS r_q,
+      |    ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS f_q,
+      |    ntile(5) OVER (ORDER BY cents DESC, user_id ASC) AS m_q
+      |  FROM p
+      |)
+      |SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q, CAST(m_q AS INT) AS m_q,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(cents) AS BIGINT) AS cents_total
+      |FROM q
+      |GROUP BY r_q, f_q, m_q
+      |ORDER BY r_q, f_q, m_q""".stripMargin
 }

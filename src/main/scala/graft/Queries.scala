@@ -8941,7 +8941,11 @@ object Queries {
     "q191_clamped_balance" -> (q191ClampedBalance _),
     "q192_mergeable_distinct" -> (q192MergeableDistinct _),
     "q193_time_to_convert" -> (q193TimeToConvert _),
-    "q194_rfm" -> (q194Rfm _)
+    "q194_rfm" -> (q194Rfm _),
+    "q195_fifo" -> (q195Fifo _),
+    "q196_iso_weekday" -> (q196IsoWeekday _),
+    "q197_unicode" -> (q197Unicode _),
+    "q198_int_division" -> (q198IntDivision _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9132,7 +9136,11 @@ object Queries {
     "q191_clamped_balance" -> q191Oracle,
     "q192_mergeable_distinct" -> q192Oracle,
     "q193_time_to_convert" -> q193Oracle,
-    "q194_rfm" -> q194Oracle
+    "q194_rfm" -> q194Oracle,
+    "q195_fifo" -> q195Oracle,
+    "q196_iso_weekday" -> q196Oracle,
+    "q197_unicode" -> q197Oracle,
+    "q198_int_division" -> q198Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -13408,4 +13416,249 @@ object Queries {
       |FROM q
       |GROUP BY r_q, f_q, m_q
       |ORDER BY r_q, f_q, m_q""".stripMargin
+
+  // ---------------------------------------------------------------- q195
+  /** FIFO LOT DEPLETION — first-in-first-out inventory matching made
+    * declarative: per part, 'A'-flag lines are restock lots in
+    * (shipdate, orderkey, linenumber) order and 'R'-flag demand D
+    * consumes them front to back. The sequential matching has a closed
+    * prefix-sum form:
+    *
+    *   consumed_i = clamp(D − lot_start_i, 0, size_i)
+    *
+    * where lot_start_i is the exclusive cumulative size. Two FIFO laws
+    * are certified in-row: Σ consumed = min(D, supply) per part, and
+    * at most ONE partially-consumed lot per part — both aggregated as
+    * violation counts pinned 0.
+    */
+  def q195Fifo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_partkey").as("pk"),
+        col("l_returnflag").as("fl"),
+        col("l_shipdate"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        expr("cast(floor(l_quantity + 0.5) as bigint)").as("qty"))
+    val demand = li
+      .where(col("fl") === "R")
+      .groupBy(col("pk"))
+      .agg(sum(col("qty")).as("d"))
+    val w = Window
+      .partitionBy(col("pk"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lots = li
+      .where(col("fl") === "A")
+      .withColumn("cum", sum(col("qty")).over(w))
+      .withColumn("lot_start", col("cum") - col("qty"))
+      .join(demand, Seq("pk"), "left")
+      .na
+      .fill(0L, Seq("d"))
+      .withColumn(
+        "consumed",
+        greatest(lit(0L), least(col("qty"), col("d") - col("lot_start"))))
+    val perPart = lots
+      .groupBy(col("pk"), col("d"))
+      .agg(
+        sum(col("qty")).as("supply"),
+        sum(col("consumed")).as("consumed_sum"),
+        sum((col("consumed") === col("qty")).cast("long")).as("n_depleted"),
+        sum((col("consumed") > 0 && col("consumed") < col("qty")).cast("long")).as("n_partial"))
+    perPart
+      .groupBy(expr("pk div 1000").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("consumed_sum")).as("sum_consumed"),
+        sum(col("n_depleted")).as("n_depleted_lots"),
+        sum((col("consumed_sum") =!= least(col("d"), col("supply"))).cast("long"))
+          .as("conservation_violations"),
+        sum((col("n_partial") > 1).cast("long")).as("partial_lot_violations"))
+      .orderBy(col("bucket"))
+  }
+
+  val q195Oracle: String =
+    """WITH li AS (
+      |  SELECT l_partkey AS pk, l_returnflag AS fl, l_shipdate, l_orderkey,
+      |    l_linenumber, CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+      |  FROM lineitem
+      |), dem AS (
+      |  SELECT pk, CAST(SUM(qty) AS BIGINT) AS d FROM li WHERE fl = 'R' GROUP BY pk
+      |), lots AS (
+      |  SELECT li.pk, li.qty,
+      |    SUM(qty) OVER (PARTITION BY li.pk
+      |                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |                   ROWS UNBOUNDED PRECEDING) - qty AS lot_start,
+      |    COALESCE(dem.d, 0) AS d
+      |  FROM li LEFT JOIN dem ON dem.pk = li.pk
+      |  WHERE fl = 'A'
+      |), c AS (
+      |  SELECT pk, d, qty,
+      |    GREATEST(0, LEAST(qty, d - lot_start)) AS consumed
+      |  FROM lots
+      |), pp AS (
+      |  SELECT pk, d, CAST(SUM(qty) AS BIGINT) AS supply,
+      |    CAST(SUM(consumed) AS BIGINT) AS consumed_sum,
+      |    CAST(SUM(CASE WHEN consumed = qty THEN 1 ELSE 0 END) AS BIGINT) AS n_depleted,
+      |    CAST(SUM(CASE WHEN consumed > 0 AND consumed < qty THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+      |  FROM c GROUP BY pk, d
+      |)
+      |SELECT CAST(pk // 1000 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(consumed_sum) AS BIGINT) AS sum_consumed,
+      |  CAST(SUM(n_depleted) AS BIGINT) AS n_depleted_lots,
+      |  CAST(SUM(CASE WHEN consumed_sum <> LEAST(d, supply) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS conservation_violations,
+      |  CAST(SUM(CASE WHEN n_partial > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS partial_lot_violations
+      |FROM pp
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q196
+  /** ISO WEEKDAY CERTIFICATE — day-of-week semantics differ per engine
+    * (Spark's dayofweek is 1 = Sunday; DuckDB's isodow is 1 = Monday):
+    * the portable formula `((dayofweek + 5) % 7) + 1` lands Spark on
+    * ISO numbering, and the English day NAME (date_format 'EEEE' ↔
+    * dayname) rides along as a second witness. Per ISO weekday:
+    * events, purchase share ppm.
+    */
+  def q196IsoWeekday(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        to_date(expr("timestamp_micros(ts_ns div 1000)")).as("day"),
+        col("event_type"))
+      .withColumn("isodow", expr("((dayofweek(day) + 5) % 7) + 1"))
+      .withColumn("dow_name", expr("date_format(day, 'EEEE')"))
+      .groupBy(col("isodow"), col("dow_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("event_type") === "purchase").cast("long")).as("n_purchase"))
+      .select(
+        col("isodow"),
+        col("dow_name"),
+        col("n"),
+        expr("cast((n_purchase * 1000000) div n as bigint)").as("purchase_ppm"))
+      .orderBy(col("isodow"))
+
+  val q196Oracle: String =
+    """WITH e AS (
+      |  SELECT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day, event_type
+      |  FROM events
+      |)
+      |SELECT CAST(isodow(day) AS INT) AS isodow,
+      |  dayname(day) AS dow_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST((SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 1000000)
+      |       // COUNT(*) AS BIGINT) AS purchase_ppm
+      |FROM e
+      |GROUP BY isodow(day), dayname(day)
+      |ORDER BY isodow""".stripMargin
+
+  // ---------------------------------------------------------------- q197
+  /** UNICODE STRING CERTIFICATE — code-point vs byte semantics across
+    * the string surface on adversarial samples (combining accents,
+    * Greek, CJK, an astral-plane emoji, padding): length counts CODE
+    * POINTS on both engines (the emoji is 1, not 2 UTF-16 units),
+    * octet_length/strlen counts bytes, substring/instr/left/right/
+    * reverse/lpad are all code-point-indexed, and case mapping agrees
+    * on the Latin/Greek samples. Pinning the pairs (length,
+    * octet_length) is what certifies neither engine silently falls
+    * back to byte indexing.
+    */
+  def q197Unicode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val samples = Seq("héllo wörld", "ΚΌΣΜΕ", "こんにちは", "a😀b", "  pad  ", "a,b,c")
+    samples
+      .toDF("t")
+      .select(
+        col("t"),
+        length(col("t")).as("n_chars"),
+        expr("octet_length(t)").as("n_bytes"),
+        upper(col("t")).as("up"),
+        lower(col("t")).as("lo"),
+        expr("substring(t, 2, 3)").as("sub23"),
+        expr("instr(t, 'l')").as("pos_l"),
+        reverse(col("t")).as("rev"),
+        expr("left(t, 2)").as("l2"),
+        expr("right(t, 2)").as("r2"),
+        expr("lpad(t, 8, '-')").as("pad8"),
+        expr("trim(t)").as("trimmed"),
+        expr("split_part(t, ',', 2)").as("csv2"))
+      .orderBy(col("t"))
+  }
+
+  val q197Oracle: String =
+    """WITH s AS (
+      |  SELECT unnest(['héllo wörld', 'ΚΌΣΜΕ', 'こんにちは', 'a😀b', '  pad  ', 'a,b,c']) AS t
+      |)
+      |SELECT t,
+      |  CAST(length(t) AS INT) AS n_chars,
+      |  CAST(strlen(t) AS INT) AS n_bytes,
+      |  upper(t) AS up,
+      |  lower(t) AS lo,
+      |  substr(t, 2, 3) AS sub23,
+      |  CAST(strpos(t, 'l') AS INT) AS pos_l,
+      |  reverse(t) AS rev,
+      |  left(t, 2) AS l2,
+      |  right(t, 2) AS r2,
+      |  lpad(t, 8, '-') AS pad8,
+      |  trim(t) AS trimmed,
+      |  split_part(t, ',', 2) AS csv2
+      |FROM s
+      |ORDER BY t""".stripMargin
+
+  // ---------------------------------------------------------------- q198
+  /** NEGATIVE INTEGER DIVISION CERTIFICATE — `div` / `%` / `pmod` on a
+    * signed grid. Both engines truncate integral division toward zero
+    * and give `%` the dividend's sign (probed; NOT universal — Python
+    * floors both), so the certificate pins: (a) truncation on the
+    * full signed grid, (b) the Euclidean identity a = b·(a div b) +
+    * a % b, (c) Spark's ACTUAL pmod rule — `if (a % b < 0)
+    * ((a % b) + b) % b else a % b` — which for NEGATIVE moduli is NOT
+    * the textbook ((a%b)+b)%b emulation (measured: pmod(1, −3) = 1,
+    * emulation −2) and is only non-negative when b > 0
+    * (pmod(−1, −3) = −1); the oracle replicates the rule verbatim and
+    * the non-negativity law is scoped to positive b, and (d) floor
+    * division recovered as (a − pmod) div b for b > 0. The law columns
+    * make any future engine change (or a floor-semantics port) turn
+    * the row red.
+    */
+  def q198IntDivision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = for { a <- Seq(-7L, -3L, -1L, 0L, 1L, 3L, 7L); b <- Seq(-3L, -2L, 2L, 3L) } yield (a, b)
+    grid
+      .toDF("a", "b")
+      .select(
+        col("a"),
+        col("b"),
+        expr("a div b").as("q_trunc"),
+        expr("a % b").as("r_sign"),
+        expr("pmod(a, b)").as("r_pos"),
+        expr("case when b > 0 then (a - pmod(a, b)) div b else a div b end").as("q_floor"),
+        expr("b * (a div b) + (a % b) = a").as("euclid_ok"),
+        expr("b < 0 or pmod(a, b) >= 0").as("pmod_nonneg_ok"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q198Oracle: String =
+    """WITH g AS (
+      |  SELECT a.a, b.b
+      |  FROM (SELECT unnest([-7, -3, -1, 0, 1, 3, 7]) AS a) a,
+      |       (SELECT unnest([-3, -2, 2, 3]) AS b) b
+      |)
+      |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+      |  CAST(a // b AS BIGINT) AS q_trunc,
+      |  CAST(a % b AS BIGINT) AS r_sign,
+      |  CAST(CASE WHEN (a % b) < 0 THEN ((a % b) + b) % b ELSE a % b END AS BIGINT) AS r_pos,
+      |  CAST(CASE WHEN b > 0
+      |       THEN (a - CASE WHEN (a % b) < 0 THEN ((a % b) + b) % b ELSE a % b END) // b
+      |       ELSE a // b END AS BIGINT) AS q_floor,
+      |  (b * (a // b) + (a % b) = a) AS euclid_ok,
+      |  (b < 0 OR CASE WHEN (a % b) < 0 THEN ((a % b) + b) % b ELSE a % b END >= 0) AS pmod_nonneg_ok
+      |FROM g
+      |ORDER BY a, b""".stripMargin
 }

@@ -8945,7 +8945,9 @@ object Queries {
     "q195_fifo" -> (q195Fifo _),
     "q196_iso_weekday" -> (q196IsoWeekday _),
     "q197_unicode" -> (q197Unicode _),
-    "q198_int_division" -> (q198IntDivision _)
+    "q198_int_division" -> (q198IntDivision _),
+    "q199_log_histogram" -> (q199LogHistogram _),
+    "q200_daily_dashboard" -> (q200DailyDashboard _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9140,7 +9142,9 @@ object Queries {
     "q195_fifo" -> q195Oracle,
     "q196_iso_weekday" -> q196Oracle,
     "q197_unicode" -> q197Oracle,
-    "q198_int_division" -> q198Oracle
+    "q198_int_division" -> q198Oracle,
+    "q199_log_histogram" -> q199Oracle,
+    "q200_daily_dashboard" -> q200Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -13661,4 +13665,207 @@ object Queries {
       |  (b < 0 OR CASE WHEN (a % b) < 0 THEN ((a % b) + b) % b ELSE a % b END >= 0) AS pmod_nonneg_ok
       |FROM g
       |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------- q199
+  /** LOG₂-BUCKETED HISTOGRAM (HdrHistogram-style) — latency/value
+    * histograms at scale use power-of-two buckets so the bucket id is
+    * integer arithmetic, not a transcendental: floor(log2(x)) =
+    * length(bin(x)) − 1 (the binary string length — engine-portable
+    * and exact where a float log2 would wobble on boundary values like
+    * exactly 2^k). Per (type, bucket): count, bucket bounds via
+    * shiftleft, share and cumulative share in exact ppm.
+    */
+  def q199LogHistogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .where(col("cents") > 0)
+      .withColumn("bucket", expr("cast(length(bin(cents)) - 1 as int)"))
+    val h = ev.groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy(col("event_type"))
+    val wc = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("total", sum(col("n")).over(wt))
+      .withColumn("cum", sum(col("n")).over(wc))
+      .select(
+        col("event_type"),
+        col("bucket"),
+        expr("shiftleft(1L, bucket)").as("lo_cents"),
+        expr("shiftleft(1L, bucket + 1) - 1").as("hi_cents"),
+        col("n"),
+        expr("cast((n * 1000000) div total as bigint)").as("share_ppm"),
+        expr("cast((cum * 1000000) div total as bigint)").as("cum_ppm"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val q199Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), b AS (
+      |  SELECT event_type, CAST(length(bin(cents)) - 1 AS INT) AS bucket
+      |  FROM ev WHERE cents > 0
+      |), h AS (
+      |  SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM b GROUP BY 1, 2
+      |), w AS (
+      |  SELECT *, SUM(n) OVER (PARTITION BY event_type) AS total,
+      |    SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+      |                 ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM h
+      |)
+      |SELECT event_type, bucket,
+      |  CAST(1 << bucket AS BIGINT) AS lo_cents,
+      |  CAST((1 << (bucket + 1)) - 1 AS BIGINT) AS hi_cents,
+      |  n,
+      |  CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
+      |  CAST((cum * 1000000) // total AS BIGINT) AS cum_ppm
+      |FROM w
+      |ORDER BY event_type, bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q200
+  /** DAILY OPERATIONS DASHBOARD — the analytics-family capstone (the
+    * event-side sibling of q120's curation capstone): ONE dataflow per
+    * UTC day composing this round's certified laws — q37 gap
+    * sessionization (sessions started), q167's sweep-line concurrency
+    * (daily peak of open sessions, global two-pass prefix sum), the
+    * purchase/revenue cents grid, exact distinct users, and a
+    * struct-ordered top event type. The oracle replays the full chain;
+    * every constituent law is individually certified upstream, so a
+    * red row here localizes to the COMPOSITION.
+    */
+  def q200DailyDashboard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val GapNs = 1800000000000L
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"), col("event_id"), col("ts_ns"), col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .withColumn("day", to_date(expr("timestamp_micros(ts_ns div 1000)")))
+    // per-day core stats
+    val core = ev
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum((col("event_type") === "purchase").cast("long")).as("n_purchases"),
+        sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L))
+          .as("revenue_cents"))
+    // top event type per day (deterministic argmax: count desc, type asc)
+    val topType = ev
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("day"))
+      .agg(max(struct(col("cnt"), expr("- ascii(event_type)").as("na"), col("event_type")))
+        .getField("event_type").as("top_type"))
+    // sessions started per day (q37 law; session start day)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val starts = ev
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .where(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > GapNs)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions_started"))
+    // daily peak concurrency (q167 law, global sweep)
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .withColumn(
+        "is_new",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > GapNs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(wr))
+    val iv = sess
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_ns")).as("st"), (max(col("ts_ns")) + lit(GapNs)).as("en"))
+    val deltas = iv
+      .select(col("st").as("t"), lit(1L).as("sign"))
+      .unionByName(iv.select(col("en").as("t"), lit(-1L).as("sign")))
+      .groupBy(col("t"), col("sign"))
+      .agg(sum(col("sign")).as("net"))
+    val run = graft.ops.Sweep
+      .orderedPrefixSum(deltas, Nil, col("t"), col("sign"), col("net"), "level")
+      .withColumn("day", to_date(expr("timestamp_micros(t div 1000)")))
+    val peaks = run.groupBy(col("day")).agg(max(col("level")).cast("long").as("peak_concurrency"))
+    core
+      .join(topType, Seq("day"))
+      .join(starts, Seq("day"), "left")
+      .join(peaks, Seq("day"), "left")
+      .na
+      .fill(0L, Seq("n_sessions_started", "peak_concurrency"))
+      .select(
+        col("day").cast("string").as("day"),
+        col("n_events"),
+        col("n_users"),
+        col("n_sessions_started"),
+        col("peak_concurrency"),
+        col("n_purchases"),
+        expr("cast((n_purchases * 1000000) div n_events as bigint)").as("purchase_ppm"),
+        col("revenue_cents"),
+        col("top_type"))
+      .orderBy(col("day"))
+  }
+
+  val q200Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS t, event_type,
+      |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents,
+      |    CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day
+      |  FROM events
+      |), core AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS revenue_cents
+      |  FROM ev GROUP BY day
+      |), tt AS (
+      |  SELECT day, event_type AS top_type FROM (
+      |    SELECT day, event_type,
+      |      row_number() OVER (PARTITION BY day ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+      |    FROM ev GROUP BY day, event_type) x
+      |  WHERE rn = 1
+      |), m AS (
+      |  SELECT user_id, event_id, t, day,
+      |    lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+      |  FROM ev
+      |), st AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions_started
+      |  FROM m WHERE pt IS NULL OR t - pt > 1800000000000
+      |  GROUP BY day
+      |), sid AS (
+      |  SELECT user_id, t,
+      |    SUM(CASE WHEN pt IS NULL OR t - pt > 1800000000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m
+      |), iv AS (
+      |  SELECT user_id, sid, MIN(t) AS s, MAX(t) + 1800000000000 AS e
+      |  FROM sid GROUP BY user_id, sid
+      |), d AS (
+      |  SELECT s AS t, CAST(1 AS BIGINT) AS sign FROM iv
+      |  UNION ALL SELECT e, CAST(-1 AS BIGINT) FROM iv
+      |), nd AS (SELECT t, sign, SUM(sign) AS net FROM d GROUP BY t, sign),
+      |r AS (
+      |  SELECT t, SUM(net) OVER (ORDER BY t, sign ROWS UNBOUNDED PRECEDING) AS level
+      |  FROM nd
+      |), pk AS (
+      |  SELECT CAST(make_timestamp(t // 1000) AS DATE) AS day,
+      |    CAST(MAX(level) AS BIGINT) AS peak_concurrency
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT CAST(core.day AS VARCHAR) AS day, core.n_events, core.n_users,
+      |  COALESCE(st.n_sessions_started, 0) AS n_sessions_started,
+      |  COALESCE(pk.peak_concurrency, 0) AS peak_concurrency,
+      |  core.n_purchases,
+      |  CAST((core.n_purchases * 1000000) // core.n_events AS BIGINT) AS purchase_ppm,
+      |  core.revenue_cents,
+      |  tt.top_type
+      |FROM core
+      |JOIN tt ON tt.day = core.day
+      |LEFT JOIN st ON st.day = core.day
+      |LEFT JOIN pk ON pk.day = core.day
+      |ORDER BY day""".stripMargin
 }

@@ -8947,7 +8947,9 @@ object Queries {
     "q197_unicode" -> (q197Unicode _),
     "q198_int_division" -> (q198IntDivision _),
     "q199_log_histogram" -> (q199LogHistogram _),
-    "q200_daily_dashboard" -> (q200DailyDashboard _)
+    "q200_daily_dashboard" -> (q200DailyDashboard _),
+    "q201_geo_grid" -> (q201GeoGrid _),
+    "q202_spatial_join" -> (q202SpatialJoin _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9144,7 +9146,9 @@ object Queries {
     "q197_unicode" -> q197Oracle,
     "q198_int_division" -> q198Oracle,
     "q199_log_histogram" -> q199Oracle,
-    "q200_daily_dashboard" -> q200Oracle
+    "q200_daily_dashboard" -> q200Oracle,
+    "q201_geo_grid" -> q201Oracle,
+    "q202_spatial_join" -> q202Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -13868,4 +13872,152 @@ object Queries {
       |LEFT JOIN st ON st.day = core.day
       |LEFT JOIN pk ON pk.day = core.day
       |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q201
+  /** GEO GRID INDEX ([[graft.ops.Geo]]) — stations (synthetic
+    * micro-degree lat/lon from supplier keys, both engines replay the
+    * LCG) bucketed into 10° truncating-division cells; per cell the
+    * station count and the nearest station to the cell center by EXACT
+    * squared integer distance (struct-ordered argmin, (d2, suppkey)
+    * tiebreak). No trig, no sqrt — the transcendental-free spatial
+    * recipe; nearest/containment decisions are order-equivalent under
+    * squaring.
+    */
+  def q201GeoGrid(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables
+      .supplier(s, dir)
+      .select(col("s_suppkey").as("sk"))
+      .withColumn("lat", expr("((sk * 2654435761) % 120000000) - 60000000"))
+      .withColumn("lon", expr("((sk * 2246822519) % 360000000) - 180000000"))
+    val W = 10000000L
+    st.withColumn("cr", expr(s"lat div $W"))
+      .withColumn("cc", expr(s"lon div $W"))
+      .withColumn("clat", col("cr") * W + lit(W / 2))
+      .withColumn("clon", col("cc") * W + lit(W / 2))
+      .withColumn(
+        "d2",
+        (col("lat") - col("clat")) * (col("lat") - col("clat")) +
+          (col("lon") - col("clon")) * (col("lon") - col("clon")))
+      .groupBy(col("cr"), col("cc"))
+      .agg(
+        count(lit(1)).as("n_stations"),
+        min(struct(col("d2"), col("sk"))).getField("sk").as("nearest_to_center"),
+        min(col("d2")).as("min_d2"))
+      .orderBy(col("cr"), col("cc"))
+  }
+
+  val q201Oracle: String =
+    """WITH st AS (
+      |  SELECT s_suppkey AS sk,
+      |    ((s_suppkey * 2654435761) % 120000000) - 60000000 AS lat,
+      |    ((s_suppkey * 2246822519) % 360000000) - 180000000 AS lon
+      |  FROM supplier
+      |), c AS (
+      |  SELECT sk, lat, lon,
+      |    lat // 10000000 AS cr, lon // 10000000 AS cc
+      |  FROM st
+      |), d AS (
+      |  SELECT sk, cr, cc,
+      |    (lat - (cr * 10000000 + 5000000)) * (lat - (cr * 10000000 + 5000000)) +
+      |    (lon - (cc * 10000000 + 5000000)) * (lon - (cc * 10000000 + 5000000)) AS d2
+      |  FROM c
+      |), rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY cr, cc ORDER BY d2, sk) AS rn
+      |  FROM d
+      |)
+      |SELECT CAST(cr AS BIGINT) AS cr, CAST(cc AS BIGINT) AS cc,
+      |  CAST(COUNT(*) AS BIGINT) AS n_stations,
+      |  CAST(MAX(CASE WHEN rn = 1 THEN sk END) AS BIGINT) AS nearest_to_center,
+      |  CAST(MIN(d2) AS BIGINT) AS min_d2
+      |FROM rk
+      |GROUP BY cr, cc
+      |ORDER BY cr, cc""".stripMargin
+
+  // ---------------------------------------------------------------- q202
+  /** SPATIAL RADIUS JOIN ([[graft.ops.Geo.radiusJoin]]) — every
+    * (point, station) pair within 5° by exact squared integer distance,
+    * via the LSH-for-space plan: stations fan out to their 3×3
+    * neighbor cells (bounded ×9 on the SMALL side), points equi-join on
+    * their single cell, candidates filter exactly. The oracle is the
+    * naive |P|·|S| theta join — the definition the grid plan must
+    * equal. Output: per-point match-count histogram + pair mass +
+    * Σ min-d2 checksum over matched points.
+    */
+  def q202SpatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val R = 5000000L
+    val st = Tables
+      .supplier(s, dir)
+      .select(col("s_suppkey").as("sk"))
+      .withColumn("slat", expr("((sk * 2654435761) % 120000000) - 60000000"))
+      .withColumn("slon", expr("((sk * 2246822519) % 360000000) - 180000000"))
+    val pts = Tables
+      .customer(s, dir)
+      .where(col("c_custkey") <= 2000)
+      .select(col("c_custkey").as("pk"))
+      .withColumn("plat", expr("((pk * 3266489917) % 120000000) - 60000000"))
+      .withColumn("plon", expr("((pk * 668265263) % 360000000) - 180000000"))
+    val pairs = graft.ops.Geo
+      .radiusJoin(pts, st, "plat", "plon", "slat", "slon", R)
+      .select(col("pk"), col("sk"), col("d2"))
+    val perPoint = pairs
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_matches"), min(col("d2")).as("min_d2"))
+    val withAll = pts
+      .select(col("pk"))
+      .join(perPoint, Seq("pk"), "left")
+      .na
+      .fill(0L, Seq("n_matches"))
+    withAll
+      .withColumn(
+        "bucket",
+        when(col("n_matches") === 0, "0")
+          .when(col("n_matches") === 1, "1")
+          .when(col("n_matches") <= 5, "2-5")
+          .otherwise("6+"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("n_matches")).as("n_pairs"),
+        coalesce(sum(col("min_d2")), lit(0L)).as("sum_min_d2"))
+      .orderBy(col("bucket"))
+  }
+
+  val q202Oracle: String =
+    """WITH st AS (
+      |  SELECT s_suppkey AS sk,
+      |    ((s_suppkey * 2654435761) % 120000000) - 60000000 AS slat,
+      |    ((s_suppkey * 2246822519) % 360000000) - 180000000 AS slon
+      |  FROM supplier
+      |), pts AS (
+      |  SELECT c_custkey AS pk,
+      |    ((c_custkey * 3266489917) % 120000000) - 60000000 AS plat,
+      |    ((c_custkey * 668265263) % 360000000) - 180000000 AS plon
+      |  FROM customer WHERE c_custkey <= 2000
+      |), pairs AS (
+      |  SELECT pk, sk,
+      |    (plat - slat) * (plat - slat) + (plon - slon) * (plon - slon) AS d2
+      |  FROM pts, st
+      |  WHERE (plat - slat) * (plat - slat) + (plon - slon) * (plon - slon)
+      |        <= CAST(5000000 AS BIGINT) * 5000000
+      |), pp AS (
+      |  SELECT pts.pk,
+      |    CAST(COUNT(pairs.sk) AS BIGINT) AS n_matches,
+      |    MIN(pairs.d2) AS min_d2
+      |  FROM pts LEFT JOIN pairs ON pairs.pk = pts.pk
+      |  GROUP BY pts.pk
+      |), b AS (
+      |  SELECT pk, n_matches, min_d2,
+      |    CASE WHEN n_matches = 0 THEN '0'
+      |         WHEN n_matches = 1 THEN '1'
+      |         WHEN n_matches <= 5 THEN '2-5'
+      |         ELSE '6+' END AS bucket
+      |  FROM pp
+      |)
+      |SELECT bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_points,
+      |  CAST(SUM(n_matches) AS BIGINT) AS n_pairs,
+      |  CAST(COALESCE(SUM(min_d2), 0) AS BIGINT) AS sum_min_d2
+      |FROM b
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
 }

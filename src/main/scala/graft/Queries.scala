@@ -8949,7 +8949,9 @@ object Queries {
     "q199_log_histogram" -> (q199LogHistogram _),
     "q200_daily_dashboard" -> (q200DailyDashboard _),
     "q201_geo_grid" -> (q201GeoGrid _),
-    "q202_spatial_join" -> (q202SpatialJoin _)
+    "q202_spatial_join" -> (q202SpatialJoin _),
+    "q203_idw_interpolation" -> (q203IdwInterpolation _),
+    "q204_spatial_knn" -> (q204SpatialKnn _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9148,7 +9150,9 @@ object Queries {
     "q199_log_histogram" -> q199Oracle,
     "q200_daily_dashboard" -> q200Oracle,
     "q201_geo_grid" -> q201Oracle,
-    "q202_spatial_join" -> q202Oracle
+    "q202_spatial_join" -> q202Oracle,
+    "q203_idw_interpolation" -> q203Oracle,
+    "q204_spatial_knn" -> q204Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -14019,5 +14023,157 @@ object Queries {
       |  CAST(COALESCE(SUM(min_d2), 0) AS BIGINT) AS sum_min_d2
       |FROM b
       |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q203
+  /** IDW INTERPOLATION — the reference domain's actual spatial use
+    * case: estimate a measurement at an arbitrary point from nearby
+    * stations by inverse-distance weighting. Exact-integer contract:
+    * weights are `SCALE div (d2 + 1)` (the +1 makes a co-located
+    * station dominant without a zero division; floor IS the
+    * definition), the estimate is ⌊Σ v·w / Σ w⌋, and the v·w products
+    * ride decimal(38,0)/HUGEINT (per-term ≈ 5e19 overflows INT64 —
+    * the widen-first lesson again). Candidates come from the q202 grid
+    * radius join; uncovered points (no station within 5°) are counted,
+    * not invented.
+    */
+  def q203IdwInterpolation(s: SparkSession, dir: String): DataFrame = {
+    val R = 5000000L
+    val st = Tables
+      .supplier(s, dir)
+      .select(col("s_suppkey").as("sk"))
+      .withColumn("slat", expr("((sk * 2654435761) % 120000000) - 60000000"))
+      .withColumn("slon", expr("((sk * 2246822519) % 360000000) - 180000000"))
+      .withColumn("v_cents", expr("(sk * 7919) % 50000"))
+    val pts = Tables
+      .customer(s, dir)
+      .where(col("c_custkey") <= 2000)
+      .select(col("c_custkey").as("pk"))
+      .withColumn("plat", expr("((pk * 3266489917) % 120000000) - 60000000"))
+      .withColumn("plon", expr("((pk * 668265263) % 360000000) - 180000000"))
+    val pairs = graft.ops.Geo
+      .radiusJoin(pts, st, "plat", "plon", "slat", "slon", R)
+      .withColumn("w", expr("1000000000000000 div (d2 + 1)"))
+    val est = pairs
+      .groupBy(col("pk"))
+      .agg(
+        count(lit(1)).as("n_near"),
+        sum(expr("cast(v_cents as decimal(38,0)) * w")).as("vw"),
+        sum(col("w")).as("wsum"))
+      .withColumn("est_cents", expr("cast(vw div wsum as bigint)"))
+    pts
+      .select(col("pk"))
+      .join(est, Seq("pk"), "left")
+      .groupBy(expr("pk div 200").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("est_cents").isNotNull.cast("long")).as("n_covered"),
+        coalesce(sum(col("est_cents")), lit(0L)).as("sum_est_cents"),
+        coalesce(sum(col("n_near")), lit(0L)).as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
+  val q203Oracle: String =
+    """WITH st AS (
+      |  SELECT s_suppkey AS sk,
+      |    ((s_suppkey * 2654435761) % 120000000) - 60000000 AS slat,
+      |    ((s_suppkey * 2246822519) % 360000000) - 180000000 AS slon,
+      |    (s_suppkey * 7919) % 50000 AS v_cents
+      |  FROM supplier
+      |), pts AS (
+      |  SELECT c_custkey AS pk,
+      |    ((c_custkey * 3266489917) % 120000000) - 60000000 AS plat,
+      |    ((c_custkey * 668265263) % 360000000) - 180000000 AS plon
+      |  FROM customer WHERE c_custkey <= 2000
+      |), pairs AS (
+      |  SELECT pk,
+      |    (plat - slat) * (plat - slat) + (plon - slon) * (plon - slon) AS d2,
+      |    v_cents
+      |  FROM pts, st
+      |  WHERE (plat - slat) * (plat - slat) + (plon - slon) * (plon - slon)
+      |        <= CAST(5000000 AS BIGINT) * 5000000
+      |), w AS (
+      |  SELECT pk, v_cents, 1000000000000000 // (d2 + 1) AS w FROM pairs
+      |), est AS (
+      |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_near,
+      |    CAST(SUM(CAST(v_cents AS HUGEINT) * w) // SUM(w) AS BIGINT) AS est_cents
+      |  FROM w GROUP BY pk
+      |)
+      |SELECT CAST(pts.pk // 200 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_points,
+      |  CAST(SUM(CASE WHEN est.est_cents IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |  CAST(COALESCE(SUM(est.est_cents), 0) AS BIGINT) AS sum_est_cents,
+      |  CAST(COALESCE(SUM(est.n_near), 0) AS BIGINT) AS n_pairs
+      |FROM pts LEFT JOIN est ON est.pk = pts.pk
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q204
+  /** SPATIAL k-NN — top-3 nearest stations per point among the 5°
+    * grid candidates, ranked by the exact (d2, suppkey) total order.
+    * The coverage caveat is explicit: grid k-NN only sees candidates
+    * inside the radius, so points with fewer than 3 candidates report
+    * what they have (counted per bucket) — the production fix is ring
+    * expansion, the certified contract here is "k-NN AMONG candidates".
+    */
+  def q204SpatialKnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val R = 5000000L
+    val st = Tables
+      .supplier(s, dir)
+      .select(col("s_suppkey").as("sk"))
+      .withColumn("slat", expr("((sk * 2654435761) % 120000000) - 60000000"))
+      .withColumn("slon", expr("((sk * 2246822519) % 360000000) - 180000000"))
+    val pts = Tables
+      .customer(s, dir)
+      .where(col("c_custkey") <= 2000)
+      .select(col("c_custkey").as("pk"))
+      .withColumn("plat", expr("((pk * 3266489917) % 120000000) - 60000000"))
+      .withColumn("plon", expr("((pk * 668265263) % 360000000) - 180000000"))
+    val w = Window.partitionBy(col("pk")).orderBy(col("d2").asc, col("sk").asc)
+    val top3 = graft.ops.Geo
+      .radiusJoin(pts, st, "plat", "plon", "slat", "slon", R)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+    top3
+      .groupBy(expr("pk div 200").as("bucket"))
+      .agg(
+        countDistinct(col("pk")).as("n_points_matched"),
+        sum((col("rn") === 3).cast("long")).as("n_with_3"),
+        sum(when(col("rn") === 1, col("d2"))).as("sum_nn1_d2"),
+        sum(when(col("rn") === 3, col("d2"))).as("sum_nn3_d2"),
+        sum(when(col("rn") === 1, col("sk")).otherwise(0L)).as("nn1_sk_checksum"))
+      .orderBy(col("bucket"))
+  }
+
+  val q204Oracle: String =
+    """WITH st AS (
+      |  SELECT s_suppkey AS sk,
+      |    ((s_suppkey * 2654435761) % 120000000) - 60000000 AS slat,
+      |    ((s_suppkey * 2246822519) % 360000000) - 180000000 AS slon
+      |  FROM supplier
+      |), pts AS (
+      |  SELECT c_custkey AS pk,
+      |    ((c_custkey * 3266489917) % 120000000) - 60000000 AS plat,
+      |    ((c_custkey * 668265263) % 360000000) - 180000000 AS plon
+      |  FROM customer WHERE c_custkey <= 2000
+      |), pairs AS (
+      |  SELECT pk, sk,
+      |    (plat - slat) * (plat - slat) + (plon - slon) * (plon - slon) AS d2
+      |  FROM pts, st
+      |  WHERE (plat - slat) * (plat - slat) + (plon - slon) * (plon - slon)
+      |        <= CAST(5000000 AS BIGINT) * 5000000
+      |), rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY pk ORDER BY d2 ASC, sk ASC) AS rn
+      |  FROM pairs
+      |), t3 AS (SELECT * FROM rk WHERE rn <= 3)
+      |SELECT CAST(pk // 200 AS BIGINT) AS bucket,
+      |  CAST(COUNT(DISTINCT pk) AS BIGINT) AS n_points_matched,
+      |  CAST(SUM(CASE WHEN rn = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_3,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN d2 END) AS BIGINT) AS sum_nn1_d2,
+      |  CAST(SUM(CASE WHEN rn = 3 THEN d2 END) AS BIGINT) AS sum_nn3_d2,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN sk ELSE 0 END) AS BIGINT) AS nn1_sk_checksum
+      |FROM t3
+      |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 }

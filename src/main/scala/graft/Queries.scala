@@ -8951,7 +8951,10 @@ object Queries {
     "q201_geo_grid" -> (q201GeoGrid _),
     "q202_spatial_join" -> (q202SpatialJoin _),
     "q203_idw_interpolation" -> (q203IdwInterpolation _),
-    "q204_spatial_knn" -> (q204SpatialKnn _)
+    "q204_spatial_knn" -> (q204SpatialKnn _),
+    "q205_late_arrivals" -> (q205LateArrivals _),
+    "q206_dedup_idempotence" -> (q206DedupIdempotence _),
+    "q207_cc_agreement" -> (q207CcAgreement _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9152,7 +9155,10 @@ object Queries {
     "q201_geo_grid" -> q201Oracle,
     "q202_spatial_join" -> q202Oracle,
     "q203_idw_interpolation" -> q203Oracle,
-    "q204_spatial_knn" -> q204Oracle
+    "q204_spatial_knn" -> q204Oracle,
+    "q205_late_arrivals" -> q205Oracle,
+    "q206_dedup_idempotence" -> q206Oracle,
+    "q207_cc_agreement" -> q207Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -14176,4 +14182,162 @@ object Queries {
       |FROM t3
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q205
+  /** WATERMARK LATE-ARRIVAL ACCOUNTING — streaming semantics certified
+    * in batch: with arrival order proxied by event_id, an event is LATE
+    * iff the watermark had already passed its timestamp when it
+    * arrived: ts_i < max_{j<i}(ts_j) − W (strictly-previous running
+    * max, W = 1 h). This is exactly the drop rule
+    * streaming/PerKeyWatermark enforces live; the batch certificate
+    * quantifies it per type — late counts, ppm, and the worst lateness
+    * — and the oracle replays the same exclusive-frame window.
+    */
+  def q205LateArrivals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 3600000000000L
+    val wprev = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables
+      .events(s, dir)
+      .select(col("event_type"), col("event_id"), col("ts_ns"))
+      .withColumn("wm", max(col("ts_ns")).over(wprev) - lit(W))
+      .withColumn("late", (col("wm").isNotNull && col("ts_ns") < col("wm")).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("late")).as("n_late"),
+        expr("cast((sum(late) * 1000000) div count(1) as bigint)").as("late_ppm"),
+        coalesce(
+          max(when(col("late") === 1, expr("(wm - ts_ns) div 1000000"))),
+          lit(0L)).as("max_lateness_ms"))
+      .orderBy(col("event_type"))
+  }
+
+  val q205Oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id, epoch_ns(ts) AS t FROM events
+      |), w AS (
+      |  SELECT event_type, t,
+      |    MAX(t) OVER (PARTITION BY event_type ORDER BY event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      - 3600000000000 AS wm
+      |  FROM e
+      |), l AS (
+      |  SELECT event_type, t, wm,
+      |    CASE WHEN wm IS NOT NULL AND t < wm THEN 1 ELSE 0 END AS late
+      |  FROM w
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(late) AS BIGINT) AS n_late,
+      |  CAST((SUM(late) * 1000000) // COUNT(*) AS BIGINT) AS late_ppm,
+      |  CAST(COALESCE(MAX(CASE WHEN late = 1 THEN (wm - t) // 1000000 END), 0) AS BIGINT)
+      |    AS max_lateness_ms
+      |FROM l
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q206
+  /** DEDUP IDEMPOTENCE — pipeline re-run safety as a law: applying
+    * [[graft.ops.Dedup.firstWins]] to its own output must be the
+    * identity (f∘f = f). Certified by order-independent digests
+    * (count, id sum, id bit_xor) of the first and second applications,
+    * with the equality verdicts in the checked row — a re-run of an
+    * idempotent stage on a cluster must be a no-op, not a data change.
+    */
+  def q206DedupIdempotence(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+    val keys = Seq("user_id", "event_type", "ts_ns")
+    val d1 = graft.ops.Dedup.firstWins(ev, keys, Seq("event_id"))
+    val d2 = graft.ops.Dedup.firstWins(d1, keys, Seq("event_id"))
+    def digest(df: DataFrame, p: String) =
+      df.agg(
+        count(lit(1)).as(s"${p}_n"),
+        sum(col("event_id")).as(s"${p}_sum"),
+        expr("bit_xor(event_id)").as(s"${p}_xor"))
+    digest(d1, "a")
+      .crossJoin(digest(d2, "b"))
+      .select(
+        col("a_n"),
+        col("a_sum"),
+        col("a_xor"),
+        (col("a_n") === col("b_n")).as("n_stable"),
+        (col("a_sum") === col("b_sum")).as("sum_stable"),
+        (col("a_xor") === col("b_xor")).as("xor_stable"))
+  }
+
+  val q206Oracle: String =
+    """WITH d1 AS (
+      |  SELECT user_id, event_type, t, event_id FROM (
+      |    SELECT user_id, event_type, epoch_ns(ts) AS t, event_id,
+      |      row_number() OVER (PARTITION BY user_id, event_type, epoch_ns(ts)
+      |                         ORDER BY event_id) AS rn
+      |    FROM events) x
+      |  WHERE rn = 1
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS a_n,
+      |  CAST(SUM(event_id) AS BIGINT) AS a_sum,
+      |  CAST(bit_xor(event_id) AS BIGINT) AS a_xor,
+      |  TRUE AS n_stable, TRUE AS sum_stable, TRUE AS xor_stable
+      |FROM d1""".stripMargin
+
+  // ---------------------------------------------------------------- q207
+  /** CC CROSS-IMPLEMENTATION AGREEMENT — the two connected-components
+    * engines ([[graft.ops.Components.connectedComponents]] min-label,
+    * O(diameter) rounds, and
+    * [[graft.ops.Components.largeStarSmallStar]], O(log n) rounds)
+    * must produce the IDENTICAL (id → min-reachable-id) labeling on
+    * the block graph. Disagreements are counted via a null-safe
+    * full-outer label join (pinned 0), and the summary (nodes,
+    * components, label checksum) is what the oracle recomputes from
+    * the recursive-CTE reachability definition — three independent
+    * implementations, one answer.
+    */
+  def q207CcAgreement(s: SparkSession, dir: String): DataFrame = {
+    val edges = blockGraph(s, dir)
+    val a = graft.ops.Components
+      .connectedComponents(edges, "u", "v")
+      .withColumnsRenamed(Map("component" -> "ca"))
+    val b = graft.ops.Components
+      .largeStarSmallStar(edges, "u", "v")
+      .withColumnsRenamed(Map("component" -> "cb"))
+    val joined = a.join(b, Seq("id"), "full_outer")
+    val dis = joined
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum((!(col("ca") <=> col("cb"))).cast("long")).as("n_disagreements"))
+    val summ = a.agg(
+      countDistinct(col("ca")).as("n_components"),
+      sum(col("ca")).as("label_sum"))
+    dis
+      .crossJoin(summ)
+      .select(
+        col("n_nodes"),
+        col("n_components"),
+        col("n_disagreements"),
+        col("label_sum"))
+  }
+
+  val q207Oracle: String =
+    s"""WITH RECURSIVE eset AS (
+       |$BlockGraphSql
+       |), sym AS (
+       |  SELECT u AS src, v AS dst FROM eset
+       |  UNION ALL SELECT v, u FROM eset
+       |), reach(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+       |), lab AS (
+       |  SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+       |  CAST(0 AS BIGINT) AS n_disagreements,
+       |  CAST(SUM(component) AS BIGINT) AS label_sum
+       |FROM lab""".stripMargin
 }

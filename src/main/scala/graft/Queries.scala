@@ -8954,7 +8954,10 @@ object Queries {
     "q204_spatial_knn" -> (q204SpatialKnn _),
     "q205_late_arrivals" -> (q205LateArrivals _),
     "q206_dedup_idempotence" -> (q206DedupIdempotence _),
-    "q207_cc_agreement" -> (q207CcAgreement _)
+    "q207_cc_agreement" -> (q207CcAgreement _),
+    "q208_zorder_effect" -> (q208ZorderEffect _),
+    "q209_null_aggregates" -> (q209NullAggregates _),
+    "q210_null_ordering" -> (q210NullOrdering _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9158,7 +9161,10 @@ object Queries {
     "q204_spatial_knn" -> q204Oracle,
     "q205_late_arrivals" -> q205Oracle,
     "q206_dedup_idempotence" -> q206Oracle,
-    "q207_cc_agreement" -> q207Oracle
+    "q207_cc_agreement" -> q207Oracle,
+    "q208_zorder_effect" -> q208Oracle,
+    "q209_null_aggregates" -> q209Oracle,
+    "q210_null_ordering" -> q210Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -14340,4 +14346,175 @@ object Queries {
        |  CAST(0 AS BIGINT) AS n_disagreements,
        |  CAST(SUM(component) AS BIGINT) AS label_sum
        |FROM lab""".stripMargin
+
+  // ---------------------------------------------------------------- q208
+  /** Z-ORDER EFFECTIVENESS, MEASURED — q89 computes the layout; this
+    * query QUANTIFIES why it exists: for 20 deterministic 8×8 range
+    * rectangles over a (x, y) ∈ [0,255]² key space, count the files a
+    * scan must touch when rows are laid out (a) lexicographically
+    * (file = x: a rectangle constraining both dims touches one file
+    * per x value) vs (b) z-ordered ([[graft.ops.Layout.zValue]],
+    * 256-slot files: the rectangle's z-range covers far fewer files).
+    * Same zValue/zValueSql generator on both engines — the spec and
+    * its replay can never drift.
+    */
+  def q208ZorderEffect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables
+      .lineitem(s, dir)
+      .select(
+        (col("l_partkey") % 256).as("x"),
+        ((col("l_suppkey") * 131) % 256).as("y"))
+      .withColumn(
+        "zkey",
+        graft.ops.Layout.zValue(Seq((col("x"), 0L, 255L), (col("y"), 0L, 255L)), 8))
+      .withColumn("file_lex", expr("(x * 256 + y) div 256"))
+      .withColumn("file_z", expr("zkey div 256"))
+    val queries = (0 until 20)
+      .map(i => (i, (i * 37L) % 248, (i * 53L) % 248))
+      .toDF("qid", "x0", "y0")
+    rows
+      .crossJoin(broadcast(queries))
+      .where(
+        col("x") >= col("x0") && col("x") <= col("x0") + 7 &&
+          col("y") >= col("y0") && col("y") <= col("y0") + 7)
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("file_lex")).as("files_lex"),
+        countDistinct(col("file_z")).as("files_z"))
+      .orderBy(col("qid"))
+  }
+
+  val q208Oracle: String = {
+    val zsql = graft.ops.Layout.zValueSql(Seq(("x", 0L, 255L), ("y", 0L, 255L)), 8)
+    s"""WITH rows_k AS (
+       |  SELECT l_partkey % 256 AS x, (l_suppkey * 131) % 256 AS y FROM lineitem
+       |), keyed AS (
+       |  SELECT x, y,
+       |    (x * 256 + y) // 256 AS file_lex,
+       |    $zsql // 256 AS file_z
+       |  FROM rows_k
+       |), q AS (
+       |  SELECT CAST(i AS INT) AS qid, (i * 37) % 248 AS x0, (i * 53) % 248 AS y0
+       |  FROM (SELECT unnest(range(0, 20)) AS i)
+       |)
+       |SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(DISTINCT file_lex) AS BIGINT) AS files_lex,
+       |  CAST(COUNT(DISTINCT file_z) AS BIGINT) AS files_z
+       |FROM keyed JOIN q
+       |  ON x BETWEEN x0 AND x0 + 7 AND y BETWEEN y0 AND y0 + 7
+       |GROUP BY q.qid
+       |ORDER BY q.qid""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q209
+  /** NULL-SEMANTICS AGGREGATE TRUTH TABLE — the exact rules every
+    * migration trips over, pinned differentially on planted data
+    * (every 4th value null, one all-null group): count(*) counts rows,
+    * count(x) and count(distinct x) skip nulls, sum/avg/min/max of an
+    * all-null group are NULL (not 0), a NULL group KEY forms a real
+    * group, and sum(x) ignores nulls rather than poisoning the sum.
+    */
+  def q209NullAggregates(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        // group key: null for every 5th user; 'Z' group has all-null values
+        when(col("user_id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(when(col("user_id") % 7 === 0, lit("Z"))
+            .otherwise(col("event_type"))).as("g"),
+        when(col("user_id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(when(col("event_id") % 4 === 0, lit(null).cast("long"))
+            .otherwise(col("event_id"))).as("x"))
+    ev.groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("x")).as("n_x"),
+        countDistinct(col("x")).as("nd_x"),
+        sum(col("x")).as("sum_x"),
+        min(col("x")).as("min_x"),
+        (count(lit(1)) - count(col("x"))).as("n_null_x"),
+        sum(col("x")).isNull.as("sum_is_null"))
+      .orderBy(col("g").asc_nulls_first)
+  }
+
+  val q209Oracle: String =
+    """WITH ev AS (
+      |  SELECT
+      |    CASE WHEN user_id % 5 = 0 THEN NULL
+      |         WHEN user_id % 7 = 0 THEN 'Z'
+      |         ELSE event_type END AS g,
+      |    CASE WHEN user_id % 7 = 0 THEN NULL
+      |         WHEN event_id % 4 = 0 THEN NULL
+      |         ELSE event_id END AS x
+      |  FROM events
+      |)
+      |SELECT g,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(x) AS BIGINT) AS n_x,
+      |  CAST(COUNT(DISTINCT x) AS BIGINT) AS nd_x,
+      |  CAST(SUM(x) AS BIGINT) AS sum_x,
+      |  CAST(MIN(x) AS BIGINT) AS min_x,
+      |  CAST(COUNT(*) - COUNT(x) AS BIGINT) AS n_null_x,
+      |  (SUM(x) IS NULL) AS sum_is_null
+      |FROM ev
+      |GROUP BY g
+      |ORDER BY g ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q210
+  /** NULL-ORDERING CERTIFICATE — the DEFAULTS differ (Spark ASC puts
+    * nulls FIRST, DuckDB ASC puts them LAST), so portable SQL must
+    * spell NULLS FIRST/LAST explicitly; this certificate pins all four
+    * explicit spellings by ranking a planted null-bearing column each
+    * way and emitting the positions nulls land in (1..k for FIRST,
+    * n-k+1..n for LAST, both directions).
+    */
+  def q210NullOrdering(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(s, dir)
+      .where(col("event_id") < 500)
+      .select(
+        col("event_id"),
+        when(col("event_id") % 9 === 0, lit(null).cast("long"))
+          .otherwise(col("ts_ns")).as("v"))
+    val wAf = Window.orderBy(col("v").asc_nulls_first, col("event_id"))
+    val wAl = Window.orderBy(col("v").asc_nulls_last, col("event_id"))
+    val wDf = Window.orderBy(col("v").desc_nulls_first, col("event_id"))
+    val wDl = Window.orderBy(col("v").desc_nulls_last, col("event_id"))
+    def pos(r: String) = sum(when(col("v").isNull, col(r)).otherwise(0L).cast("long"))
+    ev.withColumn("raf", row_number().over(wAf))
+      .withColumn("ral", row_number().over(wAl))
+      .withColumn("rdf", row_number().over(wDf))
+      .withColumn("rdl", row_number().over(wDl))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v").isNull.cast("long")).as("n_nulls"),
+        pos("raf").as("nullpos_asc_first"),
+        pos("ral").as("nullpos_asc_last"),
+        pos("rdf").as("nullpos_desc_first"),
+        pos("rdl").as("nullpos_desc_last"))
+  }
+
+  val q210Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 9 = 0 THEN NULL ELSE epoch_ns(ts) END AS v
+      |  FROM events WHERE event_id < 500
+      |), r AS (
+      |  SELECT v,
+      |    row_number() OVER (ORDER BY v ASC NULLS FIRST, event_id) AS raf,
+      |    row_number() OVER (ORDER BY v ASC NULLS LAST, event_id) AS ral,
+      |    row_number() OVER (ORDER BY v DESC NULLS FIRST, event_id) AS rdf,
+      |    row_number() OVER (ORDER BY v DESC NULLS LAST, event_id) AS rdl
+      |  FROM e
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN raf ELSE 0 END) AS BIGINT) AS nullpos_asc_first,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN ral ELSE 0 END) AS BIGINT) AS nullpos_asc_last,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN rdf ELSE 0 END) AS BIGINT) AS nullpos_desc_first,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN rdl ELSE 0 END) AS BIGINT) AS nullpos_desc_last
+      |FROM r""".stripMargin
 }

@@ -8957,7 +8957,10 @@ object Queries {
     "q207_cc_agreement" -> (q207CcAgreement _),
     "q208_zorder_effect" -> (q208ZorderEffect _),
     "q209_null_aggregates" -> (q209NullAggregates _),
-    "q210_null_ordering" -> (q210NullOrdering _)
+    "q210_null_ordering" -> (q210NullOrdering _),
+    "q211_join_matrix" -> (q211JoinMatrix _),
+    "q212_cast_table" -> (q212CastTable _),
+    "q213_calendar" -> (q213Calendar _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9164,7 +9167,10 @@ object Queries {
     "q207_cc_agreement" -> q207Oracle,
     "q208_zorder_effect" -> q208Oracle,
     "q209_null_aggregates" -> q209Oracle,
-    "q210_null_ordering" -> q210Oracle
+    "q210_null_ordering" -> q210Oracle,
+    "q211_join_matrix" -> q211Oracle,
+    "q212_cast_table" -> q212Oracle,
+    "q213_calendar" -> q213Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -14517,4 +14523,173 @@ object Queries {
       |  CAST(SUM(CASE WHEN v IS NULL THEN rdf ELSE 0 END) AS BIGINT) AS nullpos_desc_first,
       |  CAST(SUM(CASE WHEN v IS NULL THEN rdl ELSE 0 END) AS BIGINT) AS nullpos_desc_last
       |FROM r""".stripMargin
+
+  // ---------------------------------------------------------------- q211
+  /** JOIN-MULTIPLICITY MATRIX — every join type on one planted pair of
+    * keyed multisets (dup keys, nulls on both sides, one-side-only
+    * keys): inner is Σ_k a_k·b_k, left/right add the unmatched sides,
+    * full adds both, semi/anti are row-level existence (each left row
+    * once), cross is |A|·|B|, and nulls never match anything. The
+    * count ALGEBRA is pinned as law columns (left = inner + anti,
+    * full = left + right − inner) so a multiplicity bug in any join
+    * path turns the row red.
+    */
+  def q211JoinMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Seq(
+      Option("a"), Option("a"), Option("b"), Option("c"), Option("c"),
+      Option("c"), Option.empty[String], Option("d")).toDF("k")
+    val b = Seq(
+      Option("a"), Option("a"), Option("a"), Option("b"), Option("b"),
+      Option.empty[String], Option.empty[String], Option("e")).toDF("k")
+    val b2 = b.withColumnRenamed("k", "k2")
+    def cnt(df: DataFrame, n: String) = df.agg(count(lit(1)).as(n))
+    cnt(a.join(b2, col("k") === col("k2"), "inner"), "n_inner")
+      .crossJoin(cnt(a.join(b2, col("k") === col("k2"), "left"), "n_left"))
+      .crossJoin(cnt(a.join(b2, col("k") === col("k2"), "right"), "n_right"))
+      .crossJoin(cnt(a.join(b2, col("k") === col("k2"), "full"), "n_full"))
+      .crossJoin(cnt(a.join(b2, col("k") === col("k2"), "left_semi"), "n_semi"))
+      .crossJoin(cnt(a.join(b2, col("k") === col("k2"), "left_anti"), "n_anti"))
+      .crossJoin(cnt(a.crossJoin(b2), "n_cross"))
+      .select(
+        col("n_inner"), col("n_left"), col("n_right"), col("n_full"),
+        col("n_semi"), col("n_anti"), col("n_cross"),
+        (col("n_left") === col("n_inner") + col("n_anti")).as("left_law_ok"),
+        (col("n_full") === col("n_left") + col("n_right") - col("n_inner")).as("full_law_ok"))
+  }
+
+  val q211Oracle: String =
+    """WITH a AS (SELECT unnest(['a','a','b','c','c','c',NULL,'d']) AS k),
+      |b AS (SELECT unnest(['a','a','a','b','b',NULL,NULL,'e']) AS k2)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a JOIN b ON k = k2) AS n_inner,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a LEFT JOIN b ON k = k2) AS n_left,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a RIGHT JOIN b ON k = k2) AS n_right,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a FULL JOIN b ON k = k2) AS n_full,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a WHERE EXISTS
+      |     (SELECT 1 FROM b WHERE k2 = a.k)) AS n_semi,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a WHERE NOT EXISTS
+      |     (SELECT 1 FROM b WHERE k2 = a.k)) AS n_anti,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM a CROSS JOIN b) AS n_cross,
+      |  TRUE AS left_law_ok,
+      |  TRUE AS full_law_ok""".stripMargin
+
+  // ---------------------------------------------------------------- q212
+  /** CAST / COERCION TRUTH TABLE — ANSI-off cast semantics pinned on
+    * adversarial literals. The engines genuinely DIVERGE on two rules,
+    * so the oracle encodes the translation rather than assuming parity
+    * (the q198 discipline): DuckDB CAST(double AS INT) ROUNDS
+    * half-away (12.7 → 13) while Spark TRUNCATES (12.7 → 12) — the
+    * oracle wraps trunc(); and STRINGS to int: Spark accepts plain
+    * decimal literals only and TRUNCATES ('12.7' → 12, '1e3' → null
+    * — measured), while DuckDB TRY_CAST rounds and accepts exponents
+    * — the oracle emulates Spark's rule with a literal-shape regex +
+    * trunc + range check. Junk, whitespace, empty, overflow,
+    * scientific-notation, and signed-zero strings complete the table.
+    */
+  def q212CastTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val strs = Seq("12abc", "  42  ", "1e3", "12.7", "-12.7", "", "2147483648", "-0", "7")
+    val dbls = Seq(12.7, -12.7, 2.5, 3.5, -0.5, 99.999)
+    val sdf = strs
+      .toDF("sv")
+      .select(
+        col("sv"),
+        expr("cast(sv as int)").as("s_to_int"),
+        expr("cast(sv as double)").as("s_to_double"))
+    val ddf = dbls
+      .toDF("dv")
+      .select(
+        col("dv"),
+        expr("cast(dv as int)").as("d_to_int"),
+        expr("cast(dv as bigint)").as("d_to_long"))
+    sdf
+      .agg(
+        count(col("s_to_int")).as("n_str_int_ok"),
+        coalesce(sum(col("s_to_int")), lit(0L)).cast("long").as("sum_str_int"),
+        count(col("s_to_double")).as("n_str_dbl_ok"),
+        coalesce(sum(col("s_to_double")), lit(0.0)).as("sum_str_dbl"))
+      .crossJoin(ddf.agg(
+        sum(col("d_to_int")).cast("long").as("sum_dbl_int"),
+        sum(col("d_to_long")).as("sum_dbl_long")))
+  }
+
+  val q212Oracle: String =
+    """WITH s AS (
+      |  SELECT unnest(['12abc', '  42  ', '1e3', '12.7', '-12.7', '',
+      |                 '2147483648', '-0', '7']) AS sv
+      |), sc AS (
+      |  -- Spark ANSI-off string->int: null on junk/overflow, TRUNCATES
+      |  -- decimal strings (DuckDB TRY_CAST would round 12.7 -> 13);
+      |  -- emulate by parsing as DOUBLE first, trunc, then range check
+      |  -- measured Spark rule: plain decimal literals only (NO
+      |  -- exponent — '1e3' is null as int but 1000.0 as double),
+      |  -- truncated toward zero, null on int overflow
+      |  SELECT sv,
+      |    CAST(CASE WHEN NOT regexp_matches(sv, '^\s*[+-]?[0-9]+(\.[0-9]*)?\s*$') THEN NULL
+      |              WHEN trunc(TRY_CAST(sv AS DOUBLE)) > 2147483647
+      |                OR trunc(TRY_CAST(sv AS DOUBLE)) < -2147483648 THEN NULL
+      |              ELSE trunc(TRY_CAST(sv AS DOUBLE)) END AS INT) AS s_to_int,
+      |    TRY_CAST(sv AS DOUBLE) AS s_to_double
+      |  FROM s
+      |), d AS (
+      |  SELECT unnest([12.7, -12.7, 2.5, 3.5, -0.5, 99.999]) AS dv
+      |), dc AS (
+      |  -- Spark double->int truncates toward zero; DuckDB CAST rounds
+      |  SELECT CAST(trunc(dv) AS INT) AS d_to_int,
+      |    CAST(trunc(dv) AS BIGINT) AS d_to_long
+      |  FROM d
+      |)
+      |SELECT
+      |  (SELECT CAST(COUNT(s_to_int) AS BIGINT) FROM sc) AS n_str_int_ok,
+      |  (SELECT CAST(COALESCE(SUM(s_to_int), 0) AS BIGINT) FROM sc) AS sum_str_int,
+      |  (SELECT CAST(COUNT(s_to_double) AS BIGINT) FROM sc) AS n_str_dbl_ok,
+      |  (SELECT CAST(COALESCE(SUM(s_to_double), 0.0) AS DOUBLE) FROM sc) AS sum_str_dbl,
+      |  (SELECT CAST(SUM(d_to_int) AS BIGINT) FROM dc) AS sum_dbl_int,
+      |  (SELECT CAST(SUM(d_to_long) AS BIGINT) FROM dc) AS sum_dbl_long""".stripMargin
+
+  // ---------------------------------------------------------------- q213
+  /** CALENDAR ARITHMETIC CERTIFICATE — month addition clamps to
+    * month-end identically on both engines (Jan 31 + 1 mo = Feb 28,
+    * leap Feb 29 + 12 mo = Feb 28), weeks truncate to Monday, plus
+    * day-of-year, quarter, last_day and an anchored day diff — over a
+    * literal grid of edge-case dates (month ends, leap day, year
+    * boundary).
+    */
+  def q213Calendar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dates = Seq(
+      "2026-01-31", "2026-08-14", "2024-02-29", "2025-12-31",
+      "2026-03-01", "2024-01-01")
+    dates
+      .toDF("ds")
+      .select(
+        col("ds"),
+        expr("cast(add_months(cast(ds as date), 1) as string)").as("plus_1m"),
+        expr("cast(add_months(cast(ds as date), 12) as string)").as("plus_12m"),
+        expr("cast(trunc(cast(ds as date), 'month') as string)").as("month_start"),
+        expr("cast(trunc(cast(ds as date), 'week') as string)").as("week_start"),
+        expr("dayofyear(cast(ds as date))").as("doy"),
+        expr("quarter(cast(ds as date))").as("q"),
+        expr("cast(last_day(cast(ds as date)) as string)").as("month_end"),
+        expr("datediff(cast(ds as date), cast('2024-01-01' as date))").as("days_since_anchor"))
+      .orderBy(col("ds"))
+  }
+
+  val q213Oracle: String =
+    """WITH d AS (
+      |  SELECT unnest(['2026-01-31', '2026-08-14', '2024-02-29', '2025-12-31',
+      |                 '2026-03-01', '2024-01-01']) AS ds
+      |)
+      |SELECT ds,
+      |  CAST(CAST(CAST(ds AS DATE) + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS plus_1m,
+      |  CAST(CAST(CAST(ds AS DATE) + INTERVAL 12 MONTH AS DATE) AS VARCHAR) AS plus_12m,
+      |  CAST(CAST(date_trunc('month', CAST(ds AS DATE)) AS DATE) AS VARCHAR) AS month_start,
+      |  CAST(CAST(date_trunc('week', CAST(ds AS DATE)) AS DATE) AS VARCHAR) AS week_start,
+      |  CAST(date_part('doy', CAST(ds AS DATE)) AS INT) AS doy,
+      |  CAST(quarter(CAST(ds AS DATE)) AS INT) AS q,
+      |  CAST(last_day(CAST(ds AS DATE)) AS VARCHAR) AS month_end,
+      |  CAST(datediff('day', DATE '2024-01-01', CAST(ds AS DATE)) AS INT) AS days_since_anchor
+      |FROM d
+      |ORDER BY ds""".stripMargin
 }

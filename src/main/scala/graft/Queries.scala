@@ -8960,7 +8960,10 @@ object Queries {
     "q210_null_ordering" -> (q210NullOrdering _),
     "q211_join_matrix" -> (q211JoinMatrix _),
     "q212_cast_table" -> (q212CastTable _),
-    "q213_calendar" -> (q213Calendar _)
+    "q213_calendar" -> (q213Calendar _),
+    "q214_frame_semantics" -> (q214FrameSemantics _),
+    "q215_empty_input" -> (q215EmptyInput _),
+    "q216_three_valued" -> (q216ThreeValued _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9170,7 +9173,10 @@ object Queries {
     "q210_null_ordering" -> q210Oracle,
     "q211_join_matrix" -> q211Oracle,
     "q212_cast_table" -> q212Oracle,
-    "q213_calendar" -> q213Oracle
+    "q213_calendar" -> q213Oracle,
+    "q214_frame_semantics" -> q214Oracle,
+    "q215_empty_input" -> q215Oracle,
+    "q216_three_valued" -> q216Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -14692,4 +14698,204 @@ object Queries {
       |  CAST(datediff('day', DATE '2024-01-01', CAST(ds AS DATE)) AS INT) AS days_since_anchor
       |FROM d
       |ORDER BY ds""".stripMargin
+
+  // ---------------------------------------------------------------- q214
+  /** WINDOW FRAME SEMANTICS (RANGE vs ROWS) — with DUPLICATE order
+    * values, a RANGE frame includes all PEERS of the current row while
+    * a ROWS frame cuts at the physical row: the classic
+    * silently-different-totals trap. Certified on a tied key (epoch
+    * day): per type, Σ|range_cum − rows_cum| quantifies the peer mass,
+    * the law range ≥ rows rides per row (violations pinned 0), and the
+    * final row of each partition agrees under both frames (last peer
+    * group is complete). Plus the percent_rank single-row-partition
+    * edge (0/0 → 0.0, not NaN).
+    */
+  def q214FrameSemantics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        expr("ts_ns div 86400000000000").as("eday"),
+        lit(1L).as("one"),
+        col("event_id"))
+    val wRange = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("eday"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRows = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("eday"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val framed = ev
+      .withColumn("cum_range", sum(col("one")).over(wRange))
+      .withColumn("cum_rows", sum(col("one")).over(wRows))
+    val frames = framed
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cum_range") - col("cum_rows")).as("peer_mass"),
+        sum((col("cum_range") < col("cum_rows")).cast("long")).as("law_violations"),
+        max(col("cum_range")).as("final_range"),
+        max(col("cum_rows")).as("final_rows"))
+    // percent_rank on single-row partitions: 0/0 must define to 0.0
+    val pr1 = Tables
+      .events(s, dir)
+      .where(col("event_id") < 20)
+      .select(
+        col("event_id"),
+        percent_rank().over(
+          Window.partitionBy(col("event_id")).orderBy(col("ts_ns"))).as("pr"))
+      .agg(
+        count(lit(1)).as("n_single"),
+        sum((col("pr") === 0.0).cast("long")).as("n_pr_zero"))
+    frames
+      .crossJoin(broadcast(pr1))
+      .orderBy(col("event_type"))
+  }
+
+  val q214Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS eday,
+      |    CAST(1 AS BIGINT) AS one, event_id
+      |  FROM events
+      |), f AS (
+      |  SELECT event_type,
+      |    SUM(one) OVER (PARTITION BY event_type ORDER BY eday
+      |                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_range,
+      |    SUM(one) OVER (PARTITION BY event_type ORDER BY eday, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows
+      |  FROM ev
+      |), g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cum_range - cum_rows) AS BIGINT) AS peer_mass,
+      |    CAST(SUM(CASE WHEN cum_range < cum_rows THEN 1 ELSE 0 END) AS BIGINT) AS law_violations,
+      |    CAST(MAX(cum_range) AS BIGINT) AS final_range,
+      |    CAST(MAX(cum_rows) AS BIGINT) AS final_rows
+      |  FROM f GROUP BY event_type
+      |), p AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_single,
+      |    CAST(SUM(CASE WHEN pr = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pr_zero
+      |  FROM (
+      |    SELECT percent_rank() OVER (PARTITION BY event_id ORDER BY epoch_ns(ts)) AS pr
+      |    FROM events WHERE event_id < 20)
+      |)
+      |SELECT g.*, p.n_single, p.n_pr_zero
+      |FROM g, p
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q215
+  /** EMPTY-INPUT AGGREGATE CERTIFICATE — the zero-rows edge every
+    * report hits eventually: a GLOBAL aggregate over an empty relation
+    * returns exactly ONE row (count 0, sum/min/max NULL, bool_and
+    * vacuously true via min), while a GROUPED aggregate over the same
+    * empty relation returns ZERO rows. Both shapes certified on a
+    * filtered-to-empty events slice, with count(distinct) and avg
+    * riding along.
+    */
+  def q215EmptyInput(s: SparkSession, dir: String): DataFrame = {
+    val empty = Tables.events(s, dir).where(col("event_id") < 0)
+    val globalAgg = empty.agg(
+      count(lit(1)).as("n"),
+      count(col("value")).as("n_vals"),
+      countDistinct(col("user_id")).as("nd_users"),
+      sum(col("event_id")).as("sum_id"),
+      min(col("ts_ns")).as("min_ts"),
+      avg(col("value")).as("avg_val"))
+    val groupedRows = empty
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_groups"))
+    globalAgg
+      .crossJoin(broadcast(groupedRows))
+      .select(
+        col("n"),
+        col("n_vals"),
+        col("nd_users"),
+        col("sum_id").isNull.as("sum_is_null"),
+        col("min_ts").isNull.as("min_is_null"),
+        col("avg_val").isNull.as("avg_is_null"),
+        col("n_groups"))
+  }
+
+  val q215Oracle: String =
+    """WITH e AS (SELECT * FROM events WHERE event_id < 0),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT("value") AS BIGINT) AS n_vals,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_users,
+      |    SUM(event_id) IS NULL AS sum_is_null,
+      |    MIN(ts) IS NULL AS min_is_null,
+      |    AVG("value") IS NULL AS avg_is_null
+      |  FROM e
+      |), gr AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups FROM (
+      |    SELECT event_type, COUNT(*) FROM e GROUP BY event_type)
+      |)
+      |SELECT g.n, g.n_vals, g.nd_users, g.sum_is_null, g.min_is_null,
+      |  g.avg_is_null, gr.n_groups
+      |FROM g, gr""".stripMargin
+
+  // ---------------------------------------------------------------- q216
+  /** THREE-VALUED LOGIC COMPLEMENTS — the positive-IN and
+    * greatest/least null rules q165 didn't cover: `x IN (…, NULL, …)`
+    * is TRUE when found, UNKNOWN (not false!) when absent — so the
+    * filter keeps found rows and drops absent ones symmetrically with
+    * its negation dropping BOTH; and greatest/least skip nulls on both
+    * engines (null only when ALL inputs are null) — the opposite of
+    * the ANSI comparison rule, and exactly what coalesce-free cursor
+    * merges (A4/F14) rely on.
+    */
+  def q216ThreeValued(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        (col("user_id") % 10).as("m"),
+        when(col("event_id") % 3 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")).as("nv"))
+    val inList = ev
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("case when m in (2, null, 5) then 1 else 0 end")).as("n_in_found"),
+        sum(expr("case when m not in (2, null, 5) then 1 else 0 end")).as("n_not_in"),
+        sum(expr("case when m in (2, 5) then 1 else 0 end")).as("n_in_plain"))
+    val gl = ev.agg(
+      sum(expr("greatest(nv, 3)")).as("sum_greatest"),
+      sum(expr("least(nv, 3)")).as("sum_least"),
+      sum(expr("case when greatest(nv, cast(null as long)) is null then 1 else 0 end"))
+        .as("n_greatest_null"),
+      sum(col("nv").isNull.cast("long")).as("n_nv_null"))
+    inList
+      .crossJoin(broadcast(gl))
+      .select(
+        col("n"),
+        col("n_in_found"),
+        col("n_not_in"),
+        col("n_in_plain"),
+        (col("n_in_found") === col("n_in_plain")).as("in_found_law_ok"),
+        (col("n_not_in") === lit(0L)).as("not_in_unknown_law_ok"),
+        col("sum_greatest"),
+        col("sum_least"),
+        (col("n_greatest_null") === col("n_nv_null")).as("greatest_allnull_law_ok"))
+  }
+
+  val q216Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id % 10 AS m,
+      |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE user_id END AS nv
+      |  FROM events
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN m IN (2, NULL, 5) THEN 1 ELSE 0 END) AS BIGINT) AS n_in_found,
+      |  CAST(SUM(CASE WHEN m NOT IN (2, NULL, 5) THEN 1 ELSE 0 END) AS BIGINT) AS n_not_in,
+      |  CAST(SUM(CASE WHEN m IN (2, 5) THEN 1 ELSE 0 END) AS BIGINT) AS n_in_plain,
+      |  (SUM(CASE WHEN m IN (2, NULL, 5) THEN 1 ELSE 0 END)
+      |    = SUM(CASE WHEN m IN (2, 5) THEN 1 ELSE 0 END)) AS in_found_law_ok,
+      |  (SUM(CASE WHEN m NOT IN (2, NULL, 5) THEN 1 ELSE 0 END) = 0) AS not_in_unknown_law_ok,
+      |  CAST(SUM(greatest(nv, 3)) AS BIGINT) AS sum_greatest,
+      |  CAST(SUM(least(nv, 3)) AS BIGINT) AS sum_least,
+      |  (SUM(CASE WHEN greatest(nv, CAST(NULL AS BIGINT)) IS NULL THEN 1 ELSE 0 END)
+      |    = SUM(CASE WHEN nv IS NULL THEN 1 ELSE 0 END)) AS greatest_allnull_law_ok
+      |FROM ev""".stripMargin
 }

@@ -8963,7 +8963,9 @@ object Queries {
     "q213_calendar" -> (q213Calendar _),
     "q214_frame_semantics" -> (q214FrameSemantics _),
     "q215_empty_input" -> (q215EmptyInput _),
-    "q216_three_valued" -> (q216ThreeValued _)
+    "q216_three_valued" -> (q216ThreeValued _),
+    "q217_interval_union" -> (q217IntervalUnion _),
+    "q218_longest_streak" -> (q218LongestStreak _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9176,7 +9178,9 @@ object Queries {
     "q213_calendar" -> q213Oracle,
     "q214_frame_semantics" -> q214Oracle,
     "q215_empty_input" -> q215Oracle,
-    "q216_three_valued" -> q216Oracle
+    "q216_three_valued" -> q216Oracle,
+    "q217_interval_union" -> q217Oracle,
+    "q218_longest_streak" -> q218Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -14898,4 +14902,130 @@ object Queries {
       |  (SUM(CASE WHEN greatest(nv, CAST(NULL AS BIGINT)) IS NULL THEN 1 ELSE 0 END)
       |    = SUM(CASE WHEN nv IS NULL THEN 1 ELSE 0 END)) AS greatest_allnull_law_ok
       |FROM ev""".stripMargin
+
+  // ---------------------------------------------------------------- q217
+  /** INTERVAL UNION (gaps-and-islands over OVERLAPPING intervals) —
+    * total covered time per user when event intervals [ts, ts + dur)
+    * overlap freely: a new island starts where start > max(all
+    * previous ends) (exclusive running max — touching intervals
+    * merge), the island id is the running sum of those starts, and
+    * each island covers max(end) − min(start). The declarative form of
+    * the classic stack merge; conservation (covered ≤ Σ dur, covered ≥
+    * max dur) rides as pinned law counts.
+    */
+  def q217IntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("ts_ns").as("st"),
+        (col("ts_ns") +
+          (lit(1L) + expr("cast(floor(value * 100 + 0.5) as bigint)") % 7200L) * 1000000000L)
+          .as("en"))
+      .withColumn("dur", col("en") - col("st"))
+    val wPrev = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("st"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("st"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = iv
+      .withColumn("pmax", max(col("en")).over(wPrev))
+      .withColumn("new_island", (col("pmax").isNull || col("st") > col("pmax")).cast("long"))
+      .withColumn("island", sum(col("new_island")).over(wCum))
+    val perIsland = islands
+      .groupBy(col("user_id"), col("island"))
+      .agg((max(col("en")) - min(col("st"))).as("cov"), sum(col("dur")).as("isl_dur"))
+    perIsland
+      .groupBy(col("user_id"))
+      .agg(
+        sum(lit(1L)).as("n_islands"),
+        sum(col("cov")).as("covered_ns"),
+        max(col("cov")).as("max_island_ns"),
+        sum((col("cov") > col("isl_dur")).cast("long")).as("cov_law_violations"))
+      .orderBy(col("user_id"))
+  }
+
+  val q217Oracle: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS st,
+      |    epoch_ns(ts) + (1 + CAST(floor("value" * 100 + 0.5) AS BIGINT) % 7200)
+      |      * 1000000000 AS en
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, event_id, st, en, en - st AS dur,
+      |    MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv
+      |), isl AS (
+      |  SELECT user_id, st, en, dur,
+      |    SUM(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY st, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM m
+      |), pi AS (
+      |  SELECT user_id, island, MAX(en) - MIN(st) AS cov, SUM(dur) AS isl_dur
+      |  FROM isl GROUP BY user_id, island
+      |)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |  CAST(SUM(cov) AS BIGINT) AS covered_ns,
+      |  CAST(MAX(cov) AS BIGINT) AS max_island_ns,
+      |  CAST(SUM(CASE WHEN cov > isl_dur THEN 1 ELSE 0 END) AS BIGINT) AS cov_law_violations
+      |FROM pi
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q218
+  /** LONGEST STREAK (gaps-and-islands on the day grid) — per user, the
+    * longest run of CONSECUTIVE active days via the classic
+    * `eday − dense_rank(eday)` island key (constant within a
+    * consecutive run, jumps across a gap); reported as the
+    * max-streak-length histogram. The canonical islands idiom, on
+    * integer epoch days so both engines agree to the day.
+    */
+  def q218LongestStreak(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables
+      .events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("eday"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("eday"))
+    val streaks = days
+      .withColumn("island", col("eday") - dense_rank().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"))
+    streaks
+      .groupBy(col("max_streak"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n_streaks")).as("total_streaks"))
+      .orderBy(col("max_streak"))
+  }
+
+  val q218Oracle: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS eday FROM events
+      |), i AS (
+      |  SELECT user_id,
+      |    eday - dense_rank() OVER (PARTITION BY user_id ORDER BY eday) AS island
+      |  FROM d
+      |), st AS (
+      |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM i GROUP BY user_id, island
+      |), mu AS (
+      |  SELECT user_id, MAX(len) AS max_streak, CAST(COUNT(*) AS BIGINT) AS n_streaks
+      |  FROM st GROUP BY user_id
+      |)
+      |SELECT CAST(max_streak AS BIGINT) AS max_streak,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(n_streaks) AS BIGINT) AS total_streaks
+      |FROM mu
+      |GROUP BY max_streak
+      |ORDER BY max_streak""".stripMargin
 }

@@ -8965,7 +8965,10 @@ object Queries {
     "q215_empty_input" -> (q215EmptyInput _),
     "q216_three_valued" -> (q216ThreeValued _),
     "q217_interval_union" -> (q217IntervalUnion _),
-    "q218_longest_streak" -> (q218LongestStreak _)
+    "q218_longest_streak" -> (q218LongestStreak _),
+    "q219_asof_tolerance" -> (q219AsofTolerance _),
+    "q220_topk_ties" -> (q220TopkTies _),
+    "q221_nested_sampling" -> (q221NestedSampling _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9180,7 +9183,10 @@ object Queries {
     "q215_empty_input" -> q215Oracle,
     "q216_three_valued" -> q216Oracle,
     "q217_interval_union" -> q217Oracle,
-    "q218_longest_streak" -> q218Oracle
+    "q218_longest_streak" -> q218Oracle,
+    "q219_asof_tolerance" -> q219Oracle,
+    "q220_topk_ties" -> q220Oracle,
+    "q221_nested_sampling" -> q221Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -15028,4 +15034,181 @@ object Queries {
       |FROM mu
       |GROUP BY max_streak
       |ORDER BY max_streak""".stripMargin
+
+  // ---------------------------------------------------------------- q219
+  /** AS-OF ENRICHMENT WITH BOUNDED STALENESS — the production as-of
+    * contract ([[graft.ops.AsOf.joinAsOf]], the union + carry-forward
+    * single-shuffle shape): every event carries the LATEST prior
+    * calibration record of its user (events ≡ 0 mod 13 play the
+    * calibration feed), then a freshness gate rejects carries older
+    * than 3 days — enriched/stale/missing accounted per type. Carry
+    * ties (same user, same ts) resolve by the payload struct order on
+    * both engines (the joinAsOf `__r` tie rule ↔ ORDER BY cts DESC,
+    * cvalue DESC).
+    */
+  def q219AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val Fresh = 3L * 86400000000000L
+    val ev = Tables.events(s, dir)
+    val calib = ev
+      .where(col("event_id") % 13 === 0)
+      .select(
+        col("user_id"),
+        col("ts_ns").as("cts"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cvalue"))
+    val lhs = ev
+      .where(col("event_id") % 13 =!= 0)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_ns"))
+    val joined = graft.ops.AsOf
+      .joinAsOf(lhs, calib, "user_id", "ts_ns", "cts", Seq("cts", "cvalue"))
+    joined
+      .withColumn(
+        "state",
+        when(col("cts").isNull, "missing")
+          .when(col("ts_ns") - col("cts") <= Fresh, "fresh")
+          .otherwise("stale"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("state") === "fresh").cast("long")).as("n_fresh"),
+        sum((col("state") === "stale").cast("long")).as("n_stale"),
+        sum((col("state") === "missing").cast("long")).as("n_missing"),
+        coalesce(sum(when(col("state") === "fresh", col("cvalue"))), lit(0L))
+          .as("sum_fresh_calib_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val q219Oracle: String =
+    """WITH c AS (
+      |  SELECT user_id, epoch_ns(ts) AS cts,
+      |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cvalue
+      |  FROM events WHERE event_id % 13 = 0
+      |), l AS (
+      |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS t
+      |  FROM events WHERE event_id % 13 <> 0
+      |), j AS (
+      |  SELECT l.event_type, l.event_id, l.t, c.cts, c.cvalue,
+      |    row_number() OVER (PARTITION BY l.event_id
+      |                       ORDER BY c.cts DESC, c.cvalue DESC) AS rn
+      |  FROM l LEFT JOIN c ON c.user_id = l.user_id AND c.cts <= l.t
+      |), pick AS (
+      |  SELECT event_type, t, cts, cvalue FROM j WHERE rn = 1
+      |), st AS (
+      |  SELECT event_type,
+      |    CASE WHEN cts IS NULL THEN 'missing'
+      |         WHEN t - cts <= 259200000000000 THEN 'fresh'
+      |         ELSE 'stale' END AS state, cvalue
+      |  FROM pick
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN state = 'fresh' THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+      |  CAST(SUM(CASE WHEN state = 'stale' THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+      |  CAST(SUM(CASE WHEN state = 'missing' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+      |  CAST(COALESCE(SUM(CASE WHEN state = 'fresh' THEN cvalue END), 0) AS BIGINT)
+      |    AS sum_fresh_calib_cents
+      |FROM st
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q220
+  /** TOP-K UNDER TIES — the rank/dense_rank/row_number contract that
+    * decides whether "top 3" can return more than 3 rows: on tied cent
+    * values per type, count rows admitted by rank() ≤ 3 (ties
+    * included, gaps after), dense_rank() ≤ 3 (ties included, no gaps —
+    * admits the most), and row_number() ≤ 3 (exactly 3, tie broken by
+    * the total order). The containment laws rn ≤ rank ≤ dense ride as
+    * pinned columns.
+    */
+  def q220TopkTies(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        col("event_id"),
+        expr("cast(floor(value * 100 + 0.5) as bigint) div 1000").as("coarse"))
+    val wTie = Window.partitionBy(col("event_type")).orderBy(col("coarse").desc)
+    val wTot = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("coarse").desc, col("event_id").asc)
+    ev.withColumn("rk", rank().over(wTie))
+      .withColumn("dk", dense_rank().over(wTie))
+      .withColumn("rn", row_number().over(wTot))
+      .groupBy(col("event_type"))
+      .agg(
+        sum((col("rn") <= 3).cast("long")).as("n_rownum3"),
+        sum((col("rk") <= 3).cast("long")).as("n_rank3"),
+        sum((col("dk") <= 3).cast("long")).as("n_dense3"))
+      .withColumn(
+        "containment_ok",
+        col("n_rownum3") <= col("n_rank3") && col("n_rank3") <= col("n_dense3"))
+      .orderBy(col("event_type"))
+  }
+
+  val q220Oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor("value" * 100 + 0.5) AS BIGINT) // 1000 AS coarse
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type,
+      |    rank() OVER (PARTITION BY event_type ORDER BY coarse DESC) AS rk,
+      |    dense_rank() OVER (PARTITION BY event_type ORDER BY coarse DESC) AS dk,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY coarse DESC, event_id ASC) AS rn
+      |  FROM e
+      |)
+      |SELECT event_type,
+      |  CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rownum3,
+      |  CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rank3,
+      |  CAST(SUM(CASE WHEN dk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dense3,
+      |  (SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END)
+      |     <= SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END)
+      |   AND SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END)
+      |     <= SUM(CASE WHEN dk <= 3 THEN 1 ELSE 0 END)) AS containment_ok
+      |FROM r
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q221
+  /** DETERMINISTIC NESTED SAMPLING — reproducible Bernoulli sampling
+    * via a portable content hash (md5-prefix integer mod 100, the
+    * q116 digest discipline — NOT rand(): a re-run, a different
+    * partitioning, or a different engine must select the SAME rows),
+    * with the nested-rates law: thresholded membership makes the 5%
+    * sample a strict subset of the 10% sample (violations pinned 0) —
+    * the property that lets a pipeline grow its sample without
+    * reshuffling history. Membership checksums certify the exact
+    * selected set, not just its size.
+    */
+  def q221NestedSampling(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("event_id"))
+      .withColumn(
+        "h",
+        expr("cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % 100"))
+      .withColumn("s5", col("h") < 5)
+      .withColumn("s10", col("h") < 10)
+    ev.agg(
+      count(lit(1)).as("n"),
+      sum(col("s5").cast("long")).as("n_s5"),
+      sum(col("s10").cast("long")).as("n_s10"),
+      sum((col("s5") && !col("s10")).cast("long")).as("nested_violations"),
+      coalesce(sum(when(col("s5"), col("event_id"))), lit(0L)).as("s5_id_sum"),
+      coalesce(sum(when(col("s10"), col("event_id"))), lit(0L)).as("s10_id_sum"))
+  }
+
+  val q221Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id,
+      |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h
+      |  FROM events
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN h < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_s5,
+      |  CAST(SUM(CASE WHEN h < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_s10,
+      |  CAST(SUM(CASE WHEN h < 5 AND NOT h < 10 THEN 1 ELSE 0 END) AS BIGINT) AS nested_violations,
+      |  CAST(COALESCE(SUM(CASE WHEN h < 5 THEN event_id END), 0) AS BIGINT) AS s5_id_sum,
+      |  CAST(COALESCE(SUM(CASE WHEN h < 10 THEN event_id END), 0) AS BIGINT) AS s10_id_sum
+      |FROM e""".stripMargin
 }

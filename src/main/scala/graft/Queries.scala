@@ -8968,7 +8968,10 @@ object Queries {
     "q218_longest_streak" -> (q218LongestStreak _),
     "q219_asof_tolerance" -> (q219AsofTolerance _),
     "q220_topk_ties" -> (q220TopkTies _),
-    "q221_nested_sampling" -> (q221NestedSampling _)
+    "q221_nested_sampling" -> (q221NestedSampling _),
+    "q222_equidepth" -> (q222Equidepth _),
+    "q223_new_vs_returning" -> (q223NewVsReturning _),
+    "q224_wow_growth" -> (q224WowGrowth _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9186,7 +9189,10 @@ object Queries {
     "q218_longest_streak" -> q218Oracle,
     "q219_asof_tolerance" -> q219Oracle,
     "q220_topk_ties" -> q220Oracle,
-    "q221_nested_sampling" -> q221Oracle
+    "q221_nested_sampling" -> q221Oracle,
+    "q222_equidepth" -> q222Oracle,
+    "q223_new_vs_returning" -> q223Oracle,
+    "q224_wow_growth" -> q224Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -15211,4 +15217,197 @@ object Queries {
       |  CAST(COALESCE(SUM(CASE WHEN h < 5 THEN event_id END), 0) AS BIGINT) AS s5_id_sum,
       |  CAST(COALESCE(SUM(CASE WHEN h < 10 THEN event_id END), 0) AS BIGINT) AS s10_id_sum
       |FROM e""".stripMargin
+
+  // ---------------------------------------------------------------- q222
+  /** EQUI-DEPTH QUARTILE BOUNDARIES — per type, the discrete
+    * rank-selected q25/q50/q75 cut points of the cent values (the
+    * q92/q97 order-statistic recipe, here as a reusable boundary
+    * table), plus the equi-depth law: bucketing BY those boundaries
+    * puts between ⌊n/4⌋ and ⌈n/4⌉+ties rows in each bucket — the
+    * bucket-size spread is emitted so a drifting boundary rule shows
+    * up as numbers, not vibes.
+    */
+  def q222Equidepth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        col("event_id"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val bounds = ranked
+      .where(
+        col("rn") === expr("(n + 3) div 4") ||
+          col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(3 * n + 1) div 4"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        min(when(col("rn") === expr("(n + 3) div 4"), col("cents"))).as("q25"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("q50"),
+        min(when(col("rn") === expr("(3 * n + 1) div 4"), col("cents"))).as("q75"))
+    val b2 = bounds.withColumnsRenamed(Map("event_type" -> "et2", "n" -> "n2"))
+    ev.join(broadcast(b2), col("event_type") === col("et2"))
+      .withColumn(
+        "bucket",
+        when(col("cents") <= col("q25"), 1)
+          .when(col("cents") <= col("q50"), 2)
+          .when(col("cents") <= col("q75"), 3)
+          .otherwise(4))
+      .groupBy(col("event_type"), col("q25"), col("q50"), col("q75"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("bucket") === 1).cast("long")).as("c1"),
+        sum((col("bucket") === 2).cast("long")).as("c2"),
+        sum((col("bucket") === 3).cast("long")).as("c3"),
+        sum((col("bucket") === 4).cast("long")).as("c4"))
+      .select(
+        col("event_type"), col("q25"), col("q50"), col("q75"), col("n"),
+        (col("c1") > 0).as("has_b1"),
+        col("c1").as("n_b1"),
+        col("c4").as("n_b4"),
+        (greatest(col("c1"), col("c2"), col("c3"), col("c4")) -
+          least(col("c1"), col("c2"), col("c3"), col("c4"))).as("bucket_spread"))
+      .orderBy(col("event_type"))
+  }
+
+  val q222Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev
+      |), b AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q25,
+      |    MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS q50,
+      |    MIN(CASE WHEN rn = (3 * n + 1) // 4 THEN cents END) AS q75
+      |  FROM r
+      |  WHERE rn = (n + 3) // 4 OR rn = (n + 1) // 2 OR rn = (3 * n + 1) // 4
+      |  GROUP BY event_type
+      |), bk AS (
+      |  SELECT ev.event_type, b.q25, b.q50, b.q75,
+      |    CASE WHEN cents <= q25 THEN 1 WHEN cents <= q50 THEN 2
+      |         WHEN cents <= q75 THEN 3 ELSE 4 END AS bucket
+      |  FROM ev JOIN b ON b.event_type = ev.event_type
+      |), agg AS (
+      |  SELECT event_type, q25, q50, q75,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(SUM(CASE WHEN bucket = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+      |    CAST(SUM(CASE WHEN bucket = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+      |  FROM bk GROUP BY event_type, q25, q50, q75
+      |)
+      |SELECT event_type, q25, q50, q75, n,
+      |  (c1 > 0) AS has_b1, c1 AS n_b1, c4 AS n_b4,
+      |  CAST(GREATEST(c1, c2, c3, c4) - LEAST(c1, c2, c3, c4) AS BIGINT) AS bucket_spread
+      |FROM agg
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q223
+  /** NEW vs RETURNING — per day: users seen for the FIRST time
+    * (min-day argmin) vs returning actives, plus the cumulative unique
+    * count as the running sum of new arrivals — the identity that
+    * makes "cumulative distinct over time" computable without a
+    * distinct-per-prefix rescan (the mergeable-distinct q192 point, on
+    * the time axis).
+    */
+  def q223NewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = Tables
+      .events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("eday"))
+      .distinct()
+    val firstDay = ud.groupBy(col("user_id")).agg(min(col("eday")).as("fday"))
+    val daily = ud
+      .join(firstDay, Seq("user_id"))
+      .groupBy(col("eday"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum((col("eday") === col("fday")).cast("long")).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+    daily
+      .withColumn(
+        "cum_unique",
+        sum(col("n_new")).over(
+          Window.orderBy(col("eday")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        col("eday").cast("long").as("eday"),
+        col("n_active"),
+        col("n_new"),
+        col("n_returning"),
+        col("cum_unique").cast("long").as("cum_unique"))
+      .orderBy(col("eday"))
+  }
+
+  val q223Oracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS eday FROM events
+      |), fd AS (
+      |  SELECT user_id, MIN(eday) AS fday FROM ud GROUP BY user_id
+      |), d AS (
+      |  SELECT ud.eday, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |    CAST(SUM(CASE WHEN ud.eday = fd.fday THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM ud JOIN fd ON fd.user_id = ud.user_id
+      |  GROUP BY ud.eday
+      |)
+      |SELECT CAST(eday AS BIGINT) AS eday, n_active, n_new,
+      |  n_active - n_new AS n_returning,
+      |  CAST(SUM(n_new) OVER (ORDER BY eday ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_unique
+      |FROM d
+      |ORDER BY eday""".stripMargin
+
+  // ---------------------------------------------------------------- q224
+  /** WEEK-OVER-WEEK GROWTH — weekly event counts per type with
+    * integer-ppm growth vs the prior week (floor((cur − prev)·10⁶ /
+    * prev) — negative growth floors toward −∞ identically on both
+    * engines because DuckDB // and Spark div BOTH truncate… which
+    * DIFFERS for negative quotients, so the growth ratio is computed
+    * on the NON-NEGATIVE shifted form cur·10⁶ div prev − 10⁶, keeping
+    * every division non-negative before the subtraction). First week
+    * has no prior and reports null growth.
+    */
+  def q224WowGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables
+      .events(s, dir)
+      .groupBy(
+        col("event_type"),
+        expr("(ts_ns div 86400000000000) div 7").as("wk"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+    weekly
+      .withColumn("prev", lag(col("cnt"), 1).over(w))
+      .select(
+        col("event_type"),
+        col("wk").cast("long").as("wk"),
+        col("cnt"),
+        col("prev"),
+        when(col("prev").isNull, lit(null))
+          .otherwise(expr("(cnt * 1000000) div prev - 1000000")).as("growth_ppm"))
+      .orderBy(col("event_type"), col("wk"))
+  }
+
+  val q224Oracle: String =
+    """WITH wv AS (
+      |  SELECT event_type, (epoch_ns(ts) // 86400000000000) // 7 AS wk,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), l AS (
+      |  SELECT event_type, wk, cnt,
+      |    lag(cnt) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+      |  FROM wv
+      |)
+      |SELECT event_type, CAST(wk AS BIGINT) AS wk, cnt, prev,
+      |  CASE WHEN prev IS NULL THEN NULL
+      |       ELSE CAST((cnt * 1000000) // prev - 1000000 AS BIGINT) END AS growth_ppm
+      |FROM l
+      |ORDER BY event_type, wk""".stripMargin
 }

@@ -32,6 +32,18 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .filter(_.nonEmpty) // an empty/blank env var must not bench nothing
+        .map { names =>
+          // the tag "core" expands to the curated per-operator-family
+          // subset (SparkEntry.coreBench) — the affordable in-round loop;
+          // tag and explicit names compose ("core,q224_wow_growth")
+          val expanded =
+            if (names.contains("core")) names - "core" ++ SparkEntry.coreBench
+            else names
+          val unknown = expanded -- SparkEntry.queries.keySet
+          require(unknown.isEmpty,
+            s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
+          expanded
+        }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // RUN-ORDER ISOLATION (round 6, default ON — this IS the experiment

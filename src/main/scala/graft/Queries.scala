@@ -11695,7 +11695,7 @@ object Queries {
       col("n_candidates"),
       col("n_matches"),
       col("true_matches"),
-      expr("cast((true_matches * 1000000) div n_matches as bigint)").as("precision_ppm"),
+      expr("cast(case when n_matches = 0 then null else (true_matches * 1000000) div n_matches end as bigint)").as("precision_ppm"),
       expr("cast((true_matches * 1000000) div n_b as bigint)").as("recall_ppm"),
       col("n_clusters"),
       col("max_cluster").cast("long").as("max_cluster")
@@ -11772,7 +11772,7 @@ object Queries {
        |         (SELECT CAST(SUM(CASE WHEN b_k = a_k THEN 1 ELSE 0 END) AS BIGINT) FROM m) AS true_matches
        |)
        |SELECT cnts.n_a, cnts.n_b, cnts.n_candidates, cnts.n_matches, cnts.true_matches,
-       |  CAST((cnts.true_matches * 1000000) // cnts.n_matches AS BIGINT) AS precision_ppm,
+       |  CAST(CASE WHEN cnts.n_matches = 0 THEN NULL ELSE (cnts.true_matches * 1000000) // cnts.n_matches END AS BIGINT) AS precision_ppm,
        |  CAST((cnts.true_matches * 1000000) // cnts.n_b AS BIGINT) AS recall_ppm,
        |  cstat.n_clusters, cstat.max_cluster
        |FROM cnts, cstat""".stripMargin
@@ -12743,7 +12743,7 @@ object Queries {
     val edges = blockGraph(s, dir).persist()
     val allBuckets = edges.select(expr("u div 500").as("bucket")).distinct()
     val perK = Seq(3, 4).map { k =>
-      val ce = graft.ops.KCore.coreEdges(edges, k)
+      val ce = graft.ops.KCore.coreEdges(edges, k).persist()
       val nodes = ce
         .select(col("u").as("id"))
         .unionByName(ce.select(col("v").as("id")))
@@ -12754,13 +12754,26 @@ object Queries {
       val eb = ce
         .groupBy(expr("u div 500").as("bucket"))
         .agg(count(lit(1)).as("n_core_edges"))
+      // MEASURED fixpoint certificate, not a literal: recompute induced
+      // degrees on the returned edge set and assert every surviving
+      // node still clears k (vacuously true on an empty core). The
+      // oracle pins its own stability predicate (|round 7| = |round 8|
+      // cardinality); both must independently come out true. A one-row
+      // broadcast-scalar cross join attaches the verdict to every
+      // bucket row.
+      val stable = ce
+        .select(col("u").as("id"))
+        .unionByName(ce.select(col("v").as("id")))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("deg"))
+        .agg(coalesce(min(col("deg")) >= k, lit(true)).as("stable_ok"))
       allBuckets
         .join(nb, Seq("bucket"), "left")
         .join(eb, Seq("bucket"), "left")
         .na
         .fill(0L, Seq("n_core_nodes", "n_core_edges"))
         .withColumn("k", lit(k))
-        .withColumn("stable_ok", lit(true))
+        .crossJoin(broadcast(stable))
     }
     perK
       .reduce(_ unionByName _)

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.CutOps
 
 /** BPE (byte-pair-encoding) tokenizer TRAINING — the iterative greedy
   * merge loop (public algorithm: Sennrich et al., "Neural Machine
@@ -87,7 +88,7 @@ object Bpe {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("weight"))
       .select(col("word"), split(col("word"), "").as("tokens"), col("weight"))
-      .localCheckpoint(true)
+      .cutLineage()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -103,7 +104,7 @@ object Bpe {
           merges += ((step, l, r, f))
           val fused = words
             .select(col("word"), Bpe.applyMerge(col("tokens"), l, r).as("tokens"), col("weight"))
-            .localCheckpoint(true)
+            .cutLineage()
           // free the superseded round's checkpoint (eager materialize
           // above makes this safe; without it executor storage grows
           // linearly with nMerges)

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.CutOps
 import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an undirected edge list — the exact closure
@@ -49,7 +50,7 @@ object Components {
       .select(col("src").as("id"))
       .distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+      .cutLineage()
 
     var iter = 0
     var converged = false
@@ -63,7 +64,7 @@ object Components {
         .unionByName(viaNeighbors)
         .groupBy(col("id"))
         .agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
+        .cutLineage()
       val changed = next
         .join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev"))
@@ -141,8 +142,8 @@ object Components {
       .select(col("u").as("id"))
       .unionByName(raw.select(col("v").as("id")))
       .distinct()
-      .localCheckpoint(true)
-    var e = canon(raw).localCheckpoint(true)
+      .cutLineage()
+    var e = canon(raw).cutLineage()
     var fp = fingerprint(e)
     var iter = 0
     var converged = false
@@ -152,7 +153,7 @@ object Components {
       // canon distinct must not replay per consumer)
       val ls = canon(
         withMinNbr(sym(e)).filter(col("v") > col("u")).select(col("v").as("u"), col("m").as("v"))
-      ).localCheckpoint(true)
+      ).cutLineage()
       // small star: neighbors v <= u (and u itself) attach to the min.
       // One explode emits both edge kinds in a single pass over the
       // windowed frame — no intermediate join materialization at all
@@ -173,7 +174,7 @@ object Components {
             ).as("e")
           )
           .select(col("e.u").as("u"), col("e.v").as("v"))
-      ).localCheckpoint(true)
+      ).cutLineage()
       val fpNext = fingerprint(ss)
       if (fpNext == fp) {
         // confirm the fingerprint match exactly — a hash collision must

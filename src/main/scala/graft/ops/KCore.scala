@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.CutOps
 
 /** K-CORE DECOMPOSITION by iterative peeling — the maximal subgraph in
   * which every node has degree ≥ k, computed by repeatedly deleting
@@ -39,7 +40,7 @@ object KCore {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") < col("v"))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     var before = e.count()
     var iter = 0
     var stable = false
@@ -54,13 +55,21 @@ object KCore {
         .join(keep.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("id", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+        .cutLineage()
       val after = ne.count()
       stable = after == before
       before = after
       e = ne
       iter += 1
     }
+    // a silent partial peel would return edges whose endpoints can
+    // still be under-degree (the cascade was cut mid-flight) — refuse
+    // instead, the Components convergence discipline: maxIter bounds
+    // the peeling depth the caller is prepared to pay for
+    if (!stable)
+      throw new IllegalStateException(
+        s"coreEdges did not reach the peeling fixpoint in $maxIter rounds — " +
+          "the deletion cascade is deeper than maxIter; raise maxIter")
     e
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.CutOps
 
 /** Synchronous LABEL-PROPAGATION community detection (Raghavan, Albert
   * & Kumara 2007), deterministic variant: every round, every node
@@ -26,17 +27,21 @@ import org.apache.spark.sql.functions._
 object LabelProp {
 
   /** Run `iters` synchronous rounds over DIRECTED (src, dst) edges —
-    * pass a symmetrized edge set for the undirected semantics. Every
-    * node must appear as a dst (symmetrized graphs do); label init is
-    * the node's own id. Returns (node, label).
+    * pass a symmetrized edge set for the undirected semantics. Label
+    * init is the node's own id. Returns (node, label) for EVERY node
+    * mentioned in `edges`: a node with no in-edges (possible on
+    * arbitrary directed input) has no in-neighbor vote and KEEPS its
+    * current label each round — the per-round update left-joins back
+    * to the node universe instead of keying the output on dst alone,
+    * so directed inputs cannot silently drop source-only nodes.
     */
   def run(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.repartition(col("src")).localCheckpoint(true)
+    val e = edges.repartition(col("src")).cutLineage()
     val nodes = e
       .select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
       val cnt = e
@@ -45,13 +50,19 @@ object LabelProp {
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("c"))
       val best = cnt.groupBy(col("dst")).agg(max(col("c")).as("cmax"))
-      labels = cnt
+      val upd = cnt
         .join(best, Seq("dst"))
         .filter(col("c") === col("cmax"))
         .groupBy(col("dst"))
-        .agg(min(col("label")).as("label"))
-        .select(col("dst").as("node"), col("label"))
-        .localCheckpoint(true)
+        .agg(min(col("label")).as("new_label"))
+        .select(col("dst").as("node"), col("new_label"))
+      // in-degree-0 nodes are absent from `upd`; coalesce keeps their
+      // label (on symmetrized input every node has in-edges and this
+      // is byte-identical to the dst-keyed form — q155's contract)
+      labels = labels
+        .join(upd, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+        .cutLineage()
     }
     labels
   }

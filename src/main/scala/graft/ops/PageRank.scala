@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Checkpoints.CutOps
 
 /** PageRank power iteration as DataFrame algebra — the canonical
   * iterative-graph workload (public algorithm: Brin & Page). Each round
@@ -54,18 +55,18 @@ object PageRank {
     // shape so rounds do one join, not two.
     val e = edges
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .cutLineage()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = e
       .join(deg, "src")
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .cutLineage()
     val nodes = e
       .select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
-    val srcs = e.select(col("src").as("node")).distinct().localCheckpoint(true)
+      .cutLineage()
+    val srcs = e.select(col("src").as("node")).distinct().cutLineage()
     val n = nodes.count()
     // a graph where every node has an out-edge (e.g. symmetrized) has
     // dm = 0.0 every round — skip the per-round scalar aggregate
@@ -98,7 +99,7 @@ object PageRank {
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("csum"), lit(0.0)) + lit(dm / n))).as("r")
         )
-        .localCheckpoint(true)
+        .cutLineage()
       // free the superseded round's checkpoint blocks (executor storage
       // otherwise grows linearly with iters for library callers)
       if (prevCkpt != null) GraftShim.unpersistCheckpoint(prevCkpt)

@@ -41,6 +41,27 @@ class BoundedLevenshteinSpec extends SparkSpec {
     assert(banded("abcdefgh", "a", 2) === 3)
   }
 
+  test("astral-plane code points count as ONE edit (builtin parity)") {
+    // '😀' is one code point but two UTF-16 units — a UTF-16 charAt DP
+    // would score these 2 and diverge from Spark's builtin levenshtein
+    assert(banded("😀", "x", 2) === 1)
+    assert(banded("😀", "", 2) === 1)
+    assert(banded("a😀b", "ab", 2) === 1)
+    assert(banded("😀", "😁", 2) === 1) // 😀 vs 😁: substitution, not pair-swap
+    assert(banded("😀😀😀", "", 2) === 3) // gap bail in code points
+    // builtin parity sweep over mixed ASCII/astral words
+    val rnd = new scala.util.Random(31)
+    val alpha = Seq("a", "b", "😀", "😁", "é", "中")
+    def word() = (0 until rnd.nextInt(8)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val pairs = (1 to 800).map(_ => (word(), word())).toDF("a", "b")
+    val diff = pairs
+      .withColumn("d1", least(levenshtein($"a", $"b"), lit(3)))
+      .withColumn("d2", expr("bounded_levenshtein(a, b, 2)"))
+      .where($"d1" =!= $"d2")
+      .count()
+    assert(diff === 0)
+  }
+
   test("SQL surface inside whole-stage codegen matches the builtin predicate") {
     val rnd = new scala.util.Random(23)
     val alpha = "abcdef"

@@ -42,4 +42,18 @@ class KCoreSpec extends SparkSpec {
     assert(KCore.coreEdges(df, 4).count() === 10)
     assert(KCore.coreEdges(df, 5).count() === 0)
   }
+
+  test("a cascade deeper than maxIter REFUSES instead of returning a partial peel") {
+    // 12-node path, k=2: ends peel one hop per round (~5 rounds to
+    // empty) — maxIter=2 cuts the cascade mid-flight. The contract
+    // (Components discipline) is to throw, never to return edges whose
+    // endpoints may still be under-degree.
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("u", "v")
+    val ex = intercept[IllegalStateException] {
+      KCore.coreEdges(path, 2, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+    // and with enough rounds the same graph resolves cleanly (to empty)
+    assert(KCore.coreEdges(path, 2).count() === 0)
+  }
 }

@@ -31,6 +31,18 @@ class LabelPropSpec extends SparkSpec {
     assert(labels("l1") === "c" && labels("l2") === "c" && labels("l3") === "c")
   }
 
+  test("directed input: source-only nodes keep their labels, none dropped") {
+    // s -> a -> b, plus a 2-cycle c <-> d. Node s has NO in-edges: the
+    // dst-keyed update has no row for it, so a dst-keyed output would
+    // silently drop it — the contract is it keeps its own label.
+    val directed = Seq(("s", "a"), ("a", "b"), ("c", "d"), ("d", "c")).toDF("src", "dst")
+    val labels = LabelProp.run(directed, iters = 3).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels.keySet === Set("s", "a", "b", "c", "d"), "no node loss on directed input")
+    assert(labels("s") === "s") // no in-neighbor votes ever arrive
+    // c<->d: round 1 swaps votes, min-tie resolution keeps both in {c,d}
+    assert(Set("c", "d").contains(labels("c")) && Set("c", "d").contains(labels("d")))
+  }
+
   test("labels never leave a connected component; output is partitioning-invariant") {
     val got = LabelProp.run(twoTriangles, 2).collect().toSet
     val rep = LabelProp.run(twoTriangles.repartition(7), 2).collect().toSet

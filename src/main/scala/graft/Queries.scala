@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
 
@@ -8971,7 +8971,11 @@ object Queries {
     "q221_nested_sampling" -> (q221NestedSampling _),
     "q222_equidepth" -> (q222Equidepth _),
     "q223_new_vs_returning" -> (q223NewVsReturning _),
-    "q224_wow_growth" -> (q224WowGrowth _)
+    "q224_wow_growth" -> (q224WowGrowth _),
+    "q225_bfs_layers" -> (q225BfsLayers _),
+    "q226_pii_scan" -> (q226PiiScan _),
+    "q227_skew_gini" -> (q227SkewGini _),
+    "q228_negative_sampling" -> (q228NegativeSampling _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9192,7 +9196,11 @@ object Queries {
     "q221_nested_sampling" -> q221Oracle,
     "q222_equidepth" -> q222Oracle,
     "q223_new_vs_returning" -> q223Oracle,
-    "q224_wow_growth" -> q224Oracle
+    "q224_wow_growth" -> q224Oracle,
+    "q225_bfs_layers" -> q225Oracle,
+    "q226_pii_scan" -> q226Oracle,
+    "q227_skew_gini" -> q227Oracle,
+    "q228_negative_sampling" -> q228Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -15423,4 +15431,322 @@ object Queries {
       |       ELSE CAST((cnt * 1000000) // prev - 1000000 AS BIGINT) END AS growth_ppm
       |FROM l
       |ORDER BY event_type, wk""".stripMargin
+
+
+  // ---------------------------------------------------------------- q225
+  /** MULTI-SOURCE BFS layers ([[graft.ops.Bfs]]) — shortest hop
+    * distance from a sparse seed set over the symmetrized shared block
+    * graph (q174/q184's), unrolled to depth 4. Seeds are the keys
+    * ≡ 3 (mod 50) — one per fifth block, so blocks WITH a seed fill in
+    * 1–3 hops while seedless blocks stay unreached (reported as
+    * dist −1): the histogram exercises first-reach assignment, the
+    * anti-join frontier discipline, AND the unreached complement in
+    * one contract. The oracle unrolls the same four frontier rounds as
+    * chained MATERIALIZED CTEs (the q184 discipline — each round
+    * references its predecessor twice) and must land on identical
+    * (bucket, dist) counts.
+    */
+  def q225BfsLayers(s: SparkSession, dir: String): DataFrame = {
+    val raw = blockGraph(s, dir)
+    val sym = raw
+      .select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(raw.select(col("v").as("src"), col("u").as("dst")))
+      .distinct()
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val seeds = nodes.filter(expr("node % 50 = 3"))
+    val reached = graft.ops.Bfs.layers(sym, seeds, maxDepth = 4)
+    val withDist = nodes
+      .join(reached, Seq("node"), "left")
+      .select(col("node"), coalesce(col("dist"), lit(-1)).as("dist"))
+    withDist
+      .groupBy(expr("node div 500").as("bucket"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("bucket"), col("dist"), col("n_nodes"))
+      .orderBy(col("bucket"), col("dist"))
+  }
+
+  val q225Oracle: String = {
+    def round(r: Int): String =
+      s"""f$r AS MATERIALIZED (
+         |  SELECT DISTINCT s.dst AS node FROM sym s JOIN f${r - 1} f ON f.node = s.src
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} v WHERE v.node = s.dst)),
+         |v$r AS MATERIALIZED (
+         |  SELECT node, dist FROM v${r - 1} UNION ALL SELECT node, $r AS dist FROM f$r),
+         |""".stripMargin
+    s"""WITH eset AS MATERIALIZED (
+       |$BlockGraphSql
+       |),
+       |sym AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM eset UNION SELECT v, u FROM eset),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+       |v0 AS MATERIALIZED (
+       |  SELECT node, 0 AS dist FROM nodes WHERE node % 50 = 3),
+       |f0 AS (SELECT node FROM v0),
+       |${round(1)}${round(2)}${round(3)}${round(4)}
+       |labeled AS (
+       |  SELECT n.node,
+       |         COALESCE(v.dist, -1) AS dist
+       |  FROM nodes n LEFT JOIN v4 v ON v.node = n.node)
+       |SELECT node // 500 AS bucket, CAST(dist AS INT) AS dist,
+       |       CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM labeled
+       |GROUP BY 1, 2
+       |ORDER BY bucket, dist""".stripMargin
+  }
+
+
+  // ---------------------------------------------------------------- q226
+  /** PII PATTERN SCAN + REDACTION accounting — the pre-training
+    * compliance pass: count per-source occurrences of five PII-shaped
+    * pattern classes (email, NANP-style phone, IPv4, SSN-shape, URL)
+    * and measure how many characters a full redaction removes. The
+    * corpus text carries no such patterns naturally, so deterministic
+    * decoys are synthesized from doc_id IDENTICALLY on both engines
+    * (the q121 discipline) — the certificate can never be vacuous.
+    * Patterns stay inside the Java-regex ∩ RE2 common subset (ASCII
+    * classes, bounded quantifiers, no lookaround, no alternation
+    * beyond `https?`), where both engines' leftmost-greedy
+    * non-overlapping scans agree; redaction replaces in a fixed
+    * URL→email→IP→SSN→phone order so class overlaps cannot
+    * double-count removed spans. One corpus scan, one per-source
+    * hash aggregate — map-side regex, no UDFs, no shuffle beyond the
+    * final |sources|-row rollup.
+    */
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val PiiSsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  private val PiiUrlRe = "https?://[A-Za-z0-9./_-]+"
+
+  def q226PiiScan(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val id = col("doc_id")
+    def sfx(cond: Column, piece: Column): Column =
+      when(cond, piece).otherwise(lit(""))
+    val aug = concat(
+      col("text"),
+      sfx(id % 5 === 0, concat(lit(" see https://example.org/doc/"), id.cast("string"))),
+      sfx(id % 7 === 0, concat(lit(" contact user"), id.cast("string"), lit("@example.com"))),
+      sfx(id % 11 === 0, concat(lit(" call 415-555-"), lpad((id % 10000).cast("string"), 4, "0"))),
+      sfx(id % 13 === 0, concat(lit(" from 10.0."), (id % 256).cast("string"), lit("."), ((id * 7) % 256).cast("string"))),
+      sfx(id % 17 === 0, concat(lit(" ssn 123-45-"), lpad((id % 10000).cast("string"), 4, "0")))
+    )
+    def cnt(re: String): Column =
+      size(regexp_extract_all(col("aug"), lit(re), lit(0))).cast("long")
+    val redacted = Seq(PiiUrlRe, PiiEmailRe, PiiIpRe, PiiSsnRe, PiiPhoneRe)
+      .foldLeft(col("aug"))((c, re) => regexp_replace(c, re, ""))
+    docs
+      .withColumn("aug", aug)
+      .select(
+        col("source"),
+        cnt(PiiEmailRe).as("e"),
+        cnt(PiiPhoneRe).as("p"),
+        cnt(PiiIpRe).as("i"),
+        cnt(PiiSsnRe).as("n"),
+        cnt(PiiUrlRe).as("u"),
+        (length(col("aug")) - length(redacted)).cast("long").as("rc")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("e")).as("n_emails"),
+        sum(col("p")).as("n_phones"),
+        sum(col("i")).as("n_ips"),
+        sum(col("n")).as("n_ssns"),
+        sum(col("u")).as("n_urls"),
+        sum(col("rc")).as("redacted_chars")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q226Oracle: String = {
+    s"""WITH aug AS (
+       |  SELECT source,
+       |    text
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/doc/' || CAST(doc_id AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    AS a
+       |  FROM documents)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(a, '$PiiEmailRe'))) AS BIGINT) AS n_emails,
+       |  CAST(SUM(len(regexp_extract_all(a, '$PiiPhoneRe'))) AS BIGINT) AS n_phones,
+       |  CAST(SUM(len(regexp_extract_all(a, '$PiiIpRe'))) AS BIGINT) AS n_ips,
+       |  CAST(SUM(len(regexp_extract_all(a, '$PiiSsnRe'))) AS BIGINT) AS n_ssns,
+       |  CAST(SUM(len(regexp_extract_all(a, '$PiiUrlRe'))) AS BIGINT) AS n_urls,
+       |  CAST(SUM(length(a) - length(
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      a, '$PiiUrlRe', '', 'g'), '$PiiEmailRe', '', 'g'), '$PiiIpRe', '', 'g'),
+       |      '$PiiSsnRe', '', 'g'), '$PiiPhoneRe', '', 'g'))) AS BIGINT) AS redacted_chars
+       |FROM aug
+       |GROUP BY source
+       |ORDER BY source"""
+  }.stripMargin
+
+
+  // ---------------------------------------------------------------- q227
+  /** KEY-SKEW DIAGNOSTICS REPORT — the numbers an operator looks at
+    * before choosing salting/AQE settings for a 100 TB shuffle: for
+    * each join-key distribution (lineitem by l_suppkey, orders by
+    * o_custkey) the key cardinality, row count, heaviest-key and
+    * top-10-key load shares, and the exact GINI concentration
+    * coefficient — all in integer/ppm arithmetic so the certificate is
+    * engine-exact. Gini comes from the rank-weighted form
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over counts ranked ascending;
+    * the ranking uses [[graft.ops.Rank.rankWithin]] (range-binned
+    * two-pass — no single-task global window even when the key table
+    * itself is huge), and the oracle replays the plain single-window
+    * definition the two-pass must equal (the q117 discipline).
+    * Per-row products are widened to decimal(38,0)/HUGEINT BEFORE the
+    * sum (the q170 overflow rule).
+    */
+  def q227SkewGini(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").cast("long").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rel", lit("lineitem_suppkey"))
+    val ord = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").cast("long").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rel", lit("orders_custkey"))
+    val freq = li.unionByName(ord)
+    val ranked = graft.ops.Rank
+      .rankWithin(freq, Seq("rel"), col("cnt"), col("key"), "rnk")
+      .withColumn("ixi", col("rnk").cast("decimal(38,0)") * col("cnt").cast("decimal(38,0)"))
+    val tot = ranked
+      .groupBy(col("rel"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("top1"),
+        sum(col("ixi")).as("sum_ixi")
+      )
+    val top10 = ranked
+      .join(tot.select(col("rel"), col("n_keys").as("nk")), Seq("rel"))
+      .filter(col("rnk") > col("nk") - 10)
+      .groupBy(col("rel"))
+      .agg(sum(col("cnt")).as("top10"))
+    tot
+      .join(top10, Seq("rel"))
+      .select(
+        col("rel"),
+        col("n_keys"),
+        col("n_rows"),
+        expr("cast((top1 * 1000000) div n_rows as bigint)").as("top1_ppm"),
+        expr("cast((top10 * 1000000) div n_rows as bigint)").as("top10_ppm"),
+        expr(
+          "cast(((2 * sum_ixi - (n_keys + 1) * cast(n_rows as decimal(38,0))) * 1000000) div (n_keys * cast(n_rows as decimal(38,0))) as bigint)"
+        ).as("gini_ppm")
+      )
+      .orderBy(col("rel"))
+  }
+
+  val q227Oracle: String =
+    """WITH freq AS (
+      |  SELECT 'lineitem_suppkey' AS rel, CAST(l_suppkey AS BIGINT) AS key,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'orders_custkey', CAST(o_custkey AS BIGINT),
+      |         CAST(COUNT(*) AS BIGINT)
+      |  FROM orders GROUP BY 2),
+      |ranked AS (
+      |  SELECT rel, key, cnt,
+      |         ROW_NUMBER() OVER (PARTITION BY rel ORDER BY cnt, key) AS rnk
+      |  FROM freq),
+      |tot AS (
+      |  SELECT rel,
+      |         CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |         CAST(MAX(cnt) AS BIGINT) AS top1,
+      |         SUM(CAST(rnk AS HUGEINT) * CAST(cnt AS HUGEINT)) AS sum_ixi
+      |  FROM ranked GROUP BY rel),
+      |t10 AS (
+      |  SELECT r.rel, CAST(SUM(r.cnt) AS BIGINT) AS top10
+      |  FROM ranked r JOIN tot t ON t.rel = r.rel
+      |  WHERE r.rnk > t.n_keys - 10
+      |  GROUP BY r.rel)
+      |SELECT t.rel, t.n_keys, t.n_rows,
+      |  CAST((t.top1 * 1000000) // t.n_rows AS BIGINT) AS top1_ppm,
+      |  CAST((t10.top10 * 1000000) // t.n_rows AS BIGINT) AS top10_ppm,
+      |  CAST(((2 * t.sum_ixi - (t.n_keys + 1) * CAST(t.n_rows AS HUGEINT)) * 1000000)
+      |       // (t.n_keys * CAST(t.n_rows AS HUGEINT)) AS BIGINT) AS gini_ppm
+      |FROM tot t JOIN t10 ON t10.rel = t.rel
+      |ORDER BY t.rel""".stripMargin
+
+
+  // ---------------------------------------------------------------- q228
+  /** LENGTH-MATCHED NEGATIVE SAMPLING for contrastive training — for
+    * each anchor document, pick 3 deterministic "hard-ish" negatives
+    * from the SAME length bucket but a DIFFERENT source (length-matched
+    * so the pair can't be separated by a length shortcut; cross-source
+    * so trivial near-dups are excluded). Selection is a pure function
+    * of (anchor_id, candidate_id): the md5-prefix integer of the pair
+    * key ranks candidates (the q85/q221 seeded-hash discipline), so
+    * the sample replays exactly on any engine and any partitioning.
+    * Scale shape: candidates come from a bucket-equi join (bounded by
+    * per-bucket population, never all-pairs), ranking is a window over
+    * fine-grained per-anchor groups, and no state collects anywhere.
+    */
+  def q228NegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        expr("n_chars div 100").as("bucket"))
+    val anchors = docs
+      .filter(col("doc_id") % 9 === 0)
+      .select(
+        col("doc_id").as("anchor_id"),
+        col("source").as("a_source"),
+        col("bucket"))
+    val cand = anchors
+      .join(docs, Seq("bucket"))
+      .filter(col("source") =!= col("a_source") && col("doc_id") =!= col("anchor_id"))
+      .withColumn(
+        "rk",
+        conv(
+          substring(
+            md5(concat(col("anchor_id").cast("string"), lit(":"), col("doc_id").cast("string"))),
+            1, 15),
+          16, 10).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("rk"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("anchor_id"))
+    cand
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .withColumn("n_cands", count(lit(1)).over(wAll))
+      .filter(col("neg_rank") <= 3)
+      .select(col("anchor_id"), col("neg_rank"), col("doc_id").as("neg_id"), col("n_cands"))
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
+
+  val q228Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars // 100 AS bucket FROM documents),
+      |anchors AS (
+      |  SELECT doc_id AS anchor_id, source AS a_source, bucket
+      |  FROM d WHERE doc_id % 9 = 0),
+      |cand AS (
+      |  SELECT a.anchor_id, c.doc_id AS neg_id,
+      |    CAST(('0x' || substr(md5(CAST(a.anchor_id AS VARCHAR) || ':' || CAST(c.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk
+      |  FROM anchors a
+      |  JOIN d c ON c.bucket = a.bucket
+      |   AND c.source <> a.a_source AND c.doc_id <> a.anchor_id),
+      |ranked AS (
+      |  SELECT anchor_id, neg_id,
+      |    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY rk, neg_id) AS neg_rank,
+      |    COUNT(*) OVER (PARTITION BY anchor_id) AS n_cands
+      |  FROM cand)
+      |SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+      |       CAST(neg_rank AS BIGINT) AS neg_rank,
+      |       CAST(neg_id AS BIGINT) AS neg_id,
+      |       CAST(n_cands AS BIGINT) AS n_cands
+      |FROM ranked
+      |WHERE neg_rank <= 3
+      |ORDER BY anchor_id, neg_rank""".stripMargin
 }

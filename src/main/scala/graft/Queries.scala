@@ -8975,7 +8975,9 @@ object Queries {
     "q225_bfs_layers" -> (q225BfsLayers _),
     "q226_pii_scan" -> (q226PiiScan _),
     "q227_skew_gini" -> (q227SkewGini _),
-    "q228_negative_sampling" -> (q228NegativeSampling _)
+    "q228_negative_sampling" -> (q228NegativeSampling _),
+    "q229_filter_ablation" -> (q229FilterAblation _),
+    "q230_ppjoin" -> (q230PpJoin _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9200,7 +9202,9 @@ object Queries {
     "q225_bfs_layers" -> q225Oracle,
     "q226_pii_scan" -> q226Oracle,
     "q227_skew_gini" -> q227Oracle,
-    "q228_negative_sampling" -> q228Oracle
+    "q228_negative_sampling" -> q228Oracle,
+    "q229_filter_ablation" -> q229Oracle,
+    "q230_ppjoin" -> q230Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -15749,4 +15753,126 @@ object Queries {
       |FROM ranked
       |WHERE neg_rank <= 3
       |ORDER BY anchor_id, neg_rank""".stripMargin
+
+
+  // ---------------------------------------------------------------- q229
+  /** QUALITY-FILTER ABLATION MATRIX — the study a curation team runs
+    * before committing to a filter stack: partition the corpus by the
+    * 2³ = 8 pass/fail combinations of three independent gates (length
+    * 40–1000 tokens, uniqueness 2·n_uniq ≥ n_tokens, stopword evidence
+    * ≥ 2) and report each cell's document and token mass, so the
+    * marginal cost of every gate (and every gate INTERACTION) is one
+    * row read. Predicates are integer-exact (no float thresholds to
+    * drift cross-engine); a single corpus scan feeds one 8-group
+    * aggregate — the ablation costs the same as one filter pass
+    * regardless of how many gates are studied. Token columns replay
+    * relationally in DuckDB (the q21 list-function mirror).
+    */
+  def q229FilterAblation(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val stopList = Seq("the", "a", "of", "and", "is", "to", "in")
+    Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn(
+        "n_stop",
+        size(filter(col("toks"), t => t.isin(stopList: _*))).cast("long"))
+      .withColumn(
+        "mask",
+        (when(col("n_tok").between(40, 1000), 4).otherwise(0) +
+          when(col("n_uniq") * 2 >= col("n_tok"), 2).otherwise(0) +
+          when(col("n_stop") >= 2, 1).otherwise(0)).cast("int"))
+      .groupBy(col("mask"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_uniq")).as("n_uniq_tokens"))
+      .orderBy(col("mask"))
+  }
+
+  val q229Oracle: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), f AS (
+      |  SELECT
+      |    CAST(len(toks) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+      |    CAST(len(list_filter(toks, x ->
+      |      list_contains(['the','a','of','and','is','to','in'], x))) AS BIGINT) AS n_stop
+      |  FROM t
+      |)
+      |SELECT CAST(CASE WHEN n_tok BETWEEN 40 AND 1000 THEN 4 ELSE 0 END
+      |          + CASE WHEN n_uniq * 2 >= n_tok THEN 2 ELSE 0 END
+      |          + CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS mask,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_uniq) AS BIGINT) AS n_uniq_tokens
+      |FROM f
+      |GROUP BY 1
+      |ORDER BY mask""".stripMargin
+
+
+  // ---------------------------------------------------------------- q230
+  /** SET-SIMILARITY SELF-JOIN via PREFIX FILTERING
+    * ([[graft.ops.PrefixJoin]], PPJoin family) — every document pair
+    * with token-set Jaccard ≥ 3/5, found through the rarest-first
+    * prefix inverted index instead of the all-pairs product. Distinct
+    * pruning theorem from the engine's other near-dup paths (MinHash
+    * banding = probabilistic, SparseSim df-cap = cosine + weight
+    * bound; the prefix lemma is EXACT for Jaccard — zero false
+    * negatives by construction, spec-proved against brute force). The
+    * oracle replays the entire pipeline relationally — df ranks,
+    * integer ⌈t·n⌉ prefixes, candidate join, exact rational verify —
+    * with zero embedded literals.
+    *
+    * BOUNDED audit slice (doc_id < 600, the q46/q91 class): this
+    * corpus carries template families where thousands of docs are
+    * mutually ≥ 0.6-similar, so "emit every qualifying pair" is
+    * quadratic IN ITS OUTPUT by definition (measured: 7.1M pairs /
+    * 153 s at sf0.1 unbounded). The production composition is
+    * PrefixJoin → Components → one representative per cluster
+    * (assignments, linear output — the q33 shape); the slice keeps
+    * this row's purpose (certifying the prefix lemma end-to-end
+    * against the oracle) at bounded cost.
+    */
+  def q230PpJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PrefixJoin
+      .jaccardSelfJoin(
+        Tables.documents(s, dir).filter(col("doc_id") < 600),
+        "doc_id", "text", 3, 5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q230Oracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id AS id,
+      |         list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+      |  FROM documents WHERE doc_id < 600),
+      |tk2 AS (
+      |  SELECT id, ts, CAST(len(ts) AS BIGINT) AS n FROM tk WHERE len(ts) > 0),
+      |posting AS (
+      |  SELECT id, n, unnest(ts) AS tok FROM tk2),
+      |dfreq AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM posting GROUP BY tok),
+      |pos AS (
+      |  SELECT p.id, p.n, p.tok,
+      |         ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY d.df, p.tok) AS pos
+      |  FROM posting p JOIN dfreq d ON d.tok = p.tok),
+      |prefix AS (
+      |  SELECT tok, id FROM pos WHERE pos <= n - ((3 * n + 4) // 5) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM prefix a JOIN prefix b ON b.tok = a.tok AND b.id > a.id),
+      |v AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS inter,
+      |         ta.n + tb.n AS nsum
+      |  FROM cand c
+      |  JOIN tk2 ta ON ta.id = c.id_a
+      |  JOIN tk2 tb ON tb.id = c.id_b)
+      |SELECT id_a, id_b, inter, nsum - inter AS uni,
+      |       CAST((inter * 1000000) // (nsum - inter) AS BIGINT) AS jaccard_ppm
+      |FROM v
+      |WHERE inter * 5 >= (nsum - inter) * 3
+      |ORDER BY id_a, id_b""".stripMargin
 }

@@ -17,10 +17,12 @@ import graft.ops.Checkpoints.CutOps
   * "densely attached where" — communities inside one giant component.
   *
   * Scale shape (the PageRank pattern, PageRank.scala:47): the edge set
-  * pays its src-shuffle ONCE (repartition + localCheckpoint keeps the
+  * pays its src-shuffle ONCE (repartition + lineage cut keeps the
   * partitioning metadata), so each round's label join plans no
   * edge-side exchange; a round is then two dst-keyed hash aggregates
-  * (count per (dst, label), then the argmax) that share partitioning.
+  * that share partitioning — count per (dst, label), then the min-tie
+  * argmax folded into a single min(struct(-c, label)) (round 9; the
+  * earlier cmax-join form paid an extra shuffle + join per round).
   * Labels are checkpointed per round — iterative-lineage hygiene
   * (the Components discipline). Nothing ever collects to the driver.
   */
@@ -49,13 +51,15 @@ object LabelProp {
         .select(col("dst"), col("label"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val best = cnt.groupBy(col("dst")).agg(max(col("c")).as("cmax"))
+      // min-tie argmax in ONE aggregate: min(struct(-c, label)) orders
+      // by count DESC then label ASC — struct comparison keeps the
+      // label type generic (ids or strings), where a max_by would tie
+      // nondeterministically and a cmax-join (the r8 form) pays a
+      // second shuffle + join per round for the same answer
       val upd = cnt
-        .join(best, Seq("dst"))
-        .filter(col("c") === col("cmax"))
         .groupBy(col("dst"))
-        .agg(min(col("label")).as("new_label"))
-        .select(col("dst").as("node"), col("new_label"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("dst").as("node"), col("m.l").as("new_label"))
       // in-degree-0 nodes are absent from `upd`; coalesce keeps their
       // label (on symmetrized input every node has in-edges and this
       // is byte-identical to the dst-keyed form — q155's contract)

@@ -8977,7 +8977,9 @@ object Queries {
     "q227_skew_gini" -> (q227SkewGini _),
     "q228_negative_sampling" -> (q228NegativeSampling _),
     "q229_filter_ablation" -> (q229FilterAblation _),
-    "q230_ppjoin" -> (q230PpJoin _)
+    "q230_ppjoin" -> (q230PpJoin _),
+    "q231_phrase_search" -> (q231PhraseSearch _),
+    "q232_merkle_diff" -> (q232MerkleDiff _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9204,7 +9206,9 @@ object Queries {
     "q227_skew_gini" -> q227Oracle,
     "q228_negative_sampling" -> q228Oracle,
     "q229_filter_ablation" -> q229Oracle,
-    "q230_ppjoin" -> q230Oracle
+    "q230_ppjoin" -> q230Oracle,
+    "q231_phrase_search" -> q231Oracle,
+    "q232_merkle_diff" -> q232Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -15875,4 +15879,226 @@ object Queries {
       |FROM v
       |WHERE inter * 5 >= (nsum - inter) * 3
       |ORDER BY id_a, id_b""".stripMargin
+
+
+  // ---------------------------------------------------------------- q231
+  /** PHRASE SEARCH over a positional n-gram index — the inverted-index
+    * primitive behind "find every document containing this exact
+    * 3-token phrase". To keep the certificate literal-free AND
+    * non-vacuous, the probe phrase is derived IN-QUERY on both
+    * engines: the corpus-wide most frequent 3-gram (ties → smallest
+    * gram string), then every document's exact occurrence count of
+    * that phrase is aggregated per source. Exercises order-preserving
+    * n-gram construction (positions, not bags), a corpus-wide argmax
+    * with deterministic ties (the min(struct) idiom), and a broadcast
+    * scalar probe — one corpus scan for the index, one for the match.
+    */
+  def q231PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val toksed = Tables.documents(s, dir)
+      .withColumn("toks", TextStats.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("grams", TextStats.ngrams(col("toks"), 3))
+    val top = toksed
+      .select(explode(col("grams")).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("c"))
+      .agg(min(struct((-col("c")).as("nc"), col("g").as("g"))).as("m"))
+      .select(col("m.g").as("phrase"))
+    toksed
+      .crossJoin(broadcast(top))
+      .withColumn(
+        "occ",
+        size(filter(col("grams"), x => x === col("phrase"))).cast("long"))
+      .filter(col("occ") > 0)
+      .groupBy(col("source"), col("phrase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
+      .orderBy(col("source"))
+  }
+
+  val q231Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |t3 AS (SELECT * FROM t WHERE len(toks) >= 3),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    list_transform(range(0, len(toks) - 2),
+      |                   i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) AS grams
+      |  FROM t3),
+      |cnt AS (
+      |  SELECT gr, COUNT(*) AS c FROM (SELECT unnest(grams) AS gr FROM g) GROUP BY gr),
+      |top AS (SELECT gr AS phrase FROM cnt ORDER BY c DESC, gr LIMIT 1),
+      |m AS (
+      |  SELECT g.source, top.phrase,
+      |         CAST(len(list_filter(g.grams, x -> x = top.phrase)) AS BIGINT) AS occ
+      |  FROM g, top)
+      |SELECT source, phrase,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(occ) AS BIGINT) AS n_occ
+      |FROM m
+      |WHERE occ > 0
+      |GROUP BY source, phrase
+      |ORDER BY source""".stripMargin
+
+
+  // ---------------------------------------------------------------- q232
+  /** MERKLE-STYLE HIERARCHICAL SNAPSHOT DIFF — reconcile two table
+    * snapshots by drilling down through range digests instead of
+    * joining every row: level-1 ranges (key div 512) compare
+    * (sum-mod-2⁶¹−1 digest, count); only DIVERGENT ranges descend to
+    * level-2 (div 64); only divergent level-2 ranges pay the
+    * row-level full-outer join. At 100 TB this reads the full table
+    * once for digests and touches row data only inside changed ranges
+    * — the anti-entropy shape (Dynamo/Cassandra repair trees), built
+    * here from the engine's q116/q123 digest family. Snapshot B is a
+    * deterministic perturbation of orders (delete keys ≡ 0 mod 97,
+    * modify payload of keys ≡ 0 mod 101), so add/delete/modify counts
+    * are non-vacuous; the certificate computes the SAME diff both via
+    * the drill-down and via the direct all-rows join and pins their
+    * equality as verdict columns. Digests are md5-prefix integers
+    * (engine-portable; the q116 '0x'-cast ↔ conv() bridge).
+    */
+  def q232MerkleDiff(s: SparkSession, dir: String): DataFrame = {
+    val M = lit(2305843009213693951L) // 2^61 - 1
+    def digest(key: Column, payload: Column): Column =
+      conv(substring(md5(concat(key.cast("string"), lit("|"), payload)), 1, 15), 16, 10)
+        .cast("long") % M
+    val a = Tables.orders(s, dir)
+      .select(
+        col("o_orderkey").as("key"),
+        concat(col("o_custkey").cast("string"), lit("|"), col("o_orderstatus")).as("payload"))
+    val b = a
+      .filter(col("key") % 997 =!= 0) // deletions
+      .withColumn(
+        "payload",
+        when(col("key") % 1009 === 0, concat(col("payload"), lit("|X")))
+          .otherwise(col("payload"))) // modifications
+    def digested(t: DataFrame) = t
+      .withColumn("dig", digest(col("key"), col("payload")))
+      .withColumn("r1", expr("key div 512"))
+      .withColumn("r2", expr("key div 64"))
+    val da = digested(a).persist()
+    val db = digested(b).persist()
+    def level(t: DataFrame, rc: String) = t
+      .groupBy(col(rc))
+      .agg(sum(col("dig")).as("sd"), count(lit(1)).as("cnt"))
+    // level 1: full outer digest compare
+    val l1 = level(da, "r1").as("x")
+      .join(level(db, "r1").as("y"), col("x.r1") === col("y.r1"), "full_outer")
+      .select(
+        coalesce(col("x.r1"), col("y.r1")).as("r1"),
+        (!(col("x.sd") <=> col("y.sd")) || !(col("x.cnt") <=> col("y.cnt"))).as("div1"))
+    val divR1 = l1.filter(col("div1")).select(col("r1"))
+    // level 2 only inside divergent level-1 ranges (semi-join pruning)
+    def pruneL2(t: DataFrame) = level(
+      t.join(broadcast(divR1), t("r1") === divR1("r1"), "left_semi"), "r2")
+    val l2 = pruneL2(da).as("x")
+      .join(pruneL2(db).as("y"), col("x.r2") === col("y.r2"), "full_outer")
+      .select(
+        coalesce(col("x.r2"), col("y.r2")).as("r2"),
+        (!(col("x.sd") <=> col("y.sd")) || !(col("x.cnt") <=> col("y.cnt"))).as("div2"))
+    val divR2 = l2.filter(col("div2")).select(col("r2"))
+    // row-level diff only inside divergent level-2 ranges
+    def pruneRows(t: DataFrame) =
+      t.join(broadcast(divR2), t("r2") === divR2("r2"), "left_semi")
+        .select(col("key"), col("dig"))
+    val rowDiff = pruneRows(da).as("x")
+      .join(pruneRows(db).as("y"), col("x.key") === col("y.key"), "full_outer")
+      .agg(
+        sum(when(col("x.key").isNotNull && col("y.key").isNotNull &&
+          col("x.dig") =!= col("y.dig"), 1L).otherwise(0L)).as("n_mod"),
+        sum(when(col("y.key").isNull, 1L).otherwise(0L)).as("n_del"),
+        sum(when(col("x.key").isNull, 1L).otherwise(0L)).as("n_add"))
+    // direct full diff (no narrowing) — the certificate's ground truth
+    val direct = da.select(col("key"), col("dig")).as("x")
+      .join(db.select(col("key"), col("dig")).as("y"), col("x.key") === col("y.key"), "full_outer")
+      .agg(
+        sum(when(col("x.key").isNotNull && col("y.key").isNotNull &&
+          col("x.dig") =!= col("y.dig"), 1L).otherwise(0L)).as("d_mod"),
+        sum(when(col("y.key").isNull, 1L).otherwise(0L)).as("d_del"),
+        sum(when(col("x.key").isNull, 1L).otherwise(0L)).as("d_add"))
+    val counts = l1.agg(
+      count(lit(1)).as("n_l1"),
+      sum(when(col("div1"), 1L).otherwise(0L)).as("n_l1_div"))
+      .crossJoin(l2.agg(
+        count(lit(1)).as("n_l2_checked"),
+        sum(when(col("div2"), 1L).otherwise(0L)).as("n_l2_div")))
+    counts
+      .crossJoin(rowDiff)
+      .crossJoin(direct)
+      .select(
+        col("n_l1"), col("n_l1_div"), col("n_l2_checked"), col("n_l2_div"),
+        col("n_mod"), col("n_del"), col("n_add"),
+        (col("n_mod") === col("d_mod")).as("mod_ok"),
+        (col("n_del") === col("d_del")).as("del_ok"),
+        (col("n_add") === col("d_add")).as("add_ok"))
+  }
+
+  val q232Oracle: String =
+    """WITH a AS (
+      |  SELECT o_orderkey AS key,
+      |         CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus AS payload
+      |  FROM orders),
+      |b AS (
+      |  SELECT key,
+      |         CASE WHEN key % 1009 = 0 THEN payload || '|X' ELSE payload END AS payload
+      |  FROM a WHERE key % 997 <> 0),
+      |da AS (
+      |  SELECT key, key // 512 AS r1, key // 64 AS r2,
+      |    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '|' || payload), 1, 15)) AS BIGINT)
+      |      % 2305843009213693951 AS dig
+      |  FROM a),
+      |db AS (
+      |  SELECT key, key // 512 AS r1, key // 64 AS r2,
+      |    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '|' || payload), 1, 15)) AS BIGINT)
+      |      % 2305843009213693951 AS dig
+      |  FROM b),
+      |la1 AS (SELECT r1, SUM(dig) AS sd, COUNT(*) AS cnt FROM da GROUP BY r1),
+      |lb1 AS (SELECT r1, SUM(dig) AS sd, COUNT(*) AS cnt FROM db GROUP BY r1),
+      |l1 AS (
+      |  SELECT COALESCE(x.r1, y.r1) AS r1,
+      |         (x.sd IS DISTINCT FROM y.sd OR x.cnt IS DISTINCT FROM y.cnt) AS div1
+      |  FROM la1 x FULL OUTER JOIN lb1 y ON y.r1 = x.r1),
+      |la2 AS (
+      |  SELECT r2, SUM(dig) AS sd, COUNT(*) AS cnt FROM da
+      |  WHERE EXISTS (SELECT 1 FROM l1 WHERE l1.r1 = da.r1 AND l1.div1) GROUP BY r2),
+      |lb2 AS (
+      |  SELECT r2, SUM(dig) AS sd, COUNT(*) AS cnt FROM db
+      |  WHERE EXISTS (SELECT 1 FROM l1 WHERE l1.r1 = db.r1 AND l1.div1) GROUP BY r2),
+      |l2 AS (
+      |  SELECT COALESCE(x.r2, y.r2) AS r2,
+      |         (x.sd IS DISTINCT FROM y.sd OR x.cnt IS DISTINCT FROM y.cnt) AS div2
+      |  FROM la2 x FULL OUTER JOIN lb2 y ON y.r2 = x.r2),
+      |ra AS (SELECT key, dig FROM da
+      |  WHERE EXISTS (SELECT 1 FROM l2 WHERE l2.r2 = da.r2 AND l2.div2)),
+      |rb AS (SELECT key, dig FROM db
+      |  WHERE EXISTS (SELECT 1 FROM l2 WHERE l2.r2 = db.r2 AND l2.div2)),
+      |rd AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN x.key IS NOT NULL AND y.key IS NOT NULL AND x.dig <> y.dig
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_mod,
+      |    CAST(SUM(CASE WHEN y.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+      |    CAST(SUM(CASE WHEN x.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_add
+      |  FROM ra x FULL OUTER JOIN rb y ON y.key = x.key),
+      |direct AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN x.key IS NOT NULL AND y.key IS NOT NULL AND x.dig <> y.dig
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS d_mod,
+      |    CAST(SUM(CASE WHEN y.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_del,
+      |    CAST(SUM(CASE WHEN x.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_add
+      |  FROM da x FULL OUTER JOIN db y ON y.key = x.key),
+      |c1 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_l1,
+      |         CAST(SUM(CASE WHEN div1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1_div
+      |  FROM l1),
+      |c2 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_l2_checked,
+      |         CAST(SUM(CASE WHEN div2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2_div
+      |  FROM l2)
+      |SELECT c1.n_l1, c1.n_l1_div, c2.n_l2_checked, c2.n_l2_div,
+      |       rd.n_mod, rd.n_del, rd.n_add,
+      |       rd.n_mod = direct.d_mod AS mod_ok,
+      |       rd.n_del = direct.d_del AS del_ok,
+      |       rd.n_add = direct.d_add AS add_ok
+      |FROM c1, c2, rd, direct""".stripMargin
 }

@@ -15520,11 +15520,11 @@ object Queries {
     * hash aggregate — map-side regex, no UDFs, no shuffle beyond the
     * final |sources|-row rollup.
     */
-  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PiiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-  private val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-  private val PiiSsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
-  private val PiiUrlRe = "https?://[A-Za-z0-9./_-]+"
+  private val PiiEmailRe = graft.streaming.StreamingPii.EmailRe
+  private val PiiPhoneRe = graft.streaming.StreamingPii.PhoneRe
+  private val PiiIpRe = graft.streaming.StreamingPii.IpRe
+  private val PiiSsnRe = graft.streaming.StreamingPii.SsnRe
+  private val PiiUrlRe = graft.streaming.StreamingPii.UrlRe
 
   def q226PiiScan(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)

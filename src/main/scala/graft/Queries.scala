@@ -8979,7 +8979,10 @@ object Queries {
     "q229_filter_ablation" -> (q229FilterAblation _),
     "q230_ppjoin" -> (q230PpJoin _),
     "q231_phrase_search" -> (q231PhraseSearch _),
-    "q232_merkle_diff" -> (q232MerkleDiff _)
+    "q232_merkle_diff" -> (q232MerkleDiff _),
+    "q233_chi_square_ab" -> (q233ChiSquareAb _),
+    "q234_survival_hazard" -> (q234SurvivalHazard _),
+    "q235_eccentricity" -> (q235Eccentricity _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9208,7 +9211,10 @@ object Queries {
     "q229_filter_ablation" -> q229Oracle,
     "q230_ppjoin" -> q230Oracle,
     "q231_phrase_search" -> q231Oracle,
-    "q232_merkle_diff" -> q232Oracle
+    "q232_merkle_diff" -> q232Oracle,
+    "q233_chi_square_ab" -> q233Oracle,
+    "q234_survival_hazard" -> q234Oracle,
+    "q235_eccentricity" -> q235Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -16101,4 +16107,217 @@ object Queries {
       |       rd.n_del = direct.d_del AS del_ok,
       |       rd.n_add = direct.d_add AS add_ok
       |FROM c1, c2, rd, direct""".stripMargin
+
+
+  // ---------------------------------------------------------------- q233
+  /** EXACT-RATIONAL χ² A/B TEST — the experimentation primitive, made
+    * engine-exact end to end: cohorts by user_id parity, "conversion"
+    * = the user's total purchase spend (CENTS-quantized,
+    * floor(v·100 + 0.5) — the q128 integer-grid rule, so the sum is
+    * associative-exact) above the global DISCRETE median spend (the
+    * q92/q97 rank-selected order statistic — no interpolated
+    * percentile to drift), and the 2×2 chi-square in closed form
+    * χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) — a pure integer
+    * ratio, bit-identical on any engine (no float variance estimate
+    * anywhere). Intermediates widen to decimal(38,0)/HUGEINT before
+    * multiplying (the q170 rule). The significance verdict compares
+    * ppm against the χ²₁ 0.05 critical value 3841459 — an exact
+    * integer comparison, not a p-value approximation. A median split
+    * guarantees non-degenerate cells on any corpus.
+    */
+  def q233ChiSquareAb(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(floor(value * 100 + 0.5) as long)")).as("cents"))
+    // global discrete median via the range-binned two-pass rank (no
+    // single-task global window even at huge user cardinality); the
+    // oracle replays the plain window definition the two-pass equals
+    val ranked = graft.ops.Rank
+      .rankWithin(spend.withColumn("g", lit(1)), Seq("g"), col("cents"), col("user_id"), "rnk")
+    val n = ranked.agg(count(lit(1)).as("n_users"))
+    val med = ranked
+      .crossJoin(broadcast(n))
+      .filter(col("rnk") === expr("(n_users + 1) div 2"))
+      .select(col("cents").as("med_cents"))
+    val users = spend
+      .crossJoin(broadcast(med))
+      .withColumn("conv", when(col("cents") > col("med_cents"), 1).otherwise(0))
+      .withColumn("cohort", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+    val cells = users.agg(
+      sum(when(col("cohort") === "A" && col("conv") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("cohort") === "A" && col("conv") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("cohort") === "B" && col("conv") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(col("cohort") === "B" && col("conv") === 0, 1L).otherwise(0L)).as("d"))
+    cells.select(
+      col("a"), col("b"), col("c"), col("d"),
+      (col("a") + col("b") + col("c") + col("d")).as("n"),
+      expr(
+        """cast(((cast(a as decimal(38,0)) + b + c + d)
+          |  * (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c)
+          |  * (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c)
+          |  * 1000000)
+          | div ((cast(a as decimal(38,0)) + b) * (c + cast(d as decimal(38,0)))
+          |      * (cast(a as decimal(38,0)) + c) * (b + cast(d as decimal(38,0))))
+          | as bigint)""".stripMargin.replaceAll("\n", " ")).as("chi2_ppm"))
+      .withColumn("significant", col("chi2_ppm") >= 3841459L)
+  }
+
+  val q233Oracle: String =
+    """WITH spend AS (
+      |  SELECT user_id,
+      |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |ranked AS (
+      |  SELECT user_id, cents,
+      |         ROW_NUMBER() OVER (ORDER BY cents, user_id) AS rnk
+      |  FROM spend),
+      |med AS (
+      |  SELECT cents AS med_cents FROM ranked
+      |  WHERE rnk = ((SELECT COUNT(*) FROM spend) + 1) // 2),
+      |u AS (
+      |  SELECT s.user_id,
+      |         CASE WHEN s.cents > m.med_cents THEN 1 ELSE 0 END AS conv
+      |  FROM spend s, med m),
+      |cells AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM u)
+      |SELECT a, b, c, d, a + b + c + d AS n,
+      |  CAST(((CAST(a AS HUGEINT) + b + c + d)
+      |        * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+      |        * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+      |        * 1000000)
+      |    // ((CAST(a AS HUGEINT) + b) * (c + CAST(d AS HUGEINT))
+      |        * (CAST(a AS HUGEINT) + c) * (b + CAST(d AS HUGEINT))) AS BIGINT) AS chi2_ppm,
+      |  CAST(((CAST(a AS HUGEINT) + b + c + d)
+      |        * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+      |        * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+      |        * 1000000)
+      |    // ((CAST(a AS HUGEINT) + b) * (c + CAST(d AS HUGEINT))
+      |        * (CAST(a AS HUGEINT) + c) * (b + CAST(d AS HUGEINT))) AS BIGINT)
+      |    >= 3841459 AS significant
+      |FROM cells""".stripMargin
+
+  // ---------------------------------------------------------------- q234
+  /** DISCRETE SURVIVAL / HAZARD TABLE over return gaps — retention
+    * modeling's life-table primitive: per user, gaps between
+    * consecutive DISTINCT active days; for each lag t = 1..14 the
+    * at-risk count (gaps ≥ t), event count (gaps = t), and the
+    * discrete hazard rate in exact ppm. No cumulative float product
+    * (the Kaplan–Meier Π term drifts cross-engine); the per-lag
+    * hazard table IS the portable contract, and S(t) reconstructs
+    * from it downstream in whatever precision the consumer wants.
+    * One scan → per-user day-distinct → one lag window → a 14-row
+    * range join on scalars.
+    */
+  def q234SurvivalHazard(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("day"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("day"), col("prev")).cast("long").as("gap"))
+    val lags = s.range(1, 15).select(col("id").as("lag"))
+    lags
+      .join(gaps, col("gap") >= col("lag"), "left")
+      .groupBy(col("lag"))
+      .agg(
+        count(col("gap")).as("at_risk"),
+        sum(when(col("gap") === col("lag"), 1L).otherwise(0L)).as("events"))
+      .withColumn(
+        "hazard_ppm",
+        expr("cast(case when at_risk = 0 then null else (events * 1000000) div at_risk end as bigint)"))
+      .orderBy(col("lag"))
+  }
+
+  val q234Oracle: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |         LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      |  FROM d),
+      |gaps AS (
+      |  SELECT CAST(datediff('day', prev, day) AS BIGINT) AS gap
+      |  FROM g WHERE prev IS NOT NULL),
+      |lags AS (SELECT CAST(unnest(range(1, 15)) AS BIGINT) AS lag)
+      |SELECT l.lag,
+      |  CAST(COUNT(gaps.gap) AS BIGINT) AS at_risk,
+      |  CAST(COALESCE(SUM(CASE WHEN gaps.gap = l.lag THEN 1 ELSE 0 END), 0) AS BIGINT) AS events,
+      |  CAST(CASE WHEN COUNT(gaps.gap) = 0 THEN NULL
+      |       ELSE (SUM(CASE WHEN gaps.gap = l.lag THEN 1 ELSE 0 END) * 1000000) // COUNT(gaps.gap)
+      |       END AS BIGINT) AS hazard_ppm
+      |FROM lags l LEFT JOIN gaps ON gaps.gap >= l.lag
+      |GROUP BY l.lag
+      |ORDER BY l.lag""".stripMargin
+
+
+  // ---------------------------------------------------------------- q235
+  /** SEEDED ECCENTRICITY SAMPLE ([[graft.ops.Bfs.layersBySeed]]) — the
+    * per-seed BFS variant: for a deterministic seed sample (keys ≡ 3
+    * mod 100) of the symmetrized block graph, each seed's hop
+    * eccentricity (max shortest-path distance over its reachable set,
+    * depth-capped at 6) and reachable-set size. Distances are PER
+    * SEED — the merged-wave q225 form can't produce them — so the
+    * visited state is (seed, node) pairs; the oracle unrolls six
+    * seed-labeled frontier rounds (the q225 chain with a composite
+    * key). Sampled seeds, not all nodes: all-pairs BFS state is
+    * quadratic by definition, a sample is how diameter estimation is
+    * done at scale.
+    */
+  def q235Eccentricity(s: SparkSession, dir: String): DataFrame = {
+    val raw = blockGraph(s, dir)
+    val sym = raw
+      .select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(raw.select(col("v").as("src"), col("u").as("dst")))
+      .distinct()
+    val seeds = sym
+      .select(col("src").as("seed"))
+      .distinct()
+      .filter(expr("seed % 100 = 3"))
+    graft.ops.Bfs
+      .layersBySeed(sym, seeds, maxDepth = 6)
+      .groupBy(col("seed"))
+      .agg(
+        max(col("dist")).cast("int").as("ecc"),
+        count(lit(1)).as("n_reached"))
+      .orderBy(col("seed"))
+  }
+
+  val q235Oracle: String = {
+    def round(r: Int): String =
+      s"""f$r AS MATERIALIZED (
+         |  SELECT DISTINCT f.seed, s.dst AS node
+         |  FROM sym s JOIN f${r - 1} f ON f.node = s.src
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM v${r - 1} v WHERE v.seed = f.seed AND v.node = s.dst)),
+         |v$r AS MATERIALIZED (
+         |  SELECT seed, node, dist FROM v${r - 1}
+         |  UNION ALL SELECT seed, node, $r AS dist FROM f$r),
+         |""".stripMargin
+    s"""WITH eset AS MATERIALIZED (
+       |$BlockGraphSql
+       |),
+       |sym AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM eset UNION SELECT v, u FROM eset),
+       |seeds AS (
+       |  SELECT DISTINCT src AS seed FROM sym WHERE src % 100 = 3),
+       |v0 AS MATERIALIZED (
+       |  SELECT seed, seed AS node, 0 AS dist FROM seeds),
+       |f0 AS (SELECT seed, node FROM v0),
+       |${round(1)}${round(2)}${round(3)}${round(4)}${round(5)}${round(6)}
+       |dummy AS (SELECT 1)
+       |SELECT seed, CAST(MAX(dist) AS INT) AS ecc,
+       |       CAST(COUNT(*) AS BIGINT) AS n_reached
+       |FROM v6
+       |GROUP BY seed
+       |ORDER BY seed""".stripMargin
+  }
 }

@@ -65,4 +65,47 @@ object Bfs {
     }
     visited
   }
+
+  /** PER-SEED BFS: (seed, node, dist) for every seed×node pair within
+    * `maxDepth` hops — [[layers]] merges all seeds into one wave (one
+    * distance per node); this variant keeps each seed's own distance
+    * field, the form eccentricity samples and per-query distance
+    * features need. Identical round structure with the visited set
+    * keyed on (seed, node); state grows with Σ per-seed reach, so use
+    * seed SAMPLES at scale, not the full node set (all-pairs BFS is
+    * quadratic state by definition).
+    *
+    * @param seeds one-column frame of seed node ids (column `seed`)
+    */
+  def layersBySeed(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges
+      .select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .cutLineage()
+    var visited = seeds
+      .select(col("seed"))
+      .distinct()
+      .withColumn("node", col("seed"))
+      .withColumn("dist", lit(0))
+      .cutLineage()
+    var frontier = visited.select(col("seed"), col("node"))
+    var d = 0
+    var exhausted = false
+    while (d < maxDepth && !exhausted) {
+      d += 1
+      val next = e
+        .join(frontier, e("src") === frontier("node"))
+        .select(col("seed"), col("dst").as("node"))
+        .distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(d))
+        .cutLineage()
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited.unionByName(next).cutLineage()
+        frontier = next.select(col("seed"), col("node"))
+      }
+    }
+    visited
+  }
 }

@@ -32,6 +32,28 @@ class BfsSpec extends SparkSpec {
     assert(shallow === Map(1L -> 0, 2L -> 1, 3L -> 2)) // 4,5 beyond depth
   }
 
+  test("layersBySeed keeps per-seed distances the merged wave collapses") {
+    val bySeed = Bfs
+      .layersBySeed(edges, Seq(1L, 3L).toDF("seed"), 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    // seed 1 reaches 5 at dist 4; seed 3 reaches it at dist 2 — both
+    // distances survive (layers() would report only min(4, 2))
+    assert(bySeed((1L, 5L)) === 4 && bySeed((3L, 5L)) === 2)
+    assert(bySeed((1L, 3L)) === 2 && bySeed((3L, 3L)) === 0)
+    // per-seed eccentricity/reach fold
+    val byS = bySeed.toSeq.groupBy(_._1._1)
+    assert(byS(1L).map(_._2).max === 4 && byS(1L).size === 5)
+    assert(byS(3L).map(_._2).max === 2 && byS(3L).size === 3)
+    // merged wave agrees with the per-seed MINIMUM
+    val merged = Bfs.layers(edges, Seq(1L, 3L).toDF("node"), 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    merged.foreach { case (n, d) =>
+      assert(d === byS.values.flatten.collect { case ((_, nn), dd) if nn == n => dd }.min)
+    }
+  }
+
   test("cycle terminates via the visited anti-join; partitioning-invariant") {
     val d = run(Seq(10L), 10)
     assert(d === Map(10L -> 0, 11L -> 1))

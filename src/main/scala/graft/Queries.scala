@@ -8982,7 +8982,11 @@ object Queries {
     "q232_merkle_diff" -> (q232MerkleDiff _),
     "q233_chi_square_ab" -> (q233ChiSquareAb _),
     "q234_survival_hazard" -> (q234SurvivalHazard _),
-    "q235_eccentricity" -> (q235Eccentricity _)
+    "q235_eccentricity" -> (q235Eccentricity _),
+    "q236_sssp" -> (q236Sssp _),
+    "q237_k_anonymity" -> (q237KAnonymity _),
+    "q238_seasonality" -> (q238Seasonality _),
+    "q239_hierarchy_rollup" -> (q239HierarchyRollup _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9214,7 +9218,11 @@ object Queries {
     "q232_merkle_diff" -> q232Oracle,
     "q233_chi_square_ab" -> q233Oracle,
     "q234_survival_hazard" -> q234Oracle,
-    "q235_eccentricity" -> q235Oracle
+    "q235_eccentricity" -> q235Oracle,
+    "q236_sssp" -> q236Oracle,
+    "q237_k_anonymity" -> q237Oracle,
+    "q238_seasonality" -> q238Oracle,
+    "q239_hierarchy_rollup" -> q239Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -16320,4 +16328,266 @@ object Queries {
        |GROUP BY seed
        |ORDER BY seed""".stripMargin
   }
+
+
+  // ---------------------------------------------------------------- q236
+  /** WEIGHTED SINGLE-SOURCE SHORTEST PATHS by min-plus relaxation
+    * (Bellman–Ford rounds — the SSSP-in-MapReduce classic): BFS counts
+    * hops, this computes WEIGHTED distance, a different semiring (min,
+    * +) whose relaxation can IMPROVE an already-reached node in a
+    * later round — the part the q225/q235 first-reach discipline can't
+    * express. Edge weights are deterministic integers
+    * 1 + (u + v) mod 7 on the symmetrized block graph; seeds ≡ 3
+    * (mod 100); 5 relaxation rounds (≥ block diameter, so fixpoint).
+    * Per round: one frontier⋈edges join + one (seed,node) min — and a
+    * node's best distance is the min over ALL rounds. The oracle
+    * unrolls the same five min-plus rounds as MATERIALIZED CTEs.
+    * Output: per-seed reachable count, weighted eccentricity, and
+    * total weighted mass (Σ distances) — the closeness-centrality
+    * numerator.
+    */
+  def q236Sssp(s: SparkSession, dir: String): DataFrame = {
+    val raw = blockGraph(s, dir)
+    val sym = raw
+      .select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(raw.select(col("v").as("src"), col("u").as("dst")))
+      .distinct()
+      .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
+      .repartition(col("src"))
+    import graft.ops.Checkpoints.CutOps
+    val e = sym.cutLineage()
+    val seeds = e.select(col("src").as("seed")).distinct().filter(expr("seed % 100 = 3"))
+    var best = seeds
+      .withColumn("node", col("seed"))
+      .withColumn("dist", lit(0L))
+      .cutLineage()
+    for (_ <- 1 to 5) {
+      val relaxed = e
+        .join(best, e("src") === best("node"))
+        .select(col("seed"), col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      best = best
+        .unionByName(relaxed)
+        .groupBy(col("seed"), col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .cutLineage()
+    }
+    best
+      .groupBy(col("seed"))
+      .agg(
+        count(lit(1)).as("n_reached"),
+        max(col("dist")).as("w_ecc"),
+        sum(col("dist")).as("w_mass"))
+      .orderBy(col("seed"))
+  }
+
+  val q236Oracle: String = {
+    def round(r: Int): String =
+      s"""b$r AS MATERIALIZED (
+         |  SELECT seed, node, MIN(dist) AS dist FROM (
+         |    SELECT seed, node, dist FROM b${r - 1}
+         |    UNION ALL
+         |    SELECT p.seed, s.dst AS node, p.dist + s.w AS dist
+         |    FROM b${r - 1} p JOIN sym s ON s.src = p.node)
+         |  GROUP BY seed, node),
+         |""".stripMargin
+    s"""WITH eset AS MATERIALIZED (
+       |$BlockGraphSql
+       |),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst, 1 + (src + dst) % 7 AS w FROM (
+       |    SELECT u AS src, v AS dst FROM eset UNION SELECT v, u FROM eset)),
+       |b0 AS MATERIALIZED (
+       |  SELECT src AS seed, src AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM (SELECT DISTINCT src FROM sym) WHERE src % 100 = 3),
+       |${round(1)}${round(2)}${round(3)}${round(4)}${round(5)}
+       |dummy AS (SELECT 1)
+       |SELECT seed,
+       |  CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |  CAST(MAX(dist) AS BIGINT) AS w_ecc,
+       |  CAST(SUM(dist) AS BIGINT) AS w_mass
+       |FROM b5
+       |GROUP BY seed
+       |ORDER BY seed""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q237
+  /** K-ANONYMITY / L-DIVERSITY AUDIT — the privacy-risk census run
+    * before releasing a dataset: group the customer table by its
+    * quasi-identifier pair (nation, market segment), measure each
+    * equivalence class's size (k) and its count of distinct sensitive
+    * values (l — account-balance cents here), and report the
+    * re-identification exposure per k-threshold: classes below k ∈
+    * {2, 5, 10}, the rows they contain, the worst (min) l among them,
+    * and the at-risk row fraction in ppm. Complements q226 (pattern
+    * PII) with STRUCTURAL privacy risk; one aggregate over the
+    * quasi-identifier space, then a 3-row threshold sweep over the
+    * |classes|-sized frame — nothing scans the base table twice.
+    */
+  def q237KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("k"),
+        countDistinct(expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)")).as("l"))
+      .persist()
+    val total = classes.agg(sum(col("k")).as("n_rows"))
+    val ks = s.range(0, 3).select(element_at(array(lit(2), lit(5), lit(10)), (col("id") + 1).cast("int")).as("k_min"))
+    ks
+      .join(classes, classes("k") < ks("k_min"), "left")
+      .groupBy(col("k_min"))
+      .agg(
+        count(col("k")).as("n_risky_classes"),
+        coalesce(sum(col("k")), lit(0L)).as("n_risky_rows"),
+        min(col("l")).as("worst_l"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("k_min"),
+        col("n_risky_classes"),
+        col("n_risky_rows"),
+        col("worst_l"),
+        expr("cast((n_risky_rows * 1000000) div n_rows as bigint)").as("risk_ppm"))
+      .orderBy(col("k_min"))
+  }
+
+  val q237Oracle: String =
+    """WITH classes AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CAST(COUNT(*) AS BIGINT) AS k,
+      |         CAST(COUNT(DISTINCT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS l
+      |  FROM customer GROUP BY 1, 2),
+      |total AS (SELECT CAST(SUM(k) AS BIGINT) AS n_rows FROM classes),
+      |ks AS (SELECT CAST(unnest([2, 5, 10]) AS INT) AS k_min)
+      |SELECT ks.k_min,
+      |  CAST(COUNT(c.k) AS BIGINT) AS n_risky_classes,
+      |  CAST(COALESCE(SUM(c.k), 0) AS BIGINT) AS n_risky_rows,
+      |  MIN(c.l) AS worst_l,
+      |  CAST((COALESCE(SUM(c.k), 0) * 1000000) // (SELECT n_rows FROM total) AS BIGINT) AS risk_ppm
+      |FROM ks LEFT JOIN classes c ON c.k < ks.k_min
+      |GROUP BY ks.k_min
+      |ORDER BY ks.k_min""".stripMargin
+
+
+  // ---------------------------------------------------------------- q238
+  /** DAY-OF-WEEK SEASONALITY INDEX in exact rational ppm — the
+    * seasonal-profile decomposition a capacity planner reads: for each
+    * ISO weekday, the event volume's seasonal index
+    * (dow_mean / overall_mean, scaled ×10⁶) computed as the pure
+    * integer ratio (dow_total · n_days_total · 10⁶) div
+    * (grand_total · n_days_dow) — per-day MEANS never materialize as
+    * floats, so the index replays bit-exact (the q133 exact-rational
+    * ranking discipline). Day counts come from the observed DISTINCT
+    * days per weekday (no calendar assumption about the corpus span),
+    * and the ISO weekday bridge is the q196 certified formula.
+    */
+  def q238Seasonality(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("isodow", expr("((dayofweek(day) + 5) % 7) + 1"))
+    val byDow = daily
+      .groupBy(col("isodow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("dow_total"))
+    val tot = byDow.agg(
+      sum(col("n_days")).as("n_days_total"),
+      sum(col("dow_total")).as("grand_total"))
+    byDow
+      .crossJoin(broadcast(tot))
+      .select(
+        col("isodow").cast("int").as("isodow"),
+        col("n_days"),
+        col("dow_total"),
+        expr(
+          "cast((cast(dow_total as decimal(38,0)) * n_days_total * 1000000) div (cast(grand_total as decimal(38,0)) * n_days) as bigint)"
+        ).as("seasonal_index_ppm"))
+      .orderBy(col("isodow"))
+  }
+
+  val q238Oracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |bydow AS (
+      |  SELECT CAST(isodow(day) AS INT) AS isodow,
+      |         CAST(COUNT(*) AS BIGINT) AS n_days,
+      |         CAST(SUM(cnt) AS BIGINT) AS dow_total
+      |  FROM daily GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n_days) AS BIGINT) AS n_days_total,
+      |         CAST(SUM(dow_total) AS BIGINT) AS grand_total
+      |  FROM bydow)
+      |SELECT b.isodow, b.n_days, b.dow_total,
+      |  CAST((CAST(b.dow_total AS HUGEINT) * t.n_days_total * 1000000)
+      |       // (CAST(t.grand_total AS HUGEINT) * b.n_days) AS BIGINT) AS seasonal_index_ppm
+      |FROM bydow b, tot t
+      |ORDER BY b.isodow""".stripMargin
+
+  // ---------------------------------------------------------------- q239
+  /** HIERARCHY SUBTREE ROLLUP via ALGEBRAIC ANCESTOR CLOSURE — the
+    * category-tree / org-chart aggregation without ANY iteration or
+    * recursion: impose the deterministic forest parent(k) = k div 4
+    * over customer keys; every node's ancestor chain is then the
+    * CLOSED FORM [k, k div 4, k div 4², …] — seven map-side divisions,
+    * exploded to (ancestor, node) pairs, one hash aggregate, done.
+    * Where a parent-pointer table would need O(depth) self-joins or a
+    * recursive CTE, an arithmetic hierarchy ships its whole closure in
+    * one scan — the trick behind prefix-coded taxonomies (IP ranges,
+    * Dewey paths, H3 cells). Output: every node whose subtree holds ≥
+    * 5 members, with exact subtree size, cents mass, and depth of the
+    * deepest member below it.
+    */
+  def q239HierarchyRollup(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(
+        col("c_custkey").as("k"),
+        expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").as("cents"))
+    val withAnc = cust
+      .withColumn(
+        "anc",
+        // no distinct needed: k div 4^i is STRICTLY decreasing while
+        // >= 1, so the filtered chain can never repeat an ancestor
+        explode(filter(
+          array(
+            struct(col("k").as("a"), lit(0).as("lvl")),
+            struct(expr("k div 4").as("a"), lit(1).as("lvl")),
+            struct(expr("k div 16").as("a"), lit(2).as("lvl")),
+            struct(expr("k div 64").as("a"), lit(3).as("lvl")),
+            struct(expr("k div 256").as("a"), lit(4).as("lvl")),
+            struct(expr("k div 1024").as("a"), lit(5).as("lvl")),
+            struct(expr("k div 4096").as("a"), lit(6).as("lvl"))),
+          x => x.getField("a") >= 1)))
+    withAnc
+      .groupBy(col("anc.a").as("node"))
+      .agg(
+        count(lit(1)).as("subtree_size"),
+        sum(col("cents")).as("subtree_cents"),
+        max(col("anc.lvl")).cast("int").as("max_depth_below"))
+      .filter(col("subtree_size") >= 5)
+      .orderBy(col("node"))
+  }
+
+  val q239Oracle: String =
+    """WITH cust AS (
+      |  SELECT c_custkey AS k,
+      |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM customer),
+      |anc AS (
+      |  SELECT k, cents,
+      |         unnest(list_filter(
+      |           [struct_pack(a := k, lvl := 0),
+      |            struct_pack(a := k // 4, lvl := 1),
+      |            struct_pack(a := k // 16, lvl := 2),
+      |            struct_pack(a := k // 64, lvl := 3),
+      |            struct_pack(a := k // 256, lvl := 4),
+      |            struct_pack(a := k // 1024, lvl := 5),
+      |            struct_pack(a := k // 4096, lvl := 6)],
+      |           x -> x.a >= 1), recursive := true)
+      |  FROM cust)
+      |SELECT a AS node,
+      |       CAST(COUNT(*) AS BIGINT) AS subtree_size,
+      |       CAST(SUM(cents) AS BIGINT) AS subtree_cents,
+      |       CAST(MAX(lvl) AS INT) AS max_depth_below
+      |FROM anc
+      |GROUP BY a
+      |HAVING COUNT(*) >= 5
+      |ORDER BY node""".stripMargin
 }

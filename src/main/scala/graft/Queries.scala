@@ -8986,7 +8986,8 @@ object Queries {
     "q236_sssp" -> (q236Sssp _),
     "q237_k_anonymity" -> (q237KAnonymity _),
     "q238_seasonality" -> (q238Seasonality _),
-    "q239_hierarchy_rollup" -> (q239HierarchyRollup _)
+    "q239_hierarchy_rollup" -> (q239HierarchyRollup _),
+    "q240_bloom_fpr" -> (q240BloomFpr _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9222,7 +9223,8 @@ object Queries {
     "q236_sssp" -> q236Oracle,
     "q237_k_anonymity" -> q237Oracle,
     "q238_seasonality" -> q238Oracle,
-    "q239_hierarchy_rollup" -> q239Oracle
+    "q239_hierarchy_rollup" -> q239Oracle,
+    "q240_bloom_fpr" -> q240Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -16590,4 +16592,79 @@ object Queries {
       |GROUP BY a
       |HAVING COUNT(*) >= 5
       |ORDER BY node""".stripMargin
+
+
+  // ---------------------------------------------------------------- q240
+  /** MEASURED BLOOM FALSE-POSITIVE RATE — the sketch-law certificate
+    * the q64 pipeline only implies: build a Bloom filter over the
+    * benchmark shingle set (docs < 50, 5-gram shingles), probe it with
+    * every TRUE NEGATIVE (corpus shingles provably not in the member
+    * set), and report the exact false-positive count and rate. The
+    * filter here is the RELATIONAL Bloom: k = 7 hash functions are
+    * md5-hex slices mod 2¹⁴ (→ m = 2¹⁴ bits; the q131 CMS
+    * discipline), the bit array is a distinct-bit TABLE, and
+    * membership is "all 7 bit probes hit" — a semi-join formulation
+    * both engines replay exactly, zero embedded literals. (The
+    * production path — expr/BloomSketch's XXH64 bits — trades this
+    * replayability for constant-size broadcast; same contract, q64.)
+    * Non-vacuous by load factor: kn/m ≈ 1 at this member count ⇒ theory predicts ~5% FPR,
+    * and the measured ppm lands near it on any corpus this size.
+    */
+  def q240BloomFpr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ngrams = TextDedup.shingles(col("text"), 5)
+    val members = docs.filter(col("doc_id") < 50)
+      .select(explode(ngrams).as("g")).distinct()
+    val negatives = docs.filter(col("doc_id") >= 50)
+      .select(explode(ngrams).as("g")).distinct()
+      .join(members.withColumnRenamed("g", "mg"), col("g") === col("mg"), "left_anti")
+      .persist()
+    def bitsOf(t: DataFrame): DataFrame = t
+      .withColumn("i", explode(sequence(lit(0), lit(6))))
+      .select(col("g"), col("i"),
+        (conv(substring(md5(col("g")), col("i") * 4 + 1, lit(4)), 16, 10).cast("long") % 16384).as("b"))
+    val bitTable = bitsOf(members).select(col("b")).distinct()
+    val probeHits = bitsOf(negatives)
+      .join(bitTable, Seq("b"), "left_semi")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === 7)
+    negatives
+      .agg(count(lit(1)).as("n_probes"))
+      .crossJoin(members.agg(count(lit(1)).as("n_members")))
+      .crossJoin(bitTable.agg(count(lit(1)).as("n_bits_set")))
+      .crossJoin(probeHits.agg(count(lit(1)).as("n_false_pos")))
+      .select(
+        col("n_members"), col("n_bits_set"), col("n_probes"), col("n_false_pos"),
+        expr("cast((n_false_pos * 1000000) div n_probes as bigint)").as("fpr_ppm"))
+  }
+
+  val q240Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(0, greatest(len(tk) - 4, 1)),
+      |      i -> tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] || ' ' || tk[i + 4] || ' ' || tk[i + 5])) AS g
+      |  FROM toks),
+      |members AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50),
+      |negs AS (
+      |  SELECT DISTINCT g FROM grams WHERE doc_id >= 50
+      |  AND NOT EXISTS (SELECT 1 FROM members m WHERE m.g = grams.g)),
+      |mbits AS (
+      |  SELECT DISTINCT CAST(('0x' || substr(md5(g), i * 4 + 1, 4)) AS BIGINT) % 16384 AS b
+      |  FROM members, (SELECT unnest(range(0, 7)) AS i)),
+      |phits AS (
+      |  SELECT n.g FROM negs n, (SELECT unnest(range(0, 7)) AS i)
+      |  WHERE EXISTS (SELECT 1 FROM mbits
+      |                WHERE mbits.b = CAST(('0x' || substr(md5(n.g), i * 4 + 1, 4)) AS BIGINT) % 16384)
+      |  GROUP BY n.g HAVING COUNT(*) = 7),
+      |c AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM mbits) AS n_bits_set,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM negs) AS n_probes,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM phits) AS n_false_pos)
+      |SELECT n_members, n_bits_set, n_probes, n_false_pos,
+      |       CAST((n_false_pos * 1000000) // n_probes AS BIGINT) AS fpr_ppm
+      |FROM c""".stripMargin
 }

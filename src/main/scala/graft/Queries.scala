@@ -8987,7 +8987,9 @@ object Queries {
     "q237_k_anonymity" -> (q237KAnonymity _),
     "q238_seasonality" -> (q238Seasonality _),
     "q239_hierarchy_rollup" -> (q239HierarchyRollup _),
-    "q240_bloom_fpr" -> (q240BloomFpr _)
+    "q240_bloom_fpr" -> (q240BloomFpr _),
+    "q241_lpm_join" -> (q241LpmJoin _),
+    "q242_token_bucket" -> (q242TokenBucket _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9224,7 +9226,9 @@ object Queries {
     "q237_k_anonymity" -> q237Oracle,
     "q238_seasonality" -> q238Oracle,
     "q239_hierarchy_rollup" -> q239Oracle,
-    "q240_bloom_fpr" -> q240Oracle
+    "q240_bloom_fpr" -> q240Oracle,
+    "q241_lpm_join" -> q241Oracle,
+    "q242_token_bucket" -> q242Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -16667,4 +16671,168 @@ object Queries {
       |SELECT n_members, n_bits_set, n_probes, n_false_pos,
       |       CAST((n_false_pos * 1000000) // n_probes AS BIGINT) AS fpr_ppm
       |FROM c""".stripMargin
+
+
+  // ---------------------------------------------------------------- q241
+  /** LONGEST-PREFIX-MATCH JOIN — the routing-table / CIDR-allowlist
+    * lookup as a relational operator: synthetic 32-bit "flow" addresses
+    * (md5-derived from user_id — deterministic, engine-portable) match
+    * a derived route table holding /8, /16 and /24 prefixes
+    * (deterministic subsets of the observed address space), and each
+    * flow takes its LONGEST matching prefix. Shape: one equi-join per
+    * prefix length on the algebraically-computed prefix (ip div 2⁸ᵏ —
+    * the q239 arithmetic-hierarchy trick applied to tries), then a
+    * per-flow max(struct(len, prefix)) argmax — never a theta join, so
+    * the plan is |lengths| hash joins regardless of table size.
+    * Output: per matched length (plus the no-match bucket), flow
+    * count, distinct addresses, and a prefix checksum.
+    */
+  def q241LpmJoin(s: SparkSession, dir: String): DataFrame = {
+    val flows = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"))
+      .withColumn(
+        "ip",
+        conv(substring(md5(concat(lit("ip:"), col("user_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("p8", expr("ip div 16777216"))
+      .withColumn("p16", expr("ip div 65536"))
+      .withColumn("p24", expr("ip div 256"))
+    val ips = flows.select(col("ip")).distinct()
+    def routes(shift: Long, mod: Int, len: Int) = ips
+      .select((col("ip") / shift).cast("long").as("prefix"))
+      .distinct()
+      .filter(col("prefix") % mod === 0)
+      .withColumn("len", lit(len))
+    val r8 = routes(16777216L, 2, 8)
+    val r16 = routes(65536L, 3, 16)
+    val r24 = routes(256L, 5, 24)
+    val m8 = flows.join(r8, col("p8") === r8("prefix")).select(col("event_id"), col("ip"), col("len"), col("prefix"))
+    val m16 = flows.join(r16, col("p16") === r16("prefix")).select(col("event_id"), col("ip"), col("len"), col("prefix"))
+    val m24 = flows.join(r24, col("p24") === r24("prefix")).select(col("event_id"), col("ip"), col("len"), col("prefix"))
+    val best = m8.unionByName(m16).unionByName(m24)
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("len"), col("prefix"))).as("m"), first(col("ip")).as("ip"))
+      .select(col("event_id"), col("ip"), col("m.len").as("len"), col("m.prefix").as("prefix"))
+    val matched = best
+      .groupBy(col("len"))
+      .agg(
+        count(lit(1)).as("n_flows"),
+        countDistinct(col("ip")).as("n_ips"),
+        (sum(col("prefix")) % 1000003L).as("prefix_checksum"))
+    val unmatched = flows
+      .join(best.select(col("event_id")), Seq("event_id"), "left_anti")
+      .agg(
+        count(lit(1)).as("n_flows"),
+        countDistinct(col("ip")).as("n_ips"))
+      .select(lit(0).as("len"), col("n_flows"), col("n_ips"), lit(0L).as("prefix_checksum"))
+    matched.unionByName(unmatched).orderBy(col("len"))
+  }
+
+  val q241Oracle: String =
+    """WITH flows AS (
+      |  SELECT event_id,
+      |         CAST(('0x' || substr(md5('ip:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS ip
+      |  FROM events),
+      |ips AS (SELECT DISTINCT ip FROM flows),
+      |r8 AS (SELECT DISTINCT ip // 16777216 AS prefix, 8 AS len FROM ips WHERE (ip // 16777216) % 2 = 0),
+      |r16 AS (SELECT DISTINCT ip // 65536 AS prefix, 16 AS len FROM ips WHERE (ip // 65536) % 3 = 0),
+      |r24 AS (SELECT DISTINCT ip // 256 AS prefix, 24 AS len FROM ips WHERE (ip // 256) % 5 = 0),
+      |m AS (
+      |  SELECT f.event_id, f.ip, r.len, r.prefix FROM flows f JOIN r8 r ON r.prefix = f.ip // 16777216
+      |  UNION ALL
+      |  SELECT f.event_id, f.ip, r.len, r.prefix FROM flows f JOIN r16 r ON r.prefix = f.ip // 65536
+      |  UNION ALL
+      |  SELECT f.event_id, f.ip, r.len, r.prefix FROM flows f JOIN r24 r ON r.prefix = f.ip // 256),
+      |best AS (
+      |  SELECT event_id, ip, len, prefix FROM (
+      |    SELECT event_id, ip, len, prefix,
+      |           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY len DESC, prefix DESC) AS rn
+      |    FROM m) WHERE rn = 1),
+      |matched AS (
+      |  SELECT CAST(len AS INT) AS len,
+      |         CAST(COUNT(*) AS BIGINT) AS n_flows,
+      |         CAST(COUNT(DISTINCT ip) AS BIGINT) AS n_ips,
+      |         CAST(SUM(prefix) % 1000003 AS BIGINT) AS prefix_checksum
+      |  FROM best GROUP BY len),
+      |unmatched AS (
+      |  SELECT CAST(0 AS INT) AS len,
+      |         CAST(COUNT(*) AS BIGINT) AS n_flows,
+      |         CAST(COUNT(DISTINCT ip) AS BIGINT) AS n_ips,
+      |         CAST(0 AS BIGINT) AS prefix_checksum
+      |  FROM flows WHERE NOT EXISTS (SELECT 1 FROM best b WHERE b.event_id = flows.event_id))
+      |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+      |ORDER BY len""".stripMargin
+
+  // ---------------------------------------------------------------- q242
+  /** TOKEN-BUCKET RATE-LIMITER REPLAY — the two-sided clamped
+    * recurrence (refill to a CAP, spend if affordable, else reject)
+    * that no window composition expresses: unlike the one-sided q191
+    * clamp (floor-0 has the running-min closed form), a capacity
+    * ceiling makes the state genuinely sequential. The engine replays
+    * it as a PER-KEY ORDERED FOLD: collect each user's events sorted
+    * by (ts_ns, event_id), fold struct state (tokens, accepted,
+    * rejected) through Spark's `aggregate` HOF — per-key state only,
+    * fold length bounded by per-user activity, codegen'd, no UDF.
+    * DuckDB replays the identical fold as a per-user RECURSIVE CTE
+    * stepping rn → rn+1 (branch-free arithmetic accept flag). NOT via
+    * list_reduce: DuckDB 1.0.0's list_reduce with a STRUCT accumulator
+    * mis-evaluates in grouped/vectorized contexts (measured: user 55's
+    * 60-event fold returned accepted+rejected = 61 with a CASE lambda
+    * and 43/17 with arithmetic, vs the 49/11 Python/Spark/filtered
+    * ground truth — scalar-accumulator folds like q95's are fine).
+    * Costs: purchase 4, click 2, view 1, else 0; cap 5, refill 1 per
+    * event.
+    */
+  def q242TokenBucket(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn(
+        "cost",
+        when(col("event_type") === "purchase", 4L)
+          .when(col("event_type") === "click", 2L)
+          .when(col("event_type") === "view", 1L)
+          .otherwise(0L))
+    val folded = ev
+      .groupBy(col("user_id"))
+      .agg(
+        array_sort(collect_list(struct(col("ts_ns"), col("event_id"), col("cost")))).as("evs"))
+      .withColumn(
+        "st",
+        aggregate(
+          col("evs"),
+          struct(lit(5L).as("t"), lit(0L).as("a"), lit(0L).as("r")),
+          (acc, x) => {
+            val refilled = least(lit(5L), acc.getField("t") + 1L)
+            val c = x.getField("cost")
+            when(c <= refilled,
+              struct((refilled - c).as("t"), (acc.getField("a") + 1L).as("a"), acc.getField("r").as("r")))
+              .otherwise(
+                struct(refilled.as("t"), acc.getField("a").as("a"), (acc.getField("r") + 1L).as("r")))
+          }))
+    folded.select(
+      col("user_id"),
+      col("st.t").as("final_tokens"),
+      col("st.a").as("accepted"),
+      col("st.r").as("rejected"))
+      .orderBy(col("user_id"))
+  }
+
+  val q242Oracle: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id,
+      |    CASE event_type WHEN 'purchase' THEN 4 WHEN 'click' THEN 2
+      |         WHEN 'view' THEN 1 ELSE 0 END AS cost,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+      |  FROM events),
+      |n AS (SELECT user_id, MAX(rn) AS mx FROM ev GROUP BY user_id),
+      |st(user_id, rn, t, a, r) AS (
+      |  SELECT user_id, 0, CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM n
+      |  UNION ALL
+      |  SELECT s.user_id, s.rn + 1,
+      |    least(CAST(5 AS BIGINT), s.t + 1) - e.cost * CAST(e.cost <= least(CAST(5 AS BIGINT), s.t + 1) AS BIGINT),
+      |    s.a + CAST(e.cost <= least(CAST(5 AS BIGINT), s.t + 1) AS BIGINT),
+      |    s.r + 1 - CAST(e.cost <= least(CAST(5 AS BIGINT), s.t + 1) AS BIGINT)
+      |  FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+      |SELECT s.user_id, s.t AS final_tokens, s.a AS accepted, s.r AS rejected
+      |FROM st s JOIN n ON n.user_id = s.user_id AND s.rn = n.mx
+      |ORDER BY s.user_id""".stripMargin
 }

@@ -8989,7 +8989,10 @@ object Queries {
     "q239_hierarchy_rollup" -> (q239HierarchyRollup _),
     "q240_bloom_fpr" -> (q240BloomFpr _),
     "q241_lpm_join" -> (q241LpmJoin _),
-    "q242_token_bucket" -> (q242TokenBucket _)
+    "q242_token_bucket" -> (q242TokenBucket _),
+    "q243_market_basket" -> (q243MarketBasket _),
+    "q244_sliding_distinct" -> (q244SlidingDistinct _),
+    "q245_gram_matrix" -> (q245GramMatrix _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9228,7 +9231,10 @@ object Queries {
     "q239_hierarchy_rollup" -> q239Oracle,
     "q240_bloom_fpr" -> q240Oracle,
     "q241_lpm_join" -> q241Oracle,
-    "q242_token_bucket" -> q242Oracle
+    "q242_token_bucket" -> q242Oracle,
+    "q243_market_basket" -> q243Oracle,
+    "q244_sliding_distinct" -> q244Oracle,
+    "q245_gram_matrix" -> q245Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -16835,4 +16841,157 @@ object Queries {
       |SELECT s.user_id, s.t AS final_tokens, s.a AS accepted, s.r AS rejected
       |FROM st s JOIN n ON n.user_id = s.user_id AND s.rn = n.mx
       |ORDER BY s.user_id""".stripMargin
+
+
+  // ---------------------------------------------------------------- q243
+  /** MARKET-BASKET 2-ITEMSETS with EXACT-RATIONAL LIFT — the a-priori
+    * co-occurrence census: parts co-purchased within an order, kept at
+    * support ≥ 2, each pair scored by lift. The association strength
+    * is the pure integer ratio lift = (support · n_orders) /
+    * (orders_a · orders_b), emitted ×10⁶ via integer division — the
+    * q133 exact-rational discipline, so the score (and any ordering
+    * built on it) is engine-exact with no ln/float anywhere. Scale
+    * shape: the pair generator is a per-order self-join — candidate
+    * volume Σ lines(o)², bounded by the per-order line cap (7 in
+    * TPC-H-shaped data), NEVER |parts|² — then one pair aggregate and
+    * two broadcast joins against the |parts|-sized support table.
+    */
+  def q243MarketBasket(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val nOrders = li.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+    val partCnt = li.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    pairs
+      .join(partCnt.select(col("p").as("pa"), col("c").as("ca")), Seq("pa"))
+      .join(partCnt.select(col("p").as("pb"), col("c").as("cb")), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("pa"), col("pb"), col("support"),
+        col("ca").as("orders_a"),
+        col("cb").as("orders_b"),
+        expr("cast((cast(support as decimal(38,0)) * n_orders * 1000000) div (cast(ca as decimal(38,0)) * cb) as bigint)")
+          .as("lift_ppm"))
+      .orderBy(col("pa"), col("pb"))
+  }
+
+  val q243Oracle: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+      |pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM li a JOIN li b ON b.o = a.o AND b.p > a.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT pr.pa, pr.pb, pr.support,
+      |       ca.c AS orders_a, cb.c AS orders_b,
+      |       CAST((CAST(pr.support AS HUGEINT) * n.n_orders * 1000000)
+      |            // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_ppm
+      |FROM pairs pr
+      |JOIN pc ca ON ca.p = pr.pa
+      |JOIN pc cb ON cb.p = pr.pb
+      |CROSS JOIN n
+      |ORDER BY pr.pa, pr.pb""".stripMargin
+
+
+  // ---------------------------------------------------------------- q244
+  /** EXACT SLIDING-WINDOW DISTINCT — 7-day rolling unique users per
+    * day, the engagement metric that is NOT sum-decomposable (distinct
+    * doesn't add across days, so no window frame over daily partials
+    * can produce it). The engine's shape: reduce to the (day, user)
+    * presence grid first (one distinct — the only full-data shuffle),
+    * then a bounded 7-way range join of days × presence rows and a
+    * per-day count-distinct. Work is 7·|presence|, never 7·|events|,
+    * and the window width is a constant multiplier, not a shuffle
+    * count. Also emits the day's own distinct and the rolling/day
+    * ratio in exact ppm.
+    */
+  def q244SlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val pres = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .persist()
+    val days = pres.select(col("day").as("d")).distinct()
+    val rolling = days
+      .join(pres, col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("rolling_7d_users"))
+    val daily = pres
+      .groupBy(col("day").as("d"))
+      .agg(countDistinct(col("user_id")).as("day_users"))
+    rolling
+      .join(daily, Seq("d"))
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("day_users"),
+        col("rolling_7d_users"),
+        expr("cast((day_users * 1000000) div rolling_7d_users as bigint)").as("concentration_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val q244Oracle: String =
+    """WITH pres AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day AS d FROM pres),
+      |rolling AS (
+      |  SELECT dd.d, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS rolling_7d_users
+      |  FROM days dd JOIN pres p ON p.day BETWEEN dd.d - 6 AND dd.d
+      |  GROUP BY dd.d),
+      |daily AS (
+      |  SELECT day AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS day_users
+      |  FROM pres GROUP BY day)
+      |SELECT strftime(r.d, '%Y-%m-%d') AS day,
+      |       dl.day_users, r.rolling_7d_users,
+      |       CAST((dl.day_users * 1000000) // r.rolling_7d_users AS BIGINT) AS concentration_ppm
+      |FROM rolling r JOIN daily dl ON dl.d = r.d
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q245
+  /** DISTRIBUTED GRAM MATRIX (Xᵀ X) over the embedding corpus — the
+    * linear-algebra primitive under PCA, linear probes, ridge
+    * regression and whitening, computed as pure aggregation: each
+    * vector contributes its outer-product entries (i ≤ j upper
+    * triangle), one hash aggregate sums them — fully map-side
+    * combinable, no driver linear algebra, no collect. Entries are
+    * EXACT: coordinates quantize to the 10³ integer grid first (the
+    * q128 discipline — float dot-product sums are partition-order
+    * dependent, integer sums are associative), so every cell replays
+    * bit-for-bit in DuckDB. Output: the 64·65/2 upper-triangle cells
+    * with exact integer sums, plus each cell's ppm-scaled cosine of
+    * the two coordinate columns — column-similarity structure read
+    * straight off the Gram matrix.
+    */
+  def q245GramMatrix(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(expr("transform(embedding, x -> cast(floor(x * 1000 + 0.5) as long))").as("qv"))
+      .select(explode(expr(
+        """flatten(transform(qv, (x, i) ->
+          |  transform(slice(qv, i + 1, size(qv) - i), (y, k) ->
+          |    named_struct('i', i, 'j', i + k, 'p', cast(x as decimal(38,0)) * y))))""".stripMargin
+          .replaceAll("\n", " "))).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.p")).cast("long").as("g"))
+      .orderBy(col("i"), col("j"))
+
+  val q245Oracle: String =
+    """WITH e AS (
+      |  SELECT list_transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cells AS (
+      |  SELECT unnest(flatten(list_transform(range(0, 64), i ->
+      |    list_transform(range(i, 64), j ->
+      |      struct_pack(i := i, j := j, p := CAST(qv[i + 1] AS HUGEINT) * qv[j + 1])))),
+      |    recursive := true)
+      |  FROM e)
+      |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+      |       CAST(SUM(p) AS BIGINT) AS g
+      |FROM cells
+      |GROUP BY 1, 2
+      |ORDER BY i, j""".stripMargin
 }

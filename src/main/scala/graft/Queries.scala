@@ -8992,7 +8992,9 @@ object Queries {
     "q242_token_bucket" -> (q242TokenBucket _),
     "q243_market_basket" -> (q243MarketBasket _),
     "q244_sliding_distinct" -> (q244SlidingDistinct _),
-    "q245_gram_matrix" -> (q245GramMatrix _)
+    "q245_gram_matrix" -> (q245GramMatrix _),
+    "q246_gap_fill" -> (q246GapFill _),
+    "q247_mix_shift" -> (q247MixShift _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9234,7 +9236,9 @@ object Queries {
     "q242_token_bucket" -> q242Oracle,
     "q243_market_basket" -> q243Oracle,
     "q244_sliding_distinct" -> q244Oracle,
-    "q245_gram_matrix" -> q245Oracle
+    "q245_gram_matrix" -> q245Oracle,
+    "q246_gap_fill" -> q246Oracle,
+    "q247_mix_shift" -> q247Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -16994,4 +16998,145 @@ object Queries {
       |FROM cells
       |GROUP BY 1, 2
       |ORDER BY i, j""".stripMargin
+
+
+  // ---------------------------------------------------------------- q246
+  /** CALENDAR-SPINE GAP FILL + INTEGER INTERPOLATION — time-series
+    * regularization: the 'purchase' daily cents series is sparsified
+    * deterministically (days ≡ {0,1} mod 5 removed — so single- AND
+    * double-day gaps exist by construction), re-gridded onto the full
+    * day spine (sequence() between observed min/max), and each hole
+    * is filled three ways: carry-forward (last_value IGNORE NULLS),
+    * carry-backward, and LINEAR interpolation computed in exact
+    * integer arithmetic — lerp_cents = prev + (next − prev) · dist
+    * div gap_len — so the fill replays bit-for-bit (no float lerp).
+    * The is_observed flag keeps filled rows auditable. Spine
+    * generation, dual-direction window fill, and integer lerp are
+    * each things a naive resampler gets subtly wrong (end gaps,
+    * division rounding, null frames).
+    */
+  def q246GapFill(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("cast(floor(value * 100 + 0.5) as long)")).as("cents"))
+      .filter(expr("day(day) % 5 >= 2")) // deterministic holes incl. runs of 2
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val wAll = W.orderBy(col("day"))
+    val grid = spine
+      .join(daily, Seq("day"), "left")
+      .withColumn("is_observed", col("cents").isNotNull)
+      .withColumn("prev_v", last(col("cents"), ignoreNulls = true)
+        .over(wAll.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("next_v", first(col("cents"), ignoreNulls = true)
+        .over(wAll.rowsBetween(0, W.unboundedFollowing)))
+      .withColumn("prev_day", last(when(col("is_observed"), col("day")), ignoreNulls = true)
+        .over(wAll.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("next_day", first(when(col("is_observed"), col("day")), ignoreNulls = true)
+        .over(wAll.rowsBetween(0, W.unboundedFollowing)))
+    grid.select(
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("is_observed"),
+      col("prev_v").as("ffill_cents"),
+      col("next_v").as("bfill_cents"),
+      expr(
+        """cast(case
+          |  when is_observed then cents
+          |  when prev_v is null then next_v
+          |  when next_v is null then prev_v
+          |  else prev_v + ((next_v - prev_v) * datediff(day, prev_day)) div datediff(next_day, prev_day)
+          |end as bigint)""".stripMargin.replaceAll("\n", " ")).as("lerp_cents"))
+      .orderBy(col("day"))
+  }
+
+  val q246Oracle: String =
+    """WITH daily AS (
+      |  SELECT day, cents FROM (
+      |    SELECT CAST(ts AS DATE) AS day,
+      |           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |    FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |  WHERE day(day) % 5 >= 2),
+      |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+      |spine AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+      |grid AS (
+      |  SELECT s.day, d.cents, d.cents IS NOT NULL AS is_observed
+      |  FROM spine s LEFT JOIN daily d ON d.day = s.day),
+      |filled AS (
+      |  SELECT day, cents, is_observed,
+      |    last_value(cents IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+      |    first_value(cents IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+      |    last_value(CASE WHEN is_observed THEN day END IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+      |    first_value(CASE WHEN is_observed THEN day END IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+      |  FROM grid)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, is_observed,
+      |  prev_v AS ffill_cents, next_v AS bfill_cents,
+      |  CAST(CASE
+      |    WHEN is_observed THEN cents
+      |    WHEN prev_v IS NULL THEN next_v
+      |    WHEN next_v IS NULL THEN prev_v
+      |    ELSE prev_v + ((next_v - prev_v) * datediff('day', prev_day, day))
+      |         // datediff('day', prev_day, next_day)
+      |  END AS BIGINT) AS lerp_cents
+      |FROM filled
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q247
+  /** MIX-SHIFT DECOMPOSITION (Oaxaca-lite) — why did total purchase
+    * value move between the observation period's first and second
+    * half? Split per event_type into a MIX term (volume change at old
+    * rates) and a RATE term (per-event value change at new volumes),
+    * all in truncating integer cents so both engines agree bit-exact,
+    * with an explicit RESIDUAL column making the identity
+    * Δ = mix + rate + residual hold EXACTLY (the truncation loss is
+    * surfaced, not hidden — the q198 signed-division discipline).
+    */
+  def q247MixShift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click", "view", "signup", "error"))
+      .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as long)"))
+    val mid = ev.agg(expr("min(ts_ns) + (max(ts_ns) - min(ts_ns)) div 2").as("mid"))
+    val halves = ev
+      .crossJoin(broadcast(mid))
+      .withColumn("h", when(col("ts_ns") < col("mid"), 1).otherwise(2))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("h") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("h") === 1, col("cents")).otherwise(0L)).as("v1"),
+        sum(when(col("h") === 2, col("cents")).otherwise(0L)).as("v2"))
+    halves.select(
+      col("event_type"),
+      col("n1"), col("n2"), col("v1"), col("v2"),
+      expr("cast(((n2 - n1) * v1) div n1 as bigint)").as("mix_cents"),
+      expr("cast((n2 * v2) div n2 - (n2 * v1) div n1 as bigint)").as("rate_cents"),
+      expr("cast((v2 - v1) - (((n2 - n1) * v1) div n1) - ((n2 * v2) div n2 - (n2 * v1) div n1) as bigint)")
+        .as("residual_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val q247Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) AS ts_ns,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view', 'signup', 'error')),
+      |mid AS (SELECT MIN(ts_ns) + (MAX(ts_ns) - MIN(ts_ns)) // 2 AS mid FROM ev),
+      |halves AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN ts_ns < mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN ts_ns >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN ts_ns < mid THEN cents ELSE 0 END) AS BIGINT) AS v1,
+      |    CAST(SUM(CASE WHEN ts_ns >= mid THEN cents ELSE 0 END) AS BIGINT) AS v2
+      |  FROM ev, mid GROUP BY event_type)
+      |SELECT event_type, n1, n2, v1, v2,
+      |  CAST(((n2 - n1) * v1) // n1 AS BIGINT) AS mix_cents,
+      |  CAST((n2 * v2) // n2 - (n2 * v1) // n1 AS BIGINT) AS rate_cents,
+      |  CAST((v2 - v1) - (((n2 - n1) * v1) // n1)
+      |       - ((n2 * v2) // n2 - (n2 * v1) // n1) AS BIGINT) AS residual_cents
+      |FROM halves
+      |ORDER BY event_type""".stripMargin
 }

@@ -8994,7 +8994,9 @@ object Queries {
     "q244_sliding_distinct" -> (q244SlidingDistinct _),
     "q245_gram_matrix" -> (q245GramMatrix _),
     "q246_gap_fill" -> (q246GapFill _),
-    "q247_mix_shift" -> (q247MixShift _)
+    "q247_mix_shift" -> (q247MixShift _),
+    "q248_maximal_matching" -> (q248MaximalMatching _),
+    "q249_tokenization" -> (q249Tokenization _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9238,7 +9240,9 @@ object Queries {
     "q244_sliding_distinct" -> q244Oracle,
     "q245_gram_matrix" -> q245Oracle,
     "q246_gap_fill" -> q246Oracle,
-    "q247_mix_shift" -> q247Oracle
+    "q247_mix_shift" -> q247Oracle,
+    "q248_maximal_matching" -> q248Oracle,
+    "q249_tokenization" -> q249Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -17139,4 +17143,141 @@ object Queries {
       |       - ((n2 * v2) // n2 - (n2 * v1) // n1) AS BIGINT) AS residual_cents
       |FROM halves
       |ORDER BY event_type""".stripMargin
+
+
+  // ---------------------------------------------------------------- q248
+  /** GREEDY MAXIMAL MATCHING ([[graft.ops.Matching]]) — 4 deterministic
+    * locally-minimal-edge rounds over the weighted block graph
+    * (w = 1 + (u+v) mod 7, ties broken by the (w,u,v) total order).
+    * Matching joins the engine's graph battery with the one classic
+    * primitive it lacked (CC = connectivity, LPA = communities,
+    * PageRank = centrality, BFS/SSSP = distance, k-core = density —
+    * matching = PAIRING). Contract is "4 rounds of the rule"; the
+    * MEASURED maximality certificate is the returned remainder's edge
+    * count (0 ⇔ no two unmatched endpoints stay adjacent), and the
+    * oracle replays all four rounds as chained MATERIALIZED CTEs.
+    * Output: per 500-key bucket, matched-pair count and pair
+    * checksum, plus the global remainder count on every row.
+    */
+  def q248MaximalMatching(s: SparkSession, dir: String): DataFrame = {
+    val edges = blockGraph(s, dir)
+      .select(col("u"), col("v"))
+      .withColumn("w", lit(1L) + (col("u") + col("v")) % 7)
+    val (matched, remaining) = graft.ops.Matching.greedyRounds(edges, rounds = 4)
+    val rem = remaining.agg(count(lit(1)).as("n_remaining"))
+    matched
+      .groupBy(expr("u div 500").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        (sum(col("u") * 31 + col("v")) % 1000003L).as("pair_checksum"))
+      .crossJoin(broadcast(rem))
+      .select(col("bucket"), col("n_matched"), col("pair_checksum"), col("n_remaining"))
+      .orderBy(col("bucket"))
+  }
+
+  val q248Oracle: String = {
+    def round(r: Int): String =
+      s"""inc$r AS (
+         |  SELECT u AS n, w, u, v FROM e${r - 1}
+         |  UNION ALL SELECT v, w, u, v FROM e${r - 1}),
+         |min$r AS (
+         |  SELECT n, u, v FROM (
+         |    SELECT n, u, v, ROW_NUMBER() OVER (PARTITION BY n ORDER BY w, u, v) AS rn
+         |    FROM inc$r) WHERE rn = 1),
+         |pick$r AS (
+         |  SELECT u, v FROM min$r GROUP BY u, v HAVING COUNT(*) = 2),
+         |m$r AS MATERIALIZED (
+         |  SELECT u, v FROM m${r - 1} UNION ALL SELECT u, v FROM pick$r),
+         |t$r AS (SELECT u AS n FROM m$r UNION SELECT v FROM m$r),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v, e.w FROM e${r - 1} e
+         |  WHERE NOT EXISTS (SELECT 1 FROM t$r WHERE t$r.n = e.u)
+         |    AND NOT EXISTS (SELECT 1 FROM t$r WHERE t$r.n = e.v)),
+         |""".stripMargin
+    s"""WITH eset AS MATERIALIZED (
+       |$BlockGraphSql
+       |),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT u, v, 1 + (u + v) % 7 AS w FROM eset),
+       |m0 AS (SELECT u, v FROM e0 WHERE 1 = 0),
+       |${round(1)}${round(2)}${round(3)}${round(4)}
+       |rem AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_remaining FROM e4)
+       |SELECT u // 500 AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_matched,
+       |  CAST(SUM(u * 31 + v) % 1000003 AS BIGINT) AS pair_checksum,
+       |  rem.n_remaining
+       |FROM m4, rem
+       |GROUP BY 1, rem.n_remaining
+       |ORDER BY bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q249
+  /** DETERMINISTIC TOKENIZATION with REFERENTIAL-INTEGRITY
+    * certificate — the privacy-engineering counterpart to q226/q237:
+    * replace user ids with md5-prefix pseudonym tokens INDEPENDENTLY
+    * in two tables (events, and the synthetic user dimension derived
+    * from distinct event users), then certify that the tokenized
+    * world still joins: per-token event counts equal per-id counts
+    * (join cardinality preserved), token collisions are ZERO
+    * (distinct ids ↔ distinct tokens — the property format-preserving
+    * tokenization must prove, not assume), and the mapping is
+    * deterministic (re-derivation matches). Output: one row of
+    * certificate counters, all engine-exact.
+    */
+  def q249Tokenization(s: SparkSession, dir: String): DataFrame = {
+    def tok(c: Column): Column =
+      conv(substring(md5(concat(lit("tok:"), c.cast("string"))), 1, 15), 16, 10).cast("long")
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val dim = ev.distinct()
+    val evTok = ev.select(tok(col("user_id")).as("t"))
+    val dimTok = dim.select(col("user_id"), tok(col("user_id")).as("t"))
+    val joined = evTok
+      .groupBy(col("t")).agg(count(lit(1)).as("n_ev"))
+      .join(dimTok, Seq("t"))
+    val idCounts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_ev_id"))
+    val parity = joined
+      .join(idCounts, Seq("user_id"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("n_ev") === col("n_ev_id"), 1L).otherwise(0L)).as("n_count_match"))
+    val collisions = dimTok
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_collisions"))
+    parity
+      .crossJoin(broadcast(collisions))
+      .select(
+        col("n_users"),
+        col("n_count_match"),
+        (col("n_users") === col("n_count_match")).as("cardinality_ok"),
+        col("n_collisions"),
+        (col("n_collisions") === 0).as("collision_free"))
+  }
+
+  val q249Oracle: String =
+    """WITH ev AS (SELECT user_id FROM events),
+      |dim AS (SELECT DISTINCT user_id FROM ev),
+      |dimtok AS (
+      |  SELECT user_id,
+      |         CAST(('0x' || substr(md5('tok:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS t
+      |  FROM dim),
+      |evtok AS (
+      |  SELECT CAST(('0x' || substr(md5('tok:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS t
+      |  FROM ev),
+      |jc AS (
+      |  SELECT d.user_id, e.n_ev FROM (
+      |    SELECT t, CAST(COUNT(*) AS BIGINT) AS n_ev FROM evtok GROUP BY t) e
+      |  JOIN dimtok d ON d.t = e.t),
+      |idc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev_id FROM ev GROUP BY user_id),
+      |par AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |         CAST(SUM(CASE WHEN jc.n_ev = idc.n_ev_id THEN 1 ELSE 0 END) AS BIGINT) AS n_count_match
+      |  FROM jc JOIN idc ON idc.user_id = jc.user_id),
+      |coll AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_collisions
+      |  FROM (SELECT t, COUNT(*) AS c FROM dimtok GROUP BY t))
+      |SELECT par.n_users, par.n_count_match,
+      |       par.n_users = par.n_count_match AS cardinality_ok,
+      |       coll.n_collisions,
+      |       coll.n_collisions = 0 AS collision_free
+      |FROM par, coll""".stripMargin
 }

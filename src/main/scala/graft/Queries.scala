@@ -8996,7 +8996,9 @@ object Queries {
     "q246_gap_fill" -> (q246GapFill _),
     "q247_mix_shift" -> (q247MixShift _),
     "q248_maximal_matching" -> (q248MaximalMatching _),
-    "q249_tokenization" -> (q249Tokenization _)
+    "q249_tokenization" -> (q249Tokenization _),
+    "q250_abandonment" -> (q250Abandonment _),
+    "q251_quantile_norm" -> (q251QuantileNorm _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9242,7 +9244,9 @@ object Queries {
     "q246_gap_fill" -> q246Oracle,
     "q247_mix_shift" -> q247Oracle,
     "q248_maximal_matching" -> q248Oracle,
-    "q249_tokenization" -> q249Oracle
+    "q249_tokenization" -> q249Oracle,
+    "q250_abandonment" -> q250Oracle,
+    "q251_quantile_norm" -> q251Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -17280,4 +17284,132 @@ object Queries {
       |       coll.n_collisions,
       |       coll.n_collisions = 0 AS collision_free
       |FROM par, coll""".stripMargin
+
+
+  // ---------------------------------------------------------------- q250
+  /** ABANDONMENT DETECTION — the NEGATIVE temporal pattern ("a view
+    * NOT followed by a purchase within 1 hour by the same user") that
+    * funnel counting (q93) inverts: completions are joins,
+    * non-completions are the absence of one, and the scalable form is
+    * a per-user forward-looking window, not an anti range join. Each
+    * view's next-purchase timestamp is the running min of purchase
+    * times over the FOLLOWING frame (one user-partitioned window over
+    * the merged event sequence — no events×events join at all); the
+    * 1-hour deadline check is integer ns arithmetic. Daily rollup
+    * with an exact-ppm abandonment rate.
+    */
+  def q250Abandonment(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(1, W.unboundedFollowing)
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"), col("ts"))
+      .withColumn(
+        "next_purchase_ns",
+        min(when(col("event_type") === "purchase", col("ts_ns"))).over(w))
+    ev.filter(col("event_type") === "view")
+      .withColumn(
+        "converted",
+        col("next_purchase_ns").isNotNull &&
+          col("next_purchase_ns") - col("ts_ns") <= 3600L * 1000000000L)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_views"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"),
+        sum(when(!col("converted"), 1L).otherwise(0L)).as("n_abandoned"))
+      .withColumn(
+        "abandon_ppm",
+        expr("cast((n_abandoned * 1000000) div n_views as bigint)"))
+      .orderBy(col("day"))
+  }
+
+  val q250Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id, CAST(ts AS DATE) AS day
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |nx AS (
+      |  SELECT user_id, event_type, ts_ns, day,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts_ns END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_ns
+      |  FROM ev),
+      |v AS (
+      |  SELECT day,
+      |    (next_purchase_ns IS NOT NULL AND next_purchase_ns - ts_ns <= 3600000000000) AS converted
+      |  FROM nx WHERE event_type = 'view')
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_views,
+      |  CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      |  CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT) AS n_abandoned,
+      |  CAST((SUM(CASE WHEN converted THEN 0 ELSE 1 END) * 1000000) // COUNT(*) AS BIGINT) AS abandon_ppm
+      |FROM v
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q251
+  /** QUANTILE NORMALIZATION across sources — the ML-preprocessing step
+    * that forces every source's feature distribution onto the pooled
+    * one: rank each document's n_chars WITHIN its source, map that
+    * rank to the pooled rank grid with the integer midpoint formula
+    * idx = ((2r − 1)·N + n_s) div (2·n_s), and read the normalized
+    * value off the pooled order statistics — entirely rank-selected
+    * (the q92/q97 discrete recipe: no interpolation, no floats).
+    * Both rankings run through [[graft.ops.Rank.rankWithin]] (the
+    * two-pass range-binned rank — no single-task windows); the oracle
+    * replays plain windows. Certificate per source: count, sum and
+    * extremes of the normalized values — equal-sized sources must
+    * land on near-identical sums, which is the point of the
+    * transform.
+    */
+  def q251QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val bySource = graft.ops.Rank
+      .rankWithin(docs, Seq("source"), col("n_chars"), col("doc_id"), "r")
+    val pooled = graft.ops.Rank
+      .rankWithin(docs.withColumn("g", lit(1)), Seq("g"), col("n_chars"), col("doc_id"), "gr")
+      .select(col("gr"), col("n_chars").as("pooled_value"))
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    bySource
+      .join(sizes, Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("idx", expr("((2 * r - 1) * n_total + n_s) div (2 * n_s)"))
+      .join(pooled, col("idx") === col("gr"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("pooled_value")).as("norm_sum"),
+        min(col("pooled_value")).as("norm_min"),
+        max(col("pooled_value")).as("norm_max"))
+      .orderBy(col("source"))
+  }
+
+  val q251Oracle: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |bys AS (
+      |  SELECT source, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r
+      |  FROM d),
+      |pooled AS (
+      |  SELECT n_chars AS pooled_value,
+      |         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gr
+      |  FROM d),
+      |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY source),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d),
+      |m AS (
+      |  SELECT b.source, p.pooled_value
+      |  FROM bys b
+      |  JOIN sz ON sz.source = b.source
+      |  CROSS JOIN tot
+      |  JOIN pooled p ON p.gr = ((2 * b.r - 1) * tot.n_total + sz.n_s) // (2 * sz.n_s))
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(pooled_value) AS BIGINT) AS norm_sum,
+      |  CAST(MIN(pooled_value) AS BIGINT) AS norm_min,
+      |  CAST(MAX(pooled_value) AS BIGINT) AS norm_max
+      |FROM m
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 }

@@ -8998,7 +8998,8 @@ object Queries {
     "q248_maximal_matching" -> (q248MaximalMatching _),
     "q249_tokenization" -> (q249Tokenization _),
     "q250_abandonment" -> (q250Abandonment _),
-    "q251_quantile_norm" -> (q251QuantileNorm _)
+    "q251_quantile_norm" -> (q251QuantileNorm _),
+    "q252_seasonal_anomaly" -> (q252SeasonalAnomaly _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9246,7 +9247,8 @@ object Queries {
     "q248_maximal_matching" -> q248Oracle,
     "q249_tokenization" -> q249Oracle,
     "q250_abandonment" -> q250Oracle,
-    "q251_quantile_norm" -> q251Oracle
+    "q251_quantile_norm" -> q251Oracle,
+    "q252_seasonal_anomaly" -> q252Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -17412,4 +17414,56 @@ object Queries {
       |FROM m
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+
+  // ---------------------------------------------------------------- q252
+  /** SEASONALLY-ADJUSTED ANOMALY DAYS — q238's seasonal profile put to
+    * work: a day is anomalous iff its event count breaks ±5% of ITS
+    * WEEKDAY's expected level (dow_total/n_days for that isodow), so a
+    * quiet Sunday is judged against Sundays, not the weekly mean that
+    * plain z-scoring (q97) uses. The comparison is exact-rational by
+    * cross-multiplication — 20·cnt·n_days vs 21·dow_total — so the
+    * verdict replays bit-identically (no expected-value float ever
+    * exists). Output: every flagged day with its weekday, count,
+    * the cross-multiplied sides, and the direction.
+    */
+  def q252SeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("isodow", expr("((dayofweek(day) + 5) % 7) + 1"))
+    val byDow = daily
+      .groupBy(col("isodow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("dow_total"))
+    daily
+      .join(byDow, Seq("isodow"))
+      .withColumn("hi", col("cnt") * col("n_days") * 20 > col("dow_total") * 21)
+      .withColumn("lo", col("cnt") * col("n_days") * 21 < col("dow_total") * 20)
+      .filter(col("hi") || col("lo"))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("isodow").cast("int").as("isodow"),
+        col("cnt"),
+        col("n_days"),
+        col("dow_total"),
+        when(col("hi"), "high").otherwise("low").as("direction"))
+      .orderBy(col("day"))
+  }
+
+  val q252Oracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |d2 AS (SELECT day, cnt, CAST(isodow(day) AS INT) AS isodow FROM daily),
+      |bydow AS (
+      |  SELECT isodow, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |         CAST(SUM(cnt) AS BIGINT) AS dow_total
+      |  FROM d2 GROUP BY isodow)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.isodow, d.cnt,
+      |       b.n_days, b.dow_total,
+      |       CASE WHEN d.cnt * b.n_days * 20 > b.dow_total * 21 THEN 'high' ELSE 'low' END AS direction
+      |FROM d2 d JOIN bydow b ON b.isodow = d.isodow
+      |WHERE d.cnt * b.n_days * 20 > b.dow_total * 21
+      |   OR d.cnt * b.n_days * 21 < b.dow_total * 20
+      |ORDER BY day""".stripMargin
 }

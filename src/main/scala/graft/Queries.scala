@@ -8999,7 +8999,10 @@ object Queries {
     "q249_tokenization" -> (q249Tokenization _),
     "q250_abandonment" -> (q250Abandonment _),
     "q251_quantile_norm" -> (q251QuantileNorm _),
-    "q252_seasonal_anomaly" -> (q252SeasonalAnomaly _)
+    "q252_seasonal_anomaly" -> (q252SeasonalAnomaly _),
+    "q253_hits" -> (q253Hits _),
+    "q254_graph_features" -> (q254GraphFeatures _),
+    "q255_rrf_fusion" -> (q255Rrf _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9248,7 +9251,9 @@ object Queries {
     "q249_tokenization" -> q249Oracle,
     "q250_abandonment" -> q250Oracle,
     "q251_quantile_norm" -> q251Oracle,
-    "q252_seasonal_anomaly" -> q252Oracle
+    "q252_seasonal_anomaly" -> q252Oracle,
+    "q253_hits" -> q253Oracle,
+    "q254_graph_features" -> q254Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -9284,7 +9289,8 @@ object Queries {
       "q48_minhash_recall" -> (() => q48OracleFor(s, dir)),
       "q54_media_dedup" -> (() => q54OracleFor(s, dir)),
       "q109_ivf_pq" -> (() => q109OracleFor(s, dir)),
-      "q122_bm25" -> (() => q122OracleFor(s, dir))
+      "q122_bm25" -> (() => q122OracleFor(s, dir)),
+      "q255_rrf_fusion" -> (() => q255OracleFor(s, dir))
     )
     gens.flatMap { case (name, gen) =>
       try Some(name -> gen())
@@ -17466,4 +17472,235 @@ object Queries {
       |WHERE d.cnt * b.n_days * 20 > b.dow_total * 21
       |   OR d.cnt * b.n_days * 21 < b.dow_total * 20
       |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q253
+  /** HITS HUB/AUTHORITY (Kleinberg JACM'99) over the customer→supplier
+    * purchase graph — the link-analysis complement of PageRank (q96):
+    * authority flows INTO suppliers from the hubs that buy from them,
+    * hub quality flows back from the authorities they reach. Two full
+    * mutual-reinforcement rounds, UNNORMALIZED so every score is an
+    * exact BIGINT (the usual per-round L2 normalization only rescales —
+    * rank order is identical — and skipping it removes every float from
+    * the query): a1 = in-degree (all hubs start at 1), h1 = Σ a1 over
+    * each customer's suppliers, a2 = Σ h1 over each supplier's
+    * customers. The edge set (587k distinct pairs at sf0.1) is derived
+    * once and persisted; each half-round is one equi join + one hash
+    * aggregate — the PageRank shuffle discipline with alternating keys.
+    * Top-20 authorities ride TakeOrderedAndProject, ranked on the
+    * bounded result only.
+    */
+  def q253Hits(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables
+      .orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("c"))
+      .join(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey").as("p")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("c"), col("p"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a1 = edges.groupBy(col("p")).agg(count(lit(1)).as("a1"))
+    val h1 = edges
+      .join(a1, Seq("p"))
+      .groupBy(col("c"))
+      .agg(sum(col("a1")).as("h1"))
+    val a2 = edges
+      .join(h1, Seq("c"))
+      .groupBy(col("p"))
+      .agg(sum(col("h1")).as("a2"))
+    val top = a2
+      .join(a1, Seq("p"))
+      .orderBy(col("a2").desc, col("p"))
+      .limit(20)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("a2").desc, col("p")) // bounded: 20 rows post-limit
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("p").as("s_suppkey"), col("a1").as("auth_r1"), col("a2").as("auth_r2"))
+      .orderBy(col("rank"))
+  }
+
+  val q253Oracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS a1 FROM e GROUP BY p),
+      |h1 AS (SELECT c, CAST(SUM(a1) AS BIGINT) AS h1
+      |       FROM e JOIN a1 USING (p) GROUP BY c),
+      |a2 AS (SELECT p, CAST(SUM(h1) AS BIGINT) AS a2
+      |       FROM e JOIN h1 USING (c) GROUP BY p),
+      |top AS (
+      |  SELECT a2.p, a1.a1, a2.a2
+      |  FROM a2 JOIN a1 USING (p)
+      |  ORDER BY a2.a2 DESC, a2.p LIMIT 20)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY a2 DESC, p) AS BIGINT) AS rank,
+      |       p AS s_suppkey, a1 AS auth_r1, a2 AS auth_r2
+      |FROM top
+      |ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- q254
+  /** 2-HOP GRAPH FEATURE AGGREGATION — the GraphSAGE-style message-
+    * passing pass a feature pipeline runs to build neighborhood
+    * features for training (one layer: aggregate neighbor features;
+    * two layers: aggregate the aggregates). Node feature = order count
+    * (exact BIGINT); hop 1 lands per-supplier (Σ feat + neighbor
+    * count), hop 2 lands back per-customer. Same persisted distinct
+    * edge set as q253; each hop is one equi join + one hash aggregate,
+    * which is exactly the cluster plan (edges co-partitioned per hop
+    * key, features shipped as 16 B rows, never the wide node payload).
+    * Top-50 by the layer-2 sum via TakeOrderedAndProject.
+    */
+  def q254GraphFeatures(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables
+      .orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("c"))
+      .join(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey").as("p")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("c"), col("p"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feat = Tables
+      .orders(s, dir)
+      .groupBy(col("o_custkey").as("c"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l1 = edges
+      .join(feat, Seq("c"))
+      .groupBy(col("p"))
+      .agg(sum(col("n_orders")).as("l1_sum"), count(lit(1)).as("l1_deg"))
+    val l2 = edges
+      .join(l1, Seq("p"))
+      .groupBy(col("c"))
+      .agg(sum(col("l1_sum")).as("l2_sum"), count(lit(1)).as("n_suppliers"))
+    l2.join(feat, Seq("c"))
+      .select(
+        col("c").as("c_custkey"), col("n_orders"), col("n_suppliers"), col("l2_sum"))
+      .orderBy(col("l2_sum").desc, col("c_custkey"))
+      .limit(50)
+  }
+
+  val q254Oracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |feat AS (SELECT o_custkey AS c, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |         FROM orders GROUP BY 1),
+      |l1 AS (SELECT p, CAST(SUM(n_orders) AS BIGINT) AS l1_sum
+      |       FROM e JOIN feat USING (c) GROUP BY p),
+      |l2 AS (SELECT c, CAST(SUM(l1_sum) AS BIGINT) AS l2_sum,
+      |              CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      |       FROM e JOIN l1 USING (p) GROUP BY c)
+      |SELECT l2.c AS c_custkey, feat.n_orders, l2.n_suppliers, l2.l2_sum
+      |FROM l2 JOIN feat USING (c)
+      |ORDER BY l2_sum DESC, c_custkey
+      |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q255
+  /** RECIPROCAL-RANK-FUSION HYBRID RETRIEVAL (Cormack SIGIR'09) — the
+    * lexical+semantic merge every modern retrieval stack runs: BM25
+    * top-50 (q122 infra: broadcast-pruned postings, distributed rank)
+    * fused with embedding-cosine top-50 (q25 infra: broadcast brute
+    * top-k, the exact baseline) per query, score = Σ 1/(60+rank) over
+    * the lists that contain the doc. Each query carries both a term
+    * set and an embedding (vec_id = qid). The fusion itself is a tiny
+    * per-qid full-outer merge of two ≤50-row lists — all heavy lifting
+    * stays in the two retrieval primitives, which is the plan you want
+    * at corpus scale. RRF is two fixed-order reciprocal adds on
+    * IEEE754 doubles — bit-identical in the DuckDB replay (dynamic
+    * oracle embeds idf/avgdl literals, the q122 discipline).
+    */
+  val q255K = 50
+  def q255Rrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = Bm25
+      .search(s, Tables.documents(s, dir), "doc_id", "text", q122Queries, k = q255K)
+      .select(col("qid"), col("doc_id").as("id"), col("rank").cast("long").as("lex_rank"))
+    val emb = Tables.embeddings(s, dir)
+    val sem = Similarity
+      .bruteTopK(emb, emb.filter(col("vec_id").isin(q122Queries.map(_._1.toLong): _*)), k = q255K)
+      .select(
+        col("query_id").cast("int").as("qid"),
+        col("neighbor_id").as("id"),
+        col("rank").cast("long").as("sem_rank"))
+    val fused = lex
+      .join(sem, Seq("qid", "id"), "full_outer")
+      .withColumn(
+        "rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("sem_rank")), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")) // ≤100 fused rows per qid — bounded frame
+      .orderBy(col("rrf").desc, col("id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("id"), col("lex_rank"), col("sem_rank"), col("rrf"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def q255OracleFor(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val terms = q122Queries.flatMap(_._2).distinct
+    val st = Bm25.fitStats(docs, "doc_id", "text", terms,
+      Bm25.postings(docs, "doc_id", "text", terms))
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val qvals = q122Queries
+      .flatMap { case (qid, ts) =>
+        ts.distinct.map(t => s"($qid, '$t', CAST('${st.idf(t)}' AS DOUBLE))")
+      }
+      .mkString(", ")
+    val qids = q122Queries.map(_._1).mkString(", ")
+    val k1p1 = s"CAST('${Bm25.K1 + 1.0}' AS DOUBLE)"
+    val k1 = s"CAST('${Bm25.K1}' AS DOUBLE)"
+    val oneMinusB = s"CAST('${1.0 - Bm25.B}' AS DOUBLE)"
+    val b = s"CAST('${Bm25.B}' AS DOUBLE)"
+    val avgdl = s"CAST('${st.avgdl}' AS DOUBLE)"
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(lower(trim(text)), '\\s+')) AS dl,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl
+       |  FROM toks WHERE term IN ($termList)
+       |  GROUP BY doc_id, term
+       |), q(qid, term, idf) AS (VALUES $qvals),
+       |comp AS (
+       |  SELECT q.qid, tf.doc_id, q.term,
+       |    q.idf * (tf * $k1p1) /
+       |      (tf + $k1 * ($oneMinusB + $b * dl / $avgdl)) AS c
+       |  FROM tf JOIN q USING (term)
+       |), lexscored AS (
+       |  SELECT qid, doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+       |      (x, y) -> x + y) AS score
+       |  FROM comp GROUP BY qid, doc_id
+       |), lex AS (
+       |  SELECT qid, doc_id AS id, CAST(rnk AS BIGINT) AS lex_rank FROM (
+       |    SELECT qid, doc_id, score,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+       |    FROM lexscored)
+       |  WHERE rnk <= ${q255K}
+       |), sem AS (
+       |  SELECT qid, id, CAST(rnk AS BIGINT) AS sem_rank FROM (
+       |    SELECT CAST(qv.vec_id AS INT) AS qid, c.vec_id AS id,
+       |      row_number() OVER (
+       |        PARTITION BY qv.vec_id
+       |        ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], qv.embedding::DOUBLE[]), 4) DESC,
+       |                 c.vec_id) AS rnk
+       |    FROM embeddings c, embeddings qv
+       |    WHERE qv.vec_id IN ($qids) AND c.vec_id <> qv.vec_id)
+       |  WHERE rnk <= ${q255K}
+       |), fused AS (
+       |  SELECT COALESCE(lex.qid, sem.qid) AS qid, COALESCE(lex.id, sem.id) AS id,
+       |    lex_rank, sem_rank,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + lex_rank), CAST(0.0 AS DOUBLE)) +
+       |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + sem_rank), CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM lex FULL OUTER JOIN sem ON lex.qid = sem.qid AND lex.id = sem.id)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rank, id, lex_rank, sem_rank, rrf FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
 }

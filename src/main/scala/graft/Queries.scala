@@ -9002,7 +9002,10 @@ object Queries {
     "q252_seasonal_anomaly" -> (q252SeasonalAnomaly _),
     "q253_hits" -> (q253Hits _),
     "q254_graph_features" -> (q254GraphFeatures _),
-    "q255_rrf_fusion" -> (q255Rrf _)
+    "q255_rrf_fusion" -> (q255Rrf _),
+    "q256_cusum" -> (q256Cusum _),
+    "q257_ewma" -> (q257Ewma _),
+    "q258_recursive_cte" -> (q258RecursiveCte _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9253,7 +9256,10 @@ object Queries {
     "q251_quantile_norm" -> q251Oracle,
     "q252_seasonal_anomaly" -> q252Oracle,
     "q253_hits" -> q253Oracle,
-    "q254_graph_features" -> q254Oracle
+    "q254_graph_features" -> q254Oracle,
+    "q256_cusum" -> q256Oracle,
+    "q257_ewma" -> q257Oracle,
+    "q258_recursive_cte" -> q258Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -17703,4 +17709,176 @@ object Queries {
        |WHERE rnk <= 10
        |ORDER BY qid, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q256
+  /** CUSUM CHANGE-POINT DETECTION (Page 1954) over per-type daily
+    * volumes — the drift monitor a pipeline runs on its own ingest
+    * rates. The textbook recursion C_t = max(0, C_{t-1} + x_t − k) is
+    * NOT a window aggregate, but it has the exact scan-free form
+    *   C_t = S_t − min_{i≤t} S_i,  S_t = Σ_{i≤t} (x_i − k)
+    * (the q191 clamped-scan identity) — one cumulative sum + one
+    * running min per key, both plain windows over the DAILY rollup
+    * (the only big shuffle is that first groupBy; windows run on
+    * |types|·|days| rows). Drift target k = the type's mean daily
+    * count (total div n_days — exact integer), alarm at C_t > 2k.
+    * Everything BIGINT: replays bit-identically.
+    */
+  def q256Cusum(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = W.partitionBy(col("event_type"))
+    val withK = daily
+      .withColumn("type_total", sum(col("cnt")).over(byType))
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("k", expr("type_total div n_days"))
+    val ordered = W.partitionBy(col("event_type")).orderBy(col("day"))
+    withK
+      .withColumn("s_cum", sum(col("cnt") - col("k")).over(
+        ordered.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("s_min", min(col("s_cum")).over(
+        ordered.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("cusum", col("s_cum") - col("s_min"))
+      .withColumn("alarm", col("cusum") > lit(2) * col("k"))
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("k"), col("cusum"), col("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q256Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |wk AS (
+      |  SELECT *,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) //
+      |         COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS k
+      |  FROM daily),
+      |sc AS (
+      |  SELECT *,
+      |    CAST(SUM(cnt - k) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_cum
+      |  FROM wk),
+      |sm AS (
+      |  SELECT *,
+      |    CAST(MIN(s_cum) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_min
+      |  FROM sc)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt, k,
+      |  s_cum - s_min AS cusum,
+      |  (s_cum - s_min) > 2 * k AS alarm
+      |FROM sm
+      |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------- q257
+  /** EXACT DYADIC EWMA — exponential smoothing with α = 1/2 truncated
+    * at 20 taps, so the IIR recursion becomes a FIR filter with exact
+    * power-of-two integer weights: num_t = Σ_{j=0..19} x_{t−j}·2^(19−j),
+    * ewma_t = num_t / 2^20 (the dropped tail is < 2^-20 of the head —
+    * the standard fixed-point smoothing a rate monitor runs). All 20
+    * lags share ONE window spec (a single WindowExec over the daily
+    * rollup; the only corpus-sized shuffle is the rollup itself), the
+    * numerator stays far inside BIGINT (x·2^20·20 ≈ 4e11 at sf0.1),
+    * and the replay is bit-identical — no float ever exists. Warm-up
+    * rows (fewer than 20 predecessors) treat missing lags as 0,
+    * stated in the `n_taps` column.
+    */
+  def q257Ewma(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = W.partitionBy(col("event_type")).orderBy(col("day"))
+    val num = (0 until 20)
+      .map(j => coalesce(lag(col("cnt"), j).over(w), lit(0L)) * lit(1L << (19 - j)))
+      .reduce(_ + _)
+    daily
+      .withColumn("ewma_num", num)
+      .withColumn("n_taps", least(row_number().over(w).cast("long"), lit(20L)))
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("ewma_num"), col("n_taps"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q257Oracle: String = {
+    val taps = (0 until 20)
+      .map(j => s"COALESCE(LAG(cnt, $j) OVER w, 0) * ${1L << (19 - j)}")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+       |  CAST($taps AS BIGINT) AS ewma_num,
+       |  CAST(LEAST(ROW_NUMBER() OVER w, 20) AS BIGINT) AS n_taps
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       |ORDER BY event_type, day""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q258
+  /** RECURSIVE CTE HIERARCHY CERTIFICATE — Spark 4's WITH RECURSIVE
+    * (UnionLoop execution: per-round frontier expansion, exactly the
+    * iterative-operator shape ops/Components runs by hand) walked
+    * against DuckDB's on the implicit binary hierarchy parent(n) =
+    * n div 2 over REAL customer keys. The recursion computes each
+    * node's depth by walking to the root; the certificate pins it to
+    * the closed form bit_length(n) − 1 (the q199 engine-portable
+    * floor-log2; never log2() itself, whose log-division is a ulp off
+    * on exact powers of two) — recursion and arithmetic must
+    * agree row-for-row, aggregated per depth with membership id-sums
+    * so a single wrong walk cannot cancel. Walk length is log2(max
+    * key) ≈ 15 rounds at sf0.1; the frontier HALVES each round (ids
+    * below 2^d exit), the shape AQE-friendly recursion wants.
+    */
+  def q258RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("q258_customer")
+    s.sql(
+      """WITH RECURSIVE walk(node, cur, steps) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM q258_customer
+        |  UNION ALL
+        |  SELECT node, cur DIV 2, steps + 1 FROM walk WHERE cur > 1
+        |),
+        |depths AS (
+        |  SELECT node, max(steps) AS depth,
+        |         cast(length(bin(node)) - 1 AS INT) AS depth_closed
+        |  FROM walk GROUP BY node
+        |)
+        |SELECT depth,
+        |  count(*) AS n_nodes,
+        |  sum(node) AS id_sum,
+        |  min(node) AS min_id,
+        |  max(node) AS max_id,
+        |  sum(CASE WHEN depth = depth_closed THEN 1 ELSE 0 END) = count(*) AS closed_form_ok
+        |FROM depths
+        |GROUP BY depth
+        |ORDER BY depth""".stripMargin)
+  }
+
+  val q258Oracle: String =
+    """WITH RECURSIVE walk(node, cur, steps) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |  UNION ALL
+      |  SELECT node, cur // 2, steps + 1 FROM walk WHERE cur > 1
+      |),
+      |depths AS (
+      |  SELECT node, CAST(MAX(steps) AS INT) AS depth,
+      |         CAST(LENGTH(BIN(node)) - 1 AS INT) AS depth_closed
+      |  FROM walk GROUP BY node
+      |)
+      |SELECT depth,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(node) AS BIGINT) AS id_sum,
+      |  CAST(MIN(node) AS BIGINT) AS min_id,
+      |  CAST(MAX(node) AS BIGINT) AS max_id,
+      |  SUM(CASE WHEN depth = depth_closed THEN 1 ELSE 0 END) = COUNT(*) AS closed_form_ok
+      |FROM depths
+      |GROUP BY depth
+      |ORDER BY depth""".stripMargin
 }

@@ -9005,7 +9005,10 @@ object Queries {
     "q255_rrf_fusion" -> (q255Rrf _),
     "q256_cusum" -> (q256Cusum _),
     "q257_ewma" -> (q257Ewma _),
-    "q258_recursive_cte" -> (q258RecursiveCte _)
+    "q258_recursive_cte" -> (q258RecursiveCte _),
+    "q259_variant" -> (q259Variant _),
+    "q260_collation" -> (q260Collation _),
+    "q261_jaro_winkler" -> (q261JaroWinkler _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9259,7 +9262,10 @@ object Queries {
     "q254_graph_features" -> q254Oracle,
     "q256_cusum" -> q256Oracle,
     "q257_ewma" -> q257Oracle,
-    "q258_recursive_cte" -> q258Oracle
+    "q258_recursive_cte" -> q258Oracle,
+    "q259_variant" -> q259Oracle,
+    "q260_collation" -> q260Oracle,
+    "q261_jaro_winkler" -> q261Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -17881,4 +17887,159 @@ object Queries {
       |FROM depths
       |GROUP BY depth
       |ORDER BY depth""".stripMargin
+
+  // ---------------------------------------------------------------- q259
+  /** VARIANT INGESTION CERTIFICATE — Spark 4's VARIANT type
+    * (parse_json → variant_get) run over synthesized semi-structured
+    * payloads with a malformed-row channel, the shape every JSON
+    * event feed has. Every 10th payload is broken JSON:
+    * try_parse_json must null it (the P3 null-on-error discipline
+    * applied to the new type), and the typed extractions
+    * (string / bigint / 0-based array index) must match a plain
+    * json-path reading. All map-side until the |types|-row rollup;
+    * the JSON text is synthesized from integer columns only (a double
+    * formatted into JSON would re-open the cross-engine repr trap).
+    * Oracle replays the synthesis and branches the corrupt channel on
+    * its known rule (the q121 payload-decode pattern).
+    */
+  def q259Variant(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("user_id"))
+    ev.withColumn(
+        "payload",
+        when(col("event_id") % 10 === 0, lit("{broken"))
+          .otherwise(concat(
+            lit("{\"id\": "), col("event_id"),
+            lit(", \"meta\": {\"type\": \""), col("event_type"),
+            lit("\", \"prio\": "), col("event_id") % 3,
+            lit("}, \"vals\": ["), col("user_id") % 100,
+            lit(", "), col("user_id") % 7, lit("]}"))))
+      .withColumn("v", expr("try_parse_json(payload)"))
+      .withColumn("vtype", expr("variant_get(v, '$.meta.type', 'string')"))
+      .withColumn("prio", expr("variant_get(v, '$.meta.prio', 'bigint')"))
+      .withColumn("val1", expr("variant_get(v, '$.vals[1]', 'bigint')"))
+      .groupBy(coalesce(col("vtype"), lit("CORRUPT")).as("vtype"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(col("prio")).as("prio_sum"),
+        sum(col("val1")).as("val1_sum"))
+      .orderBy(col("vtype"))
+  }
+
+  val q259Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, user_id,
+      |    (event_id % 10 = 0) AS corrupt
+      |  FROM events),
+      |x AS (
+      |  SELECT
+      |    CASE WHEN corrupt THEN NULL ELSE event_type END AS vtype,
+      |    CASE WHEN corrupt THEN NULL ELSE event_id % 3 END AS prio,
+      |    CASE WHEN corrupt THEN NULL ELSE user_id % 7 END AS val1,
+      |    corrupt,
+      |    CASE WHEN corrupt THEN NULL ELSE
+      |      json_extract_string(
+      |        '{"id": ' || event_id || ', "meta": {"type": "' || event_type ||
+      |        '", "prio": ' || (event_id % 3) || '}, "vals": [' ||
+      |        (user_id % 100) || ', ' || (user_id % 7) || ']}',
+      |        '$.meta.type') END AS vtype_json
+      |  FROM ev)
+      |SELECT COALESCE(vtype_json, 'CORRUPT') AS vtype,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |  CAST(SUM(prio) AS BIGINT) AS prio_sum,
+      |  CAST(SUM(val1) AS BIGINT) AS val1_sum
+      |FROM x
+      |GROUP BY 1
+      |ORDER BY vtype""".stripMargin
+
+  // ---------------------------------------------------------------- q260
+  /** COLLATION CERTIFICATE — Spark 4 string collations: grouping under
+    * UTF8_LCASE must agree with grouping under lower() (the identity
+    * case-insensitive analytics relies on when it swaps explicit
+    * lower() wrapping for a collated column type). Case noise is
+    * synthesized deterministically over the customer segment (the
+    * q121 pattern: key-derived upper/lower/title variants), then both
+    * groupings run and the certificate joins them: identical group
+    * populations, identical distinct-count. The oracle replays the
+    * lower() side — the collated side is the Spark-surface under
+    * test, pinned equal.
+    */
+  def q260Collation(s: SparkSession, dir: String): DataFrame = {
+    val noisy = Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, lower(col("c_mktsegment")))
+          .when(col("c_custkey") % 3 === 1, col("c_mktsegment"))
+          .otherwise(initcap(lower(col("c_mktsegment")))).as("seg_noisy"))
+    val viaCollation = noisy
+      .groupBy(expr("collate(seg_noisy, 'UTF8_LCASE')").as("seg_c"))
+      .agg(count(lit(1)).as("n_collated"))
+      // collation PROPAGATES through lower(): the join key must come
+      // back to UTF8_BINARY or the seg = seg equality is indeterminate
+      .select(expr("collate(lower(seg_c), 'UTF8_BINARY')").as("seg"), col("n_collated"))
+    val viaLower = noisy
+      .groupBy(lower(col("seg_noisy")).as("seg"))
+      .agg(count(lit(1)).as("n_lower"), countDistinct(col("seg_noisy")).as("n_case_variants"))
+    viaLower
+      .join(viaCollation, Seq("seg"), "full_outer")
+      .select(
+        col("seg"),
+        col("n_lower").as("n_rows"),
+        col("n_case_variants"),
+        (col("n_lower") === col("n_collated")).as("collation_agrees"))
+      .orderBy(col("seg"))
+  }
+
+  val q260Oracle: String =
+    """WITH noisy AS (
+      |  SELECT c_custkey,
+      |    CASE
+      |      WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+      |      WHEN c_custkey % 3 = 1 THEN c_mktsegment
+      |      ELSE upper(c_mktsegment[1]) || lower(c_mktsegment[2:])
+      |    END AS seg_noisy
+      |  FROM customer)
+      |SELECT lower(seg_noisy) AS seg,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT seg_noisy) AS BIGINT) AS n_case_variants,
+      |  TRUE AS collation_agrees
+      |FROM noisy
+      |GROUP BY 1
+      |ORDER BY seg""".stripMargin
+
+  // ---------------------------------------------------------------- q261
+  /** NATIVE JARO-WINKLER SCORING (expr/JaroWinkler: codegen'd Catalyst
+    * expression, registered as SQL `jaro_winkler`) — the
+    * entity-resolution name-similarity primitive, certified against
+    * DuckDB's jaro_winkler_similarity over every pair of the distinct
+    * part-name catalog. The pair frame is |catalog|², not |part|² —
+    * the q160 dedupe-first discipline (62 distinct names at sf0.01) —
+    * so the cross join is a bounded model-state product, with the
+    * catalog distinct being the only corpus-sized pass. Scores ride
+    * at round-6 (the q25 float-output discipline); the match variant
+    * (boost threshold 0.7, prefix cap 4, both-empty → 0) is pinned by
+    * JaroWinklerSpec.
+    */
+  def q261JaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir).select(col("p_name")).distinct()
+    val a = names.select(col("p_name").as("name_a"))
+    val b = names.select(col("p_name").as("name_b"))
+    a.crossJoin(b)
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw", round(expr("jaro_winkler(name_a, name_b)"), 6))
+      .filter(col("jw") >= 0.5)
+      .select(col("name_a"), col("name_b"), col("jw"))
+      .orderBy(col("jw").desc, col("name_a"), col("name_b"))
+  }
+
+  val q261Oracle: String =
+    """WITH names AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |FROM names a, names b
+      |WHERE a.p_name < b.p_name
+      |  AND round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.5
+      |ORDER BY jw DESC, name_a, name_b""".stripMargin
 }

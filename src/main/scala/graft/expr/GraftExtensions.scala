@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("jaro_winkler"),
+        new ExpressionInfo(classOf[JaroWinkler].getCanonicalName, "jaro_winkler"),
+        (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("deflate_ratio"),
         new ExpressionInfo(classOf[DeflateRatio].getCanonicalName, "deflate_ratio"),
         (exprs: Seq[Expression]) => DeflateRatio(exprs.head)

@@ -9008,7 +9008,10 @@ object Queries {
     "q258_recursive_cte" -> (q258RecursiveCte _),
     "q259_variant" -> (q259Variant _),
     "q260_collation" -> (q260Collation _),
-    "q261_jaro_winkler" -> (q261JaroWinkler _)
+    "q261_jaro_winkler" -> (q261JaroWinkler _),
+    "q262_inverted_index" -> (q262InvertedIndex _),
+    "q263_hll_algebra" -> (q263HllAlgebra _),
+    "q264_ams_f2" -> (q264AmsF2 _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9265,7 +9268,10 @@ object Queries {
     "q258_recursive_cte" -> q258Oracle,
     "q259_variant" -> q259Oracle,
     "q260_collation" -> q260Oracle,
-    "q261_jaro_winkler" -> q261Oracle
+    "q261_jaro_winkler" -> q261Oracle,
+    "q262_inverted_index" -> q262Oracle,
+    "q263_hll_algebra" -> q263Oracle,
+    "q264_ams_f2" -> q264Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -18042,4 +18048,221 @@ object Queries {
       |WHERE a.p_name < b.p_name
       |  AND round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.5
       |ORDER BY jw DESC, name_a, name_b""".stripMargin
+
+  // ---------------------------------------------------------------- q262
+  /** INVERTED-INDEX CONSTRUCTION with delta-encoded postings — the
+    * index-build pass behind q122's BM25 and every phrase/decontam
+    * lookup, certified structurally: postings are collected per
+    * (term, BLOCK) — block = doc_id div 1024, so no list ever exceeds
+    * the block width regardless of corpus size (the unbounded
+    * per-term collect is exactly what dies at 100 TB) — delta-encoded
+    * (first id raw, then strictly-positive gaps), and rolled up per
+    * term: df, block count, id range, strict-sortedness verdict, the
+    * telescoping-sum integrity law (Σ gaps = last − first per block),
+    * and the varint cost proxy Σ bit_length(delta) — the actual
+    * compressed-index size driver, engine-portable via length(bin(x)).
+    * Oracle rebuilds the same postings with lag windows.
+    */
+  def q262InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val termDocs = Tables
+      .documents(s, dir)
+      .select(explode(TextStats.tokens(lower(col("text")))).as("term"), col("doc_id"))
+      .distinct()
+      .withColumn("block", expr("doc_id div 1024"))
+    val blockPostings = termDocs
+      .groupBy(col("term"), col("block"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .withColumn(
+        "deltas",
+        expr("transform(ids, (x, i) -> CASE WHEN i = 0 THEN x ELSE x - ids[i - 1] END)"))
+      .withColumn(
+        "sorted_ok",
+        expr("forall(slice(deltas, 2, size(deltas) - 1), d -> d > 0)") ||
+          size(col("deltas")) === 1)
+      .withColumn(
+        "telescope_ok",
+        expr("aggregate(slice(deltas, 2, size(deltas) - 1), 0L, (a, x) -> a + x)") ===
+          expr("element_at(ids, -1) - ids[0]"))
+      .withColumn(
+        "encoded_bits",
+        expr("aggregate(transform(deltas, d -> length(bin(d))), 0L, (a, x) -> a + x)"))
+    blockPostings
+      .groupBy(col("term"))
+      .agg(
+        sum(size(col("ids")).cast("long")).as("df"),
+        count(lit(1)).as("n_blocks"),
+        min(col("ids")(0)).as("min_id"),
+        max(expr("element_at(ids, -1)")).as("max_id"),
+        sum(col("encoded_bits")).as("encoded_bits"),
+        (sum(when(col("sorted_ok"), 1L).otherwise(0L)) === count(lit(1))).as("sorted_ok"),
+        (sum(when(col("telescope_ok"), 1L).otherwise(0L)) === count(lit(1))).as("telescope_ok"))
+      .orderBy(col("term"))
+  }
+
+  val q262Oracle: String =
+    """WITH td AS (
+      |  SELECT DISTINCT term, doc_id
+      |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term, doc_id
+      |        FROM documents)),
+      |g AS (
+      |  SELECT term, doc_id // 1024 AS block, doc_id,
+      |    LAG(doc_id) OVER (PARTITION BY term, doc_id // 1024 ORDER BY doc_id) AS prev
+      |  FROM td),
+      |d AS (
+      |  SELECT term, block, doc_id, prev,
+      |    CASE WHEN prev IS NULL THEN doc_id ELSE doc_id - prev END AS delta
+      |  FROM g)
+      |SELECT term,
+      |  CAST(COUNT(*) AS BIGINT) AS df,
+      |  CAST(COUNT(DISTINCT block) AS BIGINT) AS n_blocks,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_id,
+      |  CAST(SUM(LENGTH(BIN(delta))) AS BIGINT) AS encoded_bits,
+      |  BOOL_AND(delta > 0 OR prev IS NULL) AS sorted_ok,
+      |  TRUE AS telescope_ok
+      |FROM d
+      |GROUP BY term
+      |ORDER BY term""".stripMargin
+
+  // ---------------------------------------------------------------- q263
+  /** HLL SET ALGEBRA — the MERGEABILITY certificate that makes sketches
+    * a 100 TB primitive: for every event-type pair, registers(A ∪ B)
+    * must equal the element-wise max of registers(A) and registers(B)
+    * (expr/HllRegisters lifts the aggregate's own partition-merge to a
+    * relational law), the merged union estimate must land within 5% of
+    * the exact distinct-user union, and the inclusion-exclusion
+    * intersection estimate est(A)+est(B)−est(A∪B) within 25% of the
+    * exact intersection. Per-type sketches are one pass; the union
+    * pass fans each event row out only to the pairs containing its
+    * type (≤4×). Exact counts ride |A∩B| = |A|+|B|−|A∪B| — no third
+    * distinct pass. The oracle replays the exacts and pins the three
+    * sketch laws.
+    */
+  def q263HllAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val perType = base
+      .groupBy(col("event_type"))
+      .agg(
+        expr("hll_registers(user_id)").as("regs"),
+        expr("hll_distinct(user_id)").as("est"),
+        countDistinct(col("user_id")).as("exact"))
+    val types = perType.select(col("event_type")).collect().map(_.getString(0)).sorted
+    val pairRows = for {
+      i <- types.indices; j <- (i + 1) until types.length
+    } yield (types(i), types(j))
+    val pairs = s.createDataFrame(pairRows).toDF("type_a", "type_b")
+    val unionAgg = base
+      .join(
+        broadcast(pairs),
+        col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        expr("hll_registers(user_id)").as("regs_u"),
+        expr("hll_distinct(user_id)").as("est_u"),
+        countDistinct(col("user_id")).as("exact_union"))
+    val a = perType.select(
+      col("event_type").as("type_a"), col("regs").as("regs_a"),
+      col("est").as("est_a"), col("exact").as("exact_a"))
+    val b = perType.select(
+      col("event_type").as("type_b"), col("regs").as("regs_b"),
+      col("est").as("est_b"), col("exact").as("exact_b"))
+    unionAgg
+      .join(broadcast(a), Seq("type_a"))
+      .join(broadcast(b), Seq("type_b"))
+      .withColumn("exact_intersect", col("exact_a") + col("exact_b") - col("exact_union"))
+      .withColumn(
+        "merge_law_ok",
+        expr("zip_with(regs_a, regs_b, (x, y) -> greatest(x, y))") === col("regs_u"))
+      .withColumn(
+        "union_est_ok",
+        abs(col("est_u") - col("exact_union")) * lit(20) <= col("exact_union"))
+      .withColumn(
+        "ie_est_ok",
+        abs(col("est_a") + col("est_b") - col("est_u") - col("exact_intersect")) * lit(4)
+          <= col("exact_intersect"))
+      .select(
+        col("type_a"), col("type_b"),
+        col("exact_a"), col("exact_b"), col("exact_union"), col("exact_intersect"),
+        col("merge_law_ok"), col("union_est_ok"), col("ie_est_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q263Oracle: String =
+    """WITH t AS (SELECT DISTINCT event_type FROM events),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b
+      |  FROM t a, t b WHERE a.event_type < b.event_type),
+      |ex AS (
+      |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact
+      |  FROM events GROUP BY 1),
+      |exu AS (
+      |  SELECT p.type_a, p.type_b,
+      |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_union
+      |  FROM pairs p JOIN events e
+      |    ON e.event_type = p.type_a OR e.event_type = p.type_b
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b,
+      |  ea.exact AS exact_a, eb.exact AS exact_b,
+      |  exu.exact_union,
+      |  ea.exact + eb.exact - exu.exact_union AS exact_intersect,
+      |  TRUE AS merge_law_ok, TRUE AS union_est_ok, TRUE AS ie_est_ok
+      |FROM pairs p
+      |JOIN exu ON exu.type_a = p.type_a AND exu.type_b = p.type_b
+      |JOIN ex ea ON ea.event_type = p.type_a
+      |JOIN ex eb ON eb.event_type = p.type_b
+      |ORDER BY p.type_a, p.type_b""".stripMargin
+
+  // ---------------------------------------------------------------- q264
+  /** AMS "TUG-OF-WAR" SECOND-MOMENT SKETCH (Alon-Matias-Szegedy
+    * STOC'96): F2 = Σ_v count(v)² of the user-activity distribution —
+    * the self-join size / skew statistic — estimated by 16 independent
+    * ±1-sign projections, every one FULLY replayed in the oracle: the
+    * sign of (estimator r, user u) is an md5 bit (the q116
+    * engine-portable hash bit), sketch_r = Σ count(u)·s(r, u), and
+    * est_r = sketch_r². No verdict pinning anywhere — both engines
+    * re-derive every sketch from scratch, plus the exact F2 and each
+    * estimator's exact-ppm ratio to it. The 16× fan-out multiplies
+    * the BOUNDED per-user count frame, never raw events.
+    */
+  def q264AmsF2(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val reps = s.range(0, 16).select(col("id").cast("int").as("r"))
+    val signed = counts
+      .crossJoin(broadcast(reps))
+      .withColumn(
+        "sgn",
+        lit(1L) - lit(2L) *
+          (conv(substring(md5(concat(col("r"), lit(":"), col("user_id"))), 1, 1), 16, 10)
+            .cast("long") % 2))
+    val perR = signed
+      .groupBy(col("r"))
+      .agg(sum(col("c") * col("sgn")).as("sketch"))
+      .withColumn("est", col("sketch") * col("sketch"))
+    val f2 = counts.agg(sum(col("c") * col("c")).as("f2_exact"))
+    perR
+      .crossJoin(broadcast(f2))
+      .withColumn("ratio_ppm", expr("(est * 1000000) div f2_exact"))
+      .select(col("r"), col("sketch"), col("est"), col("f2_exact"), col("ratio_ppm"))
+      .orderBy(col("r"))
+  }
+
+  val q264Oracle: String =
+    """WITH counts AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+      |reps AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS r),
+      |signed AS (
+      |  SELECT r, c,
+      |    1 - 2 * (CAST(('0x' || substr(md5(r || ':' || user_id), 1, 1)) AS BIGINT) % 2) AS sgn
+      |  FROM counts, reps),
+      |perr AS (
+      |  SELECT r, CAST(SUM(c * sgn) AS BIGINT) AS sketch
+      |  FROM signed GROUP BY r),
+      |f2 AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM counts)
+      |SELECT r, sketch, sketch * sketch AS est, f2.f2_exact,
+      |  (sketch * sketch * 1000000) // f2.f2_exact AS ratio_ppm
+      |FROM perr, f2
+      |ORDER BY r""".stripMargin
 }

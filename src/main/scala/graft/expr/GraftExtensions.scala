@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("hll_registers"),
+        new ExpressionInfo(classOf[HllRegisters].getCanonicalName, "hll_registers"),
+        (exprs: Seq[Expression]) => HllRegisters(exprs.head).toAggregateExpression()
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("bloom_agg"),
         new ExpressionInfo(classOf[BloomSketch].getCanonicalName, "bloom_agg"),
         (exprs: Seq[Expression]) => BloomSketch(exprs.head).toAggregateExpression()

@@ -94,3 +94,50 @@ case class HllSketch(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
 }
+
+/** The SAME HLL sketch exposing its raw REGISTER ARRAY instead of the
+  * estimate — the form that lets a QUERY certify mergeability:
+  * registers(A ∪ B) must equal the element-wise max of registers(A)
+  * and registers(B) (exactly the `merge` this aggregate runs across
+  * partitions, lifted to a relational law — q263). Shares the hash,
+  * update and merge of [[HllSketch]] verbatim; eval materializes the
+  * 2^p bytes as an int array.
+  */
+case class HllRegisters(
+    child: Expression,
+    p: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val m = 1 << p
+  private val inner = HllSketch(child, p)
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] =
+    inner.update(buffer, input)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+
+  override def eval(buffer: Array[Byte]): Any = {
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) { out(i) = buffer(i) & 0xff; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "hll_registers"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}

@@ -34,6 +34,38 @@ class HllSketchSpec extends SparkSpec {
     }
   }
 
+  test("hll_registers: union registers = element-wise max (merge law, q263)") {
+    Tables.events(spark, "/root/testdata/sf0.001").createOrReplaceTempView("ev")
+    val row = spark
+      .sql("""WITH a AS (SELECT hll_registers(user_id) r FROM ev WHERE event_type = 'click'),
+             |     b AS (SELECT hll_registers(user_id) r FROM ev WHERE event_type = 'view'),
+             |     u AS (SELECT hll_registers(user_id) r FROM ev
+             |           WHERE event_type IN ('click', 'view'))
+             |SELECT size(a.r) AS m,
+             |       zip_with(a.r, b.r, (x, y) -> greatest(x, y)) = u.r AS law_ok
+             |FROM a, b, u""".stripMargin)
+      .as[(Int, Boolean)]
+      .head()
+    assert(row._1 == 4096, s"register array size ${row._1}, expected 2^12")
+    assert(row._2, "union registers != element-wise max of per-set registers")
+  }
+
+  test("hll_registers is consistent with hll_distinct's sketch state") {
+    // Same hash + update: with ~2k distinct partkeys over 4096 buckets
+    // the expected touched-register count is 4096·(1−e^(−2000/4096)) ≈
+    // 1580; an all-zero (empty) or near-empty array would betray a
+    // buffer-sharing bug between HllRegisters and HllSketch.
+    Tables.lineitem(spark, "/root/testdata/sf0.01").createOrReplaceTempView("li3")
+    val (nonzero, mx) = spark
+      .sql("""SELECT size(filter(r, x -> x > 0)), array_max(r)
+             |FROM (SELECT hll_registers(l_partkey) r FROM li3)""".stripMargin)
+      .as[(Int, Int)]
+      .head()
+    assert(nonzero > 1200 && nonzero < 2200,
+      s"$nonzero of 4096 registers touched, outside the ~1580 Poisson band")
+    assert(mx > 0 && mx < 64, s"register max $mx out of sane rho range")
+  }
+
   test("small cardinalities are near-exact (linear counting range)") {
     val (a, e) = Seq.tabulate(500)(i => i % 37)
       .toDF("x")

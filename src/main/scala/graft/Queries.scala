@@ -9011,7 +9011,12 @@ object Queries {
     "q261_jaro_winkler" -> (q261JaroWinkler _),
     "q262_inverted_index" -> (q262InvertedIndex _),
     "q263_hll_algebra" -> (q263HllAlgebra _),
-    "q264_ams_f2" -> (q264AmsF2 _)
+    "q264_ams_f2" -> (q264AmsF2 _),
+    "q265_clustering_coeff" -> (q265ClusteringCoeff _),
+    "q266_acf" -> (q266Acf _),
+    "q267_jump_hash" -> (q267JumpHash _),
+    "q268_unpivot" -> (q268Unpivot _),
+    "q269_hilbert" -> (q269Hilbert _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9271,7 +9276,12 @@ object Queries {
     "q261_jaro_winkler" -> q261Oracle,
     "q262_inverted_index" -> q262Oracle,
     "q263_hll_algebra" -> q263Oracle,
-    "q264_ams_f2" -> q264Oracle
+    "q264_ams_f2" -> q264Oracle,
+    "q265_clustering_coeff" -> q265Oracle,
+    "q266_acf" -> q266Oracle,
+    "q267_jump_hash" -> q267Oracle,
+    "q268_unpivot" -> q268Oracle,
+    "q269_hilbert" -> q269Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -18265,4 +18275,454 @@ object Queries {
       |  (sketch * sketch * 1000000) // f2.f2_exact AS ratio_ppm
       |FROM perr, f2
       |ORDER BY r""".stripMargin
+
+  // ---------------------------------------------------------------- q265
+  /** LOCAL CLUSTERING COEFFICIENT — the per-node closure of q174's
+    * global triangle count: cc(n) = 2·t(n) / (deg(n)·(deg(n)−1)),
+    * where t(n) is the number of triangles through n (each q174
+    * degree-ordered triangle row exploded to its three corners — no
+    * second triangle pass) and deg(n) the simple undirected degree.
+    * Integer-exact in ppm (2·10⁶·t div deg·(deg−1)); degree-1 nodes
+    * carry NULL. Rolled up per 100-node bucket: node count, closed
+    * wedges (Σ2t), open+closed wedges (Σ deg·(deg−1)), exact-rational
+    * bucket coefficient, and min/max per-node ppm — the skew profile a
+    * curriculum-sampling pass reads. Oracle replays the textbook
+    * canonical x<y<z triple join + corner unnest.
+    */
+  def q265ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val edges = blockGraph(s, dir)
+    val canon = edges
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+    val deg = canon
+      .select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+    val tri = graft.ops.Triangles
+      .triangles(edges, "u", "v")
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("tri"))
+    val perNode = deg
+      .join(tri, Seq("node"), "left")
+      .na.fill(0L, Seq("tri"))
+      .withColumn("wedges", col("deg") * (col("deg") - 1))
+      .withColumn(
+        "cc_ppm",
+        when(col("deg") >= 2, expr("(2000000 * tri) div wedges")))
+    perNode
+      .groupBy(expr("node div 100").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(lit(2) * col("tri")).as("closed_wedges"),
+        sum(col("wedges")).as("all_wedges"),
+        expr("CASE WHEN sum(wedges) > 0 THEN (2000000 * sum(tri)) div sum(wedges) END")
+          .as("bucket_cc_ppm"),
+        min(col("cc_ppm")).as("min_cc_ppm"),
+        max(col("cc_ppm")).as("max_cc_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val q265Oracle: String =
+    s"""WITH e AS (
+      |$BlockGraphSql
+      |), canon AS (
+      |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e WHERE u <> v
+      |), deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      |  FROM (SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
+      |  GROUP BY node
+      |), t AS (
+      |  SELECT x.a AS n1, x.b AS n2, y.b AS n3
+      |  FROM canon x
+      |  JOIN canon y ON y.a = x.a AND y.b > x.b
+      |  JOIN canon z ON z.a = x.b AND z.b = y.b
+      |), tri AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+      |  FROM (SELECT unnest([n1, n2, n3]) AS node FROM t)
+      |  GROUP BY node
+      |), pn AS (
+      |  SELECT deg.node, deg.deg, COALESCE(tri.tri, 0) AS tri,
+      |    deg.deg * (deg.deg - 1) AS wedges,
+      |    CASE WHEN deg.deg >= 2
+      |         THEN (2000000 * COALESCE(tri.tri, 0)) // (deg.deg * (deg.deg - 1))
+      |    END AS cc_ppm
+      |  FROM deg LEFT JOIN tri ON tri.node = deg.node
+      |)
+      |SELECT node // 100 AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(2 * tri) AS BIGINT) AS closed_wedges,
+      |  CAST(SUM(wedges) AS BIGINT) AS all_wedges,
+      |  CAST(CASE WHEN SUM(wedges) > 0
+      |            THEN (2000000 * SUM(tri)) // SUM(wedges) END AS BIGINT)
+      |    AS bucket_cc_ppm,
+      |  CAST(MIN(cc_ppm) AS BIGINT) AS min_cc_ppm,
+      |  CAST(MAX(cc_ppm) AS BIGINT) AS max_cc_ppm
+      |FROM pn
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q266
+  /** EXACT AUTOCORRELATION FUNCTION (ACF, lags 0–7) of the zero-filled
+    * daily event-count series — the seasonality detector behind
+    * q238/q252, certified sample-exact: with n days, S = Σx, the
+    * integer deviation dev_t = n·x_t − S makes the standard estimator
+    * r_k = Σ dev_t·dev_{t−k} / Σ dev_t² a pure integer ratio (ppm via
+    * truncating div; both engines truncate toward zero, negative lags
+    * included). Products are widened to decimal(38,0)/HUGEINT BEFORE
+    * the sum (the q170 first-factor rule: 366 days · (n·x−S)² ≈ 10²⁰
+    * blows int64). The per-lag pairing is an equi join of the BOUNDED
+    * daily frame against itself on day−k — no windows, no sequential
+    * scan; everything before it is one groupBy over events. Oracle
+    * replays the grid, deviations and all eight ratios from scratch.
+    */
+  def q266Acf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .select(to_date(col("ts")).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("x"))
+    val grid = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val series = grid.join(daily, Seq("day"), "left").na.fill(0L, Seq("x"))
+    val m = series.agg(count(lit(1)).as("n"), sum(col("x")).as("st"))
+    val dev = series
+      .crossJoin(broadcast(m))
+      .select(col("day"), col("n"), (col("n") * col("x") - col("st")).as("dev"))
+    val ks = s.range(0, 8).select(col("id").cast("int").as("k"))
+    val pairs = dev
+      .crossJoin(broadcast(ks))
+      .join(
+        dev.select(col("day").as("bday"), col("dev").as("bdev")),
+        expr("bday = date_sub(day, k)"))
+    val perK = pairs
+      .groupBy(col("k"))
+      .agg(
+        max(col("n")).as("n_days"),
+        sum(col("dev").cast("decimal(38,0)") * col("bdev")).as("num"),
+        count(lit(1)).as("n_pairs"))
+    val den = perK
+      .where(col("k") === 0)
+      .select(col("num").as("den"))
+    perK
+      .crossJoin(broadcast(den))
+      .select(
+        col("k"),
+        col("n_days"),
+        col("n_pairs"),
+        expr("CAST((num * 1000000) div den AS BIGINT)").as("acf_ppm"))
+      .orderBy(col("k"))
+  }
+
+  val q266Oracle: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+      |grid AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM b),
+      |s AS (
+      |  SELECT grid.day, COALESCE(d.x, 0) AS x
+      |  FROM grid LEFT JOIN d USING (day)),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS st FROM s),
+      |dev AS (SELECT day, m.n AS n, m.n * x - m.st AS dev FROM s, m),
+      |ks AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS k),
+      |perk AS (
+      |  SELECT k, MAX(a.n) AS n_days,
+      |    SUM(CAST(a.dev AS HUGEINT) * p.dev) AS num,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM dev a, ks, dev p
+      |  WHERE p.day = a.day - k
+      |  GROUP BY k),
+      |den AS (SELECT num AS den FROM perk WHERE k = 0)
+      |SELECT k, n_days, n_pairs,
+      |  CAST((num * 1000000) // den.den AS BIGINT) AS acf_ppm
+      |FROM perk, den
+      |ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------- q267
+  /** JUMP CONSISTENT HASH ROUTING (expr/JumpHash — native codegen'd
+    * `jump_hash(key, n)`, Lamping & Veach arXiv:1406.2294) with the
+    * MINIMAL-RESHARD LAW certified relationally: route every distinct
+    * user to 16 and to 17 buckets; when the fleet grows 16 → 17 a key
+    * either keeps its bucket or moves to the NEW bucket 16 — so
+    * moved_in must be 0 for every old bucket (the property that makes
+    * a 100 TB reshard touch only ~1/17 of the data; contrast
+    * ops/Rendezvous, which pays O(n) per key for weighted targets).
+    * The oracle replays the paper's LCG loop — uint64 wrap as HUGEINT
+    * mod 2⁶⁴, the IEEE divide/multiply jump, trunc-not-cast (the q212
+    * rounding gotcha) — in a recursive CTE, then the same audit.
+    */
+  def q267JumpHash(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Tables
+      .events(s, dir)
+      .select(col("user_id"))
+      .distinct()
+      .select(
+        col("user_id"),
+        expr("jump_hash(user_id, 16)").as("b16"),
+        expr("jump_hash(user_id, 17)").as("b17"))
+    val moved = assigned.where(col("b16") =!= col("b17"))
+    val c16 = assigned.groupBy(col("b16").as("bucket")).agg(count(lit(1)).as("cnt16"))
+    val c17 = assigned.groupBy(col("b17").as("bucket")).agg(count(lit(1)).as("cnt17"))
+    val out = moved.groupBy(col("b16").as("bucket")).agg(count(lit(1)).as("moved_out"))
+    val in = moved.groupBy(col("b17").as("bucket")).agg(count(lit(1)).as("moved_in"))
+    c17
+      .join(c16, Seq("bucket"), "left")
+      .join(out, Seq("bucket"), "left")
+      .join(in, Seq("bucket"), "left")
+      .na.fill(0L, Seq("cnt16", "moved_out", "moved_in"))
+      .withColumn("minimal_ok", col("bucket") === 16 || col("moved_in") === 0)
+      .select(
+        col("bucket"), col("cnt16"), col("cnt17"),
+        col("moved_out"), col("moved_in"), col("minimal_ok"))
+      .orderBy(col("bucket"))
+  }
+
+  val q267Oracle: String =
+    """WITH RECURSIVE keys AS (SELECT DISTINCT user_id FROM events),
+      |params AS (SELECT CAST(unnest([16, 17]) AS BIGINT) AS n),
+      |jump AS (
+      |  SELECT k.user_id, p.n,
+      |    CAST(k.user_id AS HUGEINT) AS key,
+      |    CAST(-1 AS BIGINT) AS b,
+      |    CAST(0 AS BIGINT) AS j
+      |  FROM keys k, params p
+      |  UNION ALL
+      |  SELECT user_id, n,
+      |    (key * 2862933555777941757 + 1) % 18446744073709551616 AS key,
+      |    j AS b,
+      |    CAST(trunc((j + 1) * (2147483648.0 /
+      |      CAST(((key * 2862933555777941757 + 1) % 18446744073709551616)
+      |           // 8589934592 + 1 AS DOUBLE))) AS BIGINT) AS j
+      |  FROM jump WHERE j < n),
+      |fin AS (SELECT user_id, n, CAST(b AS INT) AS bucket FROM jump WHERE j >= n),
+      |asg AS (
+      |  SELECT a.user_id, a.bucket AS b16, c.bucket AS b17
+      |  FROM (SELECT user_id, bucket FROM fin WHERE n = 16) a
+      |  JOIN (SELECT user_id, bucket FROM fin WHERE n = 17) c USING (user_id)),
+      |mv AS (SELECT * FROM asg WHERE b16 <> b17),
+      |c16 AS (SELECT b16 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt16 FROM asg GROUP BY 1),
+      |c17 AS (SELECT b17 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt17 FROM asg GROUP BY 1),
+      |o AS (SELECT b16 AS bucket, CAST(COUNT(*) AS BIGINT) AS moved_out FROM mv GROUP BY 1),
+      |i AS (SELECT b17 AS bucket, CAST(COUNT(*) AS BIGINT) AS moved_in FROM mv GROUP BY 1)
+      |SELECT c17.bucket,
+      |  COALESCE(c16.cnt16, 0) AS cnt16, c17.cnt17,
+      |  COALESCE(o.moved_out, 0) AS moved_out,
+      |  COALESCE(i.moved_in, 0) AS moved_in,
+      |  (c17.bucket = 16 OR COALESCE(i.moved_in, 0) = 0) AS minimal_ok
+      |FROM c17
+      |LEFT JOIN c16 ON c16.bucket = c17.bucket
+      |LEFT JOIN o ON o.bucket = c17.bucket
+      |LEFT JOIN i ON i.bucket = c17.bucket
+      |ORDER BY c17.bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q268
+  /** UNPIVOT / MELT CERTIFICATE — the wide→long reshape every feature
+    * store and profiler leans on (q119 hand-rolls it with stack-style
+    * unions; this pins the FIRST-CLASS API): `Dataset.unpivot` on two
+    * integer-grid part metrics (size, retail cents — the q170
+    * discipline keeps the sums exact) against DuckDB's `UNPIVOT (val
+    * FOR metric IN (...))`. Certified per (brand, metric): row count,
+    * min/max/sum, plus the conservation law n_long = 2·n_wide that
+    * melt must obey. Map-side reshape — unpivot is a Generate, no
+    * shuffle until the aggregate.
+    */
+  def q268Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables
+      .part(s, dir)
+      .select(
+        col("p_brand"),
+        col("p_size").cast("long").as("size"),
+        expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val wide = p.groupBy(col("p_brand")).agg(count(lit(1)).as("n_wide"))
+    val long = p
+      .unpivot(
+        Array(col("p_brand")),
+        Array(col("size"), col("cents")),
+        "metric",
+        "val")
+      .groupBy(col("p_brand"), col("metric"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("val")).as("min_val"),
+        max(col("val")).as("max_val"),
+        sum(col("val")).as("sum_val"))
+    long
+      .join(broadcast(wide), Seq("p_brand"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(col("n")).as("n_long"),
+        max(col("n_wide")).as("n_wide"),
+        (sum(col("n")) === lit(2) * max(col("n_wide"))).as("conserved_ok"),
+        max(when(col("metric") === "size", col("sum_val"))).as("sum_size"),
+        max(when(col("metric") === "cents", col("sum_val"))).as("sum_cents"),
+        max(when(col("metric") === "size", col("max_val"))).as("max_size"),
+        min(when(col("metric") === "cents", col("min_val"))).as("min_cents"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q268Oracle: String =
+    """WITH p AS (
+      |  SELECT p_brand, CAST(p_size AS BIGINT) AS size,
+      |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM part),
+      |wide AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_wide FROM p GROUP BY 1),
+      |longf AS (
+      |  SELECT p_brand, metric, CAST(COUNT(*) AS BIGINT) AS n,
+      |    MIN(val) AS min_val, MAX(val) AS max_val, SUM(val) AS sum_val
+      |  FROM (SELECT * FROM p UNPIVOT (val FOR metric IN (size, cents)))
+      |  GROUP BY 1, 2)
+      |SELECT l.p_brand,
+      |  CAST(SUM(l.n) AS BIGINT) AS n_long,
+      |  MAX(w.n_wide) AS n_wide,
+      |  (SUM(l.n) = 2 * MAX(w.n_wide)) AS conserved_ok,
+      |  CAST(MAX(CASE WHEN metric = 'size' THEN sum_val END) AS BIGINT) AS sum_size,
+      |  CAST(MAX(CASE WHEN metric = 'cents' THEN sum_val END) AS BIGINT) AS sum_cents,
+      |  CAST(MAX(CASE WHEN metric = 'size' THEN max_val END) AS BIGINT) AS max_size,
+      |  CAST(MIN(CASE WHEN metric = 'cents' THEN min_val END) AS BIGINT) AS min_cents
+      |FROM longf l JOIN wide w ON w.p_brand = l.p_brand
+      |GROUP BY l.p_brand
+      |ORDER BY l.p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q269
+  /** HILBERT vs Z-ORDER, MEASURED — q208's rectangle probe plus the
+    * metric that actually separates the curves: the CLUSTERING NUMBER
+    * (Moon et al., "Analysis of the clustering properties of the
+    * Hilbert space-filling curve", TKDE 2001) — how many CONTIGUOUS
+    * curve ranges a query rectangle shatters into, i.e. the number of
+    * seeks a range-pruned scan pays. File counts on the sparse sample
+    * tie (files_z = files_h at this occupancy — measured, kept as
+    * evidence); the cluster count over the rectangle's full cell grid
+    * shows the textbook ~2× Hilbert advantage (measured here: 281 vs
+    * 156 summed over the 20 probes). Runs are counted with one lag
+    * window per curve over the tiny qid×64-cell frame: a cell starts
+    * a run iff position−1 is absent. [[graft.ops.Layout.hilbertValue]]
+    * / [[graft.ops.Layout.hilbertSqlCtes]] emit both engines' round
+    * arithmetic from one generator.
+    */
+  def q269Hilbert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val queries = (0 until 20)
+      .map(i => (i, (i * 37L) % 248, (i * 53L) % 248))
+      .toDF("qid", "x0", "y0")
+    // data-sample file counts (q208's probe, third layout added)
+    val keyed0 = Tables
+      .lineitem(s, dir)
+      .select(
+        (col("l_partkey") % 256).as("x"),
+        ((col("l_suppkey") * 131) % 256).as("y"))
+      .withColumn(
+        "zkey",
+        graft.ops.Layout.zValue(Seq((col("x"), 0L, 255L), (col("y"), 0L, 255L)), 8))
+    val keyed = graft.ops.Layout
+      .hilbertValue(keyed0, "x", "y", 8, "hkey")
+      .withColumn("file_z", expr("zkey div 256"))
+      .withColumn("file_h", expr("hkey div 256"))
+    val files = keyed
+      .crossJoin(broadcast(queries))
+      .where(
+        col("x") >= col("x0") && col("x") <= col("x0") + 7 &&
+          col("y") >= col("y0") && col("y") <= col("y0") + 7)
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("file_z")).as("files_z"),
+        countDistinct(col("file_h")).as("files_h"))
+    // grid-exact cluster counts: every cell of every rectangle
+    val cells0 = queries
+      .withColumn("dx", explode(expr("sequence(0L, 7L)")))
+      .withColumn("dy", explode(expr("sequence(0L, 7L)")))
+      .select(col("qid"), (col("x0") + col("dx")).as("x"), (col("y0") + col("dy")).as("y"))
+      .withColumn(
+        "zkey",
+        graft.ops.Layout.zValue(Seq((col("x"), 0L, 255L), (col("y"), 0L, 255L)), 8))
+    val cells = graft.ops.Layout.hilbertValue(cells0, "x", "y", 8, "hkey")
+    def runStart(key: String): Column = {
+      val prev = lag(col(key), 1).over(Window.partitionBy(col("qid")).orderBy(col(key)))
+      when(prev.isNull || prev =!= col(key) - 1, 1L).otherwise(0L)
+    }
+    val clusters = cells
+      .withColumn("zrun", runStart("zkey"))
+      .withColumn("hrun", runStart("hkey"))
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("zrun")).as("clusters_z"),
+        sum(col("hrun")).as("clusters_h"))
+    files
+      .join(clusters, Seq("qid"))
+      .withColumn("hilbert_wins", col("clusters_h") <= col("clusters_z"))
+      .select(
+        col("qid"), col("n_rows"), col("files_z"), col("files_h"),
+        col("n_cells"), col("clusters_z"), col("clusters_h"), col("hilbert_wins"))
+      .orderBy(col("qid"))
+  }
+
+  val q269Oracle: String = {
+    val zsql = graft.ops.Layout.zValueSql(Seq(("x", 0L, 255L), ("y", 0L, 255L)), 8)
+    val (hilbertCtes, hfin) =
+      graft.ops.Layout.hilbertSqlCtes("rows_k", Seq("rid", "x AS x", "y AS y"), "x", "y", 8)
+    val (cellCtes, cfin) =
+      graft.ops.Layout.hilbertSqlCtes("cells0", Seq("qid", "x AS x", "y AS y"), "x", "y", 8)
+    // the two chains share round CTE names — prefix the cell chain
+    val cellCtesP = cellCtes.replace("__h", "__c")
+    val cfinP = cfin.replace("__h", "__c")
+    s"""WITH rows_k AS (
+       |  SELECT row_number() OVER () AS rid,
+       |    l_partkey % 256 AS x, (l_suppkey * 131) % 256 AS y
+       |  FROM lineitem
+       |),
+       |$hilbertCtes,
+       |keyed AS (
+       |  SELECT h.x, h.y,
+       |    $zsql // 256 AS file_z,
+       |    h.hkey // 256 AS file_h
+       |  FROM $hfin h
+       |), q AS (
+       |  SELECT CAST(i AS INT) AS qid, (i * 37) % 248 AS x0, (i * 53) % 248 AS y0
+       |  FROM (SELECT unnest(range(0, 20)) AS i)
+       |), files AS (
+       |  SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(DISTINCT file_z) AS BIGINT) AS files_z,
+       |    CAST(COUNT(DISTINCT file_h) AS BIGINT) AS files_h
+       |  FROM keyed JOIN q
+       |    ON x BETWEEN x0 AND x0 + 7 AND y BETWEEN y0 AND y0 + 7
+       |  GROUP BY q.qid
+       |), cells0 AS (
+       |  SELECT qid, x0 + dx.d AS x, y0 + dy.d AS y
+       |  FROM q,
+       |    (SELECT unnest(range(0, 8)) AS d) dx,
+       |    (SELECT unnest(range(0, 8)) AS d) dy
+       |),
+       |$cellCtesP,
+       |ck AS (
+       |  SELECT qid, $zsql AS zkey, hkey
+       |  FROM $cfinP
+       |), runs AS (
+       |  SELECT qid,
+       |    CASE WHEN lag(zkey) OVER (PARTITION BY qid ORDER BY zkey) IS NULL
+       |           OR lag(zkey) OVER (PARTITION BY qid ORDER BY zkey) <> zkey - 1
+       |         THEN 1 ELSE 0 END AS zrun,
+       |    CASE WHEN lag(hkey) OVER (PARTITION BY qid ORDER BY hkey) IS NULL
+       |           OR lag(hkey) OVER (PARTITION BY qid ORDER BY hkey) <> hkey - 1
+       |         THEN 1 ELSE 0 END AS hrun
+       |  FROM ck
+       |), clusters AS (
+       |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |    CAST(SUM(zrun) AS BIGINT) AS clusters_z,
+       |    CAST(SUM(hrun) AS BIGINT) AS clusters_h
+       |  FROM runs GROUP BY qid
+       |)
+       |SELECT f.qid, f.n_rows, f.files_z, f.files_h,
+       |  c.n_cells, c.clusters_z, c.clusters_h,
+       |  (c.clusters_h <= c.clusters_z) AS hilbert_wins
+       |FROM files f JOIN clusters c ON c.qid = f.qid
+       |ORDER BY f.qid""".stripMargin
+  }
 }

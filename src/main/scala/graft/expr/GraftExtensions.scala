@@ -62,6 +62,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("jump_hash"),
+        new ExpressionInfo(classOf[JumpHash].getCanonicalName, "jump_hash"),
+        (exprs: Seq[Expression]) => JumpHash(exprs(0), exprs(1))
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("deflate_ratio"),
         new ExpressionInfo(classOf[DeflateRatio].getCanonicalName, "deflate_ratio"),
         (exprs: Seq[Expression]) => DeflateRatio(exprs.head)

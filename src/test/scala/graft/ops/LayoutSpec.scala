@@ -108,4 +108,48 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  /** Reference Hilbert xy2d on plain Scala longs (classic rotate/flip). */
+  private def hilbertRef(x0: Long, y0: Long, bits: Int): Long = {
+    val n = 1L << bits
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbertValue matches the scalar reference on a 32x32 grid") {
+    val rows = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val got = Layout
+      .hilbertValue(rows.toDF("x", "y"), "x", "y", 5, "h")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    rows.foreach { case (x, y) =>
+      assert(got((x, y)) === hilbertRef(x, y, 5), s"mismatch at ($x,$y)")
+    }
+  }
+
+  test("hilbert curve is a bijection AND consecutive positions are grid neighbors") {
+    val bits = 5
+    val side = 1 << bits
+    val rows = for (x <- 0L until side; y <- 0L until side) yield (x, y)
+    val byD = rows.map { case (x, y) => hilbertRef(x, y, bits) -> ((x, y)) }.toMap
+    assert(byD.size === side * side) // bijection
+    // THE Hilbert property z-order lacks: |step| == 1 in exactly one dim
+    (0L until (side.toLong * side - 1)).foreach { d =>
+      val (x1, y1) = byD(d)
+      val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1, s"jump at d=$d")
+    }
+  }
 }

@@ -9016,7 +9016,12 @@ object Queries {
     "q266_acf" -> (q266Acf _),
     "q267_jump_hash" -> (q267JumpHash _),
     "q268_unpivot" -> (q268Unpivot _),
-    "q269_hilbert" -> (q269Hilbert _)
+    "q269_hilbert" -> (q269Hilbert _),
+    "q270_filter_clause" -> (q270FilterClause _),
+    "q271_lateral" -> (q271Lateral _),
+    "q272_theil_sen" -> (q272TheilSen _),
+    "q273_mann_whitney" -> (q273MannWhitney _),
+    "q274_bitmap" -> (q274Bitmap _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9281,7 +9286,12 @@ object Queries {
     "q266_acf" -> q266Oracle,
     "q267_jump_hash" -> q267Oracle,
     "q268_unpivot" -> q268Oracle,
-    "q269_hilbert" -> q269Oracle
+    "q269_hilbert" -> q269Oracle,
+    "q270_filter_clause" -> q270Oracle,
+    "q271_lateral" -> q271Oracle,
+    "q272_theil_sen" -> q272Oracle,
+    "q273_mann_whitney" -> q273Oracle,
+    "q274_bitmap" -> q274Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -18725,4 +18735,358 @@ object Queries {
        |FROM files f JOIN clusters c ON c.qid = f.qid
        |ORDER BY f.qid""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q270
+  /** AGGREGATE FILTER-CLAUSE CERTIFICATE — `agg(x) FILTER (WHERE p)`
+    * (SQL:2003 T612, supported by both engines since Spark 3.0 /
+    * DuckDB 0.5) pinned against its CASE-expression rewrite in the
+    * same scan: per return flag, filtered count/sum/min alongside the
+    * CASE forms plus equality verdicts, including the all-false-filter
+    * group edge (sum → NULL, count → 0 — the null-vs-zero asymmetry
+    * q209 pinned for plain aggregates carries over). Exact: integer
+    * key sums only, quantity thresholds on the raw double column.
+    */
+  def q270FilterClause(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("q270_lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  sum(l_orderkey) FILTER (WHERE l_quantity > 25) AS sum_big,
+        |  min(l_orderkey) FILTER (WHERE l_quantity > 25 AND l_linenumber = 1) AS min_big_l1,
+        |  sum(l_orderkey) FILTER (WHERE l_quantity > 1000) AS sum_none,
+        |  count(*) FILTER (WHERE l_quantity > 1000) AS n_none,
+        |  count(*) FILTER (WHERE l_quantity > 25)
+        |    = sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS count_eq_case,
+        |  coalesce(sum(l_orderkey) FILTER (WHERE l_quantity > 25), -1)
+        |    = coalesce(sum(CASE WHEN l_quantity > 25 THEN l_orderkey END), -1) AS sum_eq_case,
+        |  sum(l_orderkey) FILTER (WHERE l_quantity > 1000) IS NULL AS empty_sum_is_null
+        |FROM q270_lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q270Oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n_all,
+      |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+      |  CAST(sum(l_orderkey) FILTER (WHERE l_quantity > 25) AS BIGINT) AS sum_big,
+      |  CAST(min(l_orderkey) FILTER (WHERE l_quantity > 25 AND l_linenumber = 1) AS BIGINT)
+      |    AS min_big_l1,
+      |  CAST(sum(l_orderkey) FILTER (WHERE l_quantity > 1000) AS BIGINT) AS sum_none,
+      |  CAST(count(*) FILTER (WHERE l_quantity > 1000) AS BIGINT) AS n_none,
+      |  count(*) FILTER (WHERE l_quantity > 25)
+      |    = sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS count_eq_case,
+      |  coalesce(sum(l_orderkey) FILTER (WHERE l_quantity > 25), -1)
+      |    = coalesce(sum(CASE WHEN l_quantity > 25 THEN l_orderkey END), -1) AS sum_eq_case,
+      |  sum(l_orderkey) FILTER (WHERE l_quantity > 1000) IS NULL AS empty_sum_is_null
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q271
+  /** LATERAL JOIN CERTIFICATE — the correlated top-N-per-row shape
+    * (`FROM cust, LATERAL (SELECT ... WHERE o_custkey = c_custkey
+    * ORDER BY ... LIMIT 3)`) that engines must decorrelate, pinned
+    * against the window-function rewrite IN THE SAME QUERY: per
+    * customer bucket, the lateral path's top-3-order revenue sum and
+    * count must equal the row_number()≤3 path's (verdict columns).
+    * Exact: revenue in floor-cents. The tie rule (o_orderdate DESC,
+    * o_orderkey DESC) is a total order, so top-3 is deterministic.
+    */
+  def q271Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("q271_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("q271_orders")
+    s.sql(
+      """WITH lat AS (
+        |  SELECT c.c_custkey, t.cents
+        |  FROM q271_customer c,
+        |  LATERAL (
+        |    SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |    FROM q271_orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+        |    LIMIT 3
+        |  ) t
+        |),
+        |lat_b AS (
+        |  SELECT c_custkey DIV 100 AS bucket,
+        |    count(*) AS n_lat, sum(cents) AS cents_lat
+        |  FROM lat GROUP BY 1
+        |),
+        |win AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM q271_orders
+        |),
+        |win_b AS (
+        |  SELECT c_custkey DIV 100 AS bucket,
+        |    count(*) AS n_win, sum(cents) AS cents_win
+        |  FROM win WHERE rn <= 3 GROUP BY 1
+        |)
+        |SELECT l.bucket, l.n_lat, l.cents_lat,
+        |  w.n_win, w.cents_win,
+        |  l.n_lat = w.n_win AS n_eq,
+        |  l.cents_lat = w.cents_win AS cents_eq
+        |FROM lat_b l JOIN win_b w ON w.bucket = l.bucket
+        |ORDER BY l.bucket""".stripMargin)
+  }
+
+  val q271Oracle: String =
+    """WITH lat AS (
+      |  SELECT c.c_custkey, t.cents
+      |  FROM customer c,
+      |  LATERAL (
+      |    SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |    FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+      |    LIMIT 3
+      |  ) t
+      |),
+      |lat_b AS (
+      |  SELECT c_custkey // 100 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_lat, CAST(sum(cents) AS BIGINT) AS cents_lat
+      |  FROM lat GROUP BY 1
+      |),
+      |win AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders
+      |),
+      |win_b AS (
+      |  SELECT c_custkey // 100 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_win, CAST(sum(cents) AS BIGINT) AS cents_win
+      |  FROM win WHERE rn <= 3 GROUP BY 1
+      |)
+      |SELECT l.bucket, l.n_lat, l.cents_lat,
+      |  w.n_win, w.cents_win,
+      |  l.n_lat = w.n_win AS n_eq,
+      |  l.cents_lat = w.cents_win AS cents_eq
+      |FROM lat_b l JOIN win_b w ON w.bucket = l.bucket
+      |ORDER BY l.bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q272
+  /** THEIL–SEN ROBUST TREND (Sen 1968): per event type, the median of
+    * all pairwise daily-count slopes — the outlier-proof alternative
+    * to q134's OLS (one wild day moves OLS arbitrarily; it moves the
+    * pairwise-slope median not at all). Exact: slopes on the integer
+    * grid (micro-units, truncating div — both engines truncate toward
+    * zero on negatives), the median as the DISCRETE lower
+    * order-statistic selected by row_number under the total order
+    * (slope, d_i, d_j) — the q92/q97 interpolation-free recipe. The
+    * pair frame is bounded (days², ≤366² per type, calendar-bounded,
+    * not data-bounded); everything upstream is one groupBy on events.
+    */
+  def q272TheilSen(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables
+      .events(s, dir)
+      .select(col("event_type").as("t"), to_date(col("ts")).as("day"))
+      .groupBy(col("t"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("d", datediff(col("day"), to_date(lit("2024-01-01"))))
+    val a = daily.select(col("t"), col("d").as("di"), col("c").as("ci"))
+    val b = daily.select(col("t").as("tb"), col("d").as("dj"), col("c").as("cj"))
+    val pairs = a
+      .join(b, col("t") === col("tb") && col("di") < col("dj"))
+      .withColumn("slope_u", expr("((cj - ci) * 1000000) div (dj - di)"))
+    val w = Window.partitionBy(col("t")).orderBy(col("slope_u"), col("di"), col("dj"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("t"))))
+      .groupBy(col("t"))
+      .agg(
+        max(col("np")).as("n_pairs"),
+        min(col("slope_u")).as("min_slope_u"),
+        max(col("slope_u")).as("max_slope_u"),
+        max(when(col("rn") === (col("np") + 1) / 2, col("slope_u"))).as("median_slope_u"))
+      .orderBy(col("t"))
+  }
+
+  val q272Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type AS t, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (SELECT t, day - DATE '2024-01-01' AS d, c FROM daily),
+      |pairs AS (
+      |  SELECT a.t, a.d AS di, b.d AS dj,
+      |    ((b.c - a.c) * 1000000) // (b.d - a.d) AS slope_u
+      |  FROM dd a JOIN dd b ON b.t = a.t AND a.d < b.d),
+      |ranked AS (
+      |  SELECT t, slope_u,
+      |    row_number() OVER (PARTITION BY t ORDER BY slope_u, di, dj) AS rn,
+      |    COUNT(*) OVER (PARTITION BY t) AS np
+      |  FROM pairs)
+      |SELECT t,
+      |  CAST(MAX(np) AS BIGINT) AS n_pairs,
+      |  CAST(MIN(slope_u) AS BIGINT) AS min_slope_u,
+      |  CAST(MAX(slope_u) AS BIGINT) AS max_slope_u,
+      |  CAST(MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_u END) AS BIGINT) AS median_slope_u
+      |FROM ranked
+      |GROUP BY t
+      |ORDER BY t""".stripMargin
+
+  // ---------------------------------------------------------------- q273
+  /** MANN–WHITNEY U (Wilcoxon rank-sum, 1947) — the nonparametric A/B
+    * companion to q233's chi-square: does `value` under 'click'
+    * stochastically dominate 'view'? Exact integer throughout via
+    * DOUBLED midranks: group both samples by value (ties collapse),
+    * prefix-sum the combined counts ([[graft.ops.Sweep]]'s range-binned
+    * two-pass — the distributed form; the oracle replays with a plain
+    * window), then 2·avgrank of a tie group = 2·prior + c + 1, so
+    * 2R = Σ c_g·(2·prior + c + 1) and 2U = 2R − n(n+1) are integers.
+    * Certified: both 2U values, the partition law 2U_A + 2U_B =
+    * 2·n_A·n_B (ties cancel in midranks — the law a broken tie rule
+    * breaks), and the dominance direction.
+    */
+  def q273MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val byVal = Tables
+      .events(s, dir)
+      .where(col("event_type").isin("click", "view"))
+      .groupBy(col("value").as("v"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val cum = graft.ops.Sweep
+      .orderedPrefixSum(byVal, Seq.empty, col("v"), lit(0L), col("c"), "cum")
+      .withColumn("prior", col("cum") - col("c"))
+    cum
+      .agg(
+        sum(col("ca")).as("n_a"),
+        sum(col("cb")).as("n_b"),
+        sum(col("ca") * (lit(2) * col("prior") + col("c") + 1)).as("r2_a"),
+        sum(col("cb") * (lit(2) * col("prior") + col("c") + 1)).as("r2_b"))
+      .select(
+        col("n_a"), col("n_b"),
+        col("r2_a"), col("r2_b"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
+        (col("r2_b") - col("n_b") * (col("n_b") + 1)).as("u2_b"))
+      .withColumn(
+        "partition_ok",
+        col("u2_a") + col("u2_b") === lit(2) * col("n_a") * col("n_b"))
+      .withColumn("a_dominates", col("u2_a") > col("u2_b"))
+  }
+
+  val q273Oracle: String =
+    """WITH byval AS (
+      |  SELECT value AS v,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY value),
+      |cum AS (
+      |  SELECT v, ca, cb, ca + cb AS c,
+      |    COALESCE(SUM(ca + cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |  FROM byval),
+      |agg AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+      |    CAST(SUM(ca * (2 * prior + c + 1)) AS BIGINT) AS r2_a,
+      |    CAST(SUM(cb * (2 * prior + c + 1)) AS BIGINT) AS r2_b
+      |  FROM cum)
+      |SELECT n_a, n_b, r2_a, r2_b,
+      |  r2_a - n_a * (n_a + 1) AS u2_a,
+      |  r2_b - n_b * (n_b + 1) AS u2_b,
+      |  (r2_a - n_a * (n_a + 1)) + (r2_b - n_b * (n_b + 1)) = 2 * n_a * n_b AS partition_ok,
+      |  (r2_a - n_a * (n_a + 1)) > (r2_b - n_b * (n_b + 1)) AS a_dominates
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- q274
+  /** BITMAP-INDEX SET ALGEBRA — hour-presence bitmaps per (event type,
+    * 62-hour block): mask = OR of (1 << hour-in-block) (62 bits so the
+    * sign bit is never touched — portable two's-complement-free), then
+    * per type pair the intersection/union HOUR counts via
+    * bit_count(maskA & maskB) / bit_count(maskA | maskB) summed over
+    * blocks — the roaring-bitmap query shape (bitwise words instead of
+    * value joins) certified against inclusion-exclusion: inter + union
+    * = hours_a + hours_b per pair, plus a direct COUNT(DISTINCT)
+    * replay of each side's hour count. One events pass builds the
+    * bitmap frame (|types|·|blocks| rows); the pair pass is a
+    * broadcast join on the tiny frame.
+    */
+  def q274Bitmap(s: SparkSession, dir: String): DataFrame = {
+    val hours = Tables
+      .events(s, dir)
+      .select(
+        col("event_type").as("t"),
+        expr("CAST(floor(ts_ns div 1000 / 3600000000.0) AS BIGINT)").as("ehour"))
+      .distinct()
+    val masks0 = hours
+      .select(col("t"), expr("ehour div 62").as("blk"), expr("ehour % 62").as("bit"))
+      .groupBy(col("t"), col("blk"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(bit AS INT)))").as("mask"))
+    // densify to the full type×block grid (mask 0) so a block where only
+    // ONE type has activity still contributes to the pair's union at
+    // sparse SFs — otherwise the inner pair join drops it and the
+    // inclusion-exclusion law silently narrows its domain
+    val masks = masks0
+      .select(col("t")).distinct()
+      .crossJoin(masks0.select(col("blk")).distinct())
+      .join(masks0, Seq("t", "blk"), "left")
+      .na.fill(0L, Seq("mask"))
+    val perBlock = masks
+      .select(col("t").as("ta"), col("blk"), col("mask").as("ma"))
+      .join(
+        masks.select(col("t").as("tb"), col("blk").as("blkb"), col("mask").as("mb")),
+        col("blk") === col("blkb") && col("ta") < col("tb"))
+      .select(
+        col("ta"), col("tb"),
+        expr("bit_count(ma & mb)").cast("long").as("inter_bits"),
+        expr("bit_count(ma | mb)").cast("long").as("union_bits"))
+    val totals = masks
+      .groupBy(col("t"))
+      .agg(sum(expr("bit_count(mask)").cast("long")).as("hours"))
+    perBlock
+      .groupBy(col("ta"), col("tb"))
+      .agg(
+        sum(col("inter_bits")).as("inter_hours"),
+        sum(col("union_bits")).as("union_hours"))
+      .join(broadcast(totals.select(col("t").as("ta"), col("hours").as("hours_a"))), Seq("ta"))
+      .join(broadcast(totals.select(col("t").as("tb"), col("hours").as("hours_b"))), Seq("tb"))
+      .withColumn(
+        "incl_excl_ok",
+        col("inter_hours") + col("union_hours") === col("hours_a") + col("hours_b"))
+      .select(
+        col("ta"), col("tb"), col("hours_a"), col("hours_b"),
+        col("inter_hours"), col("union_hours"), col("incl_excl_ok"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val q274Oracle: String =
+    """WITH hours AS (
+      |  SELECT DISTINCT event_type AS t,
+      |    CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS ehour
+      |  FROM events),
+      |masks0 AS (
+      |  SELECT t, ehour // 62 AS blk,
+      |    CAST(SUM(DISTINCT (CAST(1 AS BIGINT) << CAST(ehour % 62 AS INT))) AS BIGINT) AS mask
+      |  FROM hours GROUP BY 1, 2),
+      |masks AS (
+      |  SELECT g.t, g.blk, COALESCE(m.mask, 0) AS mask
+      |  FROM (SELECT t, blk
+      |        FROM (SELECT DISTINCT t FROM masks0), (SELECT DISTINCT blk FROM masks0)) g
+      |  LEFT JOIN masks0 m ON m.t = g.t AND m.blk = g.blk),
+      |perblock AS (
+      |  SELECT a.t AS ta, b.t AS tb,
+      |    bit_count(a.mask & b.mask) AS inter_bits,
+      |    bit_count(a.mask | b.mask) AS union_bits
+      |  FROM masks a JOIN masks b ON b.blk = a.blk AND a.t < b.t),
+      |totals AS (
+      |  SELECT t, CAST(SUM(bit_count(mask)) AS BIGINT) AS hours FROM masks GROUP BY 1)
+      |SELECT p.ta, p.tb, x.hours AS hours_a, y.hours AS hours_b,
+      |  CAST(SUM(inter_bits) AS BIGINT) AS inter_hours,
+      |  CAST(SUM(union_bits) AS BIGINT) AS union_hours,
+      |  CAST(SUM(inter_bits) AS BIGINT) + CAST(SUM(union_bits) AS BIGINT)
+      |    = x.hours + y.hours AS incl_excl_ok
+      |FROM perblock p
+      |JOIN totals x ON x.t = p.ta
+      |JOIN totals y ON y.t = p.tb
+      |GROUP BY p.ta, p.tb, x.hours, y.hours
+      |ORDER BY p.ta, p.tb""".stripMargin
 }

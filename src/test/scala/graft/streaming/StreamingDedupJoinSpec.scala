@@ -106,4 +106,62 @@ class StreamingDedupJoinSpec extends SparkSpec {
       assert(rows == Seq(("st1", 10.0, 1.0)), s"got $rows")
     } finally q.stop()
   }
+
+  test("LEFT OUTER stream-stream join: null match emits only after the watermark closes the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val impDf = imps
+      .toDF()
+      .select(col("station_id"), col("ts").as("imp_ts"), col("value").as("imp_v"))
+      .withWatermark("imp_ts", "10 minutes")
+    val clickDf = clicks
+      .toDF()
+      .select(col("station_id").as("c_sid"), col("ts").as("click_ts"), col("value").as("click_v"))
+      .withWatermark("click_ts", "10 minutes")
+    val joined = impDf.join(
+      clickDf,
+      expr(
+        """station_id = c_sid AND
+          |click_ts >= imp_ts AND
+          |click_ts <= imp_ts + interval 1 hour""".stripMargin),
+      "left_outer")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("ssj_outer")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ssjo_ckpt").toString)
+      .start()
+    try {
+      // one matching pair and one impression that will never match
+      imps.addData(
+        Ev("st1", "pm25", ts("2024-01-01 12:00:00"), 10.0, 1),
+        Ev("st9", "pm25", ts("2024-01-01 12:00:00"), 90.0, 2)
+      )
+      clicks.addData(Ev("st1", "pm25", ts("2024-01-01 12:30:00"), 1.0, 3))
+      q.processAllAvailable()
+      // the INNER result is out already; the unmatched st9 row is NOT —
+      // its window [12:00, 13:00] is still open under the watermark
+      val early = spark.table("ssj_outer").select("station_id").as[String].collect().toSeq
+      assert(early == Seq("st1"), s"got $early")
+      // advance both watermarks far past 13:00 + 10 min → Spark can now
+      // PROVE st9 will never match and must emit the null-padded row
+      imps.addData(Ev("stX", "pm25", ts("2024-01-01 16:00:00"), 0.0, 4))
+      clicks.addData(Ev("stY", "pm25", ts("2024-01-01 16:00:00"), 0.0, 5))
+      q.processAllAvailable()
+      // a second empty-ish batch lets the outer-eviction pass run
+      imps.addData(Ev("stX", "pm25", ts("2024-01-01 16:30:00"), 0.0, 6))
+      q.processAllAvailable()
+      val rows = spark
+        .table("ssj_outer")
+        .select(col("station_id"), col("click_v"))
+        .as[(String, Option[Double])]
+        .collect()
+        .toSeq
+        .sortBy(_._1)
+      assert(rows.exists(r => r._1 == "st9" && r._2.isEmpty),
+        s"unmatched impression never emitted with null pad: $rows")
+      assert(rows.exists(r => r._1 == "st1" && r._2.contains(1.0)), s"got $rows")
+    } finally q.stop()
+  }
 }

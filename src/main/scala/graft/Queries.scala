@@ -9021,7 +9021,9 @@ object Queries {
     "q271_lateral" -> (q271Lateral _),
     "q272_theil_sen" -> (q272TheilSen _),
     "q273_mann_whitney" -> (q273MannWhitney _),
-    "q274_bitmap" -> (q274Bitmap _)
+    "q274_bitmap" -> (q274Bitmap _),
+    "q275_critical_path" -> (q275CriticalPath _),
+    "q276_set_cover" -> (q276SetCover _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9291,7 +9293,9 @@ object Queries {
     "q271_lateral" -> q271Oracle,
     "q272_theil_sen" -> q272Oracle,
     "q273_mann_whitney" -> q273Oracle,
-    "q274_bitmap" -> q274Oracle
+    "q274_bitmap" -> q274Oracle,
+    "q275_critical_path" -> q275Oracle,
+    "q276_set_cover" -> q276Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -19089,4 +19093,158 @@ object Queries {
       |JOIN totals y ON y.t = p.tb
       |GROUP BY p.ta, p.tb, x.hours, y.hours
       |ORDER BY p.ta, p.tb""".stripMargin
+
+  // ---------------------------------------------------------------- q275
+  /** DAG LONGEST PATH (critical path) over the q174 block graph —
+    * every edge goes low→high key, so the graph is a DAG and the
+    * longest-path DP L(v) = max(L(v), max over u→v of L(u)+1) closes
+    * in ≤ 9 rounds (the deepest chain inside a 10-block). The rounds
+    * are the Bellman relaxation every scheduling/critical-path engine
+    * runs — each one join + one max-aggregate, lineage cut per round
+    * ([[graft.ops.Checkpoints]]); no driver collects. Output: the
+    * depth histogram (nodes, id-sum, id-range per longest-path
+    * length) plus each depth's convergence flag. Oracle: recursive
+    * CTE with UNION dedup (bounded: nodes × depths), then the same
+    * MAX-per-node rollup.
+    */
+  def q275CriticalPath(s: SparkSession, dir: String): DataFrame = {
+    val edges = blockGraph(s, dir)
+    val nodes = edges
+      .select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .distinct()
+    var lp = nodes.withColumn("len", lit(0L))
+    for (_ <- 1 to 9) {
+      val relaxed = lp
+        .join(edges, col("node") === col("u"))
+        .select(col("v").as("node"), (col("len") + 1).as("len"))
+      lp = graft.ops.Checkpoints.cut(
+        lp.unionByName(relaxed).groupBy(col("node")).agg(max(col("len")).as("len")))
+    }
+    lp.groupBy(col("len"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("node")).as("id_sum"),
+        min(col("node")).as("min_id"),
+        max(col("node")).as("max_id"))
+      .orderBy(col("len"))
+  }
+
+  val q275Oracle: String =
+    s"""WITH RECURSIVE e AS (
+      |$BlockGraphSql
+      |), nodes AS (
+      |  SELECT u AS node FROM e UNION SELECT v FROM e
+      |), walk(node, len) AS (
+      |  SELECT node, 0 FROM nodes
+      |  UNION
+      |  SELECT e.v, w.len + 1 FROM walk w JOIN e ON e.u = w.node
+      |), lp AS (
+      |  SELECT node, MAX(len) AS len FROM walk GROUP BY node
+      |)
+      |SELECT CAST(len AS BIGINT) AS len,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(node) AS BIGINT) AS id_sum,
+      |  CAST(MIN(node) AS BIGINT) AS min_id,
+      |  CAST(MAX(node) AS BIGINT) AS max_id
+      |FROM lp
+      |GROUP BY len
+      |ORDER BY len""".stripMargin
+
+  // ---------------------------------------------------------------- q276
+  /** GREEDY SET COVER for VOCABULARY CURATION — "which 6 documents
+    * cover the most vocabulary?": the classic (1−1/e)-approximation
+    * loop, each round picking the doc with the most still-uncovered
+    * tokens (tie: lowest doc_id). The doc→token membership frame is
+    * distributed; each round is one anti-join (drop covered tokens) +
+    * one count aggregate + a 1-row argmax collect (bounded model
+    * state, the IVF-centroid class). The oracle replays all 6 picks
+    * relationally — chained MATERIALIZED CTEs re-deriving each round's
+    * argmax with a window (no pinned picks; both engines run the same
+    * greedy from scratch). Output per round: picked doc, newly/cum
+    * covered, coverage ppm of the full vocabulary.
+    */
+  def q276SetCover(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // universe = token BIGRAMS (the unigram vocabulary of the synthetic
+    // corpus is only 31 words — one document covers it; bigrams give a
+    // ~900-term universe no single doc dominates)
+    val pairs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), graft.ops.TextStats.tokens(lower(col("text"))).as("ts"))
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(0, size(ts) - 2), i -> ts[i] || ' ' || ts[i + 1])"))
+          .as("tok"))
+      .distinct()
+      .cache()
+    val vocabTotal = pairs.select(col("tok")).distinct().count()
+    var uncovered = pairs
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    for (round <- 1 to 6) {
+      val best = uncovered
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id").asc)
+        .limit(1)
+        .as[(Long, Long)]
+        .head()
+      picks += ((round, best._1, best._2))
+      val coveredToks = pairs.where(col("doc_id") === best._1).select(col("tok"))
+      uncovered = graft.ops.Checkpoints.cut(
+        uncovered.join(coveredToks, Seq("tok"), "left_anti"))
+    }
+    pairs.unpersist()
+    var cumRun = 0L
+    val rows = picks.toSeq.map { case (r, d, g) => cumRun += g; (r, d, g, cumRun) }
+    rows
+      .toDF("round", "doc_id", "newly_covered", "cum_covered")
+      .withColumn("vocab_total", lit(vocabTotal))
+      .withColumn("coverage_ppm", expr("(cum_covered * 1000000) div vocab_total"))
+      .orderBy(col("round"))
+  }
+
+  val q276Oracle: String = {
+    // round i: pick argmax gain over pairs minus tokens of picks 1..i-1
+    val rounds = (1 to 6).map { i =>
+      val prevCov =
+        if (i == 1) ""
+        else s"WHERE tok NOT IN (SELECT tok FROM cov${i - 1})"
+      val prevCovSel =
+        if (i == 1) s"SELECT tok FROM pairs WHERE doc_id = (SELECT doc_id FROM pick1)"
+        else
+          s"""SELECT tok FROM cov${i - 1}
+             |  UNION SELECT tok FROM pairs WHERE doc_id = (SELECT doc_id FROM pick$i)""".stripMargin
+      s"""unc$i AS MATERIALIZED (
+         |  SELECT doc_id, tok FROM pairs $prevCov),
+         |pick$i AS MATERIALIZED (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+         |  FROM unc$i GROUP BY doc_id
+         |  ORDER BY gain DESC, doc_id ASC LIMIT 1),
+         |cov$i AS MATERIALIZED (
+         |  $prevCovSel)""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS tok
+       |  FROM toks, (SELECT unnest(range(1, 256)) AS i)
+       |  WHERE i < len(ts)),
+       |vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_total FROM pairs),
+       |${rounds.mkString(",\n")},
+       |allp AS (
+       |  ${(1 to 6)
+         .map(i => s"SELECT $i AS round, doc_id, gain FROM pick$i")
+         .mkString("\n  UNION ALL ")}
+       |)
+       |SELECT CAST(round AS INT) AS round, doc_id,
+       |  gain AS newly_covered,
+       |  CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS cum_covered,
+       |  vocab.vocab_total,
+       |  (CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) * 1000000) // vocab.vocab_total
+       |    AS coverage_ppm
+       |FROM allp, vocab
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -9023,7 +9023,9 @@ object Queries {
     "q273_mann_whitney" -> (q273MannWhitney _),
     "q274_bitmap" -> (q274Bitmap _),
     "q275_critical_path" -> (q275CriticalPath _),
-    "q276_set_cover" -> (q276SetCover _)
+    "q276_set_cover" -> (q276SetCover _),
+    "q277_scc" -> (q277Scc _),
+    "q278_cms_join_size" -> (q278CmsJoinSize _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9295,7 +9297,9 @@ object Queries {
     "q273_mann_whitney" -> q273Oracle,
     "q274_bitmap" -> q274Oracle,
     "q275_critical_path" -> q275Oracle,
-    "q276_set_cover" -> q276Oracle
+    "q276_set_cover" -> q276Oracle,
+    "q277_scc" -> q277Oracle,
+    "q278_cms_join_size" -> q278Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -19246,5 +19250,189 @@ object Queries {
        |    AS coverage_ppm
        |FROM allp, vocab
        |ORDER BY round""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q277
+  /** STRONGLY CONNECTED COMPONENTS (ops/Scc — forward/backward
+    * min-label fixpoints, the directed closure of the CC family) on a
+    * graph with PLANTED cycles: forward edges k→k+1/k+2 inside
+    * 10-blocks plus a max→min back edge in every third block, so those
+    * blocks collapse to one 10-node SCC and the rest stay singletons.
+    * The oracle is GROUND TRUTH, not a replay of the labeling: a
+    * recursive reachability closure joined with its transpose defines
+    * mutual reachability, scc(v) = min mutually-reachable id — so a
+    * hash match PROVES the FW-BW labeling exact on this dataset (the
+    * q130 measured-finding posture; see Scc scaladoc for the
+    * general-graph caveat). Rolled up per scc-id bucket: nodes, sccs,
+    * cyclic sccs, max size, id sum.
+    */
+  /** Directed test graph shared by q277: forward +1/+2 edges inside
+    * 10-blocks over real customer keys, plus a (max → min) back edge
+    * in blocks where block % 3 = 0.
+    */
+  private def directedBlockGraph(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+    val fwd = keys
+      .withColumn("d", explode(array(lit(1L), lit(2L))))
+      .withColumn("v", col("k") + col("d"))
+      .where(expr("(k div 10) = (v div 10)"))
+      .join(keys.withColumnRenamed("k", "v"), Seq("v"), "left_semi")
+      .select(col("k").as("src"), col("v").as("dst"))
+    val back = keys
+      .groupBy(expr("k div 10").as("blk"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .where(col("blk") % 3 === 0 && col("lo") < col("hi"))
+      .select(col("hi").as("src"), col("lo").as("dst"))
+    fwd.unionByName(back)
+  }
+
+  private val DirectedBlockGraphSql: String =
+    """SELECT cand.k AS src, cand.v AS dst
+      |  FROM (SELECT k.c_custkey AS k, k.c_custkey + d.d AS v
+      |        FROM customer k, (SELECT unnest([1, 2]) AS d) d
+      |        WHERE (k.c_custkey // 10) = ((k.c_custkey + d.d) // 10)) cand
+      |  JOIN customer k2 ON k2.c_custkey = cand.v
+      |  UNION ALL
+      |  SELECT hi AS src, lo AS dst
+      |  FROM (SELECT c_custkey // 10 AS blk, MIN(c_custkey) AS lo, MAX(c_custkey) AS hi
+      |        FROM customer GROUP BY 1)
+      |  WHERE blk % 3 = 0 AND lo < hi""".stripMargin
+
+  def q277Scc(s: SparkSession, dir: String): DataFrame = {
+    val comps = graft.ops.Scc.components(directedBlockGraph(s, dir), rounds = 12)
+    comps
+      .groupBy(expr("scc_id div 500").as("bucket"))
+      .agg(
+        sum(col("size")).as("n_nodes"),
+        count(lit(1)).as("n_sccs"),
+        sum(when(col("size") > 1, 1L).otherwise(0L)).as("n_cyclic"),
+        max(col("size")).as("max_size"),
+        sum(col("scc_id")).as("id_sum"))
+      .orderBy(col("bucket"))
+  }
+
+  val q277Oracle: String =
+    s"""WITH RECURSIVE e AS (
+      |$DirectedBlockGraphSql
+      |), nodes AS (
+      |  SELECT src AS node FROM e UNION SELECT dst FROM e
+      |), reach(a, node) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.node
+      |), mutual AS (
+      |  SELECT x.a AS v, x.node AS u
+      |  FROM reach x JOIN reach y ON y.a = x.node AND y.node = x.a
+      |), scc AS (
+      |  SELECT v, MIN(u) AS scc_id FROM mutual GROUP BY v
+      |), sizes AS (
+      |  SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS size FROM scc GROUP BY scc_id
+      |)
+      |SELECT scc_id // 500 AS bucket,
+      |  CAST(SUM(size) AS BIGINT) AS n_nodes,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sccs,
+      |  CAST(SUM(CASE WHEN size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cyclic,
+      |  CAST(MAX(size) AS BIGINT) AS max_size,
+      |  CAST(SUM(scc_id) AS BIGINT) AS id_sum
+      |FROM sizes
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q278
+  /** CMS JOIN-SIZE ESTIMATION (Cormode–Muthukrishnan §4.2): the inner
+    * product of two Count-Min sketches over the join key estimates
+    * |R ⋈ S| = Σ_k c_R(k)·c_S(k) — the cardinality-estimation trick a
+    * planner can run on 100 TB inputs from two O(d·w) summaries
+    * without touching the data again. Each side's key multiset goes
+    * through q131's 4×32 matrix (md5 row hashes ⇒ every counter is
+    * relationally replayable); the estimate is min over rows of the
+    * row-wise dot product, and the CMS guarantee est ≥ exact (hash
+    * collisions only ADD spurious products) is pinned per row and for
+    * the min. The exact join size rides one equi-join aggregate on
+    * the per-key count frames. Width 32 vs 150 users forces real
+    * collisions — the overcount is visibly non-zero and checked.
+    */
+  def q278CmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def side(t: String) = ev
+      .where(col("event_type") === t)
+      .select(col("user_id").cast("string").as("k"))
+    val a = side("click").agg(expr("count_min(k, 4, 32)").as("ma"), count(lit(1)).as("n_r"))
+    val b = side("purchase").agg(expr("count_min(k, 4, 32)").as("mb"), count(lit(1)).as("n_s"))
+    val exact = side("click")
+      .groupBy(col("k")).agg(count(lit(1)).as("cr"))
+      .join(side("purchase").groupBy(col("k")).agg(count(lit(1)).as("cs")), Seq("k"))
+      .agg(sum(col("cr") * col("cs")).as("exact_join_size"))
+    def rowDot(i: Int) =
+      expr(s"aggregate(zip_with(ma[$i], mb[$i], (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    a.crossJoin(b)
+      .crossJoin(exact)
+      .select(
+        col("n_r"), col("n_s"), col("exact_join_size"),
+        rowDot(0).as("dot_0"), rowDot(1).as("dot_1"),
+        rowDot(2).as("dot_2"), rowDot(3).as("dot_3"))
+      .withColumn("est_join_size", least(col("dot_0"), col("dot_1"), col("dot_2"), col("dot_3")))
+      .withColumn(
+        "never_under",
+        col("dot_0") >= col("exact_join_size") && col("dot_1") >= col("exact_join_size") &&
+          col("dot_2") >= col("exact_join_size") && col("dot_3") >= col("exact_join_size"))
+      .withColumn(
+        "overcount_ppm",
+        expr("((est_join_size - exact_join_size) * 1000000) div exact_join_size"))
+  }
+
+  val q278Oracle: String = {
+    val rows = (0 until 4)
+      .map { i =>
+        s"""SELECT $i AS i, CAST(('0x' || substr(md5($i || ':' || k), 1, 15)) AS BIGINT) % 32
+           |  AS bucket, c FROM ra""".stripMargin
+      }
+      .mkString("\n  UNION ALL ")
+    val rowsB = (0 until 4)
+      .map { i =>
+        s"""SELECT $i AS i, CAST(('0x' || substr(md5($i || ':' || k), 1, 15)) AS BIGINT) % 32
+           |  AS bucket, c FROM rb""".stripMargin
+      }
+      .mkString("\n  UNION ALL ")
+    s"""WITH ra AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events WHERE event_type = 'click' GROUP BY 1),
+       |rb AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |acell AS (
+       |  SELECT i, bucket, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+       |  $rows
+       |  ) GROUP BY i, bucket),
+       |bcell AS (
+       |  SELECT i, bucket, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+       |  $rowsB
+       |  ) GROUP BY i, bucket),
+       |dots AS (
+       |  SELECT a.i, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
+       |  FROM acell a JOIN bcell b ON b.i = a.i AND b.bucket = a.bucket
+       |  GROUP BY a.i),
+       |ex AS (
+       |  SELECT CAST(SUM(ra.c * rb.c) AS BIGINT) AS exact_join_size
+       |  FROM ra JOIN rb ON rb.k = ra.k),
+       |ns AS (
+       |  SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+       |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_s
+       |  FROM events),
+       |wide AS (
+       |  SELECT
+       |    MAX(CASE WHEN i = 0 THEN dot END) AS dot_0,
+       |    MAX(CASE WHEN i = 1 THEN dot END) AS dot_1,
+       |    MAX(CASE WHEN i = 2 THEN dot END) AS dot_2,
+       |    MAX(CASE WHEN i = 3 THEN dot END) AS dot_3
+       |  FROM dots)
+       |SELECT ns.n_r, ns.n_s, ex.exact_join_size,
+       |  wide.dot_0, wide.dot_1, wide.dot_2, wide.dot_3,
+       |  least(wide.dot_0, wide.dot_1, wide.dot_2, wide.dot_3) AS est_join_size,
+       |  (wide.dot_0 >= ex.exact_join_size AND wide.dot_1 >= ex.exact_join_size AND
+       |   wide.dot_2 >= ex.exact_join_size AND wide.dot_3 >= ex.exact_join_size) AS never_under,
+       |  ((least(wide.dot_0, wide.dot_1, wide.dot_2, wide.dot_3) - ex.exact_join_size)
+       |    * 1000000) // ex.exact_join_size AS overcount_ppm
+       |FROM wide, ex, ns""".stripMargin
   }
 }

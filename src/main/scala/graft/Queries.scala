@@ -9025,7 +9025,9 @@ object Queries {
     "q275_critical_path" -> (q275CriticalPath _),
     "q276_set_cover" -> (q276SetCover _),
     "q277_scc" -> (q277Scc _),
-    "q278_cms_join_size" -> (q278CmsJoinSize _)
+    "q278_cms_join_size" -> (q278CmsJoinSize _),
+    "q279_router_shootout" -> (q279RouterShootout _),
+    "q280_l1_regression" -> (q280L1Regression _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9299,7 +9301,9 @@ object Queries {
     "q275_critical_path" -> q275Oracle,
     "q276_set_cover" -> q276Oracle,
     "q277_scc" -> q277Oracle,
-    "q278_cms_join_size" -> q278Oracle
+    "q278_cms_join_size" -> q278Oracle,
+    "q279_router_shootout" -> q279Oracle,
+    "q280_l1_regression" -> q280Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -18912,7 +18916,7 @@ object Queries {
         max(col("np")).as("n_pairs"),
         min(col("slope_u")).as("min_slope_u"),
         max(col("slope_u")).as("max_slope_u"),
-        max(when(col("rn") === (col("np") + 1) / 2, col("slope_u"))).as("median_slope_u"))
+        max(when(col("rn") === expr("(np + 1) div 2"), col("slope_u"))).as("median_slope_u"))
       .orderBy(col("t"))
   }
 
@@ -19435,4 +19439,257 @@ object Queries {
        |    * 1000000) // ex.exact_join_size AS overcount_ppm
        |FROM wide, ex, ns""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q279
+  /** CONSISTENT-ROUTER SHOOTOUT — the three placement schemes a 100 TB
+    * platform chooses between, run side by side on the same keys at
+    * n = 16 → 17 buckets and certified on the SAME contract: jump
+    * (expr/JumpHash — O(ln n), zero memory), rendezvous/HRW
+    * (ops/Rendezvous — O(n) hashes, weighted-capable), and a
+    * 4-vnode-per-bucket HASH RING (the memcached/Dynamo scheme:
+    * successor vnode by 60-bit position, wraparound to the global
+    * minimum). For each: bucket-load spread at both sizes, how many
+    * keys move when bucket 16 joins, and the minimal-move law (every
+    * mover lands on the NEW bucket — true for all three, for three
+    * different structural reasons; mod-N hashing, the scheme they
+    * replace, moves ~16/17 of keys and breaks the law). All three are
+    * md5-replayable: the oracle re-derives jump's LCG loop
+    * recursively, HRW's argmax, and the ring's filtered-successor
+    * COALESCE from scratch.
+    */
+  def q279RouterShootout(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.events(s, dir).select(col("user_id")).distinct()
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // jump + HRW: direct column expressions at both sizes
+    val jump = keys.select(
+      lit("jump").as("router"), col("user_id"),
+      expr("jump_hash(user_id, 16)").cast("long").as("b16"),
+      expr("jump_hash(user_id, 17)").cast("long").as("b17"))
+    val hrw = keys.select(
+      lit("rendezvous").as("router"), col("user_id"),
+      graft.ops.Rendezvous.assign(col("user_id"), 16).as("b16"),
+      graft.ops.Rendezvous.assign(col("user_id"), 17).as("b17"))
+    // ring: 4 vnodes per bucket, successor-with-wraparound
+    val vnodes = s
+      .range(0, 17)
+      .select(col("id").as("b"))
+      .crossJoin(s.range(0, 4).select(col("id").as("i")))
+      .select(
+        col("b"), col("i"),
+        h60(concat(lit("v:"), col("b").cast("string"), lit(":"), col("i").cast("string")))
+          .as("vh"))
+    def ringAt(n: Int): DataFrame =
+      keys
+        .withColumn("kh", h60(concat(lit("k:"), col("user_id").cast("string"))))
+        .crossJoin(broadcast(vnodes.where(col("b") < n)))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("vh") >= col("kh"), struct(col("vh"), col("b")))).as("ge"),
+          min(struct(col("vh"), col("b"))).as("glob"))
+        .select(
+          col("user_id"),
+          coalesce(col("ge.b"), col("glob.b")).as(s"b$n"))
+    val ring = ringAt(16)
+      .join(ringAt(17), Seq("user_id"))
+      .select(lit("ring").as("router"), col("user_id"), col("b16"), col("b17"))
+    val asg = jump.unionByName(hrw).unionByName(ring)
+    val l16 = asg
+      .groupBy(col("router"), col("b16")).agg(count(lit(1)).as("c"))
+      .groupBy(col("router"))
+      .agg(max(col("c")).as("max16"), min(col("c")).as("min16"))
+    val l17 = asg
+      .groupBy(col("router"), col("b17")).agg(count(lit(1)).as("c"))
+      .groupBy(col("router"))
+      .agg(max(col("c")).as("max17"), min(col("c")).as("min17"))
+    val mv = asg
+      .groupBy(col("router"))
+      .agg(
+        sum(when(col("b16") =!= col("b17"), 1L).otherwise(0L)).as("n_moved"),
+        (sum(when(col("b16") =!= col("b17") && col("b17") =!= 16, 1L).otherwise(0L)) === 0L)
+          .as("moved_only_to_new"),
+        count(lit(1)).as("n_keys"))
+    l16
+      .join(l17, Seq("router"))
+      .join(mv, Seq("router"))
+      .select(
+        col("router"), col("n_keys"), col("max16"), col("min16"),
+        col("max17"), col("min17"), col("n_moved"), col("moved_only_to_new"))
+      .orderBy(col("router"))
+  }
+
+  val q279Oracle: String =
+    """WITH RECURSIVE keys AS (SELECT DISTINCT user_id FROM events),
+      |params AS (SELECT CAST(unnest([16, 17]) AS BIGINT) AS n),
+      |jumpw AS (
+      |  SELECT k.user_id, p.n,
+      |    CAST(k.user_id AS HUGEINT) AS key,
+      |    CAST(-1 AS BIGINT) AS b, CAST(0 AS BIGINT) AS j
+      |  FROM keys k, params p
+      |  UNION ALL
+      |  SELECT user_id, n,
+      |    (key * 2862933555777941757 + 1) % 18446744073709551616 AS key,
+      |    j AS b,
+      |    CAST(trunc((j + 1) * (2147483648.0 /
+      |      CAST(((key * 2862933555777941757 + 1) % 18446744073709551616)
+      |           // 8589934592 + 1 AS DOUBLE))) AS BIGINT) AS j
+      |  FROM jumpw WHERE j < n),
+      |jumpa AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN n = 16 THEN b END) AS b16,
+      |    MAX(CASE WHEN n = 17 THEN b END) AS b17
+      |  FROM jumpw WHERE j >= n GROUP BY user_id),
+      |shards AS (SELECT CAST(unnest(range(0, 17)) AS BIGINT) AS sh),
+      |hrws AS (
+      |  SELECT k.user_id, s.sh,
+      |    CAST(('0x' || substr(md5(CAST(k.user_id AS VARCHAR) || ':' || CAST(s.sh AS VARCHAR)),
+      |      1, 15)) AS BIGINT) AS sc
+      |  FROM keys k, shards s),
+      |hrwa AS (
+      |  SELECT user_id,
+      |    arg_max(sh, sc) FILTER (WHERE sh < 16) AS b16,
+      |    arg_max(sh, sc) AS b17
+      |  FROM hrws GROUP BY user_id),
+      |vn AS (
+      |  SELECT b.sh AS b, i.i,
+      |    CAST(('0x' || substr(md5('v:' || CAST(b.sh AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)),
+      |      1, 15)) AS BIGINT) AS vh
+      |  FROM shards b, (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS i) i),
+      |kh AS (
+      |  SELECT user_id,
+      |    CAST(('0x' || substr(md5('k:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS kh
+      |  FROM keys),
+      |ringn AS (
+      |  SELECT k.user_id, p.n,
+      |    COALESCE(
+      |      arg_min(v.b, v.vh) FILTER (WHERE v.vh >= k.kh),
+      |      arg_min(v.b, v.vh)) AS b
+      |  FROM kh k, params p
+      |  JOIN vn v ON v.b < p.n
+      |  GROUP BY k.user_id, p.n),
+      |ringa AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN n = 16 THEN b END) AS b16,
+      |    MAX(CASE WHEN n = 17 THEN b END) AS b17
+      |  FROM ringn GROUP BY user_id),
+      |asg AS (
+      |  SELECT 'jump' AS router, user_id, b16, b17 FROM jumpa
+      |  UNION ALL SELECT 'rendezvous', user_id, b16, b17 FROM hrwa
+      |  UNION ALL SELECT 'ring', user_id, b16, b17 FROM ringa),
+      |l16 AS (
+      |  SELECT router, MAX(c) AS max16, MIN(c) AS min16
+      |  FROM (SELECT router, b16, CAST(COUNT(*) AS BIGINT) AS c FROM asg GROUP BY 1, 2)
+      |  GROUP BY router),
+      |l17 AS (
+      |  SELECT router, MAX(c) AS max17, MIN(c) AS min17
+      |  FROM (SELECT router, b17, CAST(COUNT(*) AS BIGINT) AS c FROM asg GROUP BY 1, 2)
+      |  GROUP BY router),
+      |mv AS (
+      |  SELECT router,
+      |    CAST(SUM(CASE WHEN b16 <> b17 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+      |    SUM(CASE WHEN b16 <> b17 AND b17 <> 16 THEN 1 ELSE 0 END) = 0 AS moved_only_to_new,
+      |    CAST(COUNT(*) AS BIGINT) AS n_keys
+      |  FROM asg GROUP BY router)
+      |SELECT l16.router, mv.n_keys, l16.max16, l16.min16,
+      |  l17.max17, l17.min17, mv.n_moved, mv.moved_only_to_new
+      |FROM l16
+      |JOIN l17 ON l17.router = l16.router
+      |JOIN mv ON mv.router = l16.router
+      |ORDER BY l16.router""".stripMargin
+
+  // ---------------------------------------------------------------- q280
+  /** L1 (LEAST-ABSOLUTE-DEVIATIONS) REGRESSION BY GRID SWEEP — the
+    * robust-fit companion to q272: fit daily event count = a + b·day
+    * per event type by sweeping b over an integer micro-slope grid
+    * (the distributed hyperparameter-sweep shape: candidates × points
+    * is one broadcast fan-out, loss is an exact integer aggregate).
+    * For each candidate b, the optimal a is the DISCRETE median of
+    * the residuals y − b·x (the L1 theory's exact minimizer, lower
+    * order statistic — q92's interpolation-free recipe), and the loss
+    * Σ|y − b·x − a| is exact in micro-units. Winner = argmin (loss,
+    * b). q272's Theil–Sen slope rides along with the signed gap
+    * between the two robust estimators as a MEASURED diagnostic (on a
+    * 30-point noisy series they differ by up to ~0.3 counts/day —
+    * they are different estimators and only agree asymptotically;
+    * both engines must reproduce the exact gap). Everything
+    * downstream of the daily rollup runs on a ≤(366·|grid|·types)-row
+    * bounded frame.
+    */
+  def q280L1Regression(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables
+      .events(s, dir)
+      .select(col("event_type").as("t"), to_date(col("ts")).as("day"))
+      .groupBy(col("t"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("d", datediff(col("day"), to_date(lit("2024-01-01"))))
+    // slope grid: -2e6 .. 2e6 micro-units in 5e4 steps (81 candidates)
+    val grid = s.range(-40, 41).select((col("id") * 50000L).as("bu"))
+    val resid = daily
+      .crossJoin(broadcast(grid))
+      // residual in micro-units: 1e6·c − bu·d
+      .withColumn("r", lit(1000000L) * col("c") - col("bu") * col("d"))
+    val wOrd = Window.partitionBy(col("t"), col("bu")).orderBy(col("r"))
+    val wAll = Window.partitionBy(col("t"), col("bu"))
+    val withMed = resid
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .withColumn("med", max(when(col("rn") === expr("(np + 1) div 2"), col("r"))).over(wAll))
+    val losses = withMed
+      .groupBy(col("t"), col("bu"))
+      .agg(sum(abs(col("r") - col("med"))).as("loss"), max(col("med")).as("a_u"))
+    val wBest = Window.partitionBy(col("t")).orderBy(col("loss"), col("bu"))
+    val best = losses
+      .withColumn("rk", row_number().over(wBest))
+      .where(col("rk") === 1)
+      .select(col("t"), col("bu").as("b_u"), col("a_u"), col("loss"))
+    val ts = q272TheilSen(s, dir).select(col("t"), col("median_slope_u"))
+    best
+      .join(ts, Seq("t"))
+      .withColumn("slope_gap_u", col("b_u") - col("median_slope_u"))
+      .orderBy(col("t"))
+  }
+
+  val q280Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type AS t, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (SELECT t, day - DATE '2024-01-01' AS d, c FROM daily),
+      |grid AS (SELECT CAST(unnest(range(-40, 41)) AS BIGINT) * 50000 AS bu),
+      |resid AS (
+      |  SELECT t, bu, 1000000 * c - bu * d AS r FROM dd, grid),
+      |withmed AS (
+      |  SELECT t, bu, r,
+      |    row_number() OVER (PARTITION BY t, bu ORDER BY r) AS rn,
+      |    COUNT(*) OVER (PARTITION BY t, bu) AS np
+      |  FROM resid),
+      |med AS (
+      |  SELECT t, bu, MAX(CASE WHEN rn = (np + 1) // 2 THEN r END) AS med
+      |  FROM withmed GROUP BY t, bu),
+      |losses AS (
+      |  SELECT r.t, r.bu, CAST(SUM(ABS(r.r - m.med)) AS BIGINT) AS loss,
+      |    CAST(MAX(m.med) AS BIGINT) AS a_u
+      |  FROM resid r JOIN med m ON m.t = r.t AND m.bu = r.bu
+      |  GROUP BY r.t, r.bu),
+      |best AS (
+      |  SELECT t, bu AS b_u, a_u, loss,
+      |    row_number() OVER (PARTITION BY t ORDER BY loss, bu) AS rk
+      |  FROM losses),
+      |pairs AS (
+      |  SELECT a.t, ((b.c - a.c) * 1000000) // (b.d - a.d) AS slope_u, a.d AS di, b.d AS dj
+      |  FROM dd a JOIN dd b ON b.t = a.t AND a.d < b.d),
+      |tsr AS (
+      |  SELECT t, slope_u,
+      |    row_number() OVER (PARTITION BY t ORDER BY slope_u, di, dj) AS rn,
+      |    COUNT(*) OVER (PARTITION BY t) AS np
+      |  FROM pairs),
+      |theil AS (
+      |  SELECT t, CAST(MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_u END) AS BIGINT)
+      |    AS median_slope_u
+      |  FROM tsr GROUP BY t)
+      |SELECT b.t, b.b_u, b.a_u, b.loss, th.median_slope_u,
+      |  b.b_u - th.median_slope_u AS slope_gap_u
+      |FROM best b JOIN theil th ON th.t = b.t
+      |WHERE b.rk = 1
+      |ORDER BY b.t""".stripMargin
 }

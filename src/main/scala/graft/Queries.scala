@@ -9027,7 +9027,8 @@ object Queries {
     "q277_scc" -> (q277Scc _),
     "q278_cms_join_size" -> (q278CmsJoinSize _),
     "q279_router_shootout" -> (q279RouterShootout _),
-    "q280_l1_regression" -> (q280L1Regression _)
+    "q280_l1_regression" -> (q280L1Regression _),
+    "q281_geohash" -> (q281Geohash _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9303,7 +9304,8 @@ object Queries {
     "q277_scc" -> q277Oracle,
     "q278_cms_join_size" -> q278Oracle,
     "q279_router_shootout" -> q279Oracle,
-    "q280_l1_regression" -> q280Oracle
+    "q280_l1_regression" -> q280Oracle,
+    "q281_geohash" -> q281Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -19692,4 +19694,120 @@ object Queries {
       |FROM best b JOIN theil th ON th.t = b.t
       |WHERE b.rk = 1
       |ORDER BY b.t""".stripMargin
+
+  // ---------------------------------------------------------------- q281
+  /** GEOHASH ENCODE/DECODE (Niemeyer 2008, public domain) over q201's
+    * micro-degree station coordinates — 8-char hashes, exact integer
+    * arithmetic end to end: 20-bit lon/lat ranks via integer
+    * multiply-then-div (no float quantization to flip a floor),
+    * bit-interleave lon-first (the Morton pattern Layout.zValue uses,
+    * lon in the odd positions), then 8×5-bit base32 chars from the
+    * standard '0123456789bcdefghjkmnpqrstuvwxyz' alphabet. The
+    * ROUND-TRIP law is checked through the STRING: chars are parsed
+    * back via alphabet position, de-interleaved to ranks, and must
+    * reproduce the encode ranks for every station (decode_ok) — plus
+    * the prefix-locality property that makes geohash a join/index key:
+    * stations sharing a 4-char prefix sit in the same ~0.35°×0.17°
+    * cell, so per-prefix counts equal q201-style grid counts. Pure
+    * map-side integer/string ops; one rollup.
+    */
+  def q281Geohash(s: SparkSession, dir: String): DataFrame = {
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val st = Tables
+      .supplier(s, dir)
+      .select(col("s_suppkey").as("sk"))
+      .withColumn("lat", expr("((sk * 2654435761) % 120000000) - 60000000"))
+      .withColumn("lon", expr("((sk * 2246822519) % 360000000) - 180000000"))
+      // 20-bit ranks: exact integer multiply-then-div
+      .withColumn("lonr", expr("((lon + 180000000) * 1048576) div 360000001"))
+      .withColumn("latr", expr("((lat + 90000000) * 1048576) div 180000001"))
+    // interleave: bit (2j+1) = lon bit j, bit (2j) = lat bit j
+    val inter = (0 until 20)
+      .map(j =>
+        expr(s"(((lonr div ${1L << j}) % 2) * ${1L << (2 * j + 1)}) + " +
+          s"(((latr div ${1L << j}) % 2) * ${1L << (2 * j)})"))
+      .reduce(_ + _)
+    val hashed = st
+      .withColumn("z40", inter)
+      .withColumn(
+        "gh",
+        concat((0 until 8).map(k =>
+          expr(s"substr('$alpha', CAST((z40 div ${1L << (35 - 5 * k)}) % 32 AS INT) + 1, 1)")): _*))
+    // decode the STRING back: char positions → 40-bit int → ranks
+    // CAST to BIGINT before the multiply: instr returns INT, and for
+    // k >= 1 the 2^(35-5k) literal fits an int too, so the product
+    // wraps in 32-bit (ANSI off) before the sum ever promotes — the
+    // q170 widen-the-first-factor rule applies to INTs as well
+    val z40back = (0 until 8)
+      .map(k =>
+        expr(s"(CAST(instr('$alpha', substr(gh, ${k + 1}, 1)) AS BIGINT) - 1) " +
+          s"* ${1L << (35 - 5 * k)}"))
+      .reduce(_ + _)
+    val lonBack = (0 until 20)
+      .map(j => expr(s"((__zb div ${1L << (2 * j + 1)}) % 2) * ${1L << j}"))
+      .reduce(_ + _)
+    val latBack = (0 until 20)
+      .map(j => expr(s"((__zb div ${1L << (2 * j)}) % 2) * ${1L << j}"))
+      .reduce(_ + _)
+    hashed
+      .withColumn("__zb", z40back)
+      .withColumn("decode_ok", lonBack === col("lonr") && latBack === col("latr"))
+      .groupBy(substring(col("gh"), 1, 4).as("prefix"))
+      .agg(
+        count(lit(1)).as("n_stations"),
+        countDistinct(col("gh")).as("n_hashes"),
+        (sum(when(col("decode_ok"), 1L).otherwise(0L)) === count(lit(1))).as("all_decode_ok"),
+        min(col("gh")).as("min_gh"),
+        max(col("gh")).as("max_gh"),
+        sum(col("sk")).as("sk_sum"))
+      .orderBy(col("prefix"))
+  }
+
+  val q281Oracle: String = {
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val inter = (0 until 20)
+      .map(j =>
+        s"(((lonr // ${1L << j}) % 2) * ${1L << (2 * j + 1)}) + " +
+          s"(((latr // ${1L << j}) % 2) * ${1L << (2 * j)})")
+      .mkString(" + ")
+    val chars = (0 until 8)
+      .map(k => s"substr('$alpha', CAST((z40 // ${1L << (35 - 5 * k)}) % 32 AS INT) + 1, 1)")
+      .mkString(" || ")
+    val zback = (0 until 8)
+      .map(k => s"(strpos('$alpha', substr(gh, ${k + 1}, 1)) - 1) * ${1L << (35 - 5 * k)}")
+      .mkString(" + ")
+    val lonBack = (0 until 20)
+      .map(j => s"((zb // ${1L << (2 * j + 1)}) % 2) * ${1L << j}")
+      .mkString(" + ")
+    val latBack = (0 until 20)
+      .map(j => s"((zb // ${1L << (2 * j)}) % 2) * ${1L << j}")
+      .mkString(" + ")
+    s"""WITH st AS (
+       |  SELECT s_suppkey AS sk,
+       |    ((s_suppkey * 2654435761) % 120000000) - 60000000 AS lat,
+       |    ((s_suppkey * 2246822519) % 360000000) - 180000000 AS lon
+       |  FROM supplier),
+       |ranks AS (
+       |  SELECT sk,
+       |    ((lon + 180000000) * 1048576) // 360000001 AS lonr,
+       |    ((lat + 90000000) * 1048576) // 180000001 AS latr
+       |  FROM st),
+       |zed AS (SELECT sk, lonr, latr, $inter AS z40 FROM ranks),
+       |gh8 AS (SELECT sk, lonr, latr, $chars AS gh FROM zed),
+       |back AS (SELECT sk, lonr, latr, gh, $zback AS zb FROM gh8),
+       |dec AS (
+       |  SELECT sk, gh,
+       |    ($lonBack) = lonr AND ($latBack) = latr AS decode_ok
+       |  FROM back)
+       |SELECT substr(gh, 1, 4) AS prefix,
+       |  CAST(COUNT(*) AS BIGINT) AS n_stations,
+       |  CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_hashes,
+       |  SUM(CASE WHEN decode_ok THEN 1 ELSE 0 END) = COUNT(*) AS all_decode_ok,
+       |  MIN(gh) AS min_gh,
+       |  MAX(gh) AS max_gh,
+       |  CAST(SUM(sk) AS BIGINT) AS sk_sum
+       |FROM dec
+       |GROUP BY prefix
+       |ORDER BY prefix""".stripMargin
+  }
 }

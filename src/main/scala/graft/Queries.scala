@@ -9028,7 +9028,17 @@ object Queries {
     "q278_cms_join_size" -> (q278CmsJoinSize _),
     "q279_router_shootout" -> (q279RouterShootout _),
     "q280_l1_regression" -> (q280L1Regression _),
-    "q281_geohash" -> (q281Geohash _)
+    "q281_geohash" -> (q281Geohash _),
+    "q282_markov_stationary" -> (q282MarkovStationary _),
+    "q283_boruvka_msf" -> (q283BoruvkaMsf _),
+    "q284_temporal_reach" -> (q284TemporalReach _),
+    "q285_random_walks" -> (q285RandomWalks _),
+    "q286_cdc_chunking" -> (q286CdcChunking _),
+    "q287_point_in_polygon" -> (q287PointInPolygon _),
+    "q288_link_prediction" -> (q288LinkPrediction _),
+    "q289_ppr" -> (q289Ppr _),
+    "q290_allocation" -> (q290Allocation _),
+    "q291_decision_stump" -> (q291DecisionStump _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9305,7 +9315,17 @@ object Queries {
     "q278_cms_join_size" -> q278Oracle,
     "q279_router_shootout" -> q279Oracle,
     "q280_l1_regression" -> q280Oracle,
-    "q281_geohash" -> q281Oracle
+    "q281_geohash" -> q281Oracle,
+    "q282_markov_stationary" -> q282Oracle,
+    "q283_boruvka_msf" -> q283Oracle,
+    "q284_temporal_reach" -> q284Oracle,
+    "q285_random_walks" -> q285Oracle,
+    "q286_cdc_chunking" -> q286Oracle,
+    "q287_point_in_polygon" -> q287Oracle,
+    "q288_link_prediction" -> q288Oracle,
+    "q289_ppr" -> q289Oracle,
+    "q290_allocation" -> q290Oracle,
+    "q291_decision_stump" -> q291Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -19810,4 +19830,755 @@ object Queries {
        |GROUP BY prefix
        |ORDER BY prefix""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q282
+  /** MARKOV STATIONARY DISTRIBUTION of the event-type transition chain
+    * — the PageRank-without-links view of user behavior (Kemeny–Snell
+    * finite Markov chains): per-user event sequences give a transition
+    * count matrix M (lag window, the q98 transitions shape), and the
+    * stationary mass is approximated by six power-iteration rounds
+    * v·P, all in EXACT SCALED-INTEGER arithmetic: v starts at 10^12/n
+    * and each term contributes (v_i · M_ij) div rowsum_i — integer
+    * multiply-then-floor-div, the q201 exact-integer discipline, so no
+    * float ever enters and both engines replay bit-identically. The
+    * heavy work is ONE shuffle (the lag window + pair count over all
+    * events); the 6 iteration rounds run on the |event types|-row state
+    * frame against the broadcast matrix — bounded model state, the
+    * 100 TB shape (at scale M is tiny regardless of corpus size).
+    */
+  def q282MarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev").as("i"), col("event_type").as("j"))
+      .agg(count(lit(1)).as("cnt"))
+    val rowsum = trans.groupBy(col("i")).agg(sum(col("cnt")).as("rs"))
+    val m = broadcast(trans.join(rowsum, Seq("i")))
+    val states = ev.select(col("event_type").as("i")).distinct()
+    val nStates = states.agg(count(lit(1)).as("n"))
+    var v = states
+      .crossJoin(broadcast(nStates))
+      .select(col("i"), expr("1000000000000 div n").as("v"))
+    for (_ <- 1 to 6) {
+      v = v
+        .join(m, Seq("i"))
+        .select(col("j"), expr("(v * cnt) div rs").as("contrib"))
+        .groupBy(col("j"))
+        .agg(sum(col("contrib")).as("v"))
+        .withColumnRenamed("j", "i")
+    }
+    val emp = trans.groupBy(col("j")).agg(sum(col("cnt")).as("n_in")).withColumnRenamed("j", "i")
+    v.join(rowsum, Seq("i"))
+      .join(emp, Seq("i"))
+      .select(
+        col("i").as("event_type"),
+        col("v").as("pi_scaled"),
+        col("rs").as("n_out"),
+        col("n_in"))
+      .orderBy(col("event_type"))
+  }
+
+  val q282Oracle: String = {
+    val iters = (1 to 6)
+      .map { t =>
+        s"""v$t AS (
+           |  SELECT m.j AS i, CAST(SUM((v${t - 1}.v * m.cnt) // rs.rs) AS BIGINT) AS v
+           |  FROM v${t - 1} JOIN m ON m.i = v${t - 1}.i JOIN rs ON rs.i = v${t - 1}.i
+           |  GROUP BY m.j)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |m AS (
+       |  SELECT prev AS i, event_type AS j, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |rs AS (SELECT i, CAST(SUM(cnt) AS BIGINT) AS rs FROM m GROUP BY i),
+       |states AS (SELECT DISTINCT event_type AS i FROM events),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM states),
+       |v0 AS (SELECT i, 1000000000000 // n.n AS v FROM states, n),
+       |$iters,
+       |emp AS (SELECT j AS i, CAST(SUM(cnt) AS BIGINT) AS n_in FROM m GROUP BY j)
+       |SELECT v6.i AS event_type, v6.v AS pi_scaled, rs.rs AS n_out, emp.n_in
+       |FROM v6 JOIN rs ON rs.i = v6.i JOIN emp ON emp.i = v6.i
+       |ORDER BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q283
+  /** BORŮVKA MINIMUM SPANNING FOREST (ops/Boruvka — per-component
+    * min-incident-edge rounds + large-star/small-star contraction, the
+    * O(log n)-round parallel MST) over the undirected block graph with
+    * md5-derived 48-bit edge weights. Selection minimizes the TOTAL
+    * ORDER (w, src, dst), so the forest is the unique
+    * lexicographic-Kruskal MSF — and the oracle is GROUND TRUTH, not a
+    * replay: the cut/cycle property says an edge is in that MSF iff
+    * its endpoints are NOT connected by strictly-smaller edges, which
+    * the oracle checks per edge with a recursive closure over the
+    * lighter-edge subgraph (the q277 ground-truth posture). Rolled up
+    * per 30-block bucket with the forest law |E| = |V| − |components|
+    * pinned as a column.
+    */
+  private def weightedBlockGraph(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+    keys
+      .withColumn("d", explode(array(lit(1L), lit(2L))))
+      .withColumn("v", col("k") + col("d"))
+      .where(expr("(k div 10) = (v div 10)"))
+      .join(keys.withColumnRenamed("k", "v"), Seq("v"), "left_semi")
+      .select(col("k").as("src"), col("v").as("dst"))
+      .withColumn(
+        "w",
+        expr("CAST(conv(substr(md5(concat(CAST(src AS STRING), '-', CAST(dst AS STRING))), 1, 12), 16, 10) AS BIGINT)"))
+  }
+
+  private val WeightedBlockGraphSql: String =
+    """SELECT cand.k AS src, cand.v AS dst,
+      |  CAST(('0x' || substr(md5(cand.k || '-' || cand.v), 1, 12)) AS BIGINT) AS w
+      |FROM (SELECT k.c_custkey AS k, k.c_custkey + d.d AS v
+      |      FROM customer k, (SELECT unnest([1, 2]) AS d) d
+      |      WHERE (k.c_custkey // 10) = ((k.c_custkey + d.d) // 10)) cand
+      |JOIN customer k2 ON k2.c_custkey = cand.v""".stripMargin
+
+  def q283BoruvkaMsf(s: SparkSession, dir: String): DataFrame = {
+    val msf = graft.ops.Boruvka.forest(weightedBlockGraph(s, dir), rounds = 4)
+    val keys = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+    val nodeRoll = keys
+      .groupBy(expr("(k div 10) div 30").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), countDistinct(expr("k div 10")).as("n_blocks"))
+    val edgeRoll = msf
+      .groupBy(expr("(src div 10) div 30").as("bucket"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("w_sum"))
+    nodeRoll
+      .join(edgeRoll, Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("w_sum"), lit(0L)).as("w_sum"),
+        col("n_blocks"),
+        col("n_nodes"),
+        (coalesce(col("n_edges"), lit(0L)) === col("n_nodes") - col("n_blocks")).as("tree_ok"))
+      .orderBy(col("bucket"))
+  }
+
+  val q283Oracle: String =
+    s"""WITH RECURSIVE e AS (
+       |$WeightedBlockGraphSql
+       |), eid AS (
+       |  SELECT row_number() OVER (ORDER BY w, src, dst) AS rk, src, dst, w FROM e
+       |), reach(rk, node) AS (
+       |  SELECT rk, src FROM eid
+       |  UNION
+       |  SELECT r.rk, CASE WHEN f.src = r.node THEN f.dst ELSE f.src END
+       |  FROM reach r JOIN eid f
+       |    ON f.rk < r.rk AND (f.src = r.node OR f.dst = r.node)
+       |), msf AS (
+       |  SELECT ed.src, ed.dst, ed.w FROM eid ed
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM reach r WHERE r.rk = ed.rk AND r.node = ed.dst)
+       |), noderoll AS (
+       |  SELECT (c_custkey // 10) // 30 AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(COUNT(DISTINCT c_custkey // 10) AS BIGINT) AS n_blocks
+       |  FROM customer GROUP BY 1
+       |), edgeroll AS (
+       |  SELECT (src // 10) // 30 AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |    CAST(SUM(w) AS BIGINT) AS w_sum
+       |  FROM msf GROUP BY 1)
+       |SELECT n.bucket,
+       |  COALESCE(e2.n_edges, 0) AS n_edges,
+       |  COALESCE(e2.w_sum, 0) AS w_sum,
+       |  n.n_blocks, n.n_nodes,
+       |  COALESCE(e2.n_edges, 0) = n.n_nodes - n.n_blocks AS tree_ok
+       |FROM noderoll n LEFT JOIN edgeroll e2 ON e2.bucket = n.bucket
+       |ORDER BY n.bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q284
+  /** TEMPORAL (TIME-RESPECTING) REACHABILITY (ops/Temporal —
+    * earliest-arrival relaxation under strictly-increasing edge times,
+    * Holme–Saramäki semantics) on the directed block graph with
+    * deterministic edge times t = (7·src + 13·dst) mod 12, seeded at
+    * the min node of every 4th block. Static reachability would flood
+    * each seeded block; the temporal constraint prunes paths whose
+    * next edge fires too early, so reached-counts measure genuine
+    * time-respecting influence. The oracle is GROUND TRUTH: a
+    * recursive (node, time) closure — every temporally-valid arrival —
+    * min-folded per node, proving the 12-round DP fixpoint exact on
+    * this graph (path length ≤ |time domain| because times strictly
+    * increase). Seeds carry arrival −1 by contract and are counted in
+    * arrival_sum as such.
+    */
+  def q284TemporalReach(s: SparkSession, dir: String): DataFrame = {
+    val e = directedBlockGraph(s, dir)
+      .withColumn("t", expr("(src * 7 + dst * 13) % 12"))
+    val seeds = Tables
+      .customer(s, dir)
+      .groupBy(expr("c_custkey div 10").as("blk"))
+      .agg(min(col("c_custkey")).as("node"))
+      .where(col("blk") % 4 === 0)
+      .select(col("node"))
+    val arr = graft.ops.Temporal.earliestArrival(e, seeds, rounds = 12)
+    Tables
+      .customer(s, dir)
+      .select(col("c_custkey").as("node"))
+      .join(arr, Seq("node"), "left")
+      .groupBy(expr("node div 500").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(when(col("arrival").isNotNull, 1L).otherwise(0L)).as("n_reached"),
+        coalesce(sum(col("arrival")), lit(0L)).as("arrival_sum"),
+        coalesce(max(col("arrival")), lit(-99L)).as("max_arrival"))
+      .orderBy(col("bucket"))
+  }
+
+  val q284Oracle: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT src, dst, (src * 7 + dst * 13) % 12 AS t FROM (
+       |$DirectedBlockGraphSql
+       |  )
+       |), seeds AS (
+       |  SELECT MIN(c_custkey) AS node FROM customer
+       |  GROUP BY c_custkey // 10 HAVING (c_custkey // 10) % 4 = 0
+       |), reach(node, at_t) AS (
+       |  SELECT node, CAST(-1 AS BIGINT) FROM seeds
+       |  UNION
+       |  SELECT e.dst, CAST(e.t AS BIGINT) FROM reach r
+       |  JOIN e ON e.src = r.node AND e.t > r.at_t
+       |), arr AS (
+       |  SELECT node, MIN(at_t) AS arrival FROM reach GROUP BY node)
+       |SELECT c.c_custkey // 500 AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(CASE WHEN a.arrival IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+       |  CAST(COALESCE(SUM(a.arrival), 0) AS BIGINT) AS arrival_sum,
+       |  CAST(COALESCE(MAX(a.arrival), -99) AS BIGINT) AS max_arrival
+       |FROM customer c LEFT JOIN arr a ON a.node = c.c_custkey
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q285
+  /** DETERMINISTIC RANDOM-WALK CORPUS (ops/Walks — the DeepWalk/
+    * node2vec input generator with md5-replayable choices): 8-step
+    * walks from every even block's min node over the directed block
+    * graph, each step taking the out-neighbor minimizing
+    * md5(node:step:dst) — pseudo-random transition, bit-identical
+    * replay (the q221 seeded-sampling posture). The argmin is encoded
+    * as min(md5 ‖ zero-padded dst) so Spark's aggregate and the SQL
+    * replay share ONE string total order. Visit statistics rolled up
+    * per 500-key bucket: corpus size, walk endpoints, distinct nodes
+    * touched, distinct walkers through the bucket.
+    */
+  def q285RandomWalks(s: SparkSession, dir: String): DataFrame = {
+    val starts = Tables
+      .customer(s, dir)
+      .groupBy(expr("c_custkey div 10").as("blk"))
+      .agg(min(col("c_custkey")).as("node"))
+      .where(col("blk") % 2 === 0)
+      .select(col("node"))
+    val corpus =
+      graft.ops.Walks.deterministicWalks(directedBlockGraph(s, dir), starts, steps = 8)
+    corpus
+      .groupBy(expr("node div 500").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_visits"),
+        sum(when(col("step") === 8, 1L).otherwise(0L)).as("n_ends"),
+        countDistinct(col("node")).as("n_distinct_nodes"),
+        countDistinct(col("walker")).as("n_walkers"))
+      .orderBy(col("bucket"))
+  }
+
+  val q285Oracle: String = {
+    val steps = (1 to 8)
+      .map { t =>
+        s"""w$t AS (
+           |  SELECT w.walker, COALESCE(c.nxt, w.node) AS node
+           |  FROM w${t - 1} w LEFT JOIN (
+           |    SELECT w2.walker,
+           |      CAST(substr(MIN(md5(w2.node || ':' || $t || ':' || e.dst) ||
+           |        lpad(CAST(e.dst AS VARCHAR), 14, '0')), 33, 14) AS BIGINT) AS nxt
+           |    FROM w${t - 1} w2 JOIN e ON e.src = w2.node
+           |    GROUP BY w2.walker) c ON c.walker = w.walker)""".stripMargin
+      }
+      .mkString(",\n")
+    val corpus = (0 to 8)
+      .map(t => s"SELECT walker, $t AS step, node FROM w$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |$DirectedBlockGraphSql
+       |), starts AS (
+       |  SELECT MIN(c_custkey) AS node FROM customer
+       |  GROUP BY c_custkey // 10 HAVING (c_custkey // 10) % 2 = 0
+       |), w0 AS (SELECT node AS walker, node FROM starts),
+       |$steps,
+       |corpus AS (
+       |  $corpus)
+       |SELECT node // 500 AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_visits,
+       |  CAST(SUM(CASE WHEN step = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends,
+       |  CAST(COUNT(DISTINCT node) AS BIGINT) AS n_distinct_nodes,
+       |  CAST(COUNT(DISTINCT walker) AS BIGINT) AS n_walkers
+       |FROM corpus
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q286
+  /** CONTENT-DEFINED CHUNKING + CHUNK-LEVEL DEDUP (ops/Cdc — the
+    * LBFS/rsync boundary rule: a chunk closes after position p iff
+    * md5 of the 8-char window ending at p hash-selects mod 32).
+    * Insertion-stable boundaries make REGION-level duplication visible
+    * across documents — the dedup granularity between whole-doc
+    * fingerprints (q23) and shingle spans (q80). Per-source rollup:
+    * chunk counts, distinct chunk identities, duplicated-chunk ppm,
+    * and the exact-cover law Σ chunk_len = Σ length(text) pinned as a
+    * column (every byte in exactly one chunk). Position explode is
+    * map-side; the only shuffle is the per-doc boundary window — keyed
+    * by doc, never global.
+    */
+  def q286CdcChunking(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ch = graft.ops.Cdc.chunks(docs, "doc_id", "text", w = 8, modulus = 32)
+    val bySrc = ch
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_hash")).as("n_distinct"),
+        sum(col("chunk_len")).as("len_sum"),
+        max(col("chunk_len")).as("max_len"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    val txt = docs.groupBy(col("source")).agg(sum(length(col("text"))).as("text_len"))
+    bySrc
+      .join(txt, Seq("source"))
+      .withColumn("dup_ppm", expr("((n_chunks - n_distinct) * 1000000) div n_chunks"))
+      .withColumn("len_ok", col("len_sum") === col("text_len"))
+      .orderBy(col("source"))
+  }
+
+  val q286Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 1),
+      |pos AS (SELECT doc_id, unnest(generate_series(8, n)) AS p FROM d),
+      |b AS (
+      |  SELECT pos.doc_id, pos.p FROM pos JOIN d USING (doc_id)
+      |  WHERE CAST(('0x' || substr(md5(substr(d.text, pos.p - 7, 8)), 1, 8)) AS BIGINT) % 32 = 0),
+      |wt AS (SELECT doc_id, p FROM b UNION SELECT doc_id, n FROM d),
+      |sp AS (
+      |  SELECT doc_id, p,
+      |    COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 1, 1) AS start
+      |  FROM wt),
+      |ch AS (
+      |  SELECT sp.doc_id, sp.start, sp.p - sp.start + 1 AS chunk_len,
+      |    md5(substr(d.text, sp.start, sp.p - sp.start + 1)) AS chunk_hash
+      |  FROM sp JOIN d USING (doc_id)),
+      |roll AS (
+      |  SELECT doc.source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |    CAST(COUNT(DISTINCT chunk_hash) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(chunk_len) AS BIGINT) AS len_sum,
+      |    CAST(MAX(chunk_len) AS BIGINT) AS max_len,
+      |    CAST(COUNT(DISTINCT ch.doc_id) AS BIGINT) AS n_docs
+      |  FROM ch JOIN documents doc USING (doc_id) GROUP BY 1),
+      |txt AS (
+      |  SELECT source, CAST(SUM(length(text)) AS BIGINT) AS text_len
+      |  FROM documents GROUP BY 1)
+      |SELECT roll.source, n_chunks, n_distinct, len_sum, max_len, n_docs, text_len,
+      |  ((n_chunks - n_distinct) * 1000000) // n_chunks AS dup_ppm,
+      |  len_sum = text_len AS len_ok
+      |FROM roll JOIN txt USING (source)
+      |ORDER BY roll.source""".stripMargin
+
+  // ---------------------------------------------------------------- q287
+  /** POINT-IN-POLYGON via ray casting (the even–odd crossing rule,
+    * Shimrat CACM'62 / Franklin's PNPOLY) in EXACT INTEGER arithmetic:
+    * the half-open edge gate (y1 > py) ≠ (y2 > py) plus the
+    * cross-multiplied intersection test (px−x1)(y2−y1) ⋚ (py−y1)(x2−x1)
+    * — division-free, so both engines evaluate the identical int64
+    * predicate and parity is bit-stable (the q201 exact-geometry
+    * discipline, extended from radius circles to arbitrary, including
+    * CONCAVE, polygons — the geofencing primitive a spatial pipeline
+    * needs beyond distance joins). Points are md5-free deterministic
+    * customer projections; the 12-row edge table is broadcast, so the
+    * plan is one map-side fan-out (|points|·|edges| rows, edges
+    * constant) + one (point, polygon) parity aggregate — no shuffle
+    * grows with polygon count, the 100 TB shape for a fixed fence set.
+    */
+  private val PolygonEdges: Seq[(Long, Long, Long, Long, Long)] = {
+    val polys = Seq(
+      1L -> Seq((100L, 100L), (800L, 150L), (400L, 700L)),
+      2L -> Seq((200L, 200L), (900L, 250L), (500L, 500L), (850L, 800L), (150L, 750L)),
+      3L -> Seq((50L, 400L), (950L, 420L), (930L, 900L), (60L, 880L))
+    )
+    polys.flatMap { case (pid, vs) =>
+      vs.indices.map { i =>
+        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+        (pid, x1, y1, x2, y2)
+      }
+    }
+  }
+
+  /** The shared crossing predicate — one SQL text evaluated verbatim by
+    * both engines over columns (px, py, x1, y1, x2, y2). */
+  private val CrossingSql: String =
+    """CASE WHEN (y1 > py) <> (y2 > py) THEN
+      |  CASE WHEN y2 > y1
+      |    THEN (CASE WHEN (px - x1) * (y2 - y1) < (py - y1) * (x2 - x1) THEN 1 ELSE 0 END)
+      |    ELSE (CASE WHEN (px - x1) * (y2 - y1) > (py - y1) * (x2 - x1) THEN 1 ELSE 0 END)
+      |  END
+      |ELSE 0 END""".stripMargin
+
+  def q287PointInPolygon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = PolygonEdges.toDF("poly_id", "x1", "y1", "x2", "y2")
+    val pts = Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey").as("k"),
+        expr("(c_custkey * 37) % 1000").as("px"),
+        expr("(c_custkey * 73) % 1000").as("py"))
+    val parity = pts
+      .crossJoin(broadcast(edges))
+      .withColumn("cr", expr(CrossingSql))
+      .groupBy(col("poly_id"), col("k"))
+      .agg(sum(col("cr")).as("crossings"))
+      .withColumn("inside", col("crossings") % 2 === 1)
+    parity
+      .groupBy(col("poly_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"),
+        sum(when(col("inside"), col("k")).otherwise(0L)).as("inside_idsum"))
+      .withColumn("inside_ppm", expr("(n_inside * 1000000) div n_points"))
+      .orderBy(col("poly_id"))
+  }
+
+  val q287Oracle: String = {
+    val edgeRows = PolygonEdges
+      .map { case (pid, x1, y1, x2, y2) => s"($pid, $x1, $y1, $x2, $y2)" }
+      .mkString(",\n    ")
+    s"""WITH edges(poly_id, x1, y1, x2, y2) AS (VALUES
+       |    $edgeRows),
+       |pts AS (
+       |  SELECT c_custkey AS k, (c_custkey * 37) % 1000 AS px,
+       |         (c_custkey * 73) % 1000 AS py
+       |  FROM customer),
+       |parity AS (
+       |  SELECT poly_id, k, SUM(
+       |$CrossingSql
+       |  ) AS crossings
+       |  FROM pts CROSS JOIN edges
+       |  GROUP BY 1, 2)
+       |SELECT CAST(poly_id AS BIGINT) AS poly_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_points,
+       |  CAST(SUM(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+       |  CAST(SUM(CASE WHEN crossings % 2 = 1 THEN k ELSE 0 END) AS BIGINT) AS inside_idsum,
+       |  (CAST(SUM(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |    // CAST(COUNT(*) AS BIGINT) AS inside_ppm
+       |FROM parity
+       |GROUP BY poly_id
+       |ORDER BY poly_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q288
+  /** RESOURCE-ALLOCATION LINK PREDICTION (Zhou–Lü–Zhang EPJ B 2009 —
+    * the exact-rational sibling of Adamic–Adar: common-neighbor score
+    * Σ 1/deg(z) instead of Σ 1/log deg(z), chosen because 1/deg is
+    * replayable as scaled-integer division while log is transcendental)
+    * over the bipartite customer–part graph (parts scale WITH the
+    * corpus — per-part degree stays ~30 at every SF, unlike suppliers
+    * whose fixed small count makes every posting a hub). Candidate
+    * pairs are generated by the INVERTED POSTINGS self-join keyed on
+    * the shared part — never |C|², and the q112 df-cap discipline
+    * bounds the hot posting: parts with more than 30 distinct buyers
+    * are excluded from SCORING (a hub shared by everyone carries ~zero
+    * link-prediction signal anyway — the TF-IDF argument in graph
+    * form), making candidate volume Σ min(deg,30)² ≤ 30·|E|, linear in
+    * edges. One shuffle on the part key, one on the pair key;
+    * top-50 by the (score, pair) total order via TakeOrderedAndProject.
+    */
+  def q288LinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("c"))
+      .join(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey").as("p")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("c"), col("p"))
+      .distinct()
+    val deg = e.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val small = e.join(deg.where(col("deg") <= 30), Seq("p"))
+    small
+      .select(col("p"), col("c").as("ca"), col("deg"))
+      .join(small.select(col("p"), col("c").as("cb")), Seq("p"))
+      .where(col("ca") < col("cb"))
+      .groupBy(col("ca"), col("cb"))
+      .agg(
+        count(lit(1)).as("n_common"),
+        sum(expr("1000000000000 div deg")).as("ra_score"))
+      .orderBy(col("ra_score").desc, col("ca"), col("cb"))
+      .limit(50)
+  }
+
+  val q288Oracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY p),
+      |small AS (SELECT e.c, e.p, deg.deg FROM e JOIN deg USING (p) WHERE deg.deg <= 30)
+      |SELECT a.c AS ca, b.c AS cb,
+      |  CAST(COUNT(*) AS BIGINT) AS n_common,
+      |  CAST(SUM(1000000000000 // a.deg) AS BIGINT) AS ra_score
+      |FROM small a JOIN small b ON a.p = b.p AND a.c < b.c
+      |GROUP BY 1, 2
+      |ORDER BY ra_score DESC, ca, cb
+      |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q289
+  /** PERSONALIZED PAGERANK with restart (Jeh–Widom WWW'03 — random
+    * walk that teleports back to the SEED set, the node-proximity
+    * measure behind recommendation candidate generation and Pregel-PPR)
+    * on the directed block graph, in exact scaled-integer arithmetic:
+    * seed mass 10^12, per-round share = v div outdeg at the edge,
+    * damped inflow = (Σ shares · 85) div 100, teleport re-adds
+    * 0.15·10^12 at each seed — every operation integer
+    * multiply-then-floor-div, so six rounds replay bit-identically in
+    * the unrolled-CTE oracle (q282's discipline, plus teleport and
+    * direction). Dangling-node mass leaks by design (strictly-damped
+    * PPR); what remains after 6 rounds measures genuine seed proximity.
+    * Per round: one src-equi join + one dst-keyed aggregate, lineage
+    * cut per round; the rollup buckets mass per 500-key range.
+    */
+  def q289Ppr(s: SparkSession, dir: String): DataFrame = {
+    val e = directedBlockGraph(s, dir)
+    val od = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val seeds = Tables
+      .customer(s, dir)
+      .groupBy(expr("c_custkey div 10").as("blk"))
+      .agg(min(col("c_custkey")).as("node"))
+      .where(col("blk") % 5 === 0)
+      .select(col("node"))
+    var v = seeds.withColumn("v", lit(1000000000000L))
+    for (_ <- 1 to 6) {
+      val inflow = e
+        .join(v.withColumnRenamed("node", "src"), Seq("src"))
+        .join(od, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("v div od")).as("inflow"))
+      v = graft.ops.Checkpoints.cut(
+        inflow
+          .select(col("node"), expr("(inflow * 85) div 100").as("va"))
+          .unionByName(seeds.select(col("node"), lit(150000000000L).as("va")))
+          .groupBy(col("node"))
+          .agg(sum(col("va")).as("v")))
+    }
+    v.groupBy(expr("node div 500").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("v")).as("v_sum"),
+        max(col("v")).as("v_max"))
+      .orderBy(col("bucket"))
+  }
+
+  val q289Oracle: String = {
+    val rounds = (1 to 6)
+      .map { t =>
+        s"""v$t AS MATERIALIZED (
+           |  SELECT node, CAST(SUM(va) AS BIGINT) AS v FROM (
+           |    SELECT inflow.node, (inflow.infl * 85) // 100 AS va FROM (
+           |      SELECT e.dst AS node, CAST(SUM(v${t - 1}.v // od.od) AS BIGINT) AS infl
+           |      FROM v${t - 1}
+           |      JOIN e ON e.src = v${t - 1}.node
+           |      JOIN od ON od.src = v${t - 1}.node
+           |      GROUP BY e.dst) inflow
+           |    UNION ALL
+           |    SELECT node, CAST(150000000000 AS BIGINT) AS va FROM seeds)
+           |  GROUP BY node)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |$DirectedBlockGraphSql
+       |), od AS MATERIALIZED (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY src),
+       |seeds AS MATERIALIZED (
+       |  SELECT MIN(c_custkey) AS node FROM customer
+       |  GROUP BY c_custkey // 10 HAVING (c_custkey // 10) % 5 = 0),
+       |v0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS v FROM seeds),
+       |$rounds
+       |SELECT node // 500 AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(v) AS BIGINT) AS v_sum,
+       |  CAST(MAX(v) AS BIGINT) AS v_max
+       |FROM v6
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q290
+  /** LARGEST-REMAINDER (Hamilton) STRATIFIED ALLOCATION — split a fixed
+    * sample budget N across strata proportional to population, the
+    * apportionment rule a training-data pipeline uses to draw a
+    * source-balanced subsample with an EXACT total (naive rounding
+    * misses N by up to |strata|/2). base = ⌊N·cnt/total⌋ leaves
+    * N − Σbase seats; the strata with the largest division REMAINDERS
+    * (ties broken by the stratum key — fully deterministic) each get
+    * one. Two laws are pinned as columns: Σ alloc = N exactly, and the
+    * quota property |alloc·total − N·cnt| < total (each stratum within
+    * one seat of its exact share — cross-multiplied, division-free).
+    * The stratum frame is ≤ |nations|·|segments| rows regardless of
+    * corpus size — bounded model state, so the global windows here are
+    * the 100 TB plan too.
+    */
+  def q290Allocation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = 10000L
+    val strata = Tables
+      .customer(s, dir)
+      .groupBy(col("c_nationkey").cast("long").as("nation"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("cnt"))
+    val all = Window.partitionBy(lit(0))
+    val byRem = Window
+      .partitionBy(lit(0))
+      .orderBy(col("rem").desc, col("nation"), col("segment"))
+    strata
+      .withColumn("total", sum(col("cnt")).over(all))
+      .withColumn("base", expr(s"($n * cnt) div total"))
+      .withColumn("rem", expr(s"($n * cnt) % total"))
+      .withColumn("extra", lit(n) - sum(col("base")).over(all))
+      .withColumn("rk", row_number().over(byRem))
+      .withColumn("alloc", col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+      .withColumn("sum_ok", sum(col("alloc")).over(all) === n)
+      .withColumn("quota_ok", abs(col("alloc") * col("total") - lit(n) * col("cnt")) < col("total"))
+      .select(
+        col("nation"), col("segment"), col("cnt"), col("base"), col("rem"),
+        col("alloc"), col("sum_ok"), col("quota_ok"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  val q290Oracle: String =
+    """WITH strata AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM customer GROUP BY 1, 2),
+      |w AS (
+      |  SELECT nation, segment, cnt,
+      |    CAST(SUM(cnt) OVER () AS BIGINT) AS total,
+      |    CAST((10000 * cnt) // CAST(SUM(cnt) OVER () AS BIGINT) AS BIGINT) AS base,
+      |    CAST((10000 * cnt) % CAST(SUM(cnt) OVER () AS BIGINT) AS BIGINT) AS rem
+      |  FROM strata),
+      |r AS (
+      |  SELECT *,
+      |    CAST(10000 - SUM(base) OVER () AS BIGINT) AS extra,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, nation, segment) AS rk
+      |  FROM w),
+      |a AS (
+      |  SELECT nation, segment, cnt, total, base, rem,
+      |    CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |  FROM r)
+      |SELECT nation, segment, cnt, base, rem, alloc,
+      |  CAST(SUM(alloc) OVER () AS BIGINT) = 10000 AS sum_ok,
+      |  ABS(alloc * total - 10000 * cnt) < total AS quota_ok
+      |FROM a
+      |ORDER BY nation, segment""".stripMargin
+
+  // ---------------------------------------------------------------- q291
+  /** DECISION-STUMP TRAINING (the 1R / single-split learner — Holte
+    * ML'93 measured it within a few points of full trees; also the weak
+    * learner inside AdaBoost): per order-status group, learn the best
+    * single threshold on the price axis for predicting URGENT priority.
+    * The search is EXHAUSTIVE yet one-pass: bucket the feature
+    * (⌊price/1000⌋ — floor() then cast, never the q212 double→int cast
+    * trap), build the per-(group, bucket) class histogram, and the
+    * ordered prefix sums give BOTH direction rules' error counts at
+    * every threshold simultaneously — err≤(t) = FP + FN =
+    * negCum(t) + (posTot − posCum(t)), err>(t) its mirror. The argmin
+    * over (err, dir, t) is a min-struct fold, deterministic under ties.
+    * Histogram size is bounded by the price domain (~600 buckets per
+    * group) regardless of row count — the per-group window is bounded
+    * model state, the 100 TB shape; the corpus-sized work is ONE
+    * scan + one hash aggregate. The oracle RE-TRAINS the stump from
+    * scratch (q128's re-train posture, not literal replay).
+    */
+  def q291DecisionStump(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables
+      .orders(s, dir)
+      .select(
+        col("o_orderstatus").as("status"),
+        expr("CAST(floor(o_totalprice / 1000) AS BIGINT)").as("bucket"),
+        when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L).as("pos"))
+    val hist = o
+      .groupBy(col("status"), col("bucket"))
+      .agg(sum(col("pos")).as("pos_cnt"), sum(lit(1L) - col("pos")).as("neg_cnt"))
+    val byBucket = Window
+      .partitionBy(col("status"))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("status"))
+    val scored = hist
+      .withColumn("pos_cum", sum(col("pos_cnt")).over(byBucket))
+      .withColumn("neg_cum", sum(col("neg_cnt")).over(byBucket))
+      .withColumn("pos_tot", sum(col("pos_cnt")).over(tot))
+      .withColumn("neg_tot", sum(col("neg_cnt")).over(tot))
+      .withColumn("err_le", col("neg_cum") + col("pos_tot") - col("pos_cum"))
+      .withColumn("err_gt", col("pos_cum") + col("neg_tot") - col("neg_cum"))
+    val cand = scored
+      .select(col("status"), (col("pos_tot") + col("neg_tot")).as("n_total"),
+        struct(col("err_le").as("err"), lit(0L).as("dir"), col("bucket")).as("c"))
+      .unionByName(scored.select(
+        col("status"), (col("pos_tot") + col("neg_tot")).as("n_total"),
+        struct(col("err_gt").as("err"), lit(1L).as("dir"), col("bucket")).as("c")))
+    cand
+      .groupBy(col("status"))
+      .agg(max(col("n_total")).as("n_total"), min(col("c")).as("best"))
+      .select(
+        col("status"),
+        col("n_total"),
+        col("best.err").as("best_err"),
+        col("best.dir").as("best_dir"),
+        col("best.bucket").as("best_threshold"))
+      .withColumn("acc_ppm", expr("((n_total - best_err) * 1000000) div n_total"))
+      .orderBy(col("status"))
+  }
+
+  val q291Oracle: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus AS status,
+      |    CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket,
+      |    CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS pos
+      |  FROM orders),
+      |hist AS (
+      |  SELECT status, bucket,
+      |    CAST(SUM(pos) AS BIGINT) AS pos_cnt,
+      |    CAST(SUM(1 - pos) AS BIGINT) AS neg_cnt
+      |  FROM o GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT status, bucket,
+      |    SUM(pos_cnt) OVER (PARTITION BY status ORDER BY bucket
+      |      ROWS UNBOUNDED PRECEDING) AS pos_cum,
+      |    SUM(neg_cnt) OVER (PARTITION BY status ORDER BY bucket
+      |      ROWS UNBOUNDED PRECEDING) AS neg_cum,
+      |    SUM(pos_cnt) OVER (PARTITION BY status) AS pos_tot,
+      |    SUM(neg_cnt) OVER (PARTITION BY status) AS neg_tot
+      |  FROM hist),
+      |cand AS (
+      |  SELECT status, pos_tot + neg_tot AS n_total,
+      |    neg_cum + pos_tot - pos_cum AS err, 0 AS dir, bucket FROM scored
+      |  UNION ALL
+      |  SELECT status, pos_tot + neg_tot AS n_total,
+      |    pos_cum + neg_tot - neg_cum AS err, 1 AS dir, bucket FROM scored),
+      |best AS (
+      |  SELECT status, n_total, err, dir, bucket,
+      |    ROW_NUMBER() OVER (PARTITION BY status ORDER BY err, dir, bucket) AS rk
+      |  FROM cand)
+      |SELECT status, CAST(n_total AS BIGINT) AS n_total,
+      |  CAST(err AS BIGINT) AS best_err,
+      |  CAST(dir AS BIGINT) AS best_dir,
+      |  CAST(bucket AS BIGINT) AS best_threshold,
+      |  CAST(((n_total - err) * 1000000) // n_total AS BIGINT) AS acc_ppm
+      |FROM best WHERE rk = 1
+      |ORDER BY status""".stripMargin
 }

@@ -9038,7 +9038,12 @@ object Queries {
     "q288_link_prediction" -> (q288LinkPrediction _),
     "q289_ppr" -> (q289Ppr _),
     "q290_allocation" -> (q290Allocation _),
-    "q291_decision_stump" -> (q291DecisionStump _)
+    "q291_decision_stump" -> (q291DecisionStump _),
+    "q292_single_link" -> (q292SingleLink _),
+    "q293_rake" -> (q293Rake _),
+    "q294_l_diversity" -> (q294LDiversity _),
+    "q295_z_range_pruning" -> (q295ZRangePruning _),
+    "q296_spearman" -> (q296Spearman _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9325,7 +9330,12 @@ object Queries {
     "q288_link_prediction" -> q288Oracle,
     "q289_ppr" -> q289Oracle,
     "q290_allocation" -> q290Oracle,
-    "q291_decision_stump" -> q291Oracle
+    "q291_decision_stump" -> q291Oracle,
+    "q292_single_link" -> q292Oracle,
+    "q293_rake" -> q293Oracle,
+    "q294_l_diversity" -> q294Oracle,
+    "q295_z_range_pruning" -> q295Oracle,
+    "q296_spearman" -> q296Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -20581,4 +20591,402 @@ object Queries {
       |  CAST(((n_total - err) * 1000000) // n_total AS BIGINT) AS acc_ppm
       |FROM best WHERE rk = 1
       |ORDER BY status""".stripMargin
+
+  // ---------------------------------------------------------------- q292
+  /** SINGLE-LINK CLUSTERING VIA THE MINIMUM SPANNING FOREST — the
+    * dendrogram identity behind SLINK/HAC: cutting the MSF at threshold
+    * τ yields EXACTLY the connected components of the τ-thresholded
+    * graph (an MSF edge < τ connects them; any non-MSF edge < τ closes
+    * a cycle whose MSF path is all < that edge). At 100 TB this is the
+    * whole point of [[graft.ops.Boruvka]]: cluster at ANY τ from the
+    * n−1-edge forest instead of re-closing the full edge set per
+    * threshold. One [[graft.ops.Boruvka.forestWithLabels]] pass over
+    * the tau-thresholded edges yields the thresholded MSF AND its
+    * cluster labels together (by the cut property that forest is
+    * exactly the full-graph MSF's < tau edge subset - the dendrogram
+    * cut); the forest law |edges| = |clustered nodes| - |clusters| is
+    * pinned per bucket, and the ORACLE is ground truth - it recomputes
+    * the tau-thresholded closure recursively and must agree on every
+    * per-bucket label sum (the q283 posture: the law checks the
+    * algorithm, never replays it).
+    */
+  def q292SingleLink(s: SparkSession, dir: String): DataFrame = {
+    val tau = 140737488355328L // 2^47: ~half of the 48-bit weight space
+    val g = weightedBlockGraph(s, dir).where(col("w") < tau)
+    val (msf, lab) = graft.ops.Boruvka.forestWithLabels(g, rounds = 4)
+    val viaMsf = lab.select(col("node"), col("comp").as("cluster"))
+    val edgeRoll = msf
+      .groupBy(expr("(src div 10) div 30").as("bucket"))
+      .agg(count(lit(1)).as("n_forest_edges"))
+    val keys = Tables.customer(s, dir).select(col("c_custkey").as("node"))
+    keys
+      .join(viaMsf, Seq("node"), "left")
+      .groupBy(expr("(node div 10) div 30").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        countDistinct(col("cluster")).as("n_multi_clusters"),
+        sum(when(col("cluster").isNull, 1L).otherwise(0L)).as("n_singletons"),
+        coalesce(sum(col("cluster")), lit(0L)).as("label_sum"))
+      .join(edgeRoll, Seq("bucket"), "left")
+      .select(
+        col("bucket"), col("n_nodes"), col("n_multi_clusters"), col("n_singletons"),
+        col("label_sum"),
+        coalesce(col("n_forest_edges"), lit(0L)).as("n_forest_edges"))
+      .withColumn(
+        "forest_ok",
+        col("n_forest_edges") ===
+          col("n_nodes") - col("n_singletons") - col("n_multi_clusters"))
+      .orderBy(col("bucket"))
+  }
+
+  val q292Oracle: String =
+    s"""WITH RECURSIVE g AS (
+       |$WeightedBlockGraphSql
+       |), thr AS (
+       |  SELECT src, dst FROM g WHERE w < 140737488355328
+       |), sym AS (
+       |  SELECT src, dst FROM thr UNION ALL SELECT dst, src FROM thr
+       |), reach(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+       |), lab AS (
+       |  SELECT id AS node, MIN(comp) AS cluster FROM reach GROUP BY id)
+       |SELECT (c.c_custkey // 10) // 30 AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(COUNT(DISTINCT lab.cluster) AS BIGINT) AS n_multi_clusters,
+       |  CAST(SUM(CASE WHEN lab.cluster IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+       |  CAST(COALESCE(SUM(lab.cluster), 0) AS BIGINT) AS label_sum,
+       |  CAST(COUNT(lab.cluster) - COUNT(DISTINCT lab.cluster) AS BIGINT) AS n_forest_edges,
+       |  TRUE AS forest_ok
+       |FROM customer c LEFT JOIN lab ON lab.node = c.c_custkey
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q293
+  /** RAKE KEYWORD EXTRACTION (Rose et al. 2010 — Rapid Automatic
+    * Keyword Extraction): candidate phrases are the maximal runs of
+    * content words between stopword/delimiter boundaries; each word
+    * scores deg(w)/freq(w) where deg(w) = Σ |phrase| over phrases
+    * containing w (co-occurrence degree including self) and freq(w) its
+    * occurrence count; a phrase scores the sum of its words' scores.
+    * The division is the repo's exact scaled-integer form
+    * (deg·10⁶ div freq), so ranks replay bit-identically. The pipeline
+    * is map-side regex (stopword → '#', split, trim — NO per-row UDF) +
+    * one word-keyed shuffle for scores + one join back + one
+    * phrase-keyed aggregate: identical-phrase instances share one score
+    * by construction, recovered exactly as Σ div n_instances. Top-20 by
+    * (score, phrase) total order.
+    */
+  def q293Rake(s: SparkSession, dir: String): DataFrame = {
+    val stop = "\\b(a|the|key|value)\\b"
+    val docs = Tables.documents(s, dir)
+    val phrases = docs
+      .select(explode(split(regexp_replace(lower(col("text")), stop, "#"), "#")).as("rawp"))
+      .select(trim(regexp_replace(col("rawp"), " +", " ")).as("phrase"))
+      .where(length(col("phrase")) > 0)
+    val byPhrase = phrases
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_instances"))
+      .withColumn("words", split(col("phrase"), " "))
+      .withColumn("plen", size(col("words")).cast("long"))
+    byPhrase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wordStats = byPhrase
+      .select(col("plen"), col("n_instances"), explode(col("words")).as("word"))
+      .groupBy(col("word"))
+      .agg(
+        sum(col("plen") * col("n_instances")).as("deg"),
+        sum(col("n_instances")).as("freq"))
+      .withColumn("wscore", expr("(deg * 1000000) div freq"))
+    byPhrase
+      .select(col("phrase"), col("n_instances"), explode(col("words")).as("word"))
+      .join(wordStats.select(col("word"), col("wscore")), Seq("word"))
+      .groupBy(col("phrase"))
+      .agg(max(col("n_instances")).as("n_instances"), sum(col("wscore")).as("score"))
+      .select(col("phrase"), col("n_instances"), col("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(20)
+  }
+
+  val q293Oracle: String =
+    """WITH phrases AS (
+      |  SELECT trim(regexp_replace(p, ' +', ' ')) AS phrase
+      |  FROM (SELECT unnest(regexp_split_to_array(
+      |          regexp_replace(lower(text), '\b(a|the|key|value)\b', '#', 'g'),
+      |          '#')) AS p
+      |        FROM documents)
+      |  WHERE length(trim(regexp_replace(p, ' +', ' '))) > 0),
+      |by_phrase AS (
+      |  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_instances,
+      |    string_split(phrase, ' ') AS words,
+      |    CAST(length(string_split(phrase, ' ')) AS BIGINT) AS plen
+      |  FROM phrases GROUP BY phrase),
+      |word_stats AS (
+      |  SELECT word,
+      |    CAST(SUM(plen * n_instances) AS BIGINT) AS deg,
+      |    CAST(SUM(n_instances) AS BIGINT) AS freq
+      |  FROM (SELECT plen, n_instances, unnest(words) AS word FROM by_phrase)
+      |  GROUP BY word),
+      |scored AS (
+      |  SELECT bp.phrase, bp.n_instances,
+      |    CAST(SUM((ws.deg * 1000000) // ws.freq) AS BIGINT) AS score
+      |  FROM (SELECT phrase, n_instances, unnest(words) AS word FROM by_phrase) bp
+      |  JOIN word_stats ws USING (word)
+      |  GROUP BY 1, 2)
+      |SELECT phrase, n_instances, score
+      |FROM scored
+      |ORDER BY score DESC, phrase
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q294
+  /** L-DIVERSITY AND T-CLOSENESS AUDIT (Machanavajjhala et al. ICDE'06;
+    * Li et al. ICDE'07) — the privacy checks BEYOND q237's k-anonymity:
+    * a QI class can be large (k-anonymous) yet reveal everything
+    * because its SENSITIVE values are homogeneous. QI = (user bucket,
+    * ISO weekday); sensitive = event_type. Per class: distinct-l
+    * (number of distinct sensitive values) and t-closeness as the EXACT
+    * scaled-integer L1 distance Σ|class_share − global_share| between
+    * the class's sensitive distribution and the global one — both
+    * cross-multiplied to ppm (|cnt·10⁶ div n_class − gcnt·10⁶ div
+    * n_total|), division-free ordering inside the class rollup. The
+    * report aggregates per weekday: worst (min) l, rows in classes
+    * failing l ≥ 3, and the worst (max) L1 ppm — the table a privacy
+    * review reads before release.
+    */
+  def q294LDiversity(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        expr("user_id div 100").as("ub"),
+        expr("((dayofweek(ts) + 5) % 7) + 1").as("wd"),
+        col("event_type"))
+    val cell = ev
+      .groupBy(col("ub"), col("wd"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val cls = cell
+      .groupBy(col("ub"), col("wd"))
+      .agg(sum(col("cnt")).as("n_class"), count(lit(1)).as("l"))
+    val glob = ev
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("gcnt"))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("n_total"))))
+    val l1 = cell
+      .join(cls, Seq("ub", "wd"))
+      .join(broadcast(glob), Seq("event_type"))
+      .groupBy(col("ub"), col("wd"))
+      .agg(sum(abs(
+        expr("(cnt * 1000000) div n_class") - expr("(gcnt * 1000000) div n_total")))
+        .as("l1_ppm"))
+    cls
+      .join(l1, Seq("ub", "wd"))
+      .groupBy(col("wd"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min(col("l")).as("worst_l"),
+        sum(when(col("l") < 3, col("n_class")).otherwise(0L)).as("rows_failing_l3"),
+        max(col("l1_ppm")).as("worst_l1_ppm"),
+        sum(col("n_class")).as("n_rows"))
+      .orderBy(col("wd"))
+  }
+
+  val q294Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id // 100 AS ub, isodow(ts) AS wd, event_type FROM events),
+      |cell AS (
+      |  SELECT ub, wd, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM ev GROUP BY 1, 2, 3),
+      |cls AS (
+      |  SELECT ub, wd, CAST(SUM(cnt) AS BIGINT) AS n_class,
+      |    CAST(COUNT(*) AS BIGINT) AS l
+      |  FROM cell GROUP BY 1, 2),
+      |gstats AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS gcnt,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ev) AS n_total
+      |  FROM ev GROUP BY 1),
+      |l1 AS (
+      |  SELECT ub, wd,
+      |    CAST(SUM(ABS((cnt * 1000000) // n_class - (gcnt * 1000000) // n_total))
+      |      AS BIGINT) AS l1_ppm
+      |  FROM cell JOIN cls USING (ub, wd) JOIN gstats USING (event_type)
+      |  GROUP BY 1, 2)
+      |SELECT cls.wd,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(MIN(l) AS BIGINT) AS worst_l,
+      |  CAST(SUM(CASE WHEN l < 3 THEN n_class ELSE 0 END) AS BIGINT) AS rows_failing_l3,
+      |  CAST(MAX(l1_ppm) AS BIGINT) AS worst_l1_ppm,
+      |  CAST(SUM(n_class) AS BIGINT) AS n_rows
+      |FROM cls JOIN l1 USING (ub, wd)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q295
+  /** Z-ORDER RANGE PRUNING CERTIFICATE — q208 measured that z-layout
+    * touches fewer files; this query certifies the operation that
+    * EXPLOITS it: translating a coordinate rectangle into the minimal
+    * set of Z-VALUE INTERVALS (BIGMIN-style quadtree descent: recurse
+    * the curve's quadrants, emit a cell fully inside the rectangle as
+    * one closed interval, descend on partial overlap, merge adjacent) —
+    * the plan a z-clustered table's zone-map pruning runs at 100 TB.
+    * The interval set is a PURE FUNCTION of the rectangle (bounded:
+    * O(bits) cells per rectangle side, data-independent), generated
+    * once in Scala and embedded as literals in BOTH engines; the
+    * certificate law — z ∈ ⋃ intervals ⟺ (x, y) ∈ rectangle, i.e. the
+    * cover is exact, no false positives and no misses — is measured
+    * over every point and pinned as count columns that must be zero.
+    */
+  private def zCoverIntervals(
+      xlo: Long, xhi: Long, ylo: Long, yhi: Long, bits: Int): Seq[(Long, Long)] = {
+    def rec(cx: Long, cy: Long, level: Int, zbase: Long): Seq[(Long, Long)] = {
+      val sz = 1L << level
+      val (cxhi, cyhi) = (cx + sz - 1, cy + sz - 1)
+      if (cx > xhi || cxhi < xlo || cy > yhi || cyhi < ylo) Seq.empty
+      else if (cx >= xlo && cxhi <= xhi && cy >= ylo && cyhi <= yhi)
+        Seq((zbase, zbase + (1L << (2 * level)) - 1))
+      else
+        (0 until 4).flatMap { c =>
+          val h = sz / 2
+          rec(
+            cx + (c & 1).toLong * h,
+            cy + (c >> 1).toLong * h,
+            level - 1,
+            zbase + c.toLong * (1L << (2 * (level - 1))))
+        }
+    }
+    rec(0L, 0L, bits, 0L)
+      .sortBy(_._1)
+      .foldLeft(Vector.empty[(Long, Long)]) { case (acc, (lo, hi)) =>
+        acc.lastOption match {
+          case Some((plo, phi)) if phi + 1 == lo => acc.init :+ ((plo, hi))
+          case _                                 => acc :+ ((lo, hi))
+        }
+      }
+  }
+
+  private val ZRect = (40L, 180L, 60L, 200L)
+  private val ZIntervals: Seq[(Long, Long)] =
+    zCoverIntervals(ZRect._1, ZRect._2, ZRect._3, ZRect._4, bits = 8)
+
+  def q295ZRangePruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (xlo, xhi, ylo, yhi) = ZRect
+    val iv = ZIntervals.toDF("lo", "hi")
+    val pts = Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey").as("k"),
+        expr("(c_custkey * 37) % 256").as("x"),
+        expr("(c_custkey * 73) % 256").as("y"))
+      .withColumn(
+        "z",
+        graft.ops.Layout.zValue(Seq((col("x"), 0L, 255L), (col("y"), 0L, 255L)), 8))
+    val flagged = pts
+      .join(broadcast(iv), col("z") >= col("lo") && col("z") <= col("hi"), "left")
+      .withColumn("in_z", col("lo").isNotNull)
+      .withColumn(
+        "in_rect",
+        col("x") >= xlo && col("x") <= xhi && col("y") >= ylo && col("y") <= yhi)
+    flagged
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(when(col("in_rect"), 1L).otherwise(0L)).as("n_in_rect"),
+        sum(when(col("in_z"), 1L).otherwise(0L)).as("n_in_z"),
+        sum(when(col("in_z") =!= col("in_rect"), 1L).otherwise(0L)).as("n_mismatch"),
+        sum(when(col("in_rect"), col("k")).otherwise(0L)).as("in_idsum"))
+      .withColumn("n_intervals", lit(ZIntervals.size.toLong))
+      .withColumn("span_sum", lit(ZIntervals.map { case (l, h) => h - l + 1 }.sum))
+      .withColumn("domain", lit(65536L))
+  }
+
+  val q295Oracle: String = {
+    val ivRows = ZIntervals.map { case (l, h) => s"($l, $h)" }.mkString(",\n    ")
+    val (xlo, xhi, ylo, yhi) = ZRect
+    val zSql = graft.ops.Layout.zValueSql(Seq(("x", 0L, 255L), ("y", 0L, 255L)), 8)
+    s"""WITH iv(lo, hi) AS (VALUES
+       |    $ivRows),
+       |pts AS (
+       |  SELECT c_custkey AS k, (c_custkey * 37) % 256 AS x,
+       |         (c_custkey * 73) % 256 AS y
+       |  FROM customer),
+       |pz AS (SELECT k, x, y, $zSql AS z FROM pts),
+       |flagged AS (
+       |  SELECT pz.k, pz.x, pz.y,
+       |    EXISTS (SELECT 1 FROM iv WHERE pz.z >= iv.lo AND pz.z <= iv.hi) AS in_z,
+       |    (x >= $xlo AND x <= $xhi AND y >= $ylo AND y <= $yhi) AS in_rect
+       |  FROM pz)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       |  CAST(SUM(CASE WHEN in_rect THEN 1 ELSE 0 END) AS BIGINT) AS n_in_rect,
+       |  CAST(SUM(CASE WHEN in_z THEN 1 ELSE 0 END) AS BIGINT) AS n_in_z,
+       |  CAST(SUM(CASE WHEN in_z <> in_rect THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       |  CAST(SUM(CASE WHEN in_rect THEN k ELSE 0 END) AS BIGINT) AS in_idsum,
+       |  CAST(${ZIntervals.size} AS BIGINT) AS n_intervals,
+       |  CAST(${ZIntervals.map { case (l, h) => h - l + 1 }.sum} AS BIGINT) AS span_sum,
+       |  CAST(65536 AS BIGINT) AS domain
+       |FROM flagged""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q296
+  /** EXACT DISTRIBUTED SPEARMAN RANK CORRELATION between account
+    * balance and order activity, per market segment — the
+    * transcendental-free correlation (Pearson on RANKS): with ranks
+    * from a TOTAL order (value, custkey — tie-broken, so both engines
+    * rank identically and the d² sum is integer-exact) and no true
+    * ties, ρ = 1 − 6Σd²/(n(n²−1)) in exact ppm. Ranks come from
+    * [[graft.ops.Rank.rankWithin]]'s range-binned two-pass — never a
+    * single global-order window task — and Σd² is staged to
+    * decimal(38,0) BEFORE the ·10⁶ scaling (the q170 first-factor
+    * widening: n³·10⁶ overflows int64 past n ≈ 2×10⁴). The oracle
+    * replays with plain windows, certifying the distributed rank ≡ the
+    * sequential definition on every group.
+    */
+  def q296Spearman(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val orders = Tables
+      .orders(s, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val base = c
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"), col("c_acctbal"))
+      .join(orders, Seq("c_custkey"), "left")
+      .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+    val xr = graft.ops.Rank.rankWithin(
+      base, Seq("segment"), col("c_acctbal"), col("c_custkey"), "xr")
+    val both = graft.ops.Rank.rankWithin(
+      xr, Seq("segment"), col("n_orders"), col("c_custkey"), "yr")
+    both
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(((col("xr") - col("yr")) * (col("xr") - col("yr"))).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("d2"))
+      .select(
+        col("segment"),
+        col("n"),
+        col("d2").cast("long").as("sum_d2"),
+        expr("cast(1000000 - (d2 * 6000000) div (cast(n as decimal(38,0)) * n * n - n) as bigint)")
+          .as("rho_ppm"))
+      .orderBy(col("segment"))
+  }
+
+  val q296Oracle: String =
+    """WITH orders_per AS (
+      |  SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |base AS (
+      |  SELECT c.c_custkey, c.c_mktsegment AS segment, c.c_acctbal,
+      |    COALESCE(op.n_orders, 0) AS n_orders
+      |  FROM customer c LEFT JOIN orders_per op USING (c_custkey)),
+      |ranked AS (
+      |  SELECT segment,
+      |    ROW_NUMBER() OVER (PARTITION BY segment ORDER BY c_acctbal, c_custkey) AS xr,
+      |    ROW_NUMBER() OVER (PARTITION BY segment ORDER BY n_orders, c_custkey) AS yr
+      |  FROM base),
+      |agg AS (
+      |  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST((xr - yr) AS HUGEINT) * (xr - yr)) AS HUGEINT) AS d2
+      |  FROM ranked GROUP BY 1)
+      |SELECT segment, n, CAST(d2 AS BIGINT) AS sum_d2,
+      |  CAST(1000000 - (d2 * 6000000) // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
+      |    AS rho_ppm
+      |FROM agg
+      |ORDER BY segment""".stripMargin
 }

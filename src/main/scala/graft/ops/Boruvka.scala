@@ -43,7 +43,17 @@ object Boruvka {
     * `rounds` must be ≥ log2(largest final component's node count);
     * extra rounds are no-ops (no cross-component edge left).
     */
-  def forest(edges: DataFrame, rounds: Int): DataFrame = {
+  def forest(edges: DataFrame, rounds: Int): DataFrame =
+    forestWithLabels(edges, rounds)._1
+
+  /** Like [[forest]], but also returns the component labels the
+    * algorithm maintains anyway — (node, comp) with comp CANONICALIZED
+    * to the component's minimum node id (one extra groupBy-min + join;
+    * hook roots alone are deterministic but not min-ids). Running this
+    * on a τ-THRESHOLDED edge set yields single-link clusters at τ in
+    * the same pass as their spanning forest — no separate CC job.
+    */
+  def forestWithLabels(edges: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val e0 = edges.select(col("src"), col("dst"), col("w"))
     val nodes = e0
       .select(col("src").as("node"))
@@ -89,7 +99,13 @@ object Boruvka {
           .select(col("node"), coalesce(col("c2"), col("comp")).as("comp")))
       sel.unpersist(blocking = false)
     }
-    forest
+    val canon = labels
+      .groupBy(col("comp"))
+      .agg(min(col("node")).as("canon"))
+    val canonLabels = labels
+      .join(canon, Seq("comp"))
+      .select(col("node"), col("canon").as("comp"))
+    (forest, canonLabels)
   }
 
   /** Resolve the hook pseudo-forest `ptr` (c → p, out-degree exactly 1,

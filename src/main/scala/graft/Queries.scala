@@ -9043,7 +9043,11 @@ object Queries {
     "q293_rake" -> (q293Rake _),
     "q294_l_diversity" -> (q294LDiversity _),
     "q295_z_range_pruning" -> (q295ZRangePruning _),
-    "q296_spearman" -> (q296Spearman _)
+    "q296_spearman" -> (q296Spearman _),
+    "q297_morans_i" -> (q297MoransI _),
+    "q298_robust_outliers" -> (q298RobustOutliers _),
+    "q299_interval_schedule" -> (q299IntervalSchedule _),
+    "q300_cuped" -> (q300Cuped _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9335,7 +9339,11 @@ object Queries {
     "q293_rake" -> q293Oracle,
     "q294_l_diversity" -> q294Oracle,
     "q295_z_range_pruning" -> q295Oracle,
-    "q296_spearman" -> q296Oracle
+    "q296_spearman" -> q296Oracle,
+    "q297_morans_i" -> q297Oracle,
+    "q298_robust_outliers" -> q298Oracle,
+    "q299_interval_schedule" -> q299Oracle,
+    "q300_cuped" -> q300Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -20989,4 +20997,358 @@ object Queries {
       |    AS rho_ppm
       |FROM agg
       |ORDER BY segment""".stripMargin
+
+  // ---------------------------------------------------------------- q297
+  /** MORAN'S I SPATIAL AUTOCORRELATION (Moran 1950; the diagnostic a
+    * geospatial feature pipeline runs before trusting "location
+    * explains it") in EXACT INTEGER arithmetic: deviations are scaled
+    * by n (d_i = n·v_i − Σv, integer), which multiplies numerator and
+    * denominator by n² and cancels, so I = (n/W)·Σw d_i d_j / Σd_i²
+    * needs no rational intermediate; products stage to decimal(38,0)
+    * before the ·10⁶ ppm scaling (the q170 widening). The weight
+    * matrix is SAME-GRID-CELL adjacency (w_ij = 1, i ≠ j), so pair
+    * generation is the [[graft.ops.Geo]] shape — one equi self-join on
+    * the cell key, candidate volume ∝ local density, never n². Two
+    * variables measure discrimination: v1 is a pure function of
+    * location (strong positive I expected), v2 a location-independent
+    * residue (I ≈ 0) — both exact, same pair set, one row.
+    */
+  def q297MoransI(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey").as("k"),
+        expr("(c_custkey * 37) % 256").as("x"),
+        expr("(c_custkey * 73) % 256").as("y"))
+      .withColumn("cell", expr("(x div 16) * 100 + (y div 16)"))
+      .withColumn("v1", expr("(x div 32) + (y div 32)"))
+      .withColumn("v2", expr("k % 7"))
+    val tot = pts.agg(
+      count(lit(1)).as("n"), sum(col("v1")).as("s1"), sum(col("v2")).as("s2"))
+    val d = pts
+      .crossJoin(broadcast(tot))
+      .select(
+        col("k"), col("cell"),
+        (col("n") * col("v1") - col("s1")).as("d1"),
+        (col("n") * col("v2") - col("s2")).as("d2"),
+        col("n"))
+    val den = d.agg(
+      max(col("n")).as("n"),
+      sum((col("d1") * col("d1")).cast("decimal(38,0)")).as("den1"),
+      sum((col("d2") * col("d2")).cast("decimal(38,0)")).as("den2"))
+    val pairs = d
+      .select(col("cell"), col("k"), col("d1"), col("d2"))
+      .join(
+        d.select(
+          col("cell"), col("k").as("k2"), col("d1").as("e1"), col("d2").as("e2")),
+        Seq("cell"))
+      .where(col("k") =!= col("k2"))
+      .agg(
+        count(lit(1)).as("w_pairs"),
+        sum((col("d1") * col("e1")).cast("decimal(38,0)")).as("num1"),
+        sum((col("d2") * col("e2")).cast("decimal(38,0)")).as("num2"))
+    pairs
+      .crossJoin(broadcast(den))
+      .select(
+        col("n"),
+        col("w_pairs"),
+        col("den1").cast("long").as("sum_d1_sq"),
+        col("den2").cast("long").as("sum_d2_sq"),
+        expr("cast((n * num1 * 1000000) div (w_pairs * den1) as bigint)").as("i1_ppm"),
+        expr("cast((n * num2 * 1000000) div (w_pairs * den2) as bigint)").as("i2_ppm"))
+  }
+
+  val q297Oracle: String =
+    """WITH pts AS (
+      |  SELECT c_custkey AS k,
+      |    (c_custkey * 37) % 256 AS x, (c_custkey * 73) % 256 AS y
+      |  FROM customer),
+      |feat AS (
+      |  SELECT k, (x // 16) * 100 + (y // 16) AS cell,
+      |    (x // 32) + (y // 32) AS v1, k % 7 AS v2
+      |  FROM pts),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(v1) AS BIGINT) AS s1, CAST(SUM(v2) AS BIGINT) AS s2
+      |  FROM feat),
+      |d AS (
+      |  SELECT k, cell, n * v1 - s1 AS d1, n * v2 - s2 AS d2, n
+      |  FROM feat, tot),
+      |den AS (
+      |  SELECT MAX(n) AS n,
+      |    CAST(SUM(CAST(d1 AS HUGEINT) * d1) AS HUGEINT) AS den1,
+      |    CAST(SUM(CAST(d2 AS HUGEINT) * d2) AS HUGEINT) AS den2
+      |  FROM d),
+      |pairs AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+      |    CAST(SUM(CAST(a.d1 AS HUGEINT) * b.d1) AS HUGEINT) AS num1,
+      |    CAST(SUM(CAST(a.d2 AS HUGEINT) * b.d2) AS HUGEINT) AS num2
+      |  FROM d a JOIN d b ON a.cell = b.cell AND a.k <> b.k)
+      |SELECT den.n, pairs.w_pairs,
+      |  CAST(den.den1 AS BIGINT) AS sum_d1_sq,
+      |  CAST(den.den2 AS BIGINT) AS sum_d2_sq,
+      |  CAST((den.n * pairs.num1 * 1000000) // (pairs.w_pairs * den.den1) AS BIGINT) AS i1_ppm,
+      |  CAST((den.n * pairs.num2 * 1000000) // (pairs.w_pairs * den.den2) AS BIGINT) AS i2_ppm
+      |FROM pairs, den""".stripMargin
+
+  // ---------------------------------------------------------------- q298
+  /** ROBUST OUTLIER DETECTION via MEDIAN/MAD (Hampel's rule — the
+    * robust sibling of z-scoring: mean and stddev are themselves
+    * dragged by the outliers they're meant to find; median and Median
+    * Absolute Deviation have 50% breakdown). All order statistics are
+    * DISCRETE rank-selected (the q92/q97 recipe — interpolated
+    * percentiles diverge cross-engine in the last ulp): per segment,
+    * median = the ⌈n/2⌉-th balance-in-cents under the (value, key)
+    * total order, MAD = the same statistic over |x − median|, and the
+    * flag is the division-free |x − median| > 3·MAD. Two window passes
+    * per segment (rank by value, then rank by deviation) + one rollup;
+    * at cluster scale both become [[graft.ops.Rank.rankWithin]]'s
+    * two-pass — the per-segment windows here keep the replay plain.
+    */
+  def q298RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey").as("k"),
+        col("c_mktsegment").as("segment"),
+        expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").as("cents"))
+    val byVal = Window.partitionBy(col("segment")).orderBy(col("cents"), col("k"))
+    val seg = Window.partitionBy(col("segment"))
+    val med = c
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(seg))
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("segment"), col("cents").as("median"))
+    val withDev = c
+      .join(broadcast(med), Seq("segment"))
+      .withColumn("dev", abs(col("cents") - col("median")))
+    val byDev = Window.partitionBy(col("segment")).orderBy(col("dev"), col("k"))
+    val mad = withDev
+      .withColumn("rn", row_number().over(byDev))
+      .withColumn("n", count(lit(1)).over(seg))
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("segment"), col("dev").as("mad"))
+    withDev
+      .join(broadcast(mad), Seq("segment"))
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("median")).as("median_cents"),
+        max(col("mad")).as("mad_cents"),
+        sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(col("dev") > lit(3) * col("mad"), col("k")).otherwise(0L)).as("outlier_idsum"))
+      .orderBy(col("segment"))
+  }
+
+  val q298Oracle: String =
+    """WITH c AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS segment,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM customer),
+      |med AS (
+      |  SELECT segment, cents AS median FROM (
+      |    SELECT segment, cents,
+      |      ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cents, k) AS rn,
+      |      COUNT(*) OVER (PARTITION BY segment) AS n
+      |    FROM c)
+      |  WHERE rn = (n + 1) // 2),
+      |dev AS (
+      |  SELECT c.k, c.segment, c.cents, ABS(c.cents - med.median) AS dev, med.median
+      |  FROM c JOIN med USING (segment)),
+      |mad AS (
+      |  SELECT segment, dev AS mad FROM (
+      |    SELECT segment, dev,
+      |      ROW_NUMBER() OVER (PARTITION BY segment ORDER BY dev, k) AS rn,
+      |      COUNT(*) OVER (PARTITION BY segment) AS n
+      |    FROM dev)
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT dev.segment,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(dev.median) AS BIGINT) AS median_cents,
+      |  CAST(MAX(mad.mad) AS BIGINT) AS mad_cents,
+      |  CAST(SUM(CASE WHEN dev.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(SUM(CASE WHEN dev.dev > 3 * mad.mad THEN k ELSE 0 END) AS BIGINT) AS outlier_idsum
+      |FROM dev JOIN mad USING (segment)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q299
+  /** GREEDY INTERVAL SCHEDULING (the exchange-argument classic:
+    * earliest-deadline-first maximizes the count of non-overlapping
+    * intervals — the capacity question "how many of this user's
+    * sessions could one worker have served?"). Inherently a SEQUENTIAL
+    * fold per key, so it runs as the repo's ORDERED-FOLD recipe
+    * (q95/q122): collect the per-user intervals into a sorted array
+    * (bounded per key — this is per-GROUP state, not corpus state) and
+    * fold with the accumulator ENCODED IN THE ELEMENT TYPE so Spark's
+    * aggregate() and DuckDB's list_reduce (probed: an ordered left
+    * fold) run the identical lambda: acc = {cnt, e=last_end, s}, take
+    * x iff x.s ≥ acc.e. Intervals are [epoch_µs, +dur) with dur a pure
+    * function of event_id — exact integers end to end (ts through the
+    * floor-µs bridge, never raw ns).
+    */
+  def q299IntervalSchedule(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        expr("ts_ns div 1000").as("s_us"))
+      .withColumn("e_us", col("s_us") + (col("event_id") % 3600 + 60) * 1000000L)
+    val folded = iv
+      .select(
+        col("user_id"),
+        struct(
+          lit(1L).as("cnt"), col("e_us").as("e"), col("s_us").as("s"),
+          col("event_id").as("id")).as("item"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("item"))).as("arr"))
+      .select(
+        col("user_id"),
+        size(col("arr")).cast("long").as("n_events"),
+        expr(
+          """aggregate(
+            |  slice(arr, 2, size(arr) - 1), arr[0],
+            |  (acc, x) -> CASE WHEN x.s >= acc.e
+            |    THEN named_struct('cnt', acc.cnt + CAST(1 AS BIGINT), 'e', x.e, 's', x.s, 'id', x.id)
+            |    ELSE acc END).cnt""".stripMargin).as("selected"))
+    folded
+      .groupBy(expr("user_id div 50").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("selected")).as("n_selected"),
+        max(col("selected")).as("max_selected"))
+      .withColumn("law_ok", col("n_selected") <= col("n_events"))
+      .orderBy(col("bucket"))
+  }
+
+  val q299Oracle: String =
+    """WITH RECURSIVE iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+      |    epoch_us(ts) + (event_id % 3600 + 60) * 1000000 AS e_us
+      |  FROM events),
+      |idx AS (
+      |  SELECT user_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY e_us, s_us, event_id) AS i,
+      |    s_us, e_us
+      |  FROM iv),
+      |n AS (SELECT user_id, MAX(i) AS m, CAST(COUNT(*) AS BIGINT) AS n_events
+      |      FROM idx GROUP BY user_id),
+      |walk(user_id, i, cnt, laste) AS (
+      |  SELECT user_id, i, CAST(1 AS BIGINT), e_us FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT w.user_id, w.i + 1,
+      |    w.cnt + CASE WHEN x.s_us >= w.laste THEN 1 ELSE 0 END,
+      |    CASE WHEN x.s_us >= w.laste THEN x.e_us ELSE w.laste END
+      |  FROM walk w JOIN idx x ON x.user_id = w.user_id AND x.i = w.i + 1),
+      |folded AS (
+      |  SELECT w.user_id, n.n_events, w.cnt AS selected
+      |  FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.m)
+      |SELECT user_id // 50 AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |  CAST(SUM(selected) AS BIGINT) AS n_selected,
+      |  CAST(MAX(selected) AS BIGINT) AS max_selected,
+      |  SUM(selected) <= SUM(n_events) AS law_ok
+      |FROM folded
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q300
+  /** CUPED VARIANCE REDUCTION for A/B readouts (Deng et al. WSDM'13 —
+    * the experimentation-platform staple: adjust the post-period
+    * metric by a pre-period covariate, Y_adj = Y − θ(X − X̄), cutting
+    * variance by the squared correlation without biasing the delta).
+    * Assignment is the deterministic md5-parity split (the q221
+    * posture); X/Y are the user's pre/post event counts around the
+    * corpus midpoint. Everything is EXACT sufficient statistics
+    * (q134's discipline): θ = (nΣXY − ΣXΣY)/(nΣX² − (ΣX)²) emitted in
+    * ppm by cross-multiplied integer division, the variance-reduction
+    * ratio r² = cov²/ (varX·varY) in ppm the same way, and the
+    * adjusted means stay in exact n·n_g-scaled integer form —
+    * θ's rational value is never rounded before use:
+    * adj_mean_ppm = (ΣY_g·10⁶ div n_g) − (num_θ·(n·ΣX_g − n_g·ΣX)·10⁶)
+    * div (den_θ·n·n_g).
+    */
+  def q300Cuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // exact integer mean: double avg of ~1e19-scale sums is summation-
+    // order-dependent in the low bits, and a 1 us midpoint shift flips
+    // boundary rows — stage the sum in decimal and floor-divide
+    val mid = ev.agg(
+      expr("cast(sum(cast(ts_ns div 1000 as decimal(38,0))) div count(1) as bigint)")
+        .as("mid_us"))
+    val per = ev
+      .crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(expr("ts_ns div 1000") < col("mid_us"), 1L).otherwise(0L)).as("x"),
+        sum(when(expr("ts_ns div 1000") >= col("mid_us"), 1L).otherwise(0L)).as("y"))
+      .withColumn("variant", expr("cast(conv(substr(md5(cast(user_id as string)), 1, 4), 16, 10) as bigint) % 2"))
+    val glob = per.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val theta = glob.select(
+      col("n"), col("sx"), col("sy"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("decimal(38,0)").as("num_t"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("decimal(38,0)").as("den_t"),
+      (col("n") * col("syy") - col("sy") * col("sy")).cast("decimal(38,0)").as("den_y"))
+    per
+      .groupBy(col("variant"))
+      .agg(
+        count(lit(1)).as("n_g"),
+        sum(col("x")).as("sx_g"),
+        sum(col("y")).as("sy_g"))
+      .crossJoin(broadcast(theta))
+      .select(
+        col("variant"),
+        col("n_g"),
+        expr("(sy_g * 1000000) div n_g").as("mean_y_ppm"),
+        expr("cast((sy_g * 1000000) div n_g - (num_t * (n * sx_g - n_g * sx) * 1000000) div (den_t * n * n_g) as bigint)")
+          .as("adj_mean_y_ppm"),
+        expr("cast((num_t * 1000000) div den_t as bigint)").as("theta_ppm"),
+        expr("cast((num_t * num_t * 1000000) div (den_t * den_y) as bigint)").as("r2_ppm"))
+      .orderBy(col("variant"))
+  }
+
+  val q300Oracle: String =
+    """WITH mid AS (
+      |  SELECT CAST(CAST(SUM(CAST(epoch_us(ts) AS HUGEINT)) AS HUGEINT) // COUNT(*) AS BIGINT)
+      |    AS mid_us FROM events),
+      |per AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) < mid_us THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN epoch_us(ts) >= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS y,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 AS variant
+      |  FROM events, mid GROUP BY user_id),
+      |gsum AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM per),
+      |theta AS (
+      |  SELECT n, sx, sy,
+      |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num_t,
+      |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den_t,
+      |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS den_y
+      |  FROM gsum)
+      |SELECT variant,
+      |  CAST(COUNT(*) AS BIGINT) AS n_g,
+      |  CAST((SUM(y) * 1000000) // COUNT(*) AS BIGINT) AS mean_y_ppm,
+      |  CAST((SUM(y) * 1000000) // COUNT(*)
+      |    - (num_t * (n * SUM(x) - COUNT(*) * sx) * 1000000) // (den_t * n * COUNT(*))
+      |    AS BIGINT) AS adj_mean_y_ppm,
+      |  CAST((num_t * 1000000) // den_t AS BIGINT) AS theta_ppm,
+      |  CAST((num_t * num_t * 1000000) // (den_t * den_y) AS BIGINT) AS r2_ppm
+      |FROM per, theta
+      |GROUP BY variant, n, sx, num_t, den_t, den_y
+      |ORDER BY variant""".stripMargin
 }

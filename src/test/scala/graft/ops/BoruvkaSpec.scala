@@ -48,4 +48,17 @@ class BoruvkaSpec extends SparkSpec {
     val edges = Seq((1L, 2L, 3L), (2L, 3L, 4L))
     assert(msf(edges, rounds = 6) === edges.toSet)
   }
+
+  test("forestWithLabels: labels are the min-id connected components of the input") {
+    // two components incl. a 5-chain (hook chains exercise the pointer
+    // jumping past one round) and a mutual pair
+    val edges = Seq(
+      (5L, 4L, 1L), (4L, 3L, 2L), (3L, 2L, 3L), (2L, 1L, 4L), // chain 1..5
+      (20L, 21L, 9L)
+    ).toDF("src", "dst", "w")
+    val (_, lab) = Boruvka.forestWithLabels(edges, rounds = 4)
+    val got = lab.as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      20L -> 20L, 21L -> 20L), s"got $got")
+  }
 }

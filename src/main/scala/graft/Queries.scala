@@ -9047,7 +9047,10 @@ object Queries {
     "q297_morans_i" -> (q297MoransI _),
     "q298_robust_outliers" -> (q298RobustOutliers _),
     "q299_interval_schedule" -> (q299IntervalSchedule _),
-    "q300_cuped" -> (q300Cuped _)
+    "q300_cuped" -> (q300Cuped _),
+    "q301_textrank" -> (q301TextRank _),
+    "q302_absorbing_chain" -> (q302AbsorbingChain _),
+    "q303_heaps_law" -> (q303HeapsLaw _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -9343,7 +9346,10 @@ object Queries {
     "q297_morans_i" -> q297Oracle,
     "q298_robust_outliers" -> q298Oracle,
     "q299_interval_schedule" -> q299Oracle,
-    "q300_cuped" -> q300Oracle
+    "q300_cuped" -> q300Oracle,
+    "q301_textrank" -> q301Oracle,
+    "q302_absorbing_chain" -> q302Oracle,
+    "q303_heaps_law" -> q303Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles
@@ -20842,7 +20848,7 @@ object Queries {
     * cover is exact, no false positives and no misses — is measured
     * over every point and pinned as count columns that must be zero.
     */
-  private def zCoverIntervals(
+  private[graft] def zCoverIntervals(
       xlo: Long, xhi: Long, ylo: Long, yhi: Long, bits: Int): Seq[(Long, Long)] = {
     def rec(cx: Long, cy: Long, level: Int, zbase: Long): Seq[(Long, Long)] = {
       val sz = 1L << level
@@ -21351,4 +21357,267 @@ object Queries {
       |FROM per, theta
       |GROUP BY variant, n, sx, num_t, den_t, den_y
       |ORDER BY variant""".stripMargin
+
+  // ---------------------------------------------------------------- q301
+  /** TEXTRANK KEYWORD SCORING (Mihalcea-Tarau EMNLP'04 - PageRank on
+    * the word co-occurrence graph; the unsupervised keyword extractor
+    * that needs no training data, the graph-flavored complement to
+    * q293's RAKE). Nodes are vocabulary words, edges are ADJACENT-token
+    * co-occurrences (window 2) weighted by pair count; 4 damped rounds
+    * of v' = 0.15*10^12 + 0.85 * SUM_u (v_u * w_uv) div wdeg_u in exact
+    * scaled-integer arithmetic (q289's teleport discipline on a word
+    * graph). The corpus-sized work is ONE token scan + one pair count;
+    * the iteration runs on the |vocab|-row frame against the broadcast
+    * edge list - bounded model state at any corpus size. Top-10 by
+    * (score, word).
+    */
+  def q301TextRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = toks
+      .withColumn("prev", lag(col("word"), 1).over(byDoc))
+      .where(col("prev").isNotNull && col("prev") =!= col("word"))
+      .select(
+        least(col("prev"), col("word")).as("a"),
+        greatest(col("prev"), col("word")).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("w"))
+    val dirEdges = pairs
+      .select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionByName(pairs.select(col("b").as("u"), col("a").as("v"), col("w")))
+    dirEdges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wdeg = dirEdges.groupBy(col("u")).agg(sum(col("w")).as("wdeg"))
+    val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // the edge frame already owns a column named "v" (the pair target),
+    // so the rank value is "vr" until the final projection
+    var rank = wdeg.select(col("u").as("word"), lit(1000000000000L).as("vr"))
+    for (_ <- 1 to 4) {
+      val inflow = dirEdges
+        .join(rank.withColumnRenamed("word", "u"), Seq("u"))
+        .join(wdeg, Seq("u"))
+        .groupBy(col("v").as("word"))
+        .agg(sum(expr("(vr * w) div wdeg")).as("inflow"))
+      // no lineage cut: the state frame is |vocab| rows and 4 rounds
+      // nest linearly, so ONE final evaluation reuses the persisted
+      // edge frame's exchange instead of recomputing it per round
+      rank = wdeg
+        .select(col("u").as("word"))
+        .join(inflow, Seq("word"), "left")
+        .select(
+          col("word"),
+          (lit(150000000000L) + expr("(coalesce(inflow, 0) * 85) div 100")).as("vr"))
+    }
+    rank.join(freq, Seq("word"))
+      .join(wdeg.withColumnRenamed("u", "word"), Seq("word"))
+      .select(col("word"), col("vr").as("score"), col("freq"), col("wdeg"))
+      .orderBy(col("score").desc, col("word"))
+      .limit(10)
+  }
+
+  val q301Oracle: String = {
+    val rounds = (1 to 4)
+      .map { t =>
+        s"""v$t AS MATERIALIZED (
+           |  SELECT n.word,
+           |    150000000000 + (COALESCE(i.inflow, 0) * 85) // 100 AS v
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.v AS word, CAST(SUM((v${t - 1}.v * e.w) // wd.wdeg) AS BIGINT) AS inflow
+           |    FROM v${t - 1}
+           |    JOIN e ON e.u = v${t - 1}.word
+           |    JOIN wdeg wd ON wd.u = v${t - 1}.word
+           |    GROUP BY e.v) i ON i.word = n.word)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, words[i] AS word FROM (
+       |    SELECT doc_id, string_split(lower(text), ' ') AS words,
+       |      unnest(range(1, length(string_split(lower(text), ' ')) + 1)) AS i
+       |    FROM documents)
+       |  WHERE length(words[i]) > 0),
+       |pairs AS MATERIALIZED (
+       |  SELECT least(prev, word) AS a, greatest(prev, word) AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM (SELECT word,
+       |          lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |        FROM toks)
+       |  WHERE prev IS NOT NULL AND prev <> word
+       |  GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       |  SELECT a AS u, b AS v, w FROM pairs
+       |  UNION ALL SELECT b, a, w FROM pairs),
+       |wdeg AS MATERIALIZED (SELECT u, CAST(SUM(w) AS BIGINT) AS wdeg FROM e GROUP BY u),
+       |nodes AS MATERIALIZED (SELECT DISTINCT u AS word FROM e),
+       |freq AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY word),
+       |v0 AS (SELECT word, CAST(1000000000000 AS BIGINT) AS v FROM nodes),
+       |$rounds
+       |SELECT v4.word AS word, CAST(v4.v AS BIGINT) AS score, freq.freq, wdeg.wdeg
+       |FROM v4 JOIN freq ON freq.word = v4.word JOIN wdeg ON wdeg.u = v4.word
+       |ORDER BY score DESC, v4.word
+       |LIMIT 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q302
+  /** ABSORBING MARKOV CHAIN FUNNEL ANALYSIS (Kemeny-Snell fundamental-
+    * matrix semantics, computed as the truncated Neumann series - the
+    * "how many steps until purchase-or-error, and which one?" readout
+    * behind funnel health dashboards). States are event types;
+    * 'purchase' and 'error' absorb; transitions count per-user
+    * consecutive pairs LEAVING transient states only. Twelve rounds of
+    * the exact scaled-integer DP: expected steps v' = 10^6 +
+    * SUM_j cnt_ij * v_j div rowsum_i (absorbing j contribute 0), and
+    * absorption split p' = SUM_j cnt_ij * (j = purchase ? 10^12 : p_j)
+    * div rowsum_i - both monotone increasing in rounds, so the
+    * truncation is a documented lower bound, bit-identical in the
+    * unrolled oracle. One corpus-scan shuffle (the lag window); the
+    * DP runs on the <= |event types|-row state frame.
+    */
+  def q302AbsorbingChain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev").isNotNull && !col("prev").isin("purchase", "error"))
+      .groupBy(col("prev").as("i"), col("event_type").as("j"))
+      .agg(count(lit(1)).as("cnt"))
+    val rowsum = trans.groupBy(col("i")).agg(sum(col("cnt")).as("rs"))
+    val m = broadcast(trans.join(rowsum, Seq("i")))
+    var st = rowsum.select(col("i").as("state"), lit(0L).as("v"), lit(0L).as("p"))
+    for (_ <- 1 to 12) {
+      val nxt = m
+        .join(
+          st.select(col("state").as("jj"), col("v").as("vj"), col("p").as("pj")),
+          col("j") === col("jj"), "left")
+        .select(
+          col("i"),
+          expr("(cnt * coalesce(vj, 0)) div rs").as("vc"),
+          expr("(cnt * (case when j = 'purchase' then 1000000000000 else coalesce(pj, 0) end)) div rs")
+            .as("pc"))
+        .groupBy(col("i"))
+        .agg(sum(col("vc")).as("sv"), sum(col("pc")).as("sp"))
+      // no lineage cut: |types|-row state, 12 linear rounds — a single
+      // evaluation at the end reuses the broadcast transition matrix,
+      // where a per-round cut re-ran the corpus lag window 12 times
+      st = nxt.select(
+        col("i").as("state"),
+        (lit(1000000L) + col("sv")).as("v"),
+        col("sp").as("p"))
+    }
+    st.join(rowsum.withColumnRenamed("i", "state"), Seq("state"))
+      .select(
+        col("state"),
+        col("rs").as("n_out"),
+        col("v").as("exp_steps_scaled"),
+        col("p").as("p_purchase_scaled"))
+      .orderBy(col("state"))
+  }
+
+  val q302Oracle: String = {
+    val rounds = (1 to 12)
+      .map { t =>
+        s"""s$t AS MATERIALIZED (
+           |  SELECT m.i AS state,
+           |    1000000 + CAST(SUM((m.cnt * COALESCE(s.v, 0)) // m.rs) AS BIGINT) AS v,
+           |    CAST(SUM((m.cnt * (CASE WHEN m.j = 'purchase' THEN 1000000000000
+           |      ELSE COALESCE(s.p, 0) END)) // m.rs) AS BIGINT) AS p
+           |  FROM m LEFT JOIN s${t - 1} s ON s.state = m.j
+           |  GROUP BY m.i)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |trans AS MATERIALIZED (
+       |  SELECT prev AS i, event_type AS j, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM seq
+       |  WHERE prev IS NOT NULL AND prev NOT IN ('purchase', 'error')
+       |  GROUP BY 1, 2),
+       |rowsum AS MATERIALIZED (SELECT i, CAST(SUM(cnt) AS BIGINT) AS rs FROM trans GROUP BY i),
+       |m AS MATERIALIZED (SELECT trans.i, trans.j, trans.cnt, rowsum.rs
+       |  FROM trans JOIN rowsum USING (i)),
+       |s0 AS (SELECT i AS state, CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS p FROM rowsum),
+       |$rounds
+       |SELECT s12.state, rowsum.rs AS n_out,
+       |  s12.v AS exp_steps_scaled, s12.p AS p_purchase_scaled
+       |FROM s12 JOIN rowsum ON rowsum.i = s12.state
+       |ORDER BY s12.state""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q303
+  /** HEAPS'-LAW VOCABULARY GROWTH (Herdan-Heaps: V(n) ~ K*n^beta - the
+    * type-token curve a tokenizer team reads to size a vocabulary and
+    * detect corpus saturation). Ten corpus prefixes by doc_id cutoff;
+    * the whole curve comes from ONE token scan: each word's FIRST
+    * occurrence doc (min doc_id - new-type events) and each doc's
+    * token count bucket into cutoff intervals, and the curve is the
+    * running sum over the 10-row bucket frame (q223's
+    * cumulative-unique-as-cumsum-of-new, generalized to the
+    * vocabulary axis) - never ten rescans. Type-token ratio in exact
+    * ppm per prefix.
+    */
+  def q303HeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val mx = docs.agg(max(col("doc_id")).as("m"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .crossJoin(broadcast(mx))
+      .withColumn("k", expr("least(cast(((doc_id * 10) div (m + 1)) as bigint) + 1, 10)"))
+    val newTypes = toks
+      .groupBy(col("word"))
+      .agg(min(col("k")).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("new_types"))
+    val tokCnt = toks.groupBy(col("k")).agg(count(lit(1)).as("toks"))
+    val ks = s.range(1, 11).select(col("id").as("k"))
+    val byK = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ks.join(newTypes, Seq("k"), "left")
+      .join(tokCnt, Seq("k"), "left")
+      .select(
+        col("k"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("tokens_cum", sum(col("toks")).over(byK))
+      .withColumn("vocab_cum", sum(col("new_types")).over(byK))
+      .withColumn("ttr_ppm", expr("(vocab_cum * 1000000) div tokens_cum"))
+      .select(col("k"), col("tokens_cum"), col("vocab_cum"), col("new_types"), col("ttr_ppm"))
+      .orderBy(col("k"))
+  }
+
+  val q303Oracle: String =
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |    least(((doc_id * 10) // (m + 1)) + 1, 10) AS k, word
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |        FROM documents), mx
+      |  WHERE length(word) > 0),
+      |new_types AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS new_types FROM (
+      |    SELECT word, MIN(k) AS k FROM toks GROUP BY word)
+      |  GROUP BY k),
+      |tok_cnt AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS toks FROM toks GROUP BY k),
+      |ks AS (SELECT unnest(range(1, 11)) AS k),
+      |base AS (
+      |  SELECT ks.k,
+      |    COALESCE(tok_cnt.toks, 0) AS toks,
+      |    COALESCE(new_types.new_types, 0) AS new_types
+      |  FROM ks LEFT JOIN new_types ON new_types.k = ks.k
+      |  LEFT JOIN tok_cnt ON tok_cnt.k = ks.k)
+      |SELECT k,
+      |  CAST(SUM(toks) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+      |  CAST(SUM(new_types) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum,
+      |  CAST(new_types AS BIGINT) AS new_types,
+      |  CAST((SUM(new_types) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) * 1000000)
+      |    // SUM(toks) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ttr_ppm
+      |FROM base
+      |ORDER BY k""".stripMargin
 }

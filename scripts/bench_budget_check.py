@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Pre-seal gate: estimate the full-registry bench wall-clock from
+docs/BENCH_EXPECT.json plus the harness settle model, and FAIL when the
+estimate exceeds the driver wall budget minus 20% headroom.
+
+This exists because round 9's registry growth (224 → 313 queries) pushed
+the fixed per-query settle cost of the full-discipline harness past the
+driver's bench timeout (BENCH_r09 rc=124) without any single query being
+slow — a failure mode that must be caught BEFORE sealing, structurally,
+every time the registry grows.
+
+Settle model (mirrors Bench.scala's adaptive mode):
+  cheap (expect < THRESH):  warm rep + measured rep            ≈ 2v + eps
+  heavy (expect ≥ THRESH):  sf0.01 warm + deep settle (2.2 s)
+                            + REPS × (0.75 s settle + v)
+Queries in the registry but missing from BENCH_EXPECT.json are costed as
+heavy at HEAVY_DEFAULT seconds (the Bench fallback).
+
+Usage: bench_budget_check.py [--budget SECONDS] [--nq N]
+  --budget  driver wall budget (default 2100 s — r8's full-discipline run
+            took 2138 s and passed, r9 timed out; 2100 with 20% headroom
+            means the estimate must come in under 1680 s)
+  --nq      registry size override (default: count of src SparkEntry
+            "qNNN_name" -> entries is not parsed here; uses expect size
+            + --extra unknown queries)
+  --extra   number of registry queries NOT in BENCH_EXPECT.json
+            (default 0; pass the true gap when adding queries pre-rebase)
+
+Exit 0 = fits; exit 1 = would blow the budget (do NOT seal — rebase
+BENCH_EXPECT from a fresh full run, trim the harness, or raise the case
+with the round notes).
+"""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+THRESH = 0.45
+REPS = 3
+DEEP_SETTLE = 3 * 0.4 + 1.0 + 0.6     # 3×(GC+400ms) + 1 s beat, GC≈200ms
+PER_REP_SETTLE = 0.75 + 0.25          # sleep + GC cost
+WARM_001 = 0.30                       # sf0.01 warm execution, typical
+CHEAP_EPS = 0.15                      # codegen on the cheap warm rep
+HEAVY_DEFAULT = 2.0
+STARTUP = 120.0                       # sbt + SparkSession + JVM
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget", type=float, default=2100.0)
+    ap.add_argument("--extra", type=int, default=0)
+    ap.add_argument("--thresh", type=float, default=THRESH)
+    args = ap.parse_args()
+
+    expect = json.loads((REPO / "docs" / "BENCH_EXPECT.json").read_text())["expect"]
+    est = STARTUP
+    n_cheap = n_heavy = 0
+    for name, v in expect.items():
+        if v < args.thresh:
+            n_cheap += 1
+            est += 2 * v + CHEAP_EPS
+        else:
+            n_heavy += 1
+            est += WARM_001 + DEEP_SETTLE + REPS * (PER_REP_SETTLE + v)
+    for _ in range(args.extra):
+        n_heavy += 1
+        est += WARM_001 + DEEP_SETTLE + REPS * (PER_REP_SETTLE + HEAVY_DEFAULT)
+
+    limit = args.budget * 0.8
+    verdict = "OK" if est <= limit else "FAIL"
+    print(f"{verdict}: estimated full-bench wall {est:.0f} s "
+          f"({n_cheap} cheap + {n_heavy} heavy queries, "
+          f"thresh {args.thresh}) vs budget {args.budget:.0f} s "
+          f"with 20% headroom = {limit:.0f} s")
+    if verdict == "FAIL":
+        print("do NOT seal: rebase docs/BENCH_EXPECT.json from a fresh "
+              "full run (scripts/derive_expect.py), trim the harness, or "
+              "shrink the heavy tail first")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

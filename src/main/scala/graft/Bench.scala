@@ -1,41 +1,83 @@
 package graft
 
 object Bench {
+
+  /** Parse docs/BENCH_EXPECT.json (flat {"qname": seconds} under
+    * "expect") without a JSON dependency — the keys are registry query
+    * names (`q...`) and the values plain numbers, so a regex is exact.
+    * Missing file → empty map → every query takes the heavy path (the
+    * safe default).
+    */
+  private def loadExpect(path: String): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .toMap
+    } catch { case _: Throwable => Map.empty }
+
+  /** One line of container identity so a uniform 1.3× drift between
+    * records is self-evident from the records alone (r7/r8/r9 all spent
+    * adjudication effort proving "slower container, same code" from
+    * fingerprint diffs — the record should carry the evidence).
+    */
+  private def hostId(): (String, String, Int) = {
+    def readFirst(path: String, pick: String => Option[String]): String =
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try src.getLines().flatMap(l => pick(l)).nextOption().getOrElse("?")
+        finally src.close()
+      } catch { case _: Throwable => "?" }
+    val loadavg = readFirst("/proc/loadavg",
+      l => Some(l.split(" ").take(3).mkString(" ")))
+    val cpu = readFirst("/proc/cpuinfo",
+      l => if (l.startsWith("model name")) Some(l.split(":", 2)(1).trim) else None)
+    (loadavg, cpu, Runtime.getRuntime.availableProcessors())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Median-of-N per query (default 3): single-JVM sequential timings
-    // carry ±30% GC/JIT noise on one-shot runs, which made the documented
-    // per-query bands unfalsifiable (a band breach could always be "an
-    // unlucky run"). The median of three reps is stable enough that a
-    // breach means the code, not the weather.
+    // Median-of-N per query for the heavy tail (default 3): single-JVM
+    // sequential timings carry ±30% GC/JIT noise on one-shot runs, which
+    // made the documented per-query bands unfalsifiable. The median of
+    // three reps is stable enough that a breach means the code, not the
+    // weather.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // ADAPTIVE DISCIPLINE (round 10 — the r9 bench timed out, rc=124):
+    // the full-discipline harness spent ~4.5 s of deliberate settle per
+    // query regardless of cost, ≈23 min of pure sleep across 313
+    // queries. The fix the r9 verdict prescribes: queries whose
+    // COMMITTED expectation (docs/BENCH_EXPECT.json — last full driver
+    // record, band midpoints for newer queries) is under the threshold
+    // get ONE warm rep + ONE measured rep and no deep settle (they are
+    // bounded by the <1 s bulk band rule, where ±0.2 s of GC adjacency
+    // noise cannot flag anything); the ≥threshold tail keeps the full
+    // r6 discipline: deep isolate-settle + median of `reps` settled
+    // reps. A cheap-classified query that measures ≥0.6 s escalates to
+    // the heavy path in-run, so a misclassification (or a real
+    // regression) still gets a defensible median, never a one-shot
+    // number. SPARK_GRAFT_BENCH_ADAPTIVE=0 reproduces the r9 harness
+    // for A/B runs.
+    val adaptive = sys.env.getOrElse("SPARK_GRAFT_BENCH_ADAPTIVE", "1") == "1"
+    val heavyThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_THRESH", "0.45").toDouble
+    val expect = loadExpect(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_EXPECT", "/root/repo/docs/BENCH_EXPECT.json"))
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Two-stage warm-up so BENCH measures the engine, not the JVM:
-    // sf0.001 loads classes and fills the codegen cache; sf0.01 executes
-    // enough loop iterations that C2 actually compiles the generated
-    // kernels (the tiny pass alone leaves the hot LSH loops in the
-    // interpreter/C1 tier, which showed up as 12 s vs 50 s run-to-run
-    // swings on q27).
-    // SORTED name order (round 5; was Map iteration order): adding a
-    // query to the registry used to reshuffle every query's position in
-    // the run, changing each one's GC/cache adjacency between rounds —
-    // a structural source of round-over-round per-query creep that had
-    // nothing to do with the queries themselves (r4's unexplained
-    // q35/q60 drift). Sorted order pins each query's neighborhood.
-    // Optional subset filter (A/B experiments: bench a contiguous
-    // neighborhood in its in-suite order without paying for all 107).
-    // Subset records still append to the file but are builder-local by
-    // nature — label them with SPARK_GRAFT_BENCH_SOURCE=local.
+    // ERROR, not WARN: at 313 queries a benign per-plan warning class
+    // (e.g. the r9 LogicalRDD attribute-name spam) floods the driver's
+    // captured stdout tail past its truncation point.
+    spark.sparkContext.setLogLevel("ERROR")
+    // SORTED name order (round 5; was Map iteration order): pins each
+    // query's GC/cache neighborhood across rounds.
+    // Optional subset filter (A/B experiments): the tag "core" expands
+    // to the curated per-operator-family subset (SparkEntry.coreBench).
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .filter(_.nonEmpty) // an empty/blank env var must not bench nothing
         .map { names =>
-          // the tag "core" expands to the curated per-operator-family
-          // subset (SparkEntry.coreBench) — the affordable in-round loop;
-          // tag and explicit names compose ("core,q224_wow_growth")
           val expanded =
             if (names.contains("core")) names - "core" ++ SparkEntry.coreBench
             else names
@@ -46,67 +88,82 @@ object Bench {
         }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // RUN-ORDER ISOLATION (round 6, default ON — this IS the experiment
-    // the r5 WATCH row promised): before each QUERY's rep loop, settle
-    // the JVM hard — three full GC cycles with ContextCleaner drain
-    // time, then a final beat. Mechanism under test: q96's in-suite
-    // median (driver 6.88) sat ~50% above its isolated warm median
-    // (4.3-4.6) while running directly after the allocation-heavy
-    // q94/q95 pair in sorted order; one 750 ms settle per rep
-    // demonstrably does not clear that neighborhood's old-gen garbage +
-    // cleaner backlog off the next query's clock. The deeper settle is
-    // BETWEEN queries (off-clock) so it costs wall time, not measured
-    // time. SPARK_GRAFT_BENCH_ISOLATE=0 reproduces the r5 harness.
     val isolate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "1") == "1"
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { warmDir =>
+    // Warm-up. Non-adaptive: ONE registry pass at sf0.01 (r10 change —
+    // the r9 harness ran sf0.001 AND sf0.01, executing all 313 queries
+    // twice before measuring; the sf0.001 pass only loads classes,
+    // which the sf0.01 pass does anyway). Adaptive: no global pass at
+    // all — every query gets its own warm execution (cheap: the warm
+    // rep at the bench SF; heavy: an untimed sf0.01 run right before
+    // its settled reps, which compiles its codegen kernels the way the
+    // old global pass did, but pays only for the queries being
+    // measured).
+    val warmDir = {
+      val d = "/root/testdata/sf0.01"
+      if (new java.io.File(d).isDirectory) d else sfDir
+    }
+    if (!adaptive) {
       ordered.foreach { case (_, fn) =>
         try fn(spark, warmDir).count()
         catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
     }
-    val results = ordered.map { case (name, fn) =>
+
+    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // drop persisted intermediates so the next rep (and next query)
+      // re-executes the full plan instead of reading this rep's caches
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Full r6 discipline: deep isolate-settle (three GC cycles with
+    // ContextCleaner drain time + a final beat, BETWEEN queries so it
+    // costs wall time, not measured time), then `reps` reps each with a
+    // per-rep settle (GC + 750 ms) so the previous execution's garbage
+    // isn't collected on this rep's clock. Median of reps.
+    def heavyMeasure(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                     warm: Boolean): Double = {
+      if (warm) { // adaptive mode has no global warm-up pass
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
       if (isolate) {
         var i = 0
         while (i < 3) { System.gc(); Thread.sleep(400); i += 1 }
         Thread.sleep(1000)
       }
       val times = (1 to reps).map { _ =>
-        // settle the heap BEFORE EVERY REP so the previous execution's
-        // garbage isn't collected on this rep's clock, then give the
-        // ContextCleaner a beat to drain the shuffle/broadcast removals
-        // the GC just queued — otherwise the cleanup RPC storm lands
-        // inside the timed window (single-JVM sequential bench). Without
-        // the per-rep settle the median absorbs GC bias on the
-        // allocation-heavy queries (q27 measured 15 s vs its true ~8 s).
         System.gc()
         Thread.sleep(750)
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        // drop persisted intermediates so rep N+1 (and the next query)
-        // re-executes the full plan instead of reading this rep's caches
-        spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        timed(fn)
       }.sorted
-      val median =
-        if (reps % 2 == 1) times(reps / 2)
-        else (times(reps / 2 - 1) + times(reps / 2)) / 2
-      name -> median
+      if (reps % 2 == 1) times(reps / 2)
+      else (times(reps / 2 - 1) + times(reps / 2)) / 2
+    }
+
+    val results = ordered.map { case (name, fn) =>
+      val med =
+        if (!adaptive) heavyMeasure(fn, warm = false)
+        else if (expect.get(name).exists(_ < heavyThresh)) {
+          timed(fn) // warm rep at the bench SF (codegen + JIT)
+          val v = timed(fn)
+          // escalate a surprise: a "cheap" query measuring heavy gets
+          // the full discipline so bands compare like with like
+          if (v >= 0.6) heavyMeasure(fn, warm = false) else v
+        } else heavyMeasure(fn, warm = true)
+      name -> med
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Record labels (round 6): two 107-query records coexisted in r5's
-    // bench_records.jsonl distinguishable only by value-matching against
-    // the truncated stdout tail. `source` defaults to "driver" — the
+    // Record labels (round 6): `source` defaults to "driver" — the
     // binding per-round run sets no env; builder-local runs MUST set
-    // SPARK_GRAFT_BENCH_SOURCE=local. `round` = the round under build
-    // (last VERDICT's round + 1); `sha` + wall-clock stamp disambiguate
-    // reruns regardless of labeling discipline.
-    // a SUBSET run can never be the binding driver record — default its
-    // source to "local" so a forgotten SOURCE env can't masquerade a
-    // 5-query run as a degenerate full-suite driver total; `nq` makes
-    // every record self-describing either way
+    // SPARK_GRAFT_BENCH_SOURCE=local. A SUBSET run can never be the
+    // binding driver record — default its source to "local"; `nq`
+    // makes every record self-describing either way.
     val source = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_SOURCE",
       if (only.isDefined) "local" else "driver"
@@ -119,10 +176,9 @@ object Bench {
         if (s0.nonEmpty) s0 else "unknown"
       } catch { case _: Throwable => "unknown" }
     val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse {
-      // PROGRESS.jsonl's last line carries the driver's own round counter
-      // and survives a skipped judge pass; VERDICT.md+1 (the round-6 rule)
-      // under-labels by one for every verdict the judge never wrote
-      // (observed: r6 verdict skipped → r7 records stamped round 6).
+      // PROGRESS.jsonl's last line carries the driver's own round
+      // counter and survives a skipped judge pass; VERDICT.md+1 under-
+      // labels by one for every verdict the judge never wrote.
       def progressRound: Option[Int] =
         try {
           val last = java.nio.file.Files
@@ -136,23 +192,18 @@ object Bench {
             .linesIterator.take(1).mkString
           "round (\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt + 1)
         } catch { case _: Throwable => None }
-      // trust whichever source claims the LATER round: PROGRESS is wrong
-      // only if stale (driver not yet ticked), VERDICT only if skipped —
-      // both errors under-count, never over-count
+      // trust whichever source claims the LATER round: both error modes
+      // under-count, never over-count
       (progressRound.toSeq ++ verdictRound.toSeq).maxOption.getOrElse(-1)
     }
     val stamp = java.time.Instant.now().toString
+    val (loadavg, cpu, nproc) = hostId()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"median_of_$reps","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate,"nq":${results.size},"subset":${only.isDefined}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"median_of_$reps","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate,"adaptive":$adaptive,"nq":${results.size},"subset":${only.isDefined},"loadavg":"$loadavg","cpu":"$cpu","nproc":$nproc}"""
     println(line)
-    // ALSO persist the full record to a file: two rounds running, the
-    // driver's captured stdout tail truncated to ~64 of 107 per-query
-    // medians, forcing judge-side reconciliation of the rest. The file
-    // survives truncation and is what docs/BENCH_NOTES.md bands are
-    // re-derived from. Appended (one JSON line per run) so reruns keep
-    // history; name is env-overridable for ad-hoc local runs.
-    // absolute default: the driver's working directory is its own, and a
-    // relative path would drop the record outside the repo checkout
+    // ALSO persist the full record to a file: the driver's captured
+    // stdout tail truncates past ~64 per-query medians; the file is
+    // what docs/BENCH_NOTES.md bands are re-derived from.
     val recPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_records.jsonl")
     try {
       val w = new java.io.FileWriter(recPath, true)

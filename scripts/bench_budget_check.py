@@ -17,9 +17,12 @@ Queries in the registry but missing from BENCH_EXPECT.json are costed as
 heavy at HEAVY_DEFAULT seconds (the Bench fallback).
 
 Usage: bench_budget_check.py [--budget SECONDS] [--nq N]
-  --budget  driver wall budget (default 2100 s — r8's full-discipline run
-            took 2138 s and passed, r9 timed out; 2100 with 20% headroom
-            means the estimate must come in under 1680 s)
+  --budget  driver wall budget (default 2400 s; the exact driver timeout
+            is unobservable from here — the evidence is r8's 2138 s run
+            PASSING (budget > 2138) and r9's longer run timing out, so
+            2400 is the tightest round figure consistent with both.
+            2400 with 20% headroom means the estimate must come in
+            under 1920 s)
   --nq      registry size override (default: count of src SparkEntry
             "qNNN_name" -> entries is not parsed here; uses expect size
             + --extra unknown queries)
@@ -36,10 +39,10 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-THRESH = 0.45
+THRESH = 0.6
 REPS = 3
-DEEP_SETTLE = 3 * 0.4 + 1.0 + 0.6     # 3×(GC+400ms) + 1 s beat, GC≈200ms
-PER_REP_SETTLE = 0.75 + 0.25          # sleep + GC cost
+DEEP_SETTLE = 2 * 0.4 + 0.6 + 0.5     # 2×(GC+400ms) + 600ms beat, GC≈250ms
+PER_REP_SETTLE = 0.6 + 0.25           # sleep + GC cost
 WARM_001 = 0.30                       # sf0.01 warm execution, typical
 CHEAP_EPS = 0.15                      # codegen on the cheap warm rep
 HEAVY_DEFAULT = 2.0
@@ -48,7 +51,7 @@ STARTUP = 120.0                       # sbt + SparkSession + JVM
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--budget", type=float, default=2100.0)
+    ap.add_argument("--budget", type=float, default=2400.0)
     ap.add_argument("--extra", type=int, default=0)
     ap.add_argument("--thresh", type=float, default=THRESH)
     args = ap.parse_args()

@@ -61,7 +61,13 @@ object Bench {
     // number. SPARK_GRAFT_BENCH_ADAPTIVE=0 reproduces the r9 harness
     // for A/B runs.
     val adaptive = sys.env.getOrElse("SPARK_GRAFT_BENCH_ADAPTIVE", "1") == "1"
-    val heavyThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_THRESH", "0.45").toDouble
+    // 0.6, not the verdict's nominal 0.5: the r10 container measures
+    // ~1.2-1.4× over the r8 driver record (bench_records.jsonl carries
+    // both, loadavg/cpu fields in each), so 0.6 here = the ~0.45-0.5
+    // cheap class the rule intends, and puts ~190 of 317 queries on the
+    // cheap path (the verdict's "~200 of 313"). Every cheap query is
+    // bounded by the <1 s bulk band rule with 2× headroom.
+    val heavyThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_THRESH", "0.6").toDouble
     val expect = loadExpect(sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_EXPECT", "/root/repo/docs/BENCH_EXPECT.json"))
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -130,14 +136,21 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
+      // r10 trim: 2 settle cycles + 600 ms beat (was 3 + 1000) and a
+      // 600 ms per-rep beat (was 750) — the first full-registry run
+      // measured the old constants at ~4.75 s of fixed overhead per
+      // heavy query, which alone is ~12 min across the ≥thresh tail;
+      // these still give two full GC+drain cycles between queries and
+      // one before every rep, and the A/B knob (ADAPTIVE=0) plus the
+      // committed records make any induced drift measurable.
       if (isolate) {
         var i = 0
-        while (i < 3) { System.gc(); Thread.sleep(400); i += 1 }
-        Thread.sleep(1000)
+        while (i < 2) { System.gc(); Thread.sleep(400); i += 1 }
+        Thread.sleep(600)
       }
       val times = (1 to reps).map { _ =>
         System.gc()
-        Thread.sleep(750)
+        Thread.sleep(600)
         timed(fn)
       }.sorted
       if (reps % 2 == 1) times(reps / 2)

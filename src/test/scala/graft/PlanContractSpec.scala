@@ -180,4 +180,40 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), "q143 re-derives features instead of reading the cache")
     assert(!p.contains("CartesianProduct"), "q143 grew a cartesian join")
   }
+
+  test("recursive CTE emits no LogicalRDD attribute-mismatch warnings: q258") {
+    // BENCH_r09's driver log drowned in `WARN LogicalRDD: The output
+    // columns are expected to the same … (c_custkey, c_custkey, 0)` —
+    // hundreds of firings per full pass. WarnHunt attributed every one
+    // to q258's WITH RECURSIVE anchor, whose unaliased duplicate
+    // projection let the optimizer collapse two attributes to one
+    // exprId on every UnionLoop materialization. The anchor now aliases
+    // its columns; this rung captures the LogicalRDD logger during an
+    // execution and pins the silence so a future anchor edit can't
+    // regress the spam.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appender = new AbstractAppender(
+      "graft-logicalrdd-capture", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        if (e.getLoggerName.endsWith("LogicalRDD") && e.getLevel.isMoreSpecificThan(Level.WARN))
+          captured.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    cfg.getRootLogger.addAppender(appender, Level.WARN, null)
+    ctx.updateLoggers()
+    try SparkEntry.queries("q258_recursive_cte")(spark, "/root/testdata/sf0.001").count()
+    finally {
+      cfg.getRootLogger.removeAppender("graft-logicalrdd-capture")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+    assert(captured.isEmpty,
+      s"LogicalRDD warned during the recursive CTE: ${captured.peek()}")
+  }
 }

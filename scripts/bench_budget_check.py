@@ -9,10 +9,13 @@ driver's bench timeout (BENCH_r09 rc=124) without any single query being
 slow — a failure mode that must be caught BEFORE sealing, structurally,
 every time the registry grows.
 
-Settle model (mirrors Bench.scala's adaptive mode):
+Settle model (mirrors Bench.scala's adaptive mode — the constants below
+MUST track Bench.scala's heavyMeasure sleeps: 2×(gc+400 ms)+600 ms deep
+settle, gc+600 ms per rep; retuning Bench's sleeps without updating
+DEEP_SETTLE/PER_REP_SETTLE here silently invalidates the gate):
   cheap (expect < THRESH):  warm rep + measured rep            ≈ 2v + eps
-  heavy (expect ≥ THRESH):  sf0.01 warm + deep settle (2.2 s)
-                            + REPS × (0.75 s settle + v)
+  heavy (expect ≥ THRESH):  sf0.01 warm + deep settle (1.9 s)
+                            + REPS × (0.85 s settle + v)
 Queries in the registry but missing from BENCH_EXPECT.json are costed as
 heavy at HEAVY_DEFAULT seconds (the Bench fallback).
 
@@ -39,8 +42,11 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-THRESH = 0.6
+THRESH = 0.6                          # mirrors Bench.scala heavyThresh default
 REPS = 3
+# mirror of Bench.scala heavyMeasure: isolate loop `2×(System.gc();
+# sleep(400))` + `sleep(600)`, per-rep `System.gc(); sleep(600)`;
+# GC cost estimated ≈250 ms per cycle
 DEEP_SETTLE = 2 * 0.4 + 0.6 + 0.5     # 2×(GC+400ms) + 600ms beat, GC≈250ms
 PER_REP_SETTLE = 0.6 + 0.25           # sleep + GC cost
 WARM_001 = 0.30                       # sf0.01 warm execution, typical

@@ -4,8 +4,11 @@ sf0.1 — for the adaptive bench harness (Bench.scala) and the pre-seal
 wall-budget gate (scripts/bench_budget_check.py).
 
 Sources, in precedence order:
-  1. the most recent FULL driver record in bench_records.jsonl
-     (subset:false, largest nq at the latest ts) — measured medians;
+  1. the most recent FULL record in bench_records.jsonl (subset:false,
+     nq ≥ 100; latest ts wins, ties broken by larger nq) — measured
+     medians. A later full record wins over an earlier larger one by
+     design: rebasing is about freshness, and nq only moves when the
+     registry itself changed;
   2. pre-stated band rows in docs/BENCH_NOTES.md of the form
      `| qNNN_name | a–b s |` — band midpoint, for queries added after
      the last full record;
@@ -31,7 +34,8 @@ def latest_full_record():
             r = json.loads(line)
             if r.get("subset") or r.get("nq", 0) < 100:
                 continue
-            if best is None or r.get("ts", "") > best.get("ts", ""):
+            key = (r.get("ts", ""), r.get("nq", 0))
+            if best is None or key > (best.get("ts", ""), best.get("nq", 0)):
                 best = r
     if best is None:
         sys.exit("no full-suite record in bench_records.jsonl")

@@ -164,8 +164,10 @@ object Bench {
           timed(fn) // warm rep at the bench SF (codegen + JIT)
           val v = timed(fn)
           // escalate a surprise: a "cheap" query measuring heavy gets
-          // the full discipline so bands compare like with like
-          if (v >= 0.6) heavyMeasure(fn, warm = false) else v
+          // the full discipline so bands compare like with like (same
+          // knob as classification — overriding SPARK_GRAFT_BENCH_THRESH
+          // must move both cutoffs together)
+          if (v >= heavyThresh) heavyMeasure(fn, warm = false) else v
         } else heavyMeasure(fn, warm = true)
       name -> med
     }
@@ -211,8 +213,14 @@ object Bench {
     }
     val stamp = java.time.Instant.now().toString
     val (loadavg, cpu, nproc) = hostId()
+    // agg label: in adaptive mode the cheap bulk is a single warm-shot
+    // measurement, only the ≥thresh tail carries a settled median —
+    // "adaptive" tells band adjudication not to read one-shot values as
+    // settled medians (an "median_of_3" label there would mislabel ~190
+    // of 317 values).
+    val agg = if (adaptive) "adaptive" else s"median_of_$reps"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"median_of_$reps","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate,"adaptive":$adaptive,"nq":${results.size},"subset":${only.isDefined},"loadavg":"$loadavg","cpu":"$cpu","nproc":$nproc}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"$agg","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate,"adaptive":$adaptive,"nq":${results.size},"subset":${only.isDefined},"loadavg":"$loadavg","cpu":"$cpu","nproc":$nproc}"""
     println(line)
     // ALSO persist the full record to a file: the driver's captured
     // stdout tail truncates past ~64 per-query medians; the file is

@@ -15,10 +15,47 @@ import graft.ops.{Dedup, Normalize, Upsert}
   *  - Housekeeping    ↔ app/housekeeping.py: retention delete on the
   *    curated table (filter-and-overwrite; on Delta this is DELETE FROM).
   *
-  * Snapshot persistence is read-merge-overwrite on parquet, keeping the
-  * harness dependency-free; production notes: Delta MERGE INTO / DELETE.
+  * Snapshot persistence is read-merge-publish on parquet, keeping the
+  * harness dependency-free.
+  *
+  * CRASH-CONSISTENCY CONTRACT (vs the reference's transactional
+  * `ON CONFLICT` upserts, app/main.py:633-648): snapshot maintenance
+  * writes the merged table to `<dir>__tmp`, then PUBLISHES it by rename
+  * — `<dir>` → `<dir>__old`, `<dir>__tmp` → `<dir>`, delete `__old` —
+  * so a COMPLETE snapshot exists on disk under one of the three names
+  * at every instant, and a crash at any point is recoverable by
+  * re-running the job (a leftover `__old`/`__tmp` from a crashed
+  * publish is swept at the next publish). What this does NOT give, and
+  * the reference's Postgres transaction does: reader isolation during
+  * the swap — between the two renames the target name is briefly
+  * absent, so a concurrent reader can see ENOENT (single-writer,
+  * no-concurrent-reader is the harness posture; the reference's poller
+  * is equally single-writer). A production deployment with concurrent
+  * readers swaps this seam for a transactional table format
+  * (Delta/Iceberg MERGE INTO / DELETE FROM), which is the documented
+  * SURVEY §7.3 note — the operator semantics above it are unchanged.
   */
 object Jobs {
+
+  /** Rename-publish `tmp` as `target` (the crash-consistency contract
+    * in the object scaladoc). Both paths must live on one filesystem —
+    * true by construction here (`__tmp` is a sibling).
+    */
+  private def publish(tmpDir: String, targetDir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    val tmp = new java.io.File(tmpDir)
+    val target = new java.io.File(targetDir)
+    val old = new java.io.File(targetDir + "__old")
+    if (old.exists()) rm(old) // leftover from a crashed publish
+    if (target.exists() && !target.renameTo(old))
+      throw new java.io.IOException(s"publish: could not stage $targetDir aside")
+    if (!tmp.renameTo(target))
+      throw new java.io.IOException(s"publish: could not rename $tmpDir to $targetDir")
+    rm(old)
+  }
 
   /** Retention: keep only rows with `tsCol` >= cutoff (the reference
     * deletes `observed_at < now() - interval Nd`, app/housekeeping.py:15-17).
@@ -31,9 +68,8 @@ object Jobs {
     val kept = retention(spark.read.parquet(tableDir), tsCol, cutoff)
     val tmp = tableDir + "__tmp"
     kept.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val out = spark.read.parquet(tmp)
-    val n = out.count()
-    out.write.mode(SaveMode.Overwrite).parquet(tableDir)
+    val n = spark.read.parquet(tmp).count()
+    publish(tmp, tableDir) // rename, not a second write — see contract above
     n
   }
 
@@ -78,9 +114,8 @@ object Jobs {
     val deduped = Dedup.firstWins(merged, Seq("station_id"), merged.columns.toSeq)
     val tmp = catalogDir + "__tmp"
     deduped.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val out = spark.read.parquet(tmp)
-    val n = out.count()
-    out.write.mode(SaveMode.Overwrite).parquet(catalogDir)
+    val n = spark.read.parquet(tmp).count()
+    publish(tmp, catalogDir) // rename, not a second write — see contract above
     n
   }
 }

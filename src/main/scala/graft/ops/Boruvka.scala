@@ -54,7 +54,10 @@ object Boruvka {
     * the same pass as their spanning forest — no separate CC job.
     */
   def forestWithLabels(edges: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
-    val e0 = edges.select(col("src"), col("dst"), col("w"))
+    // materialized ONCE: every round's cross join re-reads the edge set,
+    // and an uncut input replays its whole upstream plan (parquet scan +
+    // weight derivation in the q283 case) per round
+    val e0 = Checkpoints.cut(edges.select(col("src"), col("dst"), col("w")))
     val nodes = e0
       .select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node")))
@@ -62,43 +65,67 @@ object Boruvka {
 
     var labels = Checkpoints.cut(nodes.withColumn("comp", col("node")))
     var forest = e0.limit(0)
+    // each round's sel stays PERSISTED until the forest union is cut
+    // once after the loop — the r10 form checkpointed the growing
+    // forest per round (an eager job each time for a frame nothing
+    // reads until the end); deferring pays ONE materialization total,
+    // while the persisted sels keep the deferred union from replaying
+    // any round's join+aggregate
+    val sels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-    for (_ <- 1 to rounds) {
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
       val cross = e0
         .join(labels.select(col("node").as("src"), col("comp").as("ca")), Seq("src"))
         .join(labels.select(col("node").as("dst"), col("comp").as("cb")), Seq("dst"))
         .where(col("ca") =!= col("cb"))
-      // min carries (ca, cb) along: they are a function of (src, dst),
-      // so the (w, src, dst)-prefixed struct order picks the same edge
+      // ONE pass over the cross join: explode emits the edge under both
+      // endpoint components (the r10 union form evaluated the uncached
+      // three-way join twice — once per branch). min carries (ca, cb)
+      // along: they are a function of (src, dst), so the
+      // (w, src, dst)-prefixed struct order picks the same edge.
       val sel = cross
         .select(
-          col("ca").as("comp"),
-          struct(col("w"), col("src"), col("dst"), col("ca"), col("cb")).as("e"))
-        .unionByName(cross.select(
-          col("cb").as("comp"),
-          struct(col("w"), col("src"), col("dst"), col("ca"), col("cb")).as("e")))
+          struct(col("w"), col("src"), col("dst"), col("ca"), col("cb")).as("e"),
+          explode(array(col("ca"), col("cb"))).as("comp"))
         .groupBy(col("comp"))
         .agg(min(col("e")).as("e"))
       sel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // a cross edge chosen in round r merges its endpoints' components,
-      // so it can never be cross again — the union needs no re-distinct
-      forest = Checkpoints.cut(
-        forest.unionByName(
+      // materialize the cache NOW (one scalar job): hookLabels reads
+      // sel from two subtrees of one join — on an unmaterialized cache
+      // both sides recompute the cross join + aggregate (measured 2.5×
+      // on q283/q292 when the r10 forest checkpoint, which used to do
+      // this materialization as a side effect, was deferred). The count
+      // doubles as the EARLY EXIT: no cross edge left ⇒ the forest is
+      // complete and the remaining rounds would be no-ops.
+      val nCross = sel.count()
+      if (nCross == 0) {
+        sel.unpersist(blocking = false)
+        exhausted = true
+      } else {
+        sels += sel
+        // a cross edge chosen in round r merges its endpoints' components,
+        // so it can never be cross again — the union needs no re-distinct
+        forest = forest.unionByName(
           sel
             .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
-            .distinct()))
-      // invariant: comp labels after round r = CC of the forest after r
-      // rounds; THIS round's merge structure is the hook pointer
-      // p(comp) = the chosen edge's other-endpoint component
-      val merged = hookLabels(sel.select(
-        col("comp").as("c"),
-        when(col("comp") === col("e.ca"), col("e.cb")).otherwise(col("e.ca")).as("p")))
-      labels = Checkpoints.cut(
-        labels
-          .join(merged.select(col("c").as("comp"), col("p").as("c2")), Seq("comp"), "left")
-          .select(col("node"), coalesce(col("c2"), col("comp")).as("comp")))
-      sel.unpersist(blocking = false)
+            .distinct())
+        // invariant: comp labels after round r = CC of the forest after r
+        // rounds; THIS round's merge structure is the hook pointer
+        // p(comp) = the chosen edge's other-endpoint component
+        val merged = hookLabels(sel.select(
+          col("comp").as("c"),
+          when(col("comp") === col("e.ca"), col("e.cb")).otherwise(col("e.ca")).as("p")))
+        labels = Checkpoints.cut(
+          labels
+            .join(merged.select(col("c").as("comp"), col("p").as("c2")), Seq("comp"), "left")
+            .select(col("node"), coalesce(col("c2"), col("comp")).as("comp")))
+      }
+      r += 1
     }
+    forest = Checkpoints.cut(forest)
+    sels.foreach(_.unpersist(blocking = false))
     val canon = labels
       .groupBy(col("comp"))
       .agg(min(col("node")).as("canon"))
@@ -111,10 +138,14 @@ object Boruvka {
   /** Resolve the hook pseudo-forest `ptr` (c → p, out-degree exactly 1,
     * cycles only mutual 2-cycles) to root labels: break each 2-cycle at
     * the pair minimum (the root self-loops), then pointer-jump until
-    * p = p∘p everywhere. Every frame is ≤ |components| rows; each jump
-    * is one self-equi-join + one scalar emptiness probe, and the loop
-    * runs ⌈log₂ depth⌉ times — the frames are small and the loop
-    * bounded, so lineage is cut once at the end, not per jump.
+    * p = p∘p everywhere. Every frame is ≤ |components| rows; the loop
+    * BATCHES TWO jumps per iteration (p ← (p∘p)∘(p∘p), two self-joins)
+    * before paying the checkpoint + emptiness probe, so convergence
+    * costs ⌈log₄ depth⌉ probe round-trips instead of ⌈log₂ depth⌉ —
+    * on the shallow per-round hook forests (depth ≤ component count
+    * halvings) that halves the fixed driver-side overhead, which is
+    * the dominant cost at harness scale. Extra jumps past the root are
+    * no-ops (the root self-loops), so over-jumping is always safe.
     */
   private def hookLabels(ptr0: DataFrame): DataFrame = {
     val grand = ptr0.select(col("c").as("p"), col("p").as("pp"))
@@ -129,11 +160,15 @@ object Boruvka {
           when(col("pp") === col("c"), least(col("c"), col("p"))).otherwise(col("p")).as("p")))
     var done = false
     while (!done) {
-      val tbl = ptr.select(col("c").as("p"), col("p").as("pp"))
-      val j = Checkpoints.cut(
-        ptr.join(tbl, Seq("p")).select(col("c"), col("p"), col("pp")))
-      done = j.where(col("p") =!= col("pp")).isEmpty
-      ptr = j.select(col("c"), col("pp").as("p"))
+      // first jump (lazy — bounded lineage on the checkpointed ptr)
+      val t1 = ptr.select(col("c").as("p"), col("p").as("pp"))
+      val j1 = ptr.join(t1, Seq("p")).select(col("c"), col("pp").as("p"))
+      // second jump, then one checkpoint + one probe for the pair
+      val t2 = j1.select(col("c").as("p"), col("p").as("pp"))
+      val j2 = Checkpoints.cut(
+        j1.join(t2, Seq("p")).select(col("c"), col("p"), col("pp")))
+      done = j2.where(col("p") =!= col("pp")).isEmpty
+      ptr = j2.select(col("c"), col("pp").as("p"))
     }
     ptr
   }

@@ -52,6 +52,18 @@ object Components {
       .withColumn("comp", col("id"))
       .cutLineage()
 
+    // convergence probe: labels are MIN-MONOTONE (next(comp) =
+    // min(own, neighbors') ≤ own), so any change strictly decreases
+    // Σcomp — "sum unchanged" is an EXACT fixpoint test, not a hash.
+    // One tiny aggregate over the checkpointed frame replaces the r10
+    // join+filter+count (a full shuffle per round spent only on the
+    // convergence scalar). decimal(38,0) keeps the sum exact for any
+    // id domain (n·max_id < 10³⁸ for anything representable in int64).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -65,12 +77,10 @@ object Components {
         .groupBy(col("id"))
         .agg(min(col("comp")).as("comp"))
         .cutLineage()
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .count() // scalar convergence check — the one driver-side value
+      val nextSum = labelSum(next) // scalar convergence probe
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     sym.unpersist(blocking = false)
@@ -150,7 +160,9 @@ object Components {
     while (iter < maxIter && !converged) {
       // large star: neighbors v > u attach to min of u's closed nbhd.
       // (checkpointed: the next step's sym() reads it twice, and the
-      // canon distinct must not replay per consumer)
+      // canon distinct must not replay per consumer — a lazy persist
+      // here measured FLAT: the two sym() scans race to materialize
+      // the cache inside one job and recompute the window instead)
       val ls = canon(
         withMinNbr(sym(e)).filter(col("v") > col("u")).select(col("v").as("u"), col("m").as("v"))
       ).cutLineage()

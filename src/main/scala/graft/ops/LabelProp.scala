@@ -46,9 +46,16 @@ object LabelProp {
       .cutLineage()
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
+      // ONE exchange per round (r11): hash-partitioning the joined
+      // votes on dst ALONE satisfies the clustering requirement of
+      // both aggregates below (dst ⊆ {dst, label}) AND the join-back
+      // key (node = dst), so the count agg, the min-tie argmax, and
+      // the label update all run exchange-free on this partitioning —
+      // the r10 plan paid three shuffles for the same round
       val cnt = e
         .join(labels, e("src") === labels("node"))
         .select(col("dst"), col("label"))
+        .repartition(col("dst"))
         .groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("c"))
       // min-tie argmax in ONE aggregate: min(struct(-c, label)) orders

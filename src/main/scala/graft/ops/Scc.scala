@@ -29,7 +29,13 @@ import org.apache.spark.sql.functions._
   */
 object Scc {
 
-  /** Labels: (node, f, b) after `rounds` pull rounds each way.
+  /** Labels: (node, f, b) after AT MOST `rounds` pull rounds each way —
+    * the loop EXITS EARLY at the fixpoint: labels are min-monotone
+    * (next = min(own, pulled) ≤ own), so any change strictly decreases
+    * Σlbl and "sum unchanged" is an exact convergence test (one tiny
+    * aggregate on the checkpointed frame per round — the Components
+    * probe). `rounds` stays the caller's diameter bound; on graphs that
+    * converge sooner (most real ones) the tail rounds are never paid.
     * `edges` must expose (`src`, `dst`) long columns.
     */
   def fwbwLabels(edges: DataFrame, rounds: Int): DataFrame = {
@@ -39,10 +45,24 @@ object Scc {
       .distinct()
     def propagate(flip: Boolean): DataFrame = {
       val (a, bcol) = if (flip) ("dst", "src") else ("src", "dst")
-      var lab = nodes.withColumn("lbl", col("node"))
-      for (_ <- 1 to rounds) {
-        val pulled = edges
+      // pay the edge-side shuffle ONCE: every round joins on `succ`, so
+      // pre-hash-partition the projected edge frame on the join key and
+      // cut — the per-round join then plans no edge-side exchange (the
+      // LabelProp/PageRank discipline)
+      val proj = Checkpoints.cut(
+        edges
           .select(col(a).as("node"), col(bcol).as("succ"))
+          .repartition(col("succ")))
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+          .collect()(0)
+          .getDecimal(0)
+      var lab = Checkpoints.cut(nodes.withColumn("lbl", col("node")))
+      var prevSum = labelSum(lab)
+      var r = 0
+      var converged = false
+      while (r < rounds && !converged) {
+        val pulled = proj
           .join(lab.select(col("node").as("succ"), col("lbl")), Seq("succ"))
           .select(col("node"), col("lbl"))
         lab = Checkpoints.cut(
@@ -50,6 +70,10 @@ object Scc {
             .unionByName(pulled)
             .groupBy(col("node"))
             .agg(min(col("lbl")).as("lbl")))
+        val s = labelSum(lab)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        r += 1
       }
       lab
     }

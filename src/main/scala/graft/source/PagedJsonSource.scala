@@ -96,8 +96,17 @@ case class FetchConfig(
     maxRetries: Int = 5, // reference: retries < 5 for list pages
     backoffBaseMs: Long = 1000L, // reference: base_sleep = 1.0 s
     backoffStepMs: Long = 500L, // reference: +0.5 s per retry
-    paceMs: Long = 0L // reference: 0.03-0.1 s between requests
-)
+    paceMs: Long = 0L, // reference: 0.03-0.1 s between requests
+    transport: String = "file" // "file" (sidecar-simulated 429s) | "http"
+) {
+  def fetcher: PageFetcher = transport match {
+    case "file" => new FilePageFetcher
+    case "http" => new HttpPageFetcher
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown transport '$other' — expected 'file' or 'http'")
+  }
+}
 
 object FetchConfig {
   def fromOptions(options: CaseInsensitiveStringMap): FetchConfig = FetchConfig(
@@ -105,8 +114,118 @@ object FetchConfig {
     maxRetries = options.getInt("maxRetries", 5),
     backoffBaseMs = options.getLong("backoffBaseMs", 1000L),
     backoffStepMs = options.getLong("backoffStepMs", 500L),
-    paceMs = options.getLong("paceMs", 0L)
+    paceMs = options.getLong("paceMs", 0L),
+    transport = options.getOrDefault("transport", "file")
   )
+}
+
+/** TRANSPORT SEAM (SURVEY S1–S6; reference app/main.py:438-562): the
+  * paging/pushdown/budget/backoff semantics above are transport-
+  * independent — what varies is how pages are ENUMERATED (planning
+  * side) and how one fetch ATTEMPT is performed (executor side). A
+  * fetcher supplies exactly those two verbs; the shared reader owns
+  * the 429 retry/backoff/pacing loop and the scan owns the budget, so
+  * every transport inherits the reference's full fetch discipline.
+  * Implementations must be Serializable (the instance rides to
+  * executors inside the reader factory) and stateless — per-page
+  * state lives in the [[PageConnection]] they open.
+  */
+trait PageFetcher extends Serializable {
+  /** Planning side: enumerate page ids under `path` in page order —
+    * file paths for the file transport, URLs for HTTP. */
+  def listPages(path: String): Seq[String]
+
+  /** Executor side: start fetching one page. */
+  def open(page: String): PageConnection
+}
+
+/** One page's fetch state: `attempt(i)` performs the i-th try (0-based)
+  * and reports either a live 429 (Left) or the page body (Right).
+  * Non-429 failures throw — they are task failures, not retries.
+  */
+trait PageConnection {
+  def attempt(retryIdx: Int): Either[Unit, scala.io.Source]
+}
+
+/** Zero-egress transport: pages are local `page-*.jsonl` files and a
+  * 429 burst is simulated by a sidecar file `<page>.429` holding the
+  * number of consecutive 429 responses the "server" returns before the
+  * page succeeds. This is the transport the offline harness always
+  * exercises; the shared retry loop treats each simulated 429 exactly
+  * like a live one.
+  */
+class FilePageFetcher extends PageFetcher {
+  override def listPages(path: String): Seq[String] =
+    Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("page-") && f.getName.endsWith(".jsonl"))
+      .sortBy(_.getName)
+      .map(_.getAbsolutePath)
+      .toSeq
+
+  override def open(page: String): PageConnection = new PageConnection {
+    private val burst: Int = {
+      val sidecar = new java.io.File(page + ".429")
+      if (!sidecar.exists()) 0
+      else {
+        val src = scala.io.Source.fromFile(sidecar)
+        try {
+          val raw = src.mkString.trim
+          try raw.toInt
+          catch {
+            case _: NumberFormatException =>
+              throw new java.io.IOException(
+                s"malformed 429 sidecar ${sidecar.getPath}: expected an int, got '$raw'")
+          }
+        } finally src.close()
+      }
+    }
+    override def attempt(retryIdx: Int): Either[Unit, scala.io.Source] =
+      if (retryIdx < burst) Left(()) else Right(scala.io.Source.fromFile(page))
+  }
+}
+
+/** Live HTTP transport (drop-in when a networked deployment exists —
+  * the reference's actual mode, app/main.py:438-562): pages are
+  * enumerated from `<base>/index.txt` (one page name per line, the
+  * stand-in for the reference's `last_page` field) and each attempt is
+  * a plain GET; HTTP 429 feeds the shared backoff loop, any other
+  * non-200 fails the task. No auth/TLS options — the harness stub
+  * server speaks plain HTTP; a production deployment would extend
+  * `open` with headers, which is the point of the seam.
+  */
+class HttpPageFetcher extends PageFetcher {
+  private def get(url: String): Either[Unit, scala.io.Source] = {
+    val conn = new java.net.URL(url)
+      .openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    conn.getResponseCode match {
+      case 200 =>
+        Right(scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8"))
+      case 429 => conn.disconnect(); Left(())
+      case code =>
+        conn.disconnect()
+        throw new java.io.IOException(s"HTTP $code for $url")
+    }
+  }
+
+  override def listPages(path: String): Seq[String] = {
+    val base = path.stripSuffix("/")
+    get(s"$base/index.txt") match {
+      case Right(src) =>
+        try src.getLines().map(_.trim).filter(_.nonEmpty).map(n => s"$base/$n").toList
+        finally src.close()
+      case Left(_) =>
+        throw new java.io.IOException(
+          s"HTTP 429 listing $base/index.txt at planning time — " +
+            "retry the read (planning has no executor backoff loop)")
+    }
+  }
+
+  override def open(page: String): PageConnection = new PageConnection {
+    override def attempt(retryIdx: Int): Either[Unit, scala.io.Source] = get(page)
+  }
 }
 
 class PagedJsonTable(tableSchema: StructType, path: String) extends Table with SupportsRead {
@@ -160,22 +279,20 @@ class PagedJsonScan(readSchema: StructType, path: String, pushed: Array[Filter],
   override def description(): String =
     s"PagedJsonScan(path=$path, pushed=${pushed.mkString(",")}, budget=${cfg.requestBudget})"
 
-  /** One partition per page file — the pagination ↔ partition mapping.
-    * The L2 request budget caps how many pages are planned at all: like
-    * the reference at its 280-request limit, a budgeted scan returns the
-    * prefix it could afford instead of failing.
+  /** One partition per page — the pagination ↔ partition mapping
+    * (enumeration delegated to the transport seam). The L2 request
+    * budget caps how many pages are planned at all: like the reference
+    * at its 280-request limit, a budgeted scan returns the prefix it
+    * could afford instead of failing.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val pages = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("page-") && f.getName.endsWith(".jsonl"))
-      .sortBy(_.getName)
+    val pages = cfg.fetcher.listPages(path)
     if (pages.length > cfg.requestBudget) {
       logWarning(
         s"request budget reached: planning ${cfg.requestBudget} of ${pages.length} " +
           s"pages from $path (reference semantics: truncate, don't fail)")
     }
-    pages.take(cfg.requestBudget).map(f => PageInputPartition(f.getAbsolutePath): InputPartition)
+    pages.take(cfg.requestBudget).map(p => PageInputPartition(p): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -204,7 +321,10 @@ object PageReader {
   * executor — pacing first, then the 429 retry/backoff loop (reference
   * app/main.py:447-481): sleep backoffBase + backoffStep·retry between
   * attempts, fail the task after `maxRetries` consecutive 429s exactly
-  * as the reference re-raises after its retry cap.
+  * as the reference re-raises after its retry cap. The loop is
+  * transport-blind: each attempt goes through the [[PageFetcher]] seam,
+  * so the file sidecar simulation and a live HTTP 429 exercise the
+  * identical discipline.
   */
 class PageReader(file: String, readSchema: StructType, pushed: Array[Filter], cfg: FetchConfig)
     extends PartitionReader[InternalRow] {
@@ -217,35 +337,23 @@ class PageReader(file: String, readSchema: StructType, pushed: Array[Filter], cf
   private def fetch(): scala.io.Source = {
     if (cfg.paceMs > 0) Thread.sleep(cfg.paceMs)
     PageReader.fetches.incrementAndGet()
-    // sidecar protocol: "<page>.429" holds the number of consecutive 429
-    // responses the simulated server returns before this page succeeds
-    val sidecar = new java.io.File(file + ".429")
-    val burst =
-      if (!sidecar.exists()) 0
-      else {
-        val src = scala.io.Source.fromFile(sidecar)
-        try {
-          val raw = src.mkString.trim
-          try raw.toInt
-          catch {
-            case _: NumberFormatException =>
-              throw new java.io.IOException(
-                s"malformed 429 sidecar ${sidecar.getPath}: expected an int, got '$raw'")
-          }
-        } finally src.close()
+    val conn = cfg.fetcher.open(file)
+    var retryIdx = 0
+    while (true) {
+      conn.attempt(retryIdx) match {
+        case Right(src) => return src
+        case Left(_) =>
+          val retry = retryIdx + 1
+          if (retry > cfg.maxRetries)
+            throw new java.io.IOException(
+              s"HTTP 429 for page $file: gave up after ${cfg.maxRetries} retries " +
+                "(reference app/main.py:447-481 re-raises past its retry cap)")
+          PageReader.retried429.incrementAndGet()
+          Thread.sleep(cfg.backoffBaseMs + cfg.backoffStepMs * retry)
+          retryIdx = retry
       }
-    var got429 = 0
-    while (got429 < burst) {
-      val retry = got429 + 1
-      if (retry > cfg.maxRetries)
-        throw new java.io.IOException(
-          s"HTTP 429 for page $file: gave up after ${cfg.maxRetries} retries " +
-            "(reference app/main.py:447-481 re-raises past its retry cap)")
-      PageReader.retried429.incrementAndGet()
-      Thread.sleep(cfg.backoffBaseMs + cfg.backoffStepMs * retry)
-      got429 += 1
     }
-    scala.io.Source.fromFile(file)
+    throw new IllegalStateException("unreachable") // the loop returns or throws
   }
 
   private def matches(node: JsonNode): Boolean = pushed.forall {

@@ -39,6 +39,31 @@ class JobsSpec extends SparkSpec {
     assert(s1.getString(1) == "cityA" && s1.getDouble(2) == 9.0)
   }
 
+  test("rename-publish: no second write artifacts; crashed-publish leftovers swept") {
+    val base = Files.createTempDirectory("pub").toString
+    val dir = base + "/stations"
+    val first = Seq(("s1", Some("cityA"), Some(1.0), Some(2.0)))
+      .toDF("station_id", "city", "lat", "lon")
+    assert(Jobs.catalogRefresh(spark, first, dir) == 1)
+    // the publish contract: after a successful refresh only the target
+    // name exists — __tmp was renamed (not rewritten), __old was swept
+    assert(new java.io.File(dir).isDirectory)
+    assert(!new java.io.File(dir + "__tmp").exists())
+    assert(!new java.io.File(dir + "__old").exists())
+
+    // simulate a crash that died after staging the target aside:
+    // a stale __old must be swept by the next publish, not collide
+    val staleOld = new java.io.File(dir + "__old")
+    assert(staleOld.mkdir())
+    Files.writeString(java.nio.file.Path.of(staleOld.getPath, "junk"), "crashed run")
+    val update = Seq(("s2", Some("cityB"), Some(3.0), Some(4.0)))
+      .toDF("station_id", "city", "lat", "lon")
+    assert(Jobs.catalogRefresh(spark, update, dir) == 2)
+    assert(!new java.io.File(dir + "__old").exists())
+    assert(!new java.io.File(dir + "__tmp").exists())
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("writePartitioned bounds files per partition dir and round-trips rows") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("wp").toString

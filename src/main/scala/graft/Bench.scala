@@ -37,6 +37,14 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // loadavg at START as well as at record time (r11): the r10 seal
+    // record's heavy-tail inflation (median ratio 1.06 but 1.5-2.5× on
+    // the many-job iterative queries) could only be adjudicated against
+    // a same-day local record; bracketing loadavg makes interference
+    // self-evident from the record alone. A hard idle gate was
+    // CONSIDERED AND REJECTED: failing the driver's own seal bench on
+    // load would trade a noisy record for no record.
+    val (loadavgStart, _, _) = hostId()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Median-of-N per query for the heavy tail (default 3): single-JVM
@@ -220,7 +228,7 @@ object Bench {
     // of 317 values).
     val agg = if (adaptive) "adaptive" else s"median_of_$reps"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"$agg","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate,"adaptive":$adaptive,"nq":${results.size},"subset":${only.isDefined},"loadavg":"$loadavg","cpu":"$cpu","nproc":$nproc}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"$agg","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate,"adaptive":$adaptive,"nq":${results.size},"subset":${only.isDefined},"loadavg":"$loadavgStart","loadavg_end":"$loadavg","cpu":"$cpu","nproc":$nproc}"""
     println(line)
     // ALSO persist the full record to a file: the driver's captured
     // stdout tail truncates past ~64 per-query medians; the file is

@@ -1,0 +1,4662 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** exact-arithmetic laws, sketches, geometry
+  *
+  * Mechanical split of the former single-object registry (r11):
+  * statement order across the trait linearization in Queries.scala
+  * is the original file order, so val-initialization semantics are
+  * unchanged. See object Queries for the assembly.
+  */
+private[graft] trait QueriesExact {
+  this: QueriesCore with QueriesCuration with QueriesAnalytics with QueriesExact with QueriesGraph =>
+  // ---------------------------------------------------------------- q213
+  /** CALENDAR ARITHMETIC CERTIFICATE — month addition clamps to
+    * month-end identically on both engines (Jan 31 + 1 mo = Feb 28,
+    * leap Feb 29 + 12 mo = Feb 28), weeks truncate to Monday, plus
+    * day-of-year, quarter, last_day and an anchored day diff — over a
+    * literal grid of edge-case dates (month ends, leap day, year
+    * boundary).
+    */
+  def q213Calendar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dates = Seq(
+      "2026-01-31", "2026-08-14", "2024-02-29", "2025-12-31",
+      "2026-03-01", "2024-01-01")
+    dates
+      .toDF("ds")
+      .select(
+        col("ds"),
+        expr("cast(add_months(cast(ds as date), 1) as string)").as("plus_1m"),
+        expr("cast(add_months(cast(ds as date), 12) as string)").as("plus_12m"),
+        expr("cast(trunc(cast(ds as date), 'month') as string)").as("month_start"),
+        expr("cast(trunc(cast(ds as date), 'week') as string)").as("week_start"),
+        expr("dayofyear(cast(ds as date))").as("doy"),
+        expr("quarter(cast(ds as date))").as("q"),
+        expr("cast(last_day(cast(ds as date)) as string)").as("month_end"),
+        expr("datediff(cast(ds as date), cast('2024-01-01' as date))").as("days_since_anchor"))
+      .orderBy(col("ds"))
+  }
+
+  val q213Oracle: String =
+    """WITH d AS (
+      |  SELECT unnest(['2026-01-31', '2026-08-14', '2024-02-29', '2025-12-31',
+      |                 '2026-03-01', '2024-01-01']) AS ds
+      |)
+      |SELECT ds,
+      |  CAST(CAST(CAST(ds AS DATE) + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS plus_1m,
+      |  CAST(CAST(CAST(ds AS DATE) + INTERVAL 12 MONTH AS DATE) AS VARCHAR) AS plus_12m,
+      |  CAST(CAST(date_trunc('month', CAST(ds AS DATE)) AS DATE) AS VARCHAR) AS month_start,
+      |  CAST(CAST(date_trunc('week', CAST(ds AS DATE)) AS DATE) AS VARCHAR) AS week_start,
+      |  CAST(date_part('doy', CAST(ds AS DATE)) AS INT) AS doy,
+      |  CAST(quarter(CAST(ds AS DATE)) AS INT) AS q,
+      |  CAST(last_day(CAST(ds AS DATE)) AS VARCHAR) AS month_end,
+      |  CAST(datediff('day', DATE '2024-01-01', CAST(ds AS DATE)) AS INT) AS days_since_anchor
+      |FROM d
+      |ORDER BY ds""".stripMargin
+
+  // ---------------------------------------------------------------- q214
+  /** WINDOW FRAME SEMANTICS (RANGE vs ROWS) — with DUPLICATE order
+    * values, a RANGE frame includes all PEERS of the current row while
+    * a ROWS frame cuts at the physical row: the classic
+    * silently-different-totals trap. Certified on a tied key (epoch
+    * day): per type, Σ|range_cum − rows_cum| quantifies the peer mass,
+    * the law range ≥ rows rides per row (violations pinned 0), and the
+    * final row of each partition agrees under both frames (last peer
+    * group is complete). Plus the percent_rank single-row-partition
+    * edge (0/0 → 0.0, not NaN).
+    */
+  def q214FrameSemantics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        expr("ts_ns div 86400000000000").as("eday"),
+        lit(1L).as("one"),
+        col("event_id"))
+    val wRange = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("eday"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRows = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("eday"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val framed = ev
+      .withColumn("cum_range", sum(col("one")).over(wRange))
+      .withColumn("cum_rows", sum(col("one")).over(wRows))
+    val frames = framed
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cum_range") - col("cum_rows")).as("peer_mass"),
+        sum((col("cum_range") < col("cum_rows")).cast("long")).as("law_violations"),
+        max(col("cum_range")).as("final_range"),
+        max(col("cum_rows")).as("final_rows"))
+    // percent_rank on single-row partitions: 0/0 must define to 0.0
+    val pr1 = Tables
+      .events(s, dir)
+      .where(col("event_id") < 20)
+      .select(
+        col("event_id"),
+        percent_rank().over(
+          Window.partitionBy(col("event_id")).orderBy(col("ts_ns"))).as("pr"))
+      .agg(
+        count(lit(1)).as("n_single"),
+        sum((col("pr") === 0.0).cast("long")).as("n_pr_zero"))
+    frames
+      .crossJoin(broadcast(pr1))
+      .orderBy(col("event_type"))
+  }
+
+  val q214Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS eday,
+      |    CAST(1 AS BIGINT) AS one, event_id
+      |  FROM events
+      |), f AS (
+      |  SELECT event_type,
+      |    SUM(one) OVER (PARTITION BY event_type ORDER BY eday
+      |                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_range,
+      |    SUM(one) OVER (PARTITION BY event_type ORDER BY eday, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows
+      |  FROM ev
+      |), g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cum_range - cum_rows) AS BIGINT) AS peer_mass,
+      |    CAST(SUM(CASE WHEN cum_range < cum_rows THEN 1 ELSE 0 END) AS BIGINT) AS law_violations,
+      |    CAST(MAX(cum_range) AS BIGINT) AS final_range,
+      |    CAST(MAX(cum_rows) AS BIGINT) AS final_rows
+      |  FROM f GROUP BY event_type
+      |), p AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_single,
+      |    CAST(SUM(CASE WHEN pr = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pr_zero
+      |  FROM (
+      |    SELECT percent_rank() OVER (PARTITION BY event_id ORDER BY epoch_ns(ts)) AS pr
+      |    FROM events WHERE event_id < 20)
+      |)
+      |SELECT g.*, p.n_single, p.n_pr_zero
+      |FROM g, p
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q215
+  /** EMPTY-INPUT AGGREGATE CERTIFICATE — the zero-rows edge every
+    * report hits eventually: a GLOBAL aggregate over an empty relation
+    * returns exactly ONE row (count 0, sum/min/max NULL, bool_and
+    * vacuously true via min), while a GROUPED aggregate over the same
+    * empty relation returns ZERO rows. Both shapes certified on a
+    * filtered-to-empty events slice, with count(distinct) and avg
+    * riding along.
+    */
+  def q215EmptyInput(s: SparkSession, dir: String): DataFrame = {
+    val empty = Tables.events(s, dir).where(col("event_id") < 0)
+    val globalAgg = empty.agg(
+      count(lit(1)).as("n"),
+      count(col("value")).as("n_vals"),
+      countDistinct(col("user_id")).as("nd_users"),
+      sum(col("event_id")).as("sum_id"),
+      min(col("ts_ns")).as("min_ts"),
+      avg(col("value")).as("avg_val"))
+    val groupedRows = empty
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_groups"))
+    globalAgg
+      .crossJoin(broadcast(groupedRows))
+      .select(
+        col("n"),
+        col("n_vals"),
+        col("nd_users"),
+        col("sum_id").isNull.as("sum_is_null"),
+        col("min_ts").isNull.as("min_is_null"),
+        col("avg_val").isNull.as("avg_is_null"),
+        col("n_groups"))
+  }
+
+  val q215Oracle: String =
+    """WITH e AS (SELECT * FROM events WHERE event_id < 0),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT("value") AS BIGINT) AS n_vals,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_users,
+      |    SUM(event_id) IS NULL AS sum_is_null,
+      |    MIN(ts) IS NULL AS min_is_null,
+      |    AVG("value") IS NULL AS avg_is_null
+      |  FROM e
+      |), gr AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups FROM (
+      |    SELECT event_type, COUNT(*) FROM e GROUP BY event_type)
+      |)
+      |SELECT g.n, g.n_vals, g.nd_users, g.sum_is_null, g.min_is_null,
+      |  g.avg_is_null, gr.n_groups
+      |FROM g, gr""".stripMargin
+
+  // ---------------------------------------------------------------- q216
+  /** THREE-VALUED LOGIC COMPLEMENTS — the positive-IN and
+    * greatest/least null rules q165 didn't cover: `x IN (…, NULL, …)`
+    * is TRUE when found, UNKNOWN (not false!) when absent — so the
+    * filter keeps found rows and drops absent ones symmetrically with
+    * its negation dropping BOTH; and greatest/least skip nulls on both
+    * engines (null only when ALL inputs are null) — the opposite of
+    * the ANSI comparison rule, and exactly what coalesce-free cursor
+    * merges (A4/F14) rely on.
+    */
+  def q216ThreeValued(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        (col("user_id") % 10).as("m"),
+        when(col("event_id") % 3 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")).as("nv"))
+    val inList = ev
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("case when m in (2, null, 5) then 1 else 0 end")).as("n_in_found"),
+        sum(expr("case when m not in (2, null, 5) then 1 else 0 end")).as("n_not_in"),
+        sum(expr("case when m in (2, 5) then 1 else 0 end")).as("n_in_plain"))
+    val gl = ev.agg(
+      sum(expr("greatest(nv, 3)")).as("sum_greatest"),
+      sum(expr("least(nv, 3)")).as("sum_least"),
+      sum(expr("case when greatest(nv, cast(null as long)) is null then 1 else 0 end"))
+        .as("n_greatest_null"),
+      sum(col("nv").isNull.cast("long")).as("n_nv_null"))
+    inList
+      .crossJoin(broadcast(gl))
+      .select(
+        col("n"),
+        col("n_in_found"),
+        col("n_not_in"),
+        col("n_in_plain"),
+        (col("n_in_found") === col("n_in_plain")).as("in_found_law_ok"),
+        (col("n_not_in") === lit(0L)).as("not_in_unknown_law_ok"),
+        col("sum_greatest"),
+        col("sum_least"),
+        (col("n_greatest_null") === col("n_nv_null")).as("greatest_allnull_law_ok"))
+  }
+
+  val q216Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id % 10 AS m,
+      |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE user_id END AS nv
+      |  FROM events
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN m IN (2, NULL, 5) THEN 1 ELSE 0 END) AS BIGINT) AS n_in_found,
+      |  CAST(SUM(CASE WHEN m NOT IN (2, NULL, 5) THEN 1 ELSE 0 END) AS BIGINT) AS n_not_in,
+      |  CAST(SUM(CASE WHEN m IN (2, 5) THEN 1 ELSE 0 END) AS BIGINT) AS n_in_plain,
+      |  (SUM(CASE WHEN m IN (2, NULL, 5) THEN 1 ELSE 0 END)
+      |    = SUM(CASE WHEN m IN (2, 5) THEN 1 ELSE 0 END)) AS in_found_law_ok,
+      |  (SUM(CASE WHEN m NOT IN (2, NULL, 5) THEN 1 ELSE 0 END) = 0) AS not_in_unknown_law_ok,
+      |  CAST(SUM(greatest(nv, 3)) AS BIGINT) AS sum_greatest,
+      |  CAST(SUM(least(nv, 3)) AS BIGINT) AS sum_least,
+      |  (SUM(CASE WHEN greatest(nv, CAST(NULL AS BIGINT)) IS NULL THEN 1 ELSE 0 END)
+      |    = SUM(CASE WHEN nv IS NULL THEN 1 ELSE 0 END)) AS greatest_allnull_law_ok
+      |FROM ev""".stripMargin
+
+  // ---------------------------------------------------------------- q217
+  /** INTERVAL UNION (gaps-and-islands over OVERLAPPING intervals) —
+    * total covered time per user when event intervals [ts, ts + dur)
+    * overlap freely: a new island starts where start > max(all
+    * previous ends) (exclusive running max — touching intervals
+    * merge), the island id is the running sum of those starts, and
+    * each island covers max(end) − min(start). The declarative form of
+    * the classic stack merge; conservation (covered ≤ Σ dur, covered ≥
+    * max dur) rides as pinned law counts.
+    */
+  def q217IntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("ts_ns").as("st"),
+        (col("ts_ns") +
+          (lit(1L) + expr("cast(floor(value * 100 + 0.5) as bigint)") % 7200L) * 1000000000L)
+          .as("en"))
+      .withColumn("dur", col("en") - col("st"))
+    val wPrev = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("st"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("st"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = iv
+      .withColumn("pmax", max(col("en")).over(wPrev))
+      .withColumn("new_island", (col("pmax").isNull || col("st") > col("pmax")).cast("long"))
+      .withColumn("island", sum(col("new_island")).over(wCum))
+    val perIsland = islands
+      .groupBy(col("user_id"), col("island"))
+      .agg((max(col("en")) - min(col("st"))).as("cov"), sum(col("dur")).as("isl_dur"))
+    perIsland
+      .groupBy(col("user_id"))
+      .agg(
+        sum(lit(1L)).as("n_islands"),
+        sum(col("cov")).as("covered_ns"),
+        max(col("cov")).as("max_island_ns"),
+        sum((col("cov") > col("isl_dur")).cast("long")).as("cov_law_violations"))
+      .orderBy(col("user_id"))
+  }
+
+  val q217Oracle: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS st,
+      |    epoch_ns(ts) + (1 + CAST(floor("value" * 100 + 0.5) AS BIGINT) % 7200)
+      |      * 1000000000 AS en
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, event_id, st, en, en - st AS dur,
+      |    MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv
+      |), isl AS (
+      |  SELECT user_id, st, en, dur,
+      |    SUM(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY st, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM m
+      |), pi AS (
+      |  SELECT user_id, island, MAX(en) - MIN(st) AS cov, SUM(dur) AS isl_dur
+      |  FROM isl GROUP BY user_id, island
+      |)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |  CAST(SUM(cov) AS BIGINT) AS covered_ns,
+      |  CAST(MAX(cov) AS BIGINT) AS max_island_ns,
+      |  CAST(SUM(CASE WHEN cov > isl_dur THEN 1 ELSE 0 END) AS BIGINT) AS cov_law_violations
+      |FROM pi
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q218
+  /** LONGEST STREAK (gaps-and-islands on the day grid) — per user, the
+    * longest run of CONSECUTIVE active days via the classic
+    * `eday − dense_rank(eday)` island key (constant within a
+    * consecutive run, jumps across a gap); reported as the
+    * max-streak-length histogram. The canonical islands idiom, on
+    * integer epoch days so both engines agree to the day.
+    */
+  def q218LongestStreak(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables
+      .events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("eday"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("eday"))
+    val streaks = days
+      .withColumn("island", col("eday") - dense_rank().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"))
+    streaks
+      .groupBy(col("max_streak"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n_streaks")).as("total_streaks"))
+      .orderBy(col("max_streak"))
+  }
+
+  val q218Oracle: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS eday FROM events
+      |), i AS (
+      |  SELECT user_id,
+      |    eday - dense_rank() OVER (PARTITION BY user_id ORDER BY eday) AS island
+      |  FROM d
+      |), st AS (
+      |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM i GROUP BY user_id, island
+      |), mu AS (
+      |  SELECT user_id, MAX(len) AS max_streak, CAST(COUNT(*) AS BIGINT) AS n_streaks
+      |  FROM st GROUP BY user_id
+      |)
+      |SELECT CAST(max_streak AS BIGINT) AS max_streak,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(n_streaks) AS BIGINT) AS total_streaks
+      |FROM mu
+      |GROUP BY max_streak
+      |ORDER BY max_streak""".stripMargin
+
+  // ---------------------------------------------------------------- q219
+  /** AS-OF ENRICHMENT WITH BOUNDED STALENESS — the production as-of
+    * contract ([[graft.ops.AsOf.joinAsOf]], the union + carry-forward
+    * single-shuffle shape): every event carries the LATEST prior
+    * calibration record of its user (events ≡ 0 mod 13 play the
+    * calibration feed), then a freshness gate rejects carries older
+    * than 3 days — enriched/stale/missing accounted per type. Carry
+    * ties (same user, same ts) resolve by the payload struct order on
+    * both engines (the joinAsOf `__r` tie rule ↔ ORDER BY cts DESC,
+    * cvalue DESC).
+    */
+  def q219AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val Fresh = 3L * 86400000000000L
+    val ev = Tables.events(s, dir)
+    val calib = ev
+      .where(col("event_id") % 13 === 0)
+      .select(
+        col("user_id"),
+        col("ts_ns").as("cts"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cvalue"))
+    val lhs = ev
+      .where(col("event_id") % 13 =!= 0)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_ns"))
+    val joined = graft.ops.AsOf
+      .joinAsOf(lhs, calib, "user_id", "ts_ns", "cts", Seq("cts", "cvalue"))
+    joined
+      .withColumn(
+        "state",
+        when(col("cts").isNull, "missing")
+          .when(col("ts_ns") - col("cts") <= Fresh, "fresh")
+          .otherwise("stale"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("state") === "fresh").cast("long")).as("n_fresh"),
+        sum((col("state") === "stale").cast("long")).as("n_stale"),
+        sum((col("state") === "missing").cast("long")).as("n_missing"),
+        coalesce(sum(when(col("state") === "fresh", col("cvalue"))), lit(0L))
+          .as("sum_fresh_calib_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val q219Oracle: String =
+    """WITH c AS (
+      |  SELECT user_id, epoch_ns(ts) AS cts,
+      |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cvalue
+      |  FROM events WHERE event_id % 13 = 0
+      |), l AS (
+      |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS t
+      |  FROM events WHERE event_id % 13 <> 0
+      |), j AS (
+      |  SELECT l.event_type, l.event_id, l.t, c.cts, c.cvalue,
+      |    row_number() OVER (PARTITION BY l.event_id
+      |                       ORDER BY c.cts DESC, c.cvalue DESC) AS rn
+      |  FROM l LEFT JOIN c ON c.user_id = l.user_id AND c.cts <= l.t
+      |), pick AS (
+      |  SELECT event_type, t, cts, cvalue FROM j WHERE rn = 1
+      |), st AS (
+      |  SELECT event_type,
+      |    CASE WHEN cts IS NULL THEN 'missing'
+      |         WHEN t - cts <= 259200000000000 THEN 'fresh'
+      |         ELSE 'stale' END AS state, cvalue
+      |  FROM pick
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN state = 'fresh' THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+      |  CAST(SUM(CASE WHEN state = 'stale' THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+      |  CAST(SUM(CASE WHEN state = 'missing' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+      |  CAST(COALESCE(SUM(CASE WHEN state = 'fresh' THEN cvalue END), 0) AS BIGINT)
+      |    AS sum_fresh_calib_cents
+      |FROM st
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q220
+  /** TOP-K UNDER TIES — the rank/dense_rank/row_number contract that
+    * decides whether "top 3" can return more than 3 rows: on tied cent
+    * values per type, count rows admitted by rank() ≤ 3 (ties
+    * included, gaps after), dense_rank() ≤ 3 (ties included, no gaps —
+    * admits the most), and row_number() ≤ 3 (exactly 3, tie broken by
+    * the total order). The containment laws rn ≤ rank ≤ dense ride as
+    * pinned columns.
+    */
+  def q220TopkTies(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        col("event_id"),
+        expr("cast(floor(value * 100 + 0.5) as bigint) div 1000").as("coarse"))
+    val wTie = Window.partitionBy(col("event_type")).orderBy(col("coarse").desc)
+    val wTot = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("coarse").desc, col("event_id").asc)
+    ev.withColumn("rk", rank().over(wTie))
+      .withColumn("dk", dense_rank().over(wTie))
+      .withColumn("rn", row_number().over(wTot))
+      .groupBy(col("event_type"))
+      .agg(
+        sum((col("rn") <= 3).cast("long")).as("n_rownum3"),
+        sum((col("rk") <= 3).cast("long")).as("n_rank3"),
+        sum((col("dk") <= 3).cast("long")).as("n_dense3"))
+      .withColumn(
+        "containment_ok",
+        col("n_rownum3") <= col("n_rank3") && col("n_rank3") <= col("n_dense3"))
+      .orderBy(col("event_type"))
+  }
+
+  val q220Oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor("value" * 100 + 0.5) AS BIGINT) // 1000 AS coarse
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type,
+      |    rank() OVER (PARTITION BY event_type ORDER BY coarse DESC) AS rk,
+      |    dense_rank() OVER (PARTITION BY event_type ORDER BY coarse DESC) AS dk,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY coarse DESC, event_id ASC) AS rn
+      |  FROM e
+      |)
+      |SELECT event_type,
+      |  CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rownum3,
+      |  CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rank3,
+      |  CAST(SUM(CASE WHEN dk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dense3,
+      |  (SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END)
+      |     <= SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END)
+      |   AND SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END)
+      |     <= SUM(CASE WHEN dk <= 3 THEN 1 ELSE 0 END)) AS containment_ok
+      |FROM r
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q221
+  /** DETERMINISTIC NESTED SAMPLING — reproducible Bernoulli sampling
+    * via a portable content hash (md5-prefix integer mod 100, the
+    * q116 digest discipline — NOT rand(): a re-run, a different
+    * partitioning, or a different engine must select the SAME rows),
+    * with the nested-rates law: thresholded membership makes the 5%
+    * sample a strict subset of the 10% sample (violations pinned 0) —
+    * the property that lets a pipeline grow its sample without
+    * reshuffling history. Membership checksums certify the exact
+    * selected set, not just its size.
+    */
+  def q221NestedSampling(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("event_id"))
+      .withColumn(
+        "h",
+        expr("cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint) % 100"))
+      .withColumn("s5", col("h") < 5)
+      .withColumn("s10", col("h") < 10)
+    ev.agg(
+      count(lit(1)).as("n"),
+      sum(col("s5").cast("long")).as("n_s5"),
+      sum(col("s10").cast("long")).as("n_s10"),
+      sum((col("s5") && !col("s10")).cast("long")).as("nested_violations"),
+      coalesce(sum(when(col("s5"), col("event_id"))), lit(0L)).as("s5_id_sum"),
+      coalesce(sum(when(col("s10"), col("event_id"))), lit(0L)).as("s10_id_sum"))
+  }
+
+  val q221Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id,
+      |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h
+      |  FROM events
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN h < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_s5,
+      |  CAST(SUM(CASE WHEN h < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_s10,
+      |  CAST(SUM(CASE WHEN h < 5 AND NOT h < 10 THEN 1 ELSE 0 END) AS BIGINT) AS nested_violations,
+      |  CAST(COALESCE(SUM(CASE WHEN h < 5 THEN event_id END), 0) AS BIGINT) AS s5_id_sum,
+      |  CAST(COALESCE(SUM(CASE WHEN h < 10 THEN event_id END), 0) AS BIGINT) AS s10_id_sum
+      |FROM e""".stripMargin
+
+  // ---------------------------------------------------------------- q222
+  /** EQUI-DEPTH QUARTILE BOUNDARIES — per type, the discrete
+    * rank-selected q25/q50/q75 cut points of the cent values (the
+    * q92/q97 order-statistic recipe, here as a reusable boundary
+    * table), plus the equi-depth law: bucketing BY those boundaries
+    * puts between ⌊n/4⌋ and ⌈n/4⌉+ties rows in each bucket — the
+    * bucket-size spread is emitted so a drifting boundary rule shows
+    * up as numbers, not vibes.
+    */
+  def q222Equidepth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        col("event_id"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"), col("event_id"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val bounds = ranked
+      .where(
+        col("rn") === expr("(n + 3) div 4") ||
+          col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(3 * n + 1) div 4"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        min(when(col("rn") === expr("(n + 3) div 4"), col("cents"))).as("q25"),
+        min(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("q50"),
+        min(when(col("rn") === expr("(3 * n + 1) div 4"), col("cents"))).as("q75"))
+    val b2 = bounds.withColumnsRenamed(Map("event_type" -> "et2", "n" -> "n2"))
+    ev.join(broadcast(b2), col("event_type") === col("et2"))
+      .withColumn(
+        "bucket",
+        when(col("cents") <= col("q25"), 1)
+          .when(col("cents") <= col("q50"), 2)
+          .when(col("cents") <= col("q75"), 3)
+          .otherwise(4))
+      .groupBy(col("event_type"), col("q25"), col("q50"), col("q75"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("bucket") === 1).cast("long")).as("c1"),
+        sum((col("bucket") === 2).cast("long")).as("c2"),
+        sum((col("bucket") === 3).cast("long")).as("c3"),
+        sum((col("bucket") === 4).cast("long")).as("c4"))
+      .select(
+        col("event_type"), col("q25"), col("q50"), col("q75"), col("n"),
+        (col("c1") > 0).as("has_b1"),
+        col("c1").as("n_b1"),
+        col("c4").as("n_b4"),
+        (greatest(col("c1"), col("c2"), col("c3"), col("c4")) -
+          least(col("c1"), col("c2"), col("c3"), col("c4"))).as("bucket_spread"))
+      .orderBy(col("event_type"))
+  }
+
+  val q222Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev
+      |), b AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q25,
+      |    MIN(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS q50,
+      |    MIN(CASE WHEN rn = (3 * n + 1) // 4 THEN cents END) AS q75
+      |  FROM r
+      |  WHERE rn = (n + 3) // 4 OR rn = (n + 1) // 2 OR rn = (3 * n + 1) // 4
+      |  GROUP BY event_type
+      |), bk AS (
+      |  SELECT ev.event_type, b.q25, b.q50, b.q75,
+      |    CASE WHEN cents <= q25 THEN 1 WHEN cents <= q50 THEN 2
+      |         WHEN cents <= q75 THEN 3 ELSE 4 END AS bucket
+      |  FROM ev JOIN b ON b.event_type = ev.event_type
+      |), agg AS (
+      |  SELECT event_type, q25, q50, q75,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(SUM(CASE WHEN bucket = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+      |    CAST(SUM(CASE WHEN bucket = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+      |  FROM bk GROUP BY event_type, q25, q50, q75
+      |)
+      |SELECT event_type, q25, q50, q75, n,
+      |  (c1 > 0) AS has_b1, c1 AS n_b1, c4 AS n_b4,
+      |  CAST(GREATEST(c1, c2, c3, c4) - LEAST(c1, c2, c3, c4) AS BIGINT) AS bucket_spread
+      |FROM agg
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q223
+  /** NEW vs RETURNING — per day: users seen for the FIRST time
+    * (min-day argmin) vs returning actives, plus the cumulative unique
+    * count as the running sum of new arrivals — the identity that
+    * makes "cumulative distinct over time" computable without a
+    * distinct-per-prefix rescan (the mergeable-distinct q192 point, on
+    * the time axis).
+    */
+  def q223NewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = Tables
+      .events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("eday"))
+      .distinct()
+    val firstDay = ud.groupBy(col("user_id")).agg(min(col("eday")).as("fday"))
+    val daily = ud
+      .join(firstDay, Seq("user_id"))
+      .groupBy(col("eday"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum((col("eday") === col("fday")).cast("long")).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+    daily
+      .withColumn(
+        "cum_unique",
+        sum(col("n_new")).over(
+          Window.orderBy(col("eday")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(
+        col("eday").cast("long").as("eday"),
+        col("n_active"),
+        col("n_new"),
+        col("n_returning"),
+        col("cum_unique").cast("long").as("cum_unique"))
+      .orderBy(col("eday"))
+  }
+
+  val q223Oracle: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS eday FROM events
+      |), fd AS (
+      |  SELECT user_id, MIN(eday) AS fday FROM ud GROUP BY user_id
+      |), d AS (
+      |  SELECT ud.eday, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |    CAST(SUM(CASE WHEN ud.eday = fd.fday THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM ud JOIN fd ON fd.user_id = ud.user_id
+      |  GROUP BY ud.eday
+      |)
+      |SELECT CAST(eday AS BIGINT) AS eday, n_active, n_new,
+      |  n_active - n_new AS n_returning,
+      |  CAST(SUM(n_new) OVER (ORDER BY eday ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_unique
+      |FROM d
+      |ORDER BY eday""".stripMargin
+
+  // ---------------------------------------------------------------- q224
+  /** WEEK-OVER-WEEK GROWTH — weekly event counts per type with
+    * integer-ppm growth vs the prior week (floor((cur − prev)·10⁶ /
+    * prev) — negative growth floors toward −∞ identically on both
+    * engines because DuckDB // and Spark div BOTH truncate… which
+    * DIFFERS for negative quotients, so the growth ratio is computed
+    * on the NON-NEGATIVE shifted form cur·10⁶ div prev − 10⁶, keeping
+    * every division non-negative before the subtraction). First week
+    * has no prior and reports null growth.
+    */
+  def q224WowGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables
+      .events(s, dir)
+      .groupBy(
+        col("event_type"),
+        expr("(ts_ns div 86400000000000) div 7").as("wk"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+    weekly
+      .withColumn("prev", lag(col("cnt"), 1).over(w))
+      .select(
+        col("event_type"),
+        col("wk").cast("long").as("wk"),
+        col("cnt"),
+        col("prev"),
+        when(col("prev").isNull, lit(null))
+          .otherwise(expr("(cnt * 1000000) div prev - 1000000")).as("growth_ppm"))
+      .orderBy(col("event_type"), col("wk"))
+  }
+
+  val q224Oracle: String =
+    """WITH wv AS (
+      |  SELECT event_type, (epoch_ns(ts) // 86400000000000) // 7 AS wk,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), l AS (
+      |  SELECT event_type, wk, cnt,
+      |    lag(cnt) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+      |  FROM wv
+      |)
+      |SELECT event_type, CAST(wk AS BIGINT) AS wk, cnt, prev,
+      |  CASE WHEN prev IS NULL THEN NULL
+      |       ELSE CAST((cnt * 1000000) // prev - 1000000 AS BIGINT) END AS growth_ppm
+      |FROM l
+      |ORDER BY event_type, wk""".stripMargin
+
+
+  // ---------------------------------------------------------------- q225
+  /** MULTI-SOURCE BFS layers ([[graft.ops.Bfs]]) — shortest hop
+    * distance from a sparse seed set over the symmetrized shared block
+    * graph (q174/q184's), unrolled to depth 4. Seeds are the keys
+    * ≡ 3 (mod 50) — one per fifth block, so blocks WITH a seed fill in
+    * 1–3 hops while seedless blocks stay unreached (reported as
+    * dist −1): the histogram exercises first-reach assignment, the
+    * anti-join frontier discipline, AND the unreached complement in
+    * one contract. The oracle unrolls the same four frontier rounds as
+    * chained MATERIALIZED CTEs (the q184 discipline — each round
+    * references its predecessor twice) and must land on identical
+    * (bucket, dist) counts.
+    */
+  def q225BfsLayers(s: SparkSession, dir: String): DataFrame = {
+    val raw = blockGraph(s, dir)
+    val sym = raw
+      .select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(raw.select(col("v").as("src"), col("u").as("dst")))
+      .distinct()
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val seeds = nodes.filter(expr("node % 50 = 3"))
+    val reached = graft.ops.Bfs.layers(sym, seeds, maxDepth = 4)
+    val withDist = nodes
+      .join(reached, Seq("node"), "left")
+      .select(col("node"), coalesce(col("dist"), lit(-1)).as("dist"))
+    withDist
+      .groupBy(expr("node div 500").as("bucket"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("bucket"), col("dist"), col("n_nodes"))
+      .orderBy(col("bucket"), col("dist"))
+  }
+
+  val q225Oracle: String = {
+    def round(r: Int): String =
+      s"""f$r AS MATERIALIZED (
+         |  SELECT DISTINCT s.dst AS node FROM sym s JOIN f${r - 1} f ON f.node = s.src
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} v WHERE v.node = s.dst)),
+         |v$r AS MATERIALIZED (
+         |  SELECT node, dist FROM v${r - 1} UNION ALL SELECT node, $r AS dist FROM f$r),
+         |""".stripMargin
+    s"""WITH eset AS MATERIALIZED (
+       |$BlockGraphSql
+       |),
+       |sym AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM eset UNION SELECT v, u FROM eset),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+       |v0 AS MATERIALIZED (
+       |  SELECT node, 0 AS dist FROM nodes WHERE node % 50 = 3),
+       |f0 AS (SELECT node FROM v0),
+       |${round(1)}${round(2)}${round(3)}${round(4)}
+       |labeled AS (
+       |  SELECT n.node,
+       |         COALESCE(v.dist, -1) AS dist
+       |  FROM nodes n LEFT JOIN v4 v ON v.node = n.node)
+       |SELECT node // 500 AS bucket, CAST(dist AS INT) AS dist,
+       |       CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM labeled
+       |GROUP BY 1, 2
+       |ORDER BY bucket, dist""".stripMargin
+  }
+
+
+  // ---------------------------------------------------------------- q226
+  /** PII PATTERN SCAN + REDACTION accounting — the pre-training
+    * compliance pass: count per-source occurrences of five PII-shaped
+    * pattern classes (email, NANP-style phone, IPv4, SSN-shape, URL)
+    * and measure how many characters a full redaction removes. The
+    * corpus text carries no such patterns naturally, so deterministic
+    * decoys are synthesized from doc_id IDENTICALLY on both engines
+    * (the q121 discipline) — the certificate can never be vacuous.
+    * Patterns stay inside the Java-regex ∩ RE2 common subset (ASCII
+    * classes, bounded quantifiers, no lookaround, no alternation
+    * beyond `https?`), where both engines' leftmost-greedy
+    * non-overlapping scans agree; redaction replaces in a fixed
+    * URL→email→IP→SSN→phone order so class overlaps cannot
+    * double-count removed spans. One corpus scan, one per-source
+    * hash aggregate — map-side regex, no UDFs, no shuffle beyond the
+    * final |sources|-row rollup.
+    */
+  private[graft] val PiiEmailRe = graft.streaming.StreamingPii.EmailRe
+  private[graft] val PiiPhoneRe = graft.streaming.StreamingPii.PhoneRe
+  private[graft] val PiiIpRe = graft.streaming.StreamingPii.IpRe
+  private[graft] val PiiSsnRe = graft.streaming.StreamingPii.SsnRe
+  private[graft] val PiiUrlRe = graft.streaming.StreamingPii.UrlRe
+
+  def q226PiiScan(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val id = col("doc_id")
+    def sfx(cond: Column, piece: Column): Column =
+      when(cond, piece).otherwise(lit(""))
+    val aug = concat(
+      col("text"),
+      sfx(id % 5 === 0, concat(lit(" see https://example.org/doc/"), id.cast("string"))),
+      sfx(id % 7 === 0, concat(lit(" contact user"), id.cast("string"), lit("@example.com"))),
+      sfx(id % 11 === 0, concat(lit(" call 415-555-"), lpad((id % 10000).cast("string"), 4, "0"))),
+      sfx(id % 13 === 0, concat(lit(" from 10.0."), (id % 256).cast("string"), lit("."), ((id * 7) % 256).cast("string"))),
+      sfx(id % 17 === 0, concat(lit(" ssn 123-45-"), lpad((id % 10000).cast("string"), 4, "0")))
+    )
+    def cnt(re: String): Column =
+      size(regexp_extract_all(col("aug"), lit(re), lit(0))).cast("long")
+    val redacted = Seq(PiiUrlRe, PiiEmailRe, PiiIpRe, PiiSsnRe, PiiPhoneRe)
+      .foldLeft(col("aug"))((c, re) => regexp_replace(c, re, ""))
+    docs
+      .withColumn("aug", aug)
+      .select(
+        col("source"),
+        cnt(PiiEmailRe).as("e"),
+        cnt(PiiPhoneRe).as("p"),
+        cnt(PiiIpRe).as("i"),
+        cnt(PiiSsnRe).as("n"),
+        cnt(PiiUrlRe).as("u"),
+        (length(col("aug")) - length(redacted)).cast("long").as("rc")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("e")).as("n_emails"),
+        sum(col("p")).as("n_phones"),
+        sum(col("i")).as("n_ips"),
+        sum(col("n")).as("n_ssns"),
+        sum(col("u")).as("n_urls"),
+        sum(col("rc")).as("redacted_chars")
+      )
+      .orderBy(col("source"))
+  }
+
+  val q226Oracle: String = {
+    s"""WITH aug AS (
+       |  SELECT source,
+       |    text
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/doc/' || CAST(doc_id AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    AS a
+       |  FROM documents)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(a, '$PiiEmailRe'))) AS BIGINT) AS n_emails,
+       |  CAST(SUM(len(regexp_extract_all(a, '$PiiPhoneRe'))) AS BIGINT) AS n_phones,
+       |  CAST(SUM(len(regexp_extract_all(a, '$PiiIpRe'))) AS BIGINT) AS n_ips,
+       |  CAST(SUM(len(regexp_extract_all(a, '$PiiSsnRe'))) AS BIGINT) AS n_ssns,
+       |  CAST(SUM(len(regexp_extract_all(a, '$PiiUrlRe'))) AS BIGINT) AS n_urls,
+       |  CAST(SUM(length(a) - length(
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |      a, '$PiiUrlRe', '', 'g'), '$PiiEmailRe', '', 'g'), '$PiiIpRe', '', 'g'),
+       |      '$PiiSsnRe', '', 'g'), '$PiiPhoneRe', '', 'g'))) AS BIGINT) AS redacted_chars
+       |FROM aug
+       |GROUP BY source
+       |ORDER BY source"""
+  }.stripMargin
+
+
+  // ---------------------------------------------------------------- q227
+  /** KEY-SKEW DIAGNOSTICS REPORT — the numbers an operator looks at
+    * before choosing salting/AQE settings for a 100 TB shuffle: for
+    * each join-key distribution (lineitem by l_suppkey, orders by
+    * o_custkey) the key cardinality, row count, heaviest-key and
+    * top-10-key load shares, and the exact GINI concentration
+    * coefficient — all in integer/ppm arithmetic so the certificate is
+    * engine-exact. Gini comes from the rank-weighted form
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over counts ranked ascending;
+    * the ranking uses [[graft.ops.Rank.rankWithin]] (range-binned
+    * two-pass — no single-task global window even when the key table
+    * itself is huge), and the oracle replays the plain single-window
+    * definition the two-pass must equal (the q117 discipline).
+    * Per-row products are widened to decimal(38,0)/HUGEINT BEFORE the
+    * sum (the q170 overflow rule).
+    */
+  def q227SkewGini(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").cast("long").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rel", lit("lineitem_suppkey"))
+    val ord = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").cast("long").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rel", lit("orders_custkey"))
+    val freq = li.unionByName(ord)
+    val ranked = graft.ops.Rank
+      .rankWithin(freq, Seq("rel"), col("cnt"), col("key"), "rnk")
+      .withColumn("ixi", col("rnk").cast("decimal(38,0)") * col("cnt").cast("decimal(38,0)"))
+    val tot = ranked
+      .groupBy(col("rel"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("top1"),
+        sum(col("ixi")).as("sum_ixi")
+      )
+    val top10 = ranked
+      .join(tot.select(col("rel"), col("n_keys").as("nk")), Seq("rel"))
+      .filter(col("rnk") > col("nk") - 10)
+      .groupBy(col("rel"))
+      .agg(sum(col("cnt")).as("top10"))
+    tot
+      .join(top10, Seq("rel"))
+      .select(
+        col("rel"),
+        col("n_keys"),
+        col("n_rows"),
+        expr("cast((top1 * 1000000) div n_rows as bigint)").as("top1_ppm"),
+        expr("cast((top10 * 1000000) div n_rows as bigint)").as("top10_ppm"),
+        expr(
+          "cast(((2 * sum_ixi - (n_keys + 1) * cast(n_rows as decimal(38,0))) * 1000000) div (n_keys * cast(n_rows as decimal(38,0))) as bigint)"
+        ).as("gini_ppm")
+      )
+      .orderBy(col("rel"))
+  }
+
+  val q227Oracle: String =
+    """WITH freq AS (
+      |  SELECT 'lineitem_suppkey' AS rel, CAST(l_suppkey AS BIGINT) AS key,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'orders_custkey', CAST(o_custkey AS BIGINT),
+      |         CAST(COUNT(*) AS BIGINT)
+      |  FROM orders GROUP BY 2),
+      |ranked AS (
+      |  SELECT rel, key, cnt,
+      |         ROW_NUMBER() OVER (PARTITION BY rel ORDER BY cnt, key) AS rnk
+      |  FROM freq),
+      |tot AS (
+      |  SELECT rel,
+      |         CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |         CAST(MAX(cnt) AS BIGINT) AS top1,
+      |         SUM(CAST(rnk AS HUGEINT) * CAST(cnt AS HUGEINT)) AS sum_ixi
+      |  FROM ranked GROUP BY rel),
+      |t10 AS (
+      |  SELECT r.rel, CAST(SUM(r.cnt) AS BIGINT) AS top10
+      |  FROM ranked r JOIN tot t ON t.rel = r.rel
+      |  WHERE r.rnk > t.n_keys - 10
+      |  GROUP BY r.rel)
+      |SELECT t.rel, t.n_keys, t.n_rows,
+      |  CAST((t.top1 * 1000000) // t.n_rows AS BIGINT) AS top1_ppm,
+      |  CAST((t10.top10 * 1000000) // t.n_rows AS BIGINT) AS top10_ppm,
+      |  CAST(((2 * t.sum_ixi - (t.n_keys + 1) * CAST(t.n_rows AS HUGEINT)) * 1000000)
+      |       // (t.n_keys * CAST(t.n_rows AS HUGEINT)) AS BIGINT) AS gini_ppm
+      |FROM tot t JOIN t10 ON t10.rel = t.rel
+      |ORDER BY t.rel""".stripMargin
+
+
+  // ---------------------------------------------------------------- q228
+  /** LENGTH-MATCHED NEGATIVE SAMPLING for contrastive training — for
+    * each anchor document, pick 3 deterministic "hard-ish" negatives
+    * from the SAME length bucket but a DIFFERENT source (length-matched
+    * so the pair can't be separated by a length shortcut; cross-source
+    * so trivial near-dups are excluded). Selection is a pure function
+    * of (anchor_id, candidate_id): the md5-prefix integer of the pair
+    * key ranks candidates (the q85/q221 seeded-hash discipline), so
+    * the sample replays exactly on any engine and any partitioning.
+    * Scale shape: candidates come from a bucket-equi join (bounded by
+    * per-bucket population, never all-pairs), ranking is a window over
+    * fine-grained per-anchor groups, and no state collects anywhere.
+    */
+  def q228NegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        expr("n_chars div 100").as("bucket"))
+    val anchors = docs
+      .filter(col("doc_id") % 9 === 0)
+      .select(
+        col("doc_id").as("anchor_id"),
+        col("source").as("a_source"),
+        col("bucket"))
+    val cand = anchors
+      .join(docs, Seq("bucket"))
+      .filter(col("source") =!= col("a_source") && col("doc_id") =!= col("anchor_id"))
+      .withColumn(
+        "rk",
+        conv(
+          substring(
+            md5(concat(col("anchor_id").cast("string"), lit(":"), col("doc_id").cast("string"))),
+            1, 15),
+          16, 10).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("rk"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("anchor_id"))
+    cand
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .withColumn("n_cands", count(lit(1)).over(wAll))
+      .filter(col("neg_rank") <= 3)
+      .select(col("anchor_id"), col("neg_rank"), col("doc_id").as("neg_id"), col("n_cands"))
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
+
+  val q228Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars // 100 AS bucket FROM documents),
+      |anchors AS (
+      |  SELECT doc_id AS anchor_id, source AS a_source, bucket
+      |  FROM d WHERE doc_id % 9 = 0),
+      |cand AS (
+      |  SELECT a.anchor_id, c.doc_id AS neg_id,
+      |    CAST(('0x' || substr(md5(CAST(a.anchor_id AS VARCHAR) || ':' || CAST(c.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk
+      |  FROM anchors a
+      |  JOIN d c ON c.bucket = a.bucket
+      |   AND c.source <> a.a_source AND c.doc_id <> a.anchor_id),
+      |ranked AS (
+      |  SELECT anchor_id, neg_id,
+      |    ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY rk, neg_id) AS neg_rank,
+      |    COUNT(*) OVER (PARTITION BY anchor_id) AS n_cands
+      |  FROM cand)
+      |SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+      |       CAST(neg_rank AS BIGINT) AS neg_rank,
+      |       CAST(neg_id AS BIGINT) AS neg_id,
+      |       CAST(n_cands AS BIGINT) AS n_cands
+      |FROM ranked
+      |WHERE neg_rank <= 3
+      |ORDER BY anchor_id, neg_rank""".stripMargin
+
+
+  // ---------------------------------------------------------------- q229
+  /** QUALITY-FILTER ABLATION MATRIX — the study a curation team runs
+    * before committing to a filter stack: partition the corpus by the
+    * 2³ = 8 pass/fail combinations of three independent gates (length
+    * 40–1000 tokens, uniqueness 2·n_uniq ≥ n_tokens, stopword evidence
+    * ≥ 2) and report each cell's document and token mass, so the
+    * marginal cost of every gate (and every gate INTERACTION) is one
+    * row read. Predicates are integer-exact (no float thresholds to
+    * drift cross-engine); a single corpus scan feeds one 8-group
+    * aggregate — the ablation costs the same as one filter pass
+    * regardless of how many gates are studied. Token columns replay
+    * relationally in DuckDB (the q21 list-function mirror).
+    */
+  def q229FilterAblation(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextStats.tokens(col("text"))
+    val stopList = Seq("the", "a", "of", "and", "is", "to", "in")
+    Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn(
+        "n_stop",
+        size(filter(col("toks"), t => t.isin(stopList: _*))).cast("long"))
+      .withColumn(
+        "mask",
+        (when(col("n_tok").between(40, 1000), 4).otherwise(0) +
+          when(col("n_uniq") * 2 >= col("n_tok"), 2).otherwise(0) +
+          when(col("n_stop") >= 2, 1).otherwise(0)).cast("int"))
+      .groupBy(col("mask"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_uniq")).as("n_uniq_tokens"))
+      .orderBy(col("mask"))
+  }
+
+  val q229Oracle: String =
+    """WITH t AS (
+      |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
+      |), f AS (
+      |  SELECT
+      |    CAST(len(toks) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+      |    CAST(len(list_filter(toks, x ->
+      |      list_contains(['the','a','of','and','is','to','in'], x))) AS BIGINT) AS n_stop
+      |  FROM t
+      |)
+      |SELECT CAST(CASE WHEN n_tok BETWEEN 40 AND 1000 THEN 4 ELSE 0 END
+      |          + CASE WHEN n_uniq * 2 >= n_tok THEN 2 ELSE 0 END
+      |          + CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS mask,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_uniq) AS BIGINT) AS n_uniq_tokens
+      |FROM f
+      |GROUP BY 1
+      |ORDER BY mask""".stripMargin
+
+
+  // ---------------------------------------------------------------- q230
+  /** SET-SIMILARITY SELF-JOIN via PREFIX FILTERING
+    * ([[graft.ops.PrefixJoin]], PPJoin family) — every document pair
+    * with token-set Jaccard ≥ 3/5, found through the rarest-first
+    * prefix inverted index instead of the all-pairs product. Distinct
+    * pruning theorem from the engine's other near-dup paths (MinHash
+    * banding = probabilistic, SparseSim df-cap = cosine + weight
+    * bound; the prefix lemma is EXACT for Jaccard — zero false
+    * negatives by construction, spec-proved against brute force). The
+    * oracle replays the entire pipeline relationally — df ranks,
+    * integer ⌈t·n⌉ prefixes, candidate join, exact rational verify —
+    * with zero embedded literals.
+    *
+    * BOUNDED audit slice (doc_id < 600, the q46/q91 class): this
+    * corpus carries template families where thousands of docs are
+    * mutually ≥ 0.6-similar, so "emit every qualifying pair" is
+    * quadratic IN ITS OUTPUT by definition (measured: 7.1M pairs /
+    * 153 s at sf0.1 unbounded). The production composition is
+    * PrefixJoin → Components → one representative per cluster
+    * (assignments, linear output — the q33 shape); the slice keeps
+    * this row's purpose (certifying the prefix lemma end-to-end
+    * against the oracle) at bounded cost.
+    */
+  def q230PpJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PrefixJoin
+      .jaccardSelfJoin(
+        Tables.documents(s, dir).filter(col("doc_id") < 600),
+        "doc_id", "text", 3, 5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q230Oracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id AS id,
+      |         list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+      |  FROM documents WHERE doc_id < 600),
+      |tk2 AS (
+      |  SELECT id, ts, CAST(len(ts) AS BIGINT) AS n FROM tk WHERE len(ts) > 0),
+      |posting AS (
+      |  SELECT id, n, unnest(ts) AS tok FROM tk2),
+      |dfreq AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM posting GROUP BY tok),
+      |pos AS (
+      |  SELECT p.id, p.n, p.tok,
+      |         ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY d.df, p.tok) AS pos
+      |  FROM posting p JOIN dfreq d ON d.tok = p.tok),
+      |prefix AS (
+      |  SELECT tok, id FROM pos WHERE pos <= n - ((3 * n + 4) // 5) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM prefix a JOIN prefix b ON b.tok = a.tok AND b.id > a.id),
+      |v AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS inter,
+      |         ta.n + tb.n AS nsum
+      |  FROM cand c
+      |  JOIN tk2 ta ON ta.id = c.id_a
+      |  JOIN tk2 tb ON tb.id = c.id_b)
+      |SELECT id_a, id_b, inter, nsum - inter AS uni,
+      |       CAST((inter * 1000000) // (nsum - inter) AS BIGINT) AS jaccard_ppm
+      |FROM v
+      |WHERE inter * 5 >= (nsum - inter) * 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+
+  // ---------------------------------------------------------------- q231
+  /** PHRASE SEARCH over a positional n-gram index — the inverted-index
+    * primitive behind "find every document containing this exact
+    * 3-token phrase". To keep the certificate literal-free AND
+    * non-vacuous, the probe phrase is derived IN-QUERY on both
+    * engines: the corpus-wide most frequent 3-gram (ties → smallest
+    * gram string), then every document's exact occurrence count of
+    * that phrase is aggregated per source. Exercises order-preserving
+    * n-gram construction (positions, not bags), a corpus-wide argmax
+    * with deterministic ties (the min(struct) idiom), and a broadcast
+    * scalar probe — one corpus scan for the index, one for the match.
+    */
+  def q231PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val toksed = Tables.documents(s, dir)
+      .withColumn("toks", TextStats.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("grams", TextStats.ngrams(col("toks"), 3))
+    val top = toksed
+      .select(explode(col("grams")).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("c"))
+      .agg(min(struct((-col("c")).as("nc"), col("g").as("g"))).as("m"))
+      .select(col("m.g").as("phrase"))
+    toksed
+      .crossJoin(broadcast(top))
+      .withColumn(
+        "occ",
+        size(filter(col("grams"), x => x === col("phrase"))).cast("long"))
+      .filter(col("occ") > 0)
+      .groupBy(col("source"), col("phrase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
+      .orderBy(col("source"))
+  }
+
+  val q231Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |t3 AS (SELECT * FROM t WHERE len(toks) >= 3),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    list_transform(range(0, len(toks) - 2),
+      |                   i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) AS grams
+      |  FROM t3),
+      |cnt AS (
+      |  SELECT gr, COUNT(*) AS c FROM (SELECT unnest(grams) AS gr FROM g) GROUP BY gr),
+      |top AS (SELECT gr AS phrase FROM cnt ORDER BY c DESC, gr LIMIT 1),
+      |m AS (
+      |  SELECT g.source, top.phrase,
+      |         CAST(len(list_filter(g.grams, x -> x = top.phrase)) AS BIGINT) AS occ
+      |  FROM g, top)
+      |SELECT source, phrase,
+      |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(occ) AS BIGINT) AS n_occ
+      |FROM m
+      |WHERE occ > 0
+      |GROUP BY source, phrase
+      |ORDER BY source""".stripMargin
+
+
+  // ---------------------------------------------------------------- q232
+  /** MERKLE-STYLE HIERARCHICAL SNAPSHOT DIFF — reconcile two table
+    * snapshots by drilling down through range digests instead of
+    * joining every row: level-1 ranges (key div 512) compare
+    * (sum-mod-2⁶¹−1 digest, count); only DIVERGENT ranges descend to
+    * level-2 (div 64); only divergent level-2 ranges pay the
+    * row-level full-outer join. At 100 TB this reads the full table
+    * once for digests and touches row data only inside changed ranges
+    * — the anti-entropy shape (Dynamo/Cassandra repair trees), built
+    * here from the engine's q116/q123 digest family. Snapshot B is a
+    * deterministic perturbation of orders (delete keys ≡ 0 mod 97,
+    * modify payload of keys ≡ 0 mod 101), so add/delete/modify counts
+    * are non-vacuous; the certificate computes the SAME diff both via
+    * the drill-down and via the direct all-rows join and pins their
+    * equality as verdict columns. Digests are md5-prefix integers
+    * (engine-portable; the q116 '0x'-cast ↔ conv() bridge).
+    */
+  def q232MerkleDiff(s: SparkSession, dir: String): DataFrame = {
+    val M = lit(2305843009213693951L) // 2^61 - 1
+    def digest(key: Column, payload: Column): Column =
+      conv(substring(md5(concat(key.cast("string"), lit("|"), payload)), 1, 15), 16, 10)
+        .cast("long") % M
+    val a = Tables.orders(s, dir)
+      .select(
+        col("o_orderkey").as("key"),
+        concat(col("o_custkey").cast("string"), lit("|"), col("o_orderstatus")).as("payload"))
+    val b = a
+      .filter(col("key") % 997 =!= 0) // deletions
+      .withColumn(
+        "payload",
+        when(col("key") % 1009 === 0, concat(col("payload"), lit("|X")))
+          .otherwise(col("payload"))) // modifications
+    def digested(t: DataFrame) = t
+      .withColumn("dig", digest(col("key"), col("payload")))
+      .withColumn("r1", expr("key div 512"))
+      .withColumn("r2", expr("key div 64"))
+    val da = digested(a).persist()
+    val db = digested(b).persist()
+    def level(t: DataFrame, rc: String) = t
+      .groupBy(col(rc))
+      .agg(sum(col("dig")).as("sd"), count(lit(1)).as("cnt"))
+    // level 1: full outer digest compare
+    val l1 = level(da, "r1").as("x")
+      .join(level(db, "r1").as("y"), col("x.r1") === col("y.r1"), "full_outer")
+      .select(
+        coalesce(col("x.r1"), col("y.r1")).as("r1"),
+        (!(col("x.sd") <=> col("y.sd")) || !(col("x.cnt") <=> col("y.cnt"))).as("div1"))
+    val divR1 = l1.filter(col("div1")).select(col("r1"))
+    // level 2 only inside divergent level-1 ranges (semi-join pruning)
+    def pruneL2(t: DataFrame) = level(
+      t.join(broadcast(divR1), t("r1") === divR1("r1"), "left_semi"), "r2")
+    val l2 = pruneL2(da).as("x")
+      .join(pruneL2(db).as("y"), col("x.r2") === col("y.r2"), "full_outer")
+      .select(
+        coalesce(col("x.r2"), col("y.r2")).as("r2"),
+        (!(col("x.sd") <=> col("y.sd")) || !(col("x.cnt") <=> col("y.cnt"))).as("div2"))
+    val divR2 = l2.filter(col("div2")).select(col("r2"))
+    // row-level diff only inside divergent level-2 ranges
+    def pruneRows(t: DataFrame) =
+      t.join(broadcast(divR2), t("r2") === divR2("r2"), "left_semi")
+        .select(col("key"), col("dig"))
+    val rowDiff = pruneRows(da).as("x")
+      .join(pruneRows(db).as("y"), col("x.key") === col("y.key"), "full_outer")
+      .agg(
+        sum(when(col("x.key").isNotNull && col("y.key").isNotNull &&
+          col("x.dig") =!= col("y.dig"), 1L).otherwise(0L)).as("n_mod"),
+        sum(when(col("y.key").isNull, 1L).otherwise(0L)).as("n_del"),
+        sum(when(col("x.key").isNull, 1L).otherwise(0L)).as("n_add"))
+    // direct full diff (no narrowing) — the certificate's ground truth
+    val direct = da.select(col("key"), col("dig")).as("x")
+      .join(db.select(col("key"), col("dig")).as("y"), col("x.key") === col("y.key"), "full_outer")
+      .agg(
+        sum(when(col("x.key").isNotNull && col("y.key").isNotNull &&
+          col("x.dig") =!= col("y.dig"), 1L).otherwise(0L)).as("d_mod"),
+        sum(when(col("y.key").isNull, 1L).otherwise(0L)).as("d_del"),
+        sum(when(col("x.key").isNull, 1L).otherwise(0L)).as("d_add"))
+    val counts = l1.agg(
+      count(lit(1)).as("n_l1"),
+      sum(when(col("div1"), 1L).otherwise(0L)).as("n_l1_div"))
+      .crossJoin(l2.agg(
+        count(lit(1)).as("n_l2_checked"),
+        sum(when(col("div2"), 1L).otherwise(0L)).as("n_l2_div")))
+    counts
+      .crossJoin(rowDiff)
+      .crossJoin(direct)
+      .select(
+        col("n_l1"), col("n_l1_div"), col("n_l2_checked"), col("n_l2_div"),
+        col("n_mod"), col("n_del"), col("n_add"),
+        (col("n_mod") === col("d_mod")).as("mod_ok"),
+        (col("n_del") === col("d_del")).as("del_ok"),
+        (col("n_add") === col("d_add")).as("add_ok"))
+  }
+
+  val q232Oracle: String =
+    """WITH a AS (
+      |  SELECT o_orderkey AS key,
+      |         CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus AS payload
+      |  FROM orders),
+      |b AS (
+      |  SELECT key,
+      |         CASE WHEN key % 1009 = 0 THEN payload || '|X' ELSE payload END AS payload
+      |  FROM a WHERE key % 997 <> 0),
+      |da AS (
+      |  SELECT key, key // 512 AS r1, key // 64 AS r2,
+      |    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '|' || payload), 1, 15)) AS BIGINT)
+      |      % 2305843009213693951 AS dig
+      |  FROM a),
+      |db AS (
+      |  SELECT key, key // 512 AS r1, key // 64 AS r2,
+      |    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || '|' || payload), 1, 15)) AS BIGINT)
+      |      % 2305843009213693951 AS dig
+      |  FROM b),
+      |la1 AS (SELECT r1, SUM(dig) AS sd, COUNT(*) AS cnt FROM da GROUP BY r1),
+      |lb1 AS (SELECT r1, SUM(dig) AS sd, COUNT(*) AS cnt FROM db GROUP BY r1),
+      |l1 AS (
+      |  SELECT COALESCE(x.r1, y.r1) AS r1,
+      |         (x.sd IS DISTINCT FROM y.sd OR x.cnt IS DISTINCT FROM y.cnt) AS div1
+      |  FROM la1 x FULL OUTER JOIN lb1 y ON y.r1 = x.r1),
+      |la2 AS (
+      |  SELECT r2, SUM(dig) AS sd, COUNT(*) AS cnt FROM da
+      |  WHERE EXISTS (SELECT 1 FROM l1 WHERE l1.r1 = da.r1 AND l1.div1) GROUP BY r2),
+      |lb2 AS (
+      |  SELECT r2, SUM(dig) AS sd, COUNT(*) AS cnt FROM db
+      |  WHERE EXISTS (SELECT 1 FROM l1 WHERE l1.r1 = db.r1 AND l1.div1) GROUP BY r2),
+      |l2 AS (
+      |  SELECT COALESCE(x.r2, y.r2) AS r2,
+      |         (x.sd IS DISTINCT FROM y.sd OR x.cnt IS DISTINCT FROM y.cnt) AS div2
+      |  FROM la2 x FULL OUTER JOIN lb2 y ON y.r2 = x.r2),
+      |ra AS (SELECT key, dig FROM da
+      |  WHERE EXISTS (SELECT 1 FROM l2 WHERE l2.r2 = da.r2 AND l2.div2)),
+      |rb AS (SELECT key, dig FROM db
+      |  WHERE EXISTS (SELECT 1 FROM l2 WHERE l2.r2 = db.r2 AND l2.div2)),
+      |rd AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN x.key IS NOT NULL AND y.key IS NOT NULL AND x.dig <> y.dig
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_mod,
+      |    CAST(SUM(CASE WHEN y.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+      |    CAST(SUM(CASE WHEN x.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_add
+      |  FROM ra x FULL OUTER JOIN rb y ON y.key = x.key),
+      |direct AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN x.key IS NOT NULL AND y.key IS NOT NULL AND x.dig <> y.dig
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS d_mod,
+      |    CAST(SUM(CASE WHEN y.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_del,
+      |    CAST(SUM(CASE WHEN x.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_add
+      |  FROM da x FULL OUTER JOIN db y ON y.key = x.key),
+      |c1 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_l1,
+      |         CAST(SUM(CASE WHEN div1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1_div
+      |  FROM l1),
+      |c2 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_l2_checked,
+      |         CAST(SUM(CASE WHEN div2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2_div
+      |  FROM l2)
+      |SELECT c1.n_l1, c1.n_l1_div, c2.n_l2_checked, c2.n_l2_div,
+      |       rd.n_mod, rd.n_del, rd.n_add,
+      |       rd.n_mod = direct.d_mod AS mod_ok,
+      |       rd.n_del = direct.d_del AS del_ok,
+      |       rd.n_add = direct.d_add AS add_ok
+      |FROM c1, c2, rd, direct""".stripMargin
+
+
+  // ---------------------------------------------------------------- q233
+  /** EXACT-RATIONAL χ² A/B TEST — the experimentation primitive, made
+    * engine-exact end to end: cohorts by user_id parity, "conversion"
+    * = the user's total purchase spend (CENTS-quantized,
+    * floor(v·100 + 0.5) — the q128 integer-grid rule, so the sum is
+    * associative-exact) above the global DISCRETE median spend (the
+    * q92/q97 rank-selected order statistic — no interpolated
+    * percentile to drift), and the 2×2 chi-square in closed form
+    * χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) — a pure integer
+    * ratio, bit-identical on any engine (no float variance estimate
+    * anywhere). Intermediates widen to decimal(38,0)/HUGEINT before
+    * multiplying (the q170 rule). The significance verdict compares
+    * ppm against the χ²₁ 0.05 critical value 3841459 — an exact
+    * integer comparison, not a p-value approximation. A median split
+    * guarantees non-degenerate cells on any corpus.
+    */
+  def q233ChiSquareAb(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(floor(value * 100 + 0.5) as long)")).as("cents"))
+    // global discrete median via the range-binned two-pass rank (no
+    // single-task global window even at huge user cardinality); the
+    // oracle replays the plain window definition the two-pass equals
+    val ranked = graft.ops.Rank
+      .rankWithin(spend.withColumn("g", lit(1)), Seq("g"), col("cents"), col("user_id"), "rnk")
+    val n = ranked.agg(count(lit(1)).as("n_users"))
+    val med = ranked
+      .crossJoin(broadcast(n))
+      .filter(col("rnk") === expr("(n_users + 1) div 2"))
+      .select(col("cents").as("med_cents"))
+    val users = spend
+      .crossJoin(broadcast(med))
+      .withColumn("conv", when(col("cents") > col("med_cents"), 1).otherwise(0))
+      .withColumn("cohort", when(col("user_id") % 2 === 0, "A").otherwise("B"))
+    val cells = users.agg(
+      sum(when(col("cohort") === "A" && col("conv") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("cohort") === "A" && col("conv") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("cohort") === "B" && col("conv") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(col("cohort") === "B" && col("conv") === 0, 1L).otherwise(0L)).as("d"))
+    cells.select(
+      col("a"), col("b"), col("c"), col("d"),
+      (col("a") + col("b") + col("c") + col("d")).as("n"),
+      expr(
+        """cast(((cast(a as decimal(38,0)) + b + c + d)
+          |  * (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c)
+          |  * (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c)
+          |  * 1000000)
+          | div ((cast(a as decimal(38,0)) + b) * (c + cast(d as decimal(38,0)))
+          |      * (cast(a as decimal(38,0)) + c) * (b + cast(d as decimal(38,0))))
+          | as bigint)""".stripMargin.replaceAll("\n", " ")).as("chi2_ppm"))
+      .withColumn("significant", col("chi2_ppm") >= 3841459L)
+  }
+
+  val q233Oracle: String =
+    """WITH spend AS (
+      |  SELECT user_id,
+      |         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |ranked AS (
+      |  SELECT user_id, cents,
+      |         ROW_NUMBER() OVER (ORDER BY cents, user_id) AS rnk
+      |  FROM spend),
+      |med AS (
+      |  SELECT cents AS med_cents FROM ranked
+      |  WHERE rnk = ((SELECT COUNT(*) FROM spend) + 1) // 2),
+      |u AS (
+      |  SELECT s.user_id,
+      |         CASE WHEN s.cents > m.med_cents THEN 1 ELSE 0 END AS conv
+      |  FROM spend s, med m),
+      |cells AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM u)
+      |SELECT a, b, c, d, a + b + c + d AS n,
+      |  CAST(((CAST(a AS HUGEINT) + b + c + d)
+      |        * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+      |        * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+      |        * 1000000)
+      |    // ((CAST(a AS HUGEINT) + b) * (c + CAST(d AS HUGEINT))
+      |        * (CAST(a AS HUGEINT) + c) * (b + CAST(d AS HUGEINT))) AS BIGINT) AS chi2_ppm,
+      |  CAST(((CAST(a AS HUGEINT) + b + c + d)
+      |        * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+      |        * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+      |        * 1000000)
+      |    // ((CAST(a AS HUGEINT) + b) * (c + CAST(d AS HUGEINT))
+      |        * (CAST(a AS HUGEINT) + c) * (b + CAST(d AS HUGEINT))) AS BIGINT)
+      |    >= 3841459 AS significant
+      |FROM cells""".stripMargin
+
+  // ---------------------------------------------------------------- q234
+  /** DISCRETE SURVIVAL / HAZARD TABLE over return gaps — retention
+    * modeling's life-table primitive: per user, gaps between
+    * consecutive DISTINCT active days; for each lag t = 1..14 the
+    * at-risk count (gaps ≥ t), event count (gaps = t), and the
+    * discrete hazard rate in exact ppm. No cumulative float product
+    * (the Kaplan–Meier Π term drifts cross-engine); the per-lag
+    * hazard table IS the portable contract, and S(t) reconstructs
+    * from it downstream in whatever precision the consumer wants.
+    * One scan → per-user day-distinct → one lag window → a 14-row
+    * range join on scalars.
+    */
+  def q234SurvivalHazard(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("day"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("day"), col("prev")).cast("long").as("gap"))
+    val lags = s.range(1, 15).select(col("id").as("lag"))
+    lags
+      .join(gaps, col("gap") >= col("lag"), "left")
+      .groupBy(col("lag"))
+      .agg(
+        count(col("gap")).as("at_risk"),
+        sum(when(col("gap") === col("lag"), 1L).otherwise(0L)).as("events"))
+      .withColumn(
+        "hazard_ppm",
+        expr("cast(case when at_risk = 0 then null else (events * 1000000) div at_risk end as bigint)"))
+      .orderBy(col("lag"))
+  }
+
+  val q234Oracle: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |         LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      |  FROM d),
+      |gaps AS (
+      |  SELECT CAST(datediff('day', prev, day) AS BIGINT) AS gap
+      |  FROM g WHERE prev IS NOT NULL),
+      |lags AS (SELECT CAST(unnest(range(1, 15)) AS BIGINT) AS lag)
+      |SELECT l.lag,
+      |  CAST(COUNT(gaps.gap) AS BIGINT) AS at_risk,
+      |  CAST(COALESCE(SUM(CASE WHEN gaps.gap = l.lag THEN 1 ELSE 0 END), 0) AS BIGINT) AS events,
+      |  CAST(CASE WHEN COUNT(gaps.gap) = 0 THEN NULL
+      |       ELSE (SUM(CASE WHEN gaps.gap = l.lag THEN 1 ELSE 0 END) * 1000000) // COUNT(gaps.gap)
+      |       END AS BIGINT) AS hazard_ppm
+      |FROM lags l LEFT JOIN gaps ON gaps.gap >= l.lag
+      |GROUP BY l.lag
+      |ORDER BY l.lag""".stripMargin
+
+
+  // ---------------------------------------------------------------- q235
+  /** SEEDED ECCENTRICITY SAMPLE ([[graft.ops.Bfs.layersBySeed]]) — the
+    * per-seed BFS variant: for a deterministic seed sample (keys ≡ 3
+    * mod 100) of the symmetrized block graph, each seed's hop
+    * eccentricity (max shortest-path distance over its reachable set,
+    * depth-capped at 6) and reachable-set size. Distances are PER
+    * SEED — the merged-wave q225 form can't produce them — so the
+    * visited state is (seed, node) pairs; the oracle unrolls six
+    * seed-labeled frontier rounds (the q225 chain with a composite
+    * key). Sampled seeds, not all nodes: all-pairs BFS state is
+    * quadratic by definition, a sample is how diameter estimation is
+    * done at scale.
+    */
+  def q235Eccentricity(s: SparkSession, dir: String): DataFrame = {
+    val raw = blockGraph(s, dir)
+    val sym = raw
+      .select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(raw.select(col("v").as("src"), col("u").as("dst")))
+      .distinct()
+    val seeds = sym
+      .select(col("src").as("seed"))
+      .distinct()
+      .filter(expr("seed % 100 = 3"))
+    graft.ops.Bfs
+      .layersBySeed(sym, seeds, maxDepth = 6)
+      .groupBy(col("seed"))
+      .agg(
+        max(col("dist")).cast("int").as("ecc"),
+        count(lit(1)).as("n_reached"))
+      .orderBy(col("seed"))
+  }
+
+  val q235Oracle: String = {
+    def round(r: Int): String =
+      s"""f$r AS MATERIALIZED (
+         |  SELECT DISTINCT f.seed, s.dst AS node
+         |  FROM sym s JOIN f${r - 1} f ON f.node = s.src
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM v${r - 1} v WHERE v.seed = f.seed AND v.node = s.dst)),
+         |v$r AS MATERIALIZED (
+         |  SELECT seed, node, dist FROM v${r - 1}
+         |  UNION ALL SELECT seed, node, $r AS dist FROM f$r),
+         |""".stripMargin
+    s"""WITH eset AS MATERIALIZED (
+       |$BlockGraphSql
+       |),
+       |sym AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM eset UNION SELECT v, u FROM eset),
+       |seeds AS (
+       |  SELECT DISTINCT src AS seed FROM sym WHERE src % 100 = 3),
+       |v0 AS MATERIALIZED (
+       |  SELECT seed, seed AS node, 0 AS dist FROM seeds),
+       |f0 AS (SELECT seed, node FROM v0),
+       |${round(1)}${round(2)}${round(3)}${round(4)}${round(5)}${round(6)}
+       |dummy AS (SELECT 1)
+       |SELECT seed, CAST(MAX(dist) AS INT) AS ecc,
+       |       CAST(COUNT(*) AS BIGINT) AS n_reached
+       |FROM v6
+       |GROUP BY seed
+       |ORDER BY seed""".stripMargin
+  }
+
+
+  // ---------------------------------------------------------------- q236
+  /** WEIGHTED SINGLE-SOURCE SHORTEST PATHS by min-plus relaxation
+    * (Bellman–Ford rounds — the SSSP-in-MapReduce classic): BFS counts
+    * hops, this computes WEIGHTED distance, a different semiring (min,
+    * +) whose relaxation can IMPROVE an already-reached node in a
+    * later round — the part the q225/q235 first-reach discipline can't
+    * express. Edge weights are deterministic integers
+    * 1 + (u + v) mod 7 on the symmetrized block graph; seeds ≡ 3
+    * (mod 100); 5 relaxation rounds (≥ block diameter, so fixpoint).
+    * Per round: one frontier⋈edges join + one (seed,node) min — and a
+    * node's best distance is the min over ALL rounds. The oracle
+    * unrolls the same five min-plus rounds as MATERIALIZED CTEs.
+    * Output: per-seed reachable count, weighted eccentricity, and
+    * total weighted mass (Σ distances) — the closeness-centrality
+    * numerator.
+    */
+  def q236Sssp(s: SparkSession, dir: String): DataFrame = {
+    val raw = blockGraph(s, dir)
+    val sym = raw
+      .select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(raw.select(col("v").as("src"), col("u").as("dst")))
+      .distinct()
+      .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
+      .repartition(col("src"))
+    import graft.ops.Checkpoints.CutOps
+    val e = sym.cutLineage()
+    val seeds = e.select(col("src").as("seed")).distinct().filter(expr("seed % 100 = 3"))
+    var best = seeds
+      .withColumn("node", col("seed"))
+      .withColumn("dist", lit(0L))
+      .cutLineage()
+    for (_ <- 1 to 5) {
+      val relaxed = e
+        .join(best, e("src") === best("node"))
+        .select(col("seed"), col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      best = best
+        .unionByName(relaxed)
+        .groupBy(col("seed"), col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .cutLineage()
+    }
+    best
+      .groupBy(col("seed"))
+      .agg(
+        count(lit(1)).as("n_reached"),
+        max(col("dist")).as("w_ecc"),
+        sum(col("dist")).as("w_mass"))
+      .orderBy(col("seed"))
+  }
+
+  val q236Oracle: String = {
+    def round(r: Int): String =
+      s"""b$r AS MATERIALIZED (
+         |  SELECT seed, node, MIN(dist) AS dist FROM (
+         |    SELECT seed, node, dist FROM b${r - 1}
+         |    UNION ALL
+         |    SELECT p.seed, s.dst AS node, p.dist + s.w AS dist
+         |    FROM b${r - 1} p JOIN sym s ON s.src = p.node)
+         |  GROUP BY seed, node),
+         |""".stripMargin
+    s"""WITH eset AS MATERIALIZED (
+       |$BlockGraphSql
+       |),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst, 1 + (src + dst) % 7 AS w FROM (
+       |    SELECT u AS src, v AS dst FROM eset UNION SELECT v, u FROM eset)),
+       |b0 AS MATERIALIZED (
+       |  SELECT src AS seed, src AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM (SELECT DISTINCT src FROM sym) WHERE src % 100 = 3),
+       |${round(1)}${round(2)}${round(3)}${round(4)}${round(5)}
+       |dummy AS (SELECT 1)
+       |SELECT seed,
+       |  CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |  CAST(MAX(dist) AS BIGINT) AS w_ecc,
+       |  CAST(SUM(dist) AS BIGINT) AS w_mass
+       |FROM b5
+       |GROUP BY seed
+       |ORDER BY seed""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q237
+  /** K-ANONYMITY / L-DIVERSITY AUDIT — the privacy-risk census run
+    * before releasing a dataset: group the customer table by its
+    * quasi-identifier pair (nation, market segment), measure each
+    * equivalence class's size (k) and its count of distinct sensitive
+    * values (l — account-balance cents here), and report the
+    * re-identification exposure per k-threshold: classes below k ∈
+    * {2, 5, 10}, the rows they contain, the worst (min) l among them,
+    * and the at-risk row fraction in ppm. Complements q226 (pattern
+    * PII) with STRUCTURAL privacy risk; one aggregate over the
+    * quasi-identifier space, then a 3-row threshold sweep over the
+    * |classes|-sized frame — nothing scans the base table twice.
+    */
+  def q237KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("k"),
+        countDistinct(expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)")).as("l"))
+      .persist()
+    val total = classes.agg(sum(col("k")).as("n_rows"))
+    val ks = s.range(0, 3).select(element_at(array(lit(2), lit(5), lit(10)), (col("id") + 1).cast("int")).as("k_min"))
+    ks
+      .join(classes, classes("k") < ks("k_min"), "left")
+      .groupBy(col("k_min"))
+      .agg(
+        count(col("k")).as("n_risky_classes"),
+        coalesce(sum(col("k")), lit(0L)).as("n_risky_rows"),
+        min(col("l")).as("worst_l"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("k_min"),
+        col("n_risky_classes"),
+        col("n_risky_rows"),
+        col("worst_l"),
+        expr("cast((n_risky_rows * 1000000) div n_rows as bigint)").as("risk_ppm"))
+      .orderBy(col("k_min"))
+  }
+
+  val q237Oracle: String =
+    """WITH classes AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CAST(COUNT(*) AS BIGINT) AS k,
+      |         CAST(COUNT(DISTINCT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS l
+      |  FROM customer GROUP BY 1, 2),
+      |total AS (SELECT CAST(SUM(k) AS BIGINT) AS n_rows FROM classes),
+      |ks AS (SELECT CAST(unnest([2, 5, 10]) AS INT) AS k_min)
+      |SELECT ks.k_min,
+      |  CAST(COUNT(c.k) AS BIGINT) AS n_risky_classes,
+      |  CAST(COALESCE(SUM(c.k), 0) AS BIGINT) AS n_risky_rows,
+      |  MIN(c.l) AS worst_l,
+      |  CAST((COALESCE(SUM(c.k), 0) * 1000000) // (SELECT n_rows FROM total) AS BIGINT) AS risk_ppm
+      |FROM ks LEFT JOIN classes c ON c.k < ks.k_min
+      |GROUP BY ks.k_min
+      |ORDER BY ks.k_min""".stripMargin
+
+
+  // ---------------------------------------------------------------- q238
+  /** DAY-OF-WEEK SEASONALITY INDEX in exact rational ppm — the
+    * seasonal-profile decomposition a capacity planner reads: for each
+    * ISO weekday, the event volume's seasonal index
+    * (dow_mean / overall_mean, scaled ×10⁶) computed as the pure
+    * integer ratio (dow_total · n_days_total · 10⁶) div
+    * (grand_total · n_days_dow) — per-day MEANS never materialize as
+    * floats, so the index replays bit-exact (the q133 exact-rational
+    * ranking discipline). Day counts come from the observed DISTINCT
+    * days per weekday (no calendar assumption about the corpus span),
+    * and the ISO weekday bridge is the q196 certified formula.
+    */
+  def q238Seasonality(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("isodow", expr("((dayofweek(day) + 5) % 7) + 1"))
+    val byDow = daily
+      .groupBy(col("isodow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("dow_total"))
+    val tot = byDow.agg(
+      sum(col("n_days")).as("n_days_total"),
+      sum(col("dow_total")).as("grand_total"))
+    byDow
+      .crossJoin(broadcast(tot))
+      .select(
+        col("isodow").cast("int").as("isodow"),
+        col("n_days"),
+        col("dow_total"),
+        expr(
+          "cast((cast(dow_total as decimal(38,0)) * n_days_total * 1000000) div (cast(grand_total as decimal(38,0)) * n_days) as bigint)"
+        ).as("seasonal_index_ppm"))
+      .orderBy(col("isodow"))
+  }
+
+  val q238Oracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |bydow AS (
+      |  SELECT CAST(isodow(day) AS INT) AS isodow,
+      |         CAST(COUNT(*) AS BIGINT) AS n_days,
+      |         CAST(SUM(cnt) AS BIGINT) AS dow_total
+      |  FROM daily GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n_days) AS BIGINT) AS n_days_total,
+      |         CAST(SUM(dow_total) AS BIGINT) AS grand_total
+      |  FROM bydow)
+      |SELECT b.isodow, b.n_days, b.dow_total,
+      |  CAST((CAST(b.dow_total AS HUGEINT) * t.n_days_total * 1000000)
+      |       // (CAST(t.grand_total AS HUGEINT) * b.n_days) AS BIGINT) AS seasonal_index_ppm
+      |FROM bydow b, tot t
+      |ORDER BY b.isodow""".stripMargin
+
+  // ---------------------------------------------------------------- q239
+  /** HIERARCHY SUBTREE ROLLUP via ALGEBRAIC ANCESTOR CLOSURE — the
+    * category-tree / org-chart aggregation without ANY iteration or
+    * recursion: impose the deterministic forest parent(k) = k div 4
+    * over customer keys; every node's ancestor chain is then the
+    * CLOSED FORM [k, k div 4, k div 4², …] — seven map-side divisions,
+    * exploded to (ancestor, node) pairs, one hash aggregate, done.
+    * Where a parent-pointer table would need O(depth) self-joins or a
+    * recursive CTE, an arithmetic hierarchy ships its whole closure in
+    * one scan — the trick behind prefix-coded taxonomies (IP ranges,
+    * Dewey paths, H3 cells). Output: every node whose subtree holds ≥
+    * 5 members, with exact subtree size, cents mass, and depth of the
+    * deepest member below it.
+    */
+  def q239HierarchyRollup(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(
+        col("c_custkey").as("k"),
+        expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").as("cents"))
+    val withAnc = cust
+      .withColumn(
+        "anc",
+        // no distinct needed: k div 4^i is STRICTLY decreasing while
+        // >= 1, so the filtered chain can never repeat an ancestor
+        explode(filter(
+          array(
+            struct(col("k").as("a"), lit(0).as("lvl")),
+            struct(expr("k div 4").as("a"), lit(1).as("lvl")),
+            struct(expr("k div 16").as("a"), lit(2).as("lvl")),
+            struct(expr("k div 64").as("a"), lit(3).as("lvl")),
+            struct(expr("k div 256").as("a"), lit(4).as("lvl")),
+            struct(expr("k div 1024").as("a"), lit(5).as("lvl")),
+            struct(expr("k div 4096").as("a"), lit(6).as("lvl"))),
+          x => x.getField("a") >= 1)))
+    withAnc
+      .groupBy(col("anc.a").as("node"))
+      .agg(
+        count(lit(1)).as("subtree_size"),
+        sum(col("cents")).as("subtree_cents"),
+        max(col("anc.lvl")).cast("int").as("max_depth_below"))
+      .filter(col("subtree_size") >= 5)
+      .orderBy(col("node"))
+  }
+
+  val q239Oracle: String =
+    """WITH cust AS (
+      |  SELECT c_custkey AS k,
+      |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM customer),
+      |anc AS (
+      |  SELECT k, cents,
+      |         unnest(list_filter(
+      |           [struct_pack(a := k, lvl := 0),
+      |            struct_pack(a := k // 4, lvl := 1),
+      |            struct_pack(a := k // 16, lvl := 2),
+      |            struct_pack(a := k // 64, lvl := 3),
+      |            struct_pack(a := k // 256, lvl := 4),
+      |            struct_pack(a := k // 1024, lvl := 5),
+      |            struct_pack(a := k // 4096, lvl := 6)],
+      |           x -> x.a >= 1), recursive := true)
+      |  FROM cust)
+      |SELECT a AS node,
+      |       CAST(COUNT(*) AS BIGINT) AS subtree_size,
+      |       CAST(SUM(cents) AS BIGINT) AS subtree_cents,
+      |       CAST(MAX(lvl) AS INT) AS max_depth_below
+      |FROM anc
+      |GROUP BY a
+      |HAVING COUNT(*) >= 5
+      |ORDER BY node""".stripMargin
+
+
+  // ---------------------------------------------------------------- q240
+  /** MEASURED BLOOM FALSE-POSITIVE RATE — the sketch-law certificate
+    * the q64 pipeline only implies: build a Bloom filter over the
+    * benchmark shingle set (docs < 50, 5-gram shingles), probe it with
+    * every TRUE NEGATIVE (corpus shingles provably not in the member
+    * set), and report the exact false-positive count and rate. The
+    * filter here is the RELATIONAL Bloom: k = 7 hash functions are
+    * md5-hex slices mod 2¹⁴ (→ m = 2¹⁴ bits; the q131 CMS
+    * discipline), the bit array is a distinct-bit TABLE, and
+    * membership is "all 7 bit probes hit" — a semi-join formulation
+    * both engines replay exactly, zero embedded literals. (The
+    * production path — expr/BloomSketch's XXH64 bits — trades this
+    * replayability for constant-size broadcast; same contract, q64.)
+    * Non-vacuous by load factor: kn/m ≈ 1 at this member count ⇒ theory predicts ~5% FPR,
+    * and the measured ppm lands near it on any corpus this size.
+    */
+  def q240BloomFpr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ngrams = TextDedup.shingles(col("text"), 5)
+    val members = docs.filter(col("doc_id") < 50)
+      .select(explode(ngrams).as("g")).distinct()
+    val negatives = docs.filter(col("doc_id") >= 50)
+      .select(explode(ngrams).as("g")).distinct()
+      .join(members.withColumnRenamed("g", "mg"), col("g") === col("mg"), "left_anti")
+      .persist()
+    def bitsOf(t: DataFrame): DataFrame = t
+      .withColumn("i", explode(sequence(lit(0), lit(6))))
+      .select(col("g"), col("i"),
+        (conv(substring(md5(col("g")), col("i") * 4 + 1, lit(4)), 16, 10).cast("long") % 16384).as("b"))
+    val bitTable = bitsOf(members).select(col("b")).distinct()
+    val probeHits = bitsOf(negatives)
+      .join(bitTable, Seq("b"), "left_semi")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === 7)
+    negatives
+      .agg(count(lit(1)).as("n_probes"))
+      .crossJoin(members.agg(count(lit(1)).as("n_members")))
+      .crossJoin(bitTable.agg(count(lit(1)).as("n_bits_set")))
+      .crossJoin(probeHits.agg(count(lit(1)).as("n_false_pos")))
+      .select(
+        col("n_members"), col("n_bits_set"), col("n_probes"), col("n_false_pos"),
+        expr("cast((n_false_pos * 1000000) div n_probes as bigint)").as("fpr_ppm"))
+  }
+
+  val q240Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(0, greatest(len(tk) - 4, 1)),
+      |      i -> tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] || ' ' || tk[i + 4] || ' ' || tk[i + 5])) AS g
+      |  FROM toks),
+      |members AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50),
+      |negs AS (
+      |  SELECT DISTINCT g FROM grams WHERE doc_id >= 50
+      |  AND NOT EXISTS (SELECT 1 FROM members m WHERE m.g = grams.g)),
+      |mbits AS (
+      |  SELECT DISTINCT CAST(('0x' || substr(md5(g), i * 4 + 1, 4)) AS BIGINT) % 16384 AS b
+      |  FROM members, (SELECT unnest(range(0, 7)) AS i)),
+      |phits AS (
+      |  SELECT n.g FROM negs n, (SELECT unnest(range(0, 7)) AS i)
+      |  WHERE EXISTS (SELECT 1 FROM mbits
+      |                WHERE mbits.b = CAST(('0x' || substr(md5(n.g), i * 4 + 1, 4)) AS BIGINT) % 16384)
+      |  GROUP BY n.g HAVING COUNT(*) = 7),
+      |c AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM mbits) AS n_bits_set,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM negs) AS n_probes,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM phits) AS n_false_pos)
+      |SELECT n_members, n_bits_set, n_probes, n_false_pos,
+      |       CAST((n_false_pos * 1000000) // n_probes AS BIGINT) AS fpr_ppm
+      |FROM c""".stripMargin
+
+
+  // ---------------------------------------------------------------- q241
+  /** LONGEST-PREFIX-MATCH JOIN — the routing-table / CIDR-allowlist
+    * lookup as a relational operator: synthetic 32-bit "flow" addresses
+    * (md5-derived from user_id — deterministic, engine-portable) match
+    * a derived route table holding /8, /16 and /24 prefixes
+    * (deterministic subsets of the observed address space), and each
+    * flow takes its LONGEST matching prefix. Shape: one equi-join per
+    * prefix length on the algebraically-computed prefix (ip div 2⁸ᵏ —
+    * the q239 arithmetic-hierarchy trick applied to tries), then a
+    * per-flow max(struct(len, prefix)) argmax — never a theta join, so
+    * the plan is |lengths| hash joins regardless of table size.
+    * Output: per matched length (plus the no-match bucket), flow
+    * count, distinct addresses, and a prefix checksum.
+    */
+  def q241LpmJoin(s: SparkSession, dir: String): DataFrame = {
+    val flows = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"))
+      .withColumn(
+        "ip",
+        conv(substring(md5(concat(lit("ip:"), col("user_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("p8", expr("ip div 16777216"))
+      .withColumn("p16", expr("ip div 65536"))
+      .withColumn("p24", expr("ip div 256"))
+    val ips = flows.select(col("ip")).distinct()
+    def routes(shift: Long, mod: Int, len: Int) = ips
+      .select((col("ip") / shift).cast("long").as("prefix"))
+      .distinct()
+      .filter(col("prefix") % mod === 0)
+      .withColumn("len", lit(len))
+    val r8 = routes(16777216L, 2, 8)
+    val r16 = routes(65536L, 3, 16)
+    val r24 = routes(256L, 5, 24)
+    val m8 = flows.join(r8, col("p8") === r8("prefix")).select(col("event_id"), col("ip"), col("len"), col("prefix"))
+    val m16 = flows.join(r16, col("p16") === r16("prefix")).select(col("event_id"), col("ip"), col("len"), col("prefix"))
+    val m24 = flows.join(r24, col("p24") === r24("prefix")).select(col("event_id"), col("ip"), col("len"), col("prefix"))
+    val best = m8.unionByName(m16).unionByName(m24)
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("len"), col("prefix"))).as("m"), first(col("ip")).as("ip"))
+      .select(col("event_id"), col("ip"), col("m.len").as("len"), col("m.prefix").as("prefix"))
+    val matched = best
+      .groupBy(col("len"))
+      .agg(
+        count(lit(1)).as("n_flows"),
+        countDistinct(col("ip")).as("n_ips"),
+        (sum(col("prefix")) % 1000003L).as("prefix_checksum"))
+    val unmatched = flows
+      .join(best.select(col("event_id")), Seq("event_id"), "left_anti")
+      .agg(
+        count(lit(1)).as("n_flows"),
+        countDistinct(col("ip")).as("n_ips"))
+      .select(lit(0).as("len"), col("n_flows"), col("n_ips"), lit(0L).as("prefix_checksum"))
+    matched.unionByName(unmatched).orderBy(col("len"))
+  }
+
+  val q241Oracle: String =
+    """WITH flows AS (
+      |  SELECT event_id,
+      |         CAST(('0x' || substr(md5('ip:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS ip
+      |  FROM events),
+      |ips AS (SELECT DISTINCT ip FROM flows),
+      |r8 AS (SELECT DISTINCT ip // 16777216 AS prefix, 8 AS len FROM ips WHERE (ip // 16777216) % 2 = 0),
+      |r16 AS (SELECT DISTINCT ip // 65536 AS prefix, 16 AS len FROM ips WHERE (ip // 65536) % 3 = 0),
+      |r24 AS (SELECT DISTINCT ip // 256 AS prefix, 24 AS len FROM ips WHERE (ip // 256) % 5 = 0),
+      |m AS (
+      |  SELECT f.event_id, f.ip, r.len, r.prefix FROM flows f JOIN r8 r ON r.prefix = f.ip // 16777216
+      |  UNION ALL
+      |  SELECT f.event_id, f.ip, r.len, r.prefix FROM flows f JOIN r16 r ON r.prefix = f.ip // 65536
+      |  UNION ALL
+      |  SELECT f.event_id, f.ip, r.len, r.prefix FROM flows f JOIN r24 r ON r.prefix = f.ip // 256),
+      |best AS (
+      |  SELECT event_id, ip, len, prefix FROM (
+      |    SELECT event_id, ip, len, prefix,
+      |           ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY len DESC, prefix DESC) AS rn
+      |    FROM m) WHERE rn = 1),
+      |matched AS (
+      |  SELECT CAST(len AS INT) AS len,
+      |         CAST(COUNT(*) AS BIGINT) AS n_flows,
+      |         CAST(COUNT(DISTINCT ip) AS BIGINT) AS n_ips,
+      |         CAST(SUM(prefix) % 1000003 AS BIGINT) AS prefix_checksum
+      |  FROM best GROUP BY len),
+      |unmatched AS (
+      |  SELECT CAST(0 AS INT) AS len,
+      |         CAST(COUNT(*) AS BIGINT) AS n_flows,
+      |         CAST(COUNT(DISTINCT ip) AS BIGINT) AS n_ips,
+      |         CAST(0 AS BIGINT) AS prefix_checksum
+      |  FROM flows WHERE NOT EXISTS (SELECT 1 FROM best b WHERE b.event_id = flows.event_id))
+      |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+      |ORDER BY len""".stripMargin
+
+  // ---------------------------------------------------------------- q242
+  /** TOKEN-BUCKET RATE-LIMITER REPLAY — the two-sided clamped
+    * recurrence (refill to a CAP, spend if affordable, else reject)
+    * that no window composition expresses: unlike the one-sided q191
+    * clamp (floor-0 has the running-min closed form), a capacity
+    * ceiling makes the state genuinely sequential. The engine replays
+    * it as a PER-KEY ORDERED FOLD: collect each user's events sorted
+    * by (ts_ns, event_id), fold struct state (tokens, accepted,
+    * rejected) through Spark's `aggregate` HOF — per-key state only,
+    * fold length bounded by per-user activity, codegen'd, no UDF.
+    * DuckDB replays the identical fold as a per-user RECURSIVE CTE
+    * stepping rn → rn+1 (branch-free arithmetic accept flag). NOT via
+    * list_reduce: DuckDB 1.0.0's list_reduce with a STRUCT accumulator
+    * mis-evaluates in grouped/vectorized contexts (measured: user 55's
+    * 60-event fold returned accepted+rejected = 61 with a CASE lambda
+    * and 43/17 with arithmetic, vs the 49/11 Python/Spark/filtered
+    * ground truth — scalar-accumulator folds like q95's are fine).
+    * Costs: purchase 4, click 2, view 1, else 0; cap 5, refill 1 per
+    * event.
+    */
+  def q242TokenBucket(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn(
+        "cost",
+        when(col("event_type") === "purchase", 4L)
+          .when(col("event_type") === "click", 2L)
+          .when(col("event_type") === "view", 1L)
+          .otherwise(0L))
+    val folded = ev
+      .groupBy(col("user_id"))
+      .agg(
+        array_sort(collect_list(struct(col("ts_ns"), col("event_id"), col("cost")))).as("evs"))
+      .withColumn(
+        "st",
+        aggregate(
+          col("evs"),
+          struct(lit(5L).as("t"), lit(0L).as("a"), lit(0L).as("r")),
+          (acc, x) => {
+            val refilled = least(lit(5L), acc.getField("t") + 1L)
+            val c = x.getField("cost")
+            when(c <= refilled,
+              struct((refilled - c).as("t"), (acc.getField("a") + 1L).as("a"), acc.getField("r").as("r")))
+              .otherwise(
+                struct(refilled.as("t"), acc.getField("a").as("a"), (acc.getField("r") + 1L).as("r")))
+          }))
+    folded.select(
+      col("user_id"),
+      col("st.t").as("final_tokens"),
+      col("st.a").as("accepted"),
+      col("st.r").as("rejected"))
+      .orderBy(col("user_id"))
+  }
+
+  val q242Oracle: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id,
+      |    CASE event_type WHEN 'purchase' THEN 4 WHEN 'click' THEN 2
+      |         WHEN 'view' THEN 1 ELSE 0 END AS cost,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+      |  FROM events),
+      |n AS (SELECT user_id, MAX(rn) AS mx FROM ev GROUP BY user_id),
+      |st(user_id, rn, t, a, r) AS (
+      |  SELECT user_id, 0, CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM n
+      |  UNION ALL
+      |  SELECT s.user_id, s.rn + 1,
+      |    least(CAST(5 AS BIGINT), s.t + 1) - e.cost * CAST(e.cost <= least(CAST(5 AS BIGINT), s.t + 1) AS BIGINT),
+      |    s.a + CAST(e.cost <= least(CAST(5 AS BIGINT), s.t + 1) AS BIGINT),
+      |    s.r + 1 - CAST(e.cost <= least(CAST(5 AS BIGINT), s.t + 1) AS BIGINT)
+      |  FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+      |SELECT s.user_id, s.t AS final_tokens, s.a AS accepted, s.r AS rejected
+      |FROM st s JOIN n ON n.user_id = s.user_id AND s.rn = n.mx
+      |ORDER BY s.user_id""".stripMargin
+
+
+  // ---------------------------------------------------------------- q243
+  /** MARKET-BASKET 2-ITEMSETS with EXACT-RATIONAL LIFT — the a-priori
+    * co-occurrence census: parts co-purchased within an order, kept at
+    * support ≥ 2, each pair scored by lift. The association strength
+    * is the pure integer ratio lift = (support · n_orders) /
+    * (orders_a · orders_b), emitted ×10⁶ via integer division — the
+    * q133 exact-rational discipline, so the score (and any ordering
+    * built on it) is engine-exact with no ln/float anywhere. Scale
+    * shape: the pair generator is a per-order self-join — candidate
+    * volume Σ lines(o)², bounded by the per-order line cap (7 in
+    * TPC-H-shaped data), NEVER |parts|² — then one pair aggregate and
+    * two broadcast joins against the |parts|-sized support table.
+    */
+  def q243MarketBasket(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val nOrders = li.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+    val partCnt = li.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    pairs
+      .join(partCnt.select(col("p").as("pa"), col("c").as("ca")), Seq("pa"))
+      .join(partCnt.select(col("p").as("pb"), col("c").as("cb")), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("pa"), col("pb"), col("support"),
+        col("ca").as("orders_a"),
+        col("cb").as("orders_b"),
+        expr("cast((cast(support as decimal(38,0)) * n_orders * 1000000) div (cast(ca as decimal(38,0)) * cb) as bigint)")
+          .as("lift_ppm"))
+      .orderBy(col("pa"), col("pb"))
+  }
+
+  val q243Oracle: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+      |pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM li a JOIN li b ON b.o = a.o AND b.p > a.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT pr.pa, pr.pb, pr.support,
+      |       ca.c AS orders_a, cb.c AS orders_b,
+      |       CAST((CAST(pr.support AS HUGEINT) * n.n_orders * 1000000)
+      |            // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_ppm
+      |FROM pairs pr
+      |JOIN pc ca ON ca.p = pr.pa
+      |JOIN pc cb ON cb.p = pr.pb
+      |CROSS JOIN n
+      |ORDER BY pr.pa, pr.pb""".stripMargin
+
+
+  // ---------------------------------------------------------------- q244
+  /** EXACT SLIDING-WINDOW DISTINCT — 7-day rolling unique users per
+    * day, the engagement metric that is NOT sum-decomposable (distinct
+    * doesn't add across days, so no window frame over daily partials
+    * can produce it). The engine's shape: reduce to the (day, user)
+    * presence grid first (one distinct — the only full-data shuffle),
+    * then a bounded 7-way range join of days × presence rows and a
+    * per-day count-distinct. Work is 7·|presence|, never 7·|events|,
+    * and the window width is a constant multiplier, not a shuffle
+    * count. Also emits the day's own distinct and the rolling/day
+    * ratio in exact ppm.
+    */
+  def q244SlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val pres = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .persist()
+    val days = pres.select(col("day").as("d")).distinct()
+    val rolling = days
+      .join(pres, col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("rolling_7d_users"))
+    val daily = pres
+      .groupBy(col("day").as("d"))
+      .agg(countDistinct(col("user_id")).as("day_users"))
+    rolling
+      .join(daily, Seq("d"))
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("day_users"),
+        col("rolling_7d_users"),
+        expr("cast((day_users * 1000000) div rolling_7d_users as bigint)").as("concentration_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val q244Oracle: String =
+    """WITH pres AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day AS d FROM pres),
+      |rolling AS (
+      |  SELECT dd.d, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS rolling_7d_users
+      |  FROM days dd JOIN pres p ON p.day BETWEEN dd.d - 6 AND dd.d
+      |  GROUP BY dd.d),
+      |daily AS (
+      |  SELECT day AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS day_users
+      |  FROM pres GROUP BY day)
+      |SELECT strftime(r.d, '%Y-%m-%d') AS day,
+      |       dl.day_users, r.rolling_7d_users,
+      |       CAST((dl.day_users * 1000000) // r.rolling_7d_users AS BIGINT) AS concentration_ppm
+      |FROM rolling r JOIN daily dl ON dl.d = r.d
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q245
+  /** DISTRIBUTED GRAM MATRIX (Xᵀ X) over the embedding corpus — the
+    * linear-algebra primitive under PCA, linear probes, ridge
+    * regression and whitening, computed as pure aggregation: each
+    * vector contributes its outer-product entries (i ≤ j upper
+    * triangle), one hash aggregate sums them — fully map-side
+    * combinable, no driver linear algebra, no collect. Entries are
+    * EXACT: coordinates quantize to the 10³ integer grid first (the
+    * q128 discipline — float dot-product sums are partition-order
+    * dependent, integer sums are associative), so every cell replays
+    * bit-for-bit in DuckDB. Output: the 64·65/2 upper-triangle cells
+    * with exact integer sums, plus each cell's ppm-scaled cosine of
+    * the two coordinate columns — column-similarity structure read
+    * straight off the Gram matrix.
+    */
+  def q245GramMatrix(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(expr("transform(embedding, x -> cast(floor(x * 1000 + 0.5) as long))").as("qv"))
+      .select(explode(expr(
+        """flatten(transform(qv, (x, i) ->
+          |  transform(slice(qv, i + 1, size(qv) - i), (y, k) ->
+          |    named_struct('i', i, 'j', i + k, 'p', cast(x as decimal(38,0)) * y))))""".stripMargin
+          .replaceAll("\n", " "))).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.p")).cast("long").as("g"))
+      .orderBy(col("i"), col("j"))
+
+  val q245Oracle: String =
+    """WITH e AS (
+      |  SELECT list_transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cells AS (
+      |  SELECT unnest(flatten(list_transform(range(0, 64), i ->
+      |    list_transform(range(i, 64), j ->
+      |      struct_pack(i := i, j := j, p := CAST(qv[i + 1] AS HUGEINT) * qv[j + 1])))),
+      |    recursive := true)
+      |  FROM e)
+      |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+      |       CAST(SUM(p) AS BIGINT) AS g
+      |FROM cells
+      |GROUP BY 1, 2
+      |ORDER BY i, j""".stripMargin
+
+
+  // ---------------------------------------------------------------- q246
+  /** CALENDAR-SPINE GAP FILL + INTEGER INTERPOLATION — time-series
+    * regularization: the 'purchase' daily cents series is sparsified
+    * deterministically (days ≡ {0,1} mod 5 removed — so single- AND
+    * double-day gaps exist by construction), re-gridded onto the full
+    * day spine (sequence() between observed min/max), and each hole
+    * is filled three ways: carry-forward (last_value IGNORE NULLS),
+    * carry-backward, and LINEAR interpolation computed in exact
+    * integer arithmetic — lerp_cents = prev + (next − prev) · dist
+    * div gap_len — so the fill replays bit-for-bit (no float lerp).
+    * The is_observed flag keeps filled rows auditable. Spine
+    * generation, dual-direction window fill, and integer lerp are
+    * each things a naive resampler gets subtly wrong (end gaps,
+    * division rounding, null frames).
+    */
+  def q246GapFill(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(expr("cast(floor(value * 100 + 0.5) as long)")).as("cents"))
+      .filter(expr("day(day) % 5 >= 2")) // deterministic holes incl. runs of 2
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val wAll = W.orderBy(col("day"))
+    val grid = spine
+      .join(daily, Seq("day"), "left")
+      .withColumn("is_observed", col("cents").isNotNull)
+      .withColumn("prev_v", last(col("cents"), ignoreNulls = true)
+        .over(wAll.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("next_v", first(col("cents"), ignoreNulls = true)
+        .over(wAll.rowsBetween(0, W.unboundedFollowing)))
+      .withColumn("prev_day", last(when(col("is_observed"), col("day")), ignoreNulls = true)
+        .over(wAll.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("next_day", first(when(col("is_observed"), col("day")), ignoreNulls = true)
+        .over(wAll.rowsBetween(0, W.unboundedFollowing)))
+    grid.select(
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("is_observed"),
+      col("prev_v").as("ffill_cents"),
+      col("next_v").as("bfill_cents"),
+      expr(
+        """cast(case
+          |  when is_observed then cents
+          |  when prev_v is null then next_v
+          |  when next_v is null then prev_v
+          |  else prev_v + ((next_v - prev_v) * datediff(day, prev_day)) div datediff(next_day, prev_day)
+          |end as bigint)""".stripMargin.replaceAll("\n", " ")).as("lerp_cents"))
+      .orderBy(col("day"))
+  }
+
+  val q246Oracle: String =
+    """WITH daily AS (
+      |  SELECT day, cents FROM (
+      |    SELECT CAST(ts AS DATE) AS day,
+      |           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |    FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |  WHERE day(day) % 5 >= 2),
+      |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+      |spine AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+      |grid AS (
+      |  SELECT s.day, d.cents, d.cents IS NOT NULL AS is_observed
+      |  FROM spine s LEFT JOIN daily d ON d.day = s.day),
+      |filled AS (
+      |  SELECT day, cents, is_observed,
+      |    last_value(cents IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+      |    first_value(cents IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+      |    last_value(CASE WHEN is_observed THEN day END IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+      |    first_value(CASE WHEN is_observed THEN day END IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+      |  FROM grid)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, is_observed,
+      |  prev_v AS ffill_cents, next_v AS bfill_cents,
+      |  CAST(CASE
+      |    WHEN is_observed THEN cents
+      |    WHEN prev_v IS NULL THEN next_v
+      |    WHEN next_v IS NULL THEN prev_v
+      |    ELSE prev_v + ((next_v - prev_v) * datediff('day', prev_day, day))
+      |         // datediff('day', prev_day, next_day)
+      |  END AS BIGINT) AS lerp_cents
+      |FROM filled
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q247
+  /** MIX-SHIFT DECOMPOSITION (Oaxaca-lite) — why did total purchase
+    * value move between the observation period's first and second
+    * half? Split per event_type into a MIX term (volume change at old
+    * rates) and a RATE term (per-event value change at new volumes),
+    * all in truncating integer cents so both engines agree bit-exact,
+    * with an explicit RESIDUAL column making the identity
+    * Δ = mix + rate + residual hold EXACTLY (the truncation loss is
+    * surfaced, not hidden — the q198 signed-division discipline).
+    */
+  def q247MixShift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click", "view", "signup", "error"))
+      .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as long)"))
+    val mid = ev.agg(expr("min(ts_ns) + (max(ts_ns) - min(ts_ns)) div 2").as("mid"))
+    val halves = ev
+      .crossJoin(broadcast(mid))
+      .withColumn("h", when(col("ts_ns") < col("mid"), 1).otherwise(2))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("h") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("h") === 1, col("cents")).otherwise(0L)).as("v1"),
+        sum(when(col("h") === 2, col("cents")).otherwise(0L)).as("v2"))
+    halves.select(
+      col("event_type"),
+      col("n1"), col("n2"), col("v1"), col("v2"),
+      expr("cast(((n2 - n1) * v1) div n1 as bigint)").as("mix_cents"),
+      expr("cast((n2 * v2) div n2 - (n2 * v1) div n1 as bigint)").as("rate_cents"),
+      expr("cast((v2 - v1) - (((n2 - n1) * v1) div n1) - ((n2 * v2) div n2 - (n2 * v1) div n1) as bigint)")
+        .as("residual_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  val q247Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_ns(ts) AS ts_ns,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE event_type IN ('purchase', 'click', 'view', 'signup', 'error')),
+      |mid AS (SELECT MIN(ts_ns) + (MAX(ts_ns) - MIN(ts_ns)) // 2 AS mid FROM ev),
+      |halves AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN ts_ns < mid THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN ts_ns >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN ts_ns < mid THEN cents ELSE 0 END) AS BIGINT) AS v1,
+      |    CAST(SUM(CASE WHEN ts_ns >= mid THEN cents ELSE 0 END) AS BIGINT) AS v2
+      |  FROM ev, mid GROUP BY event_type)
+      |SELECT event_type, n1, n2, v1, v2,
+      |  CAST(((n2 - n1) * v1) // n1 AS BIGINT) AS mix_cents,
+      |  CAST((n2 * v2) // n2 - (n2 * v1) // n1 AS BIGINT) AS rate_cents,
+      |  CAST((v2 - v1) - (((n2 - n1) * v1) // n1)
+      |       - ((n2 * v2) // n2 - (n2 * v1) // n1) AS BIGINT) AS residual_cents
+      |FROM halves
+      |ORDER BY event_type""".stripMargin
+
+
+  // ---------------------------------------------------------------- q248
+  /** GREEDY MAXIMAL MATCHING ([[graft.ops.Matching]]) — 4 deterministic
+    * locally-minimal-edge rounds over the weighted block graph
+    * (w = 1 + (u+v) mod 7, ties broken by the (w,u,v) total order).
+    * Matching joins the engine's graph battery with the one classic
+    * primitive it lacked (CC = connectivity, LPA = communities,
+    * PageRank = centrality, BFS/SSSP = distance, k-core = density —
+    * matching = PAIRING). Contract is "4 rounds of the rule"; the
+    * MEASURED maximality certificate is the returned remainder's edge
+    * count (0 ⇔ no two unmatched endpoints stay adjacent), and the
+    * oracle replays all four rounds as chained MATERIALIZED CTEs.
+    * Output: per 500-key bucket, matched-pair count and pair
+    * checksum, plus the global remainder count on every row.
+    */
+  def q248MaximalMatching(s: SparkSession, dir: String): DataFrame = {
+    val edges = blockGraph(s, dir)
+      .select(col("u"), col("v"))
+      .withColumn("w", lit(1L) + (col("u") + col("v")) % 7)
+    val (matched, remaining) = graft.ops.Matching.greedyRounds(edges, rounds = 4)
+    val rem = remaining.agg(count(lit(1)).as("n_remaining"))
+    matched
+      .groupBy(expr("u div 500").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        (sum(col("u") * 31 + col("v")) % 1000003L).as("pair_checksum"))
+      .crossJoin(broadcast(rem))
+      .select(col("bucket"), col("n_matched"), col("pair_checksum"), col("n_remaining"))
+      .orderBy(col("bucket"))
+  }
+
+  val q248Oracle: String = {
+    def round(r: Int): String =
+      s"""inc$r AS (
+         |  SELECT u AS n, w, u, v FROM e${r - 1}
+         |  UNION ALL SELECT v, w, u, v FROM e${r - 1}),
+         |min$r AS (
+         |  SELECT n, u, v FROM (
+         |    SELECT n, u, v, ROW_NUMBER() OVER (PARTITION BY n ORDER BY w, u, v) AS rn
+         |    FROM inc$r) WHERE rn = 1),
+         |pick$r AS (
+         |  SELECT u, v FROM min$r GROUP BY u, v HAVING COUNT(*) = 2),
+         |m$r AS MATERIALIZED (
+         |  SELECT u, v FROM m${r - 1} UNION ALL SELECT u, v FROM pick$r),
+         |t$r AS (SELECT u AS n FROM m$r UNION SELECT v FROM m$r),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v, e.w FROM e${r - 1} e
+         |  WHERE NOT EXISTS (SELECT 1 FROM t$r WHERE t$r.n = e.u)
+         |    AND NOT EXISTS (SELECT 1 FROM t$r WHERE t$r.n = e.v)),
+         |""".stripMargin
+    s"""WITH eset AS MATERIALIZED (
+       |$BlockGraphSql
+       |),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT u, v, 1 + (u + v) % 7 AS w FROM eset),
+       |m0 AS (SELECT u, v FROM e0 WHERE 1 = 0),
+       |${round(1)}${round(2)}${round(3)}${round(4)}
+       |rem AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_remaining FROM e4)
+       |SELECT u // 500 AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_matched,
+       |  CAST(SUM(u * 31 + v) % 1000003 AS BIGINT) AS pair_checksum,
+       |  rem.n_remaining
+       |FROM m4, rem
+       |GROUP BY 1, rem.n_remaining
+       |ORDER BY bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q249
+  /** DETERMINISTIC TOKENIZATION with REFERENTIAL-INTEGRITY
+    * certificate — the privacy-engineering counterpart to q226/q237:
+    * replace user ids with md5-prefix pseudonym tokens INDEPENDENTLY
+    * in two tables (events, and the synthetic user dimension derived
+    * from distinct event users), then certify that the tokenized
+    * world still joins: per-token event counts equal per-id counts
+    * (join cardinality preserved), token collisions are ZERO
+    * (distinct ids ↔ distinct tokens — the property format-preserving
+    * tokenization must prove, not assume), and the mapping is
+    * deterministic (re-derivation matches). Output: one row of
+    * certificate counters, all engine-exact.
+    */
+  def q249Tokenization(s: SparkSession, dir: String): DataFrame = {
+    def tok(c: Column): Column =
+      conv(substring(md5(concat(lit("tok:"), c.cast("string"))), 1, 15), 16, 10).cast("long")
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val dim = ev.distinct()
+    val evTok = ev.select(tok(col("user_id")).as("t"))
+    val dimTok = dim.select(col("user_id"), tok(col("user_id")).as("t"))
+    val joined = evTok
+      .groupBy(col("t")).agg(count(lit(1)).as("n_ev"))
+      .join(dimTok, Seq("t"))
+    val idCounts = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_ev_id"))
+    val parity = joined
+      .join(idCounts, Seq("user_id"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("n_ev") === col("n_ev_id"), 1L).otherwise(0L)).as("n_count_match"))
+    val collisions = dimTok
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_collisions"))
+    parity
+      .crossJoin(broadcast(collisions))
+      .select(
+        col("n_users"),
+        col("n_count_match"),
+        (col("n_users") === col("n_count_match")).as("cardinality_ok"),
+        col("n_collisions"),
+        (col("n_collisions") === 0).as("collision_free"))
+  }
+
+  val q249Oracle: String =
+    """WITH ev AS (SELECT user_id FROM events),
+      |dim AS (SELECT DISTINCT user_id FROM ev),
+      |dimtok AS (
+      |  SELECT user_id,
+      |         CAST(('0x' || substr(md5('tok:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS t
+      |  FROM dim),
+      |evtok AS (
+      |  SELECT CAST(('0x' || substr(md5('tok:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS t
+      |  FROM ev),
+      |jc AS (
+      |  SELECT d.user_id, e.n_ev FROM (
+      |    SELECT t, CAST(COUNT(*) AS BIGINT) AS n_ev FROM evtok GROUP BY t) e
+      |  JOIN dimtok d ON d.t = e.t),
+      |idc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev_id FROM ev GROUP BY user_id),
+      |par AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |         CAST(SUM(CASE WHEN jc.n_ev = idc.n_ev_id THEN 1 ELSE 0 END) AS BIGINT) AS n_count_match
+      |  FROM jc JOIN idc ON idc.user_id = jc.user_id),
+      |coll AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_collisions
+      |  FROM (SELECT t, COUNT(*) AS c FROM dimtok GROUP BY t))
+      |SELECT par.n_users, par.n_count_match,
+      |       par.n_users = par.n_count_match AS cardinality_ok,
+      |       coll.n_collisions,
+      |       coll.n_collisions = 0 AS collision_free
+      |FROM par, coll""".stripMargin
+
+
+  // ---------------------------------------------------------------- q250
+  /** ABANDONMENT DETECTION — the NEGATIVE temporal pattern ("a view
+    * NOT followed by a purchase within 1 hour by the same user") that
+    * funnel counting (q93) inverts: completions are joins,
+    * non-completions are the absence of one, and the scalable form is
+    * a per-user forward-looking window, not an anti range join. Each
+    * view's next-purchase timestamp is the running min of purchase
+    * times over the FOLLOWING frame (one user-partitioned window over
+    * the merged event sequence — no events×events join at all); the
+    * 1-hour deadline check is integer ns arithmetic. Daily rollup
+    * with an exact-ppm abandonment rate.
+    */
+  def q250Abandonment(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(1, W.unboundedFollowing)
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"), col("ts"))
+      .withColumn(
+        "next_purchase_ns",
+        min(when(col("event_type") === "purchase", col("ts_ns"))).over(w))
+    ev.filter(col("event_type") === "view")
+      .withColumn(
+        "converted",
+        col("next_purchase_ns").isNotNull &&
+          col("next_purchase_ns") - col("ts_ns") <= 3600L * 1000000000L)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_views"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"),
+        sum(when(!col("converted"), 1L).otherwise(0L)).as("n_abandoned"))
+      .withColumn(
+        "abandon_ppm",
+        expr("cast((n_abandoned * 1000000) div n_views as bigint)"))
+      .orderBy(col("day"))
+  }
+
+  val q250Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns, event_id, CAST(ts AS DATE) AS day
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |nx AS (
+      |  SELECT user_id, event_type, ts_ns, day,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts_ns END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_ns
+      |  FROM ev),
+      |v AS (
+      |  SELECT day,
+      |    (next_purchase_ns IS NOT NULL AND next_purchase_ns - ts_ns <= 3600000000000) AS converted
+      |  FROM nx WHERE event_type = 'view')
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_views,
+      |  CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      |  CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT) AS n_abandoned,
+      |  CAST((SUM(CASE WHEN converted THEN 0 ELSE 1 END) * 1000000) // COUNT(*) AS BIGINT) AS abandon_ppm
+      |FROM v
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q251
+  /** QUANTILE NORMALIZATION across sources — the ML-preprocessing step
+    * that forces every source's feature distribution onto the pooled
+    * one: rank each document's n_chars WITHIN its source, map that
+    * rank to the pooled rank grid with the integer midpoint formula
+    * idx = ((2r − 1)·N + n_s) div (2·n_s), and read the normalized
+    * value off the pooled order statistics — entirely rank-selected
+    * (the q92/q97 discrete recipe: no interpolation, no floats).
+    * Both rankings run through [[graft.ops.Rank.rankWithin]] (the
+    * two-pass range-binned rank — no single-task windows); the oracle
+    * replays plain windows. Certificate per source: count, sum and
+    * extremes of the normalized values — equal-sized sources must
+    * land on near-identical sums, which is the point of the
+    * transform.
+    */
+  def q251QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val bySource = graft.ops.Rank
+      .rankWithin(docs, Seq("source"), col("n_chars"), col("doc_id"), "r")
+    val pooled = graft.ops.Rank
+      .rankWithin(docs.withColumn("g", lit(1)), Seq("g"), col("n_chars"), col("doc_id"), "gr")
+      .select(col("gr"), col("n_chars").as("pooled_value"))
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    bySource
+      .join(sizes, Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("idx", expr("((2 * r - 1) * n_total + n_s) div (2 * n_s)"))
+      .join(pooled, col("idx") === col("gr"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("pooled_value")).as("norm_sum"),
+        min(col("pooled_value")).as("norm_min"),
+        max(col("pooled_value")).as("norm_max"))
+      .orderBy(col("source"))
+  }
+
+  val q251Oracle: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |bys AS (
+      |  SELECT source, n_chars,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r
+      |  FROM d),
+      |pooled AS (
+      |  SELECT n_chars AS pooled_value,
+      |         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gr
+      |  FROM d),
+      |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY source),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d),
+      |m AS (
+      |  SELECT b.source, p.pooled_value
+      |  FROM bys b
+      |  JOIN sz ON sz.source = b.source
+      |  CROSS JOIN tot
+      |  JOIN pooled p ON p.gr = ((2 * b.r - 1) * tot.n_total + sz.n_s) // (2 * sz.n_s))
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(pooled_value) AS BIGINT) AS norm_sum,
+      |  CAST(MIN(pooled_value) AS BIGINT) AS norm_min,
+      |  CAST(MAX(pooled_value) AS BIGINT) AS norm_max
+      |FROM m
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+
+  // ---------------------------------------------------------------- q252
+  /** SEASONALLY-ADJUSTED ANOMALY DAYS — q238's seasonal profile put to
+    * work: a day is anomalous iff its event count breaks ±5% of ITS
+    * WEEKDAY's expected level (dow_total/n_days for that isodow), so a
+    * quiet Sunday is judged against Sundays, not the weekly mean that
+    * plain z-scoring (q97) uses. The comparison is exact-rational by
+    * cross-multiplication — 20·cnt·n_days vs 21·dow_total — so the
+    * verdict replays bit-identically (no expected-value float ever
+    * exists). Output: every flagged day with its weekday, count,
+    * the cross-multiplied sides, and the direction.
+    */
+  def q252SeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("isodow", expr("((dayofweek(day) + 5) % 7) + 1"))
+    val byDow = daily
+      .groupBy(col("isodow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("dow_total"))
+    daily
+      .join(byDow, Seq("isodow"))
+      .withColumn("hi", col("cnt") * col("n_days") * 20 > col("dow_total") * 21)
+      .withColumn("lo", col("cnt") * col("n_days") * 21 < col("dow_total") * 20)
+      .filter(col("hi") || col("lo"))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("isodow").cast("int").as("isodow"),
+        col("cnt"),
+        col("n_days"),
+        col("dow_total"),
+        when(col("hi"), "high").otherwise("low").as("direction"))
+      .orderBy(col("day"))
+  }
+
+  val q252Oracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |d2 AS (SELECT day, cnt, CAST(isodow(day) AS INT) AS isodow FROM daily),
+      |bydow AS (
+      |  SELECT isodow, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |         CAST(SUM(cnt) AS BIGINT) AS dow_total
+      |  FROM d2 GROUP BY isodow)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.isodow, d.cnt,
+      |       b.n_days, b.dow_total,
+      |       CASE WHEN d.cnt * b.n_days * 20 > b.dow_total * 21 THEN 'high' ELSE 'low' END AS direction
+      |FROM d2 d JOIN bydow b ON b.isodow = d.isodow
+      |WHERE d.cnt * b.n_days * 20 > b.dow_total * 21
+      |   OR d.cnt * b.n_days * 21 < b.dow_total * 20
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q253
+  /** HITS HUB/AUTHORITY (Kleinberg JACM'99) over the customer→supplier
+    * purchase graph — the link-analysis complement of PageRank (q96):
+    * authority flows INTO suppliers from the hubs that buy from them,
+    * hub quality flows back from the authorities they reach. Two full
+    * mutual-reinforcement rounds, UNNORMALIZED so every score is an
+    * exact BIGINT (the usual per-round L2 normalization only rescales —
+    * rank order is identical — and skipping it removes every float from
+    * the query): a1 = in-degree (all hubs start at 1), h1 = Σ a1 over
+    * each customer's suppliers, a2 = Σ h1 over each supplier's
+    * customers. The edge set (587k distinct pairs at sf0.1) is derived
+    * once and persisted; each half-round is one equi join + one hash
+    * aggregate — the PageRank shuffle discipline with alternating keys.
+    * Top-20 authorities ride TakeOrderedAndProject, ranked on the
+    * bounded result only.
+    */
+  def q253Hits(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables
+      .orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("c"))
+      .join(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey").as("p")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("c"), col("p"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a1 = edges.groupBy(col("p")).agg(count(lit(1)).as("a1"))
+    val h1 = edges
+      .join(a1, Seq("p"))
+      .groupBy(col("c"))
+      .agg(sum(col("a1")).as("h1"))
+    val a2 = edges
+      .join(h1, Seq("c"))
+      .groupBy(col("p"))
+      .agg(sum(col("h1")).as("a2"))
+    val top = a2
+      .join(a1, Seq("p"))
+      .orderBy(col("a2").desc, col("p"))
+      .limit(20)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("a2").desc, col("p")) // bounded: 20 rows post-limit
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("p").as("s_suppkey"), col("a1").as("auth_r1"), col("a2").as("auth_r2"))
+      .orderBy(col("rank"))
+  }
+
+  val q253Oracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS a1 FROM e GROUP BY p),
+      |h1 AS (SELECT c, CAST(SUM(a1) AS BIGINT) AS h1
+      |       FROM e JOIN a1 USING (p) GROUP BY c),
+      |a2 AS (SELECT p, CAST(SUM(h1) AS BIGINT) AS a2
+      |       FROM e JOIN h1 USING (c) GROUP BY p),
+      |top AS (
+      |  SELECT a2.p, a1.a1, a2.a2
+      |  FROM a2 JOIN a1 USING (p)
+      |  ORDER BY a2.a2 DESC, a2.p LIMIT 20)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY a2 DESC, p) AS BIGINT) AS rank,
+      |       p AS s_suppkey, a1 AS auth_r1, a2 AS auth_r2
+      |FROM top
+      |ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- q254
+  /** 2-HOP GRAPH FEATURE AGGREGATION — the GraphSAGE-style message-
+    * passing pass a feature pipeline runs to build neighborhood
+    * features for training (one layer: aggregate neighbor features;
+    * two layers: aggregate the aggregates). Node feature = order count
+    * (exact BIGINT); hop 1 lands per-supplier (Σ feat + neighbor
+    * count), hop 2 lands back per-customer. Same persisted distinct
+    * edge set as q253; each hop is one equi join + one hash aggregate,
+    * which is exactly the cluster plan (edges co-partitioned per hop
+    * key, features shipped as 16 B rows, never the wide node payload).
+    * Top-50 by the layer-2 sum via TakeOrderedAndProject.
+    */
+  def q254GraphFeatures(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables
+      .orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("c"))
+      .join(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey").as("p")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("c"), col("p"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feat = Tables
+      .orders(s, dir)
+      .groupBy(col("o_custkey").as("c"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l1 = edges
+      .join(feat, Seq("c"))
+      .groupBy(col("p"))
+      .agg(sum(col("n_orders")).as("l1_sum"), count(lit(1)).as("l1_deg"))
+    val l2 = edges
+      .join(l1, Seq("p"))
+      .groupBy(col("c"))
+      .agg(sum(col("l1_sum")).as("l2_sum"), count(lit(1)).as("n_suppliers"))
+    l2.join(feat, Seq("c"))
+      .select(
+        col("c").as("c_custkey"), col("n_orders"), col("n_suppliers"), col("l2_sum"))
+      .orderBy(col("l2_sum").desc, col("c_custkey"))
+      .limit(50)
+  }
+
+  val q254Oracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |feat AS (SELECT o_custkey AS c, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |         FROM orders GROUP BY 1),
+      |l1 AS (SELECT p, CAST(SUM(n_orders) AS BIGINT) AS l1_sum
+      |       FROM e JOIN feat USING (c) GROUP BY p),
+      |l2 AS (SELECT c, CAST(SUM(l1_sum) AS BIGINT) AS l2_sum,
+      |              CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      |       FROM e JOIN l1 USING (p) GROUP BY c)
+      |SELECT l2.c AS c_custkey, feat.n_orders, l2.n_suppliers, l2.l2_sum
+      |FROM l2 JOIN feat USING (c)
+      |ORDER BY l2_sum DESC, c_custkey
+      |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q255
+  /** RECIPROCAL-RANK-FUSION HYBRID RETRIEVAL (Cormack SIGIR'09) — the
+    * lexical+semantic merge every modern retrieval stack runs: BM25
+    * top-50 (q122 infra: broadcast-pruned postings, distributed rank)
+    * fused with embedding-cosine top-50 (q25 infra: broadcast brute
+    * top-k, the exact baseline) per query, score = Σ 1/(60+rank) over
+    * the lists that contain the doc. Each query carries both a term
+    * set and an embedding (vec_id = qid). The fusion itself is a tiny
+    * per-qid full-outer merge of two ≤50-row lists — all heavy lifting
+    * stays in the two retrieval primitives, which is the plan you want
+    * at corpus scale. RRF is two fixed-order reciprocal adds on
+    * IEEE754 doubles — bit-identical in the DuckDB replay (dynamic
+    * oracle embeds idf/avgdl literals, the q122 discipline).
+    */
+  val q255K = 50
+  def q255Rrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = Bm25
+      .search(s, Tables.documents(s, dir), "doc_id", "text", q122Queries, k = q255K)
+      .select(col("qid"), col("doc_id").as("id"), col("rank").cast("long").as("lex_rank"))
+    val emb = Tables.embeddings(s, dir)
+    val sem = Similarity
+      .bruteTopK(emb, emb.filter(col("vec_id").isin(q122Queries.map(_._1.toLong): _*)), k = q255K)
+      .select(
+        col("query_id").cast("int").as("qid"),
+        col("neighbor_id").as("id"),
+        col("rank").cast("long").as("sem_rank"))
+    val fused = lex
+      .join(sem, Seq("qid", "id"), "full_outer")
+      .withColumn(
+        "rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("sem_rank")), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")) // ≤100 fused rows per qid — bounded frame
+      .orderBy(col("rrf").desc, col("id"))
+    fused
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("id"), col("lex_rank"), col("sem_rank"), col("rrf"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def q255OracleFor(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val terms = q122Queries.flatMap(_._2).distinct
+    val st = Bm25.fitStats(docs, "doc_id", "text", terms,
+      Bm25.postings(docs, "doc_id", "text", terms))
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val qvals = q122Queries
+      .flatMap { case (qid, ts) =>
+        ts.distinct.map(t => s"($qid, '$t', CAST('${st.idf(t)}' AS DOUBLE))")
+      }
+      .mkString(", ")
+    val qids = q122Queries.map(_._1).mkString(", ")
+    val k1p1 = s"CAST('${Bm25.K1 + 1.0}' AS DOUBLE)"
+    val k1 = s"CAST('${Bm25.K1}' AS DOUBLE)"
+    val oneMinusB = s"CAST('${1.0 - Bm25.B}' AS DOUBLE)"
+    val b = s"CAST('${Bm25.B}' AS DOUBLE)"
+    val avgdl = s"CAST('${st.avgdl}' AS DOUBLE)"
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(lower(trim(text)), '\\s+')) AS dl,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, any_value(dl) AS dl
+       |  FROM toks WHERE term IN ($termList)
+       |  GROUP BY doc_id, term
+       |), q(qid, term, idf) AS (VALUES $qvals),
+       |comp AS (
+       |  SELECT q.qid, tf.doc_id, q.term,
+       |    q.idf * (tf * $k1p1) /
+       |      (tf + $k1 * ($oneMinusB + $b * dl / $avgdl)) AS c
+       |  FROM tf JOIN q USING (term)
+       |), lexscored AS (
+       |  SELECT qid, doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE), list(c ORDER BY term)),
+       |      (x, y) -> x + y) AS score
+       |  FROM comp GROUP BY qid, doc_id
+       |), lex AS (
+       |  SELECT qid, doc_id AS id, CAST(rnk AS BIGINT) AS lex_rank FROM (
+       |    SELECT qid, doc_id, score,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+       |    FROM lexscored)
+       |  WHERE rnk <= ${q255K}
+       |), sem AS (
+       |  SELECT qid, id, CAST(rnk AS BIGINT) AS sem_rank FROM (
+       |    SELECT CAST(qv.vec_id AS INT) AS qid, c.vec_id AS id,
+       |      row_number() OVER (
+       |        PARTITION BY qv.vec_id
+       |        ORDER BY round(list_cosine_similarity(c.embedding::DOUBLE[], qv.embedding::DOUBLE[]), 4) DESC,
+       |                 c.vec_id) AS rnk
+       |    FROM embeddings c, embeddings qv
+       |    WHERE qv.vec_id IN ($qids) AND c.vec_id <> qv.vec_id)
+       |  WHERE rnk <= ${q255K}
+       |), fused AS (
+       |  SELECT COALESCE(lex.qid, sem.qid) AS qid, COALESCE(lex.id, sem.id) AS id,
+       |    lex_rank, sem_rank,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + lex_rank), CAST(0.0 AS DOUBLE)) +
+       |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + sem_rank), CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM lex FULL OUTER JOIN sem ON lex.qid = sem.qid AND lex.id = sem.id)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rank, id, lex_rank, sem_rank, rrf FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q256
+  /** CUSUM CHANGE-POINT DETECTION (Page 1954) over per-type daily
+    * volumes — the drift monitor a pipeline runs on its own ingest
+    * rates. The textbook recursion C_t = max(0, C_{t-1} + x_t − k) is
+    * NOT a window aggregate, but it has the exact scan-free form
+    *   C_t = S_t − min_{i≤t} S_i,  S_t = Σ_{i≤t} (x_i − k)
+    * (the q191 clamped-scan identity) — one cumulative sum + one
+    * running min per key, both plain windows over the DAILY rollup
+    * (the only big shuffle is that first groupBy; windows run on
+    * |types|·|days| rows). Drift target k = the type's mean daily
+    * count (total div n_days — exact integer), alarm at C_t > 2k.
+    * Everything BIGINT: replays bit-identically.
+    */
+  def q256Cusum(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = W.partitionBy(col("event_type"))
+    val withK = daily
+      .withColumn("type_total", sum(col("cnt")).over(byType))
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("k", expr("type_total div n_days"))
+    val ordered = W.partitionBy(col("event_type")).orderBy(col("day"))
+    withK
+      .withColumn("s_cum", sum(col("cnt") - col("k")).over(
+        ordered.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("s_min", min(col("s_cum")).over(
+        ordered.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("cusum", col("s_cum") - col("s_min"))
+      .withColumn("alarm", col("cusum") > lit(2) * col("k"))
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("k"), col("cusum"), col("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q256Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |wk AS (
+      |  SELECT *,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) //
+      |         COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS k
+      |  FROM daily),
+      |sc AS (
+      |  SELECT *,
+      |    CAST(SUM(cnt - k) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_cum
+      |  FROM wk),
+      |sm AS (
+      |  SELECT *,
+      |    CAST(MIN(s_cum) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_min
+      |  FROM sc)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt, k,
+      |  s_cum - s_min AS cusum,
+      |  (s_cum - s_min) > 2 * k AS alarm
+      |FROM sm
+      |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------- q257
+  /** EXACT DYADIC EWMA — exponential smoothing with α = 1/2 truncated
+    * at 20 taps, so the IIR recursion becomes a FIR filter with exact
+    * power-of-two integer weights: num_t = Σ_{j=0..19} x_{t−j}·2^(19−j),
+    * ewma_t = num_t / 2^20 (the dropped tail is < 2^-20 of the head —
+    * the standard fixed-point smoothing a rate monitor runs). All 20
+    * lags share ONE window spec (a single WindowExec over the daily
+    * rollup; the only corpus-sized shuffle is the rollup itself), the
+    * numerator stays far inside BIGINT (x·2^20·20 ≈ 4e11 at sf0.1),
+    * and the replay is bit-identical — no float ever exists. Warm-up
+    * rows (fewer than 20 predecessors) treat missing lags as 0,
+    * stated in the `n_taps` column.
+    */
+  def q257Ewma(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = W.partitionBy(col("event_type")).orderBy(col("day"))
+    val num = (0 until 20)
+      .map(j => coalesce(lag(col("cnt"), j).over(w), lit(0L)) * lit(1L << (19 - j)))
+      .reduce(_ + _)
+    daily
+      .withColumn("ewma_num", num)
+      .withColumn("n_taps", least(row_number().over(w).cast("long"), lit(20L)))
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("ewma_num"), col("n_taps"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q257Oracle: String = {
+    val taps = (0 until 20)
+      .map(j => s"COALESCE(LAG(cnt, $j) OVER w, 0) * ${1L << (19 - j)}")
+      .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+       |  CAST($taps AS BIGINT) AS ewma_num,
+       |  CAST(LEAST(ROW_NUMBER() OVER w, 20) AS BIGINT) AS n_taps
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       |ORDER BY event_type, day""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q258
+  /** RECURSIVE CTE HIERARCHY CERTIFICATE — Spark 4's WITH RECURSIVE
+    * (UnionLoop execution: per-round frontier expansion, exactly the
+    * iterative-operator shape ops/Components runs by hand) walked
+    * against DuckDB's on the implicit binary hierarchy parent(n) =
+    * n div 2 over REAL customer keys. The recursion computes each
+    * node's depth by walking to the root; the certificate pins it to
+    * the closed form bit_length(n) − 1 (the q199 engine-portable
+    * floor-log2; never log2() itself, whose log-division is a ulp off
+    * on exact powers of two) — recursion and arithmetic must
+    * agree row-for-row, aggregated per depth with membership id-sums
+    * so a single wrong walk cannot cancel. Walk length is log2(max
+    * key) ≈ 15 rounds at sf0.1; the frontier HALVES each round (ids
+    * below 2^d exit), the shape AQE-friendly recursion wants.
+    */
+  def q258RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("q258_customer")
+    s.sql(
+      """WITH RECURSIVE walk(node, cur, steps) AS (
+        |  SELECT c_custkey AS node, c_custkey AS cur, 0 AS steps
+        |  FROM q258_customer
+        |  UNION ALL
+        |  SELECT node, cur DIV 2, steps + 1 FROM walk WHERE cur > 1
+        |),
+        |depths AS (
+        |  SELECT node, max(steps) AS depth,
+        |         cast(length(bin(node)) - 1 AS INT) AS depth_closed
+        |  FROM walk GROUP BY node
+        |)
+        |SELECT depth,
+        |  count(*) AS n_nodes,
+        |  sum(node) AS id_sum,
+        |  min(node) AS min_id,
+        |  max(node) AS max_id,
+        |  sum(CASE WHEN depth = depth_closed THEN 1 ELSE 0 END) = count(*) AS closed_form_ok
+        |FROM depths
+        |GROUP BY depth
+        |ORDER BY depth""".stripMargin)
+  }
+
+  val q258Oracle: String =
+    """WITH RECURSIVE walk(node, cur, steps) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |  UNION ALL
+      |  SELECT node, cur // 2, steps + 1 FROM walk WHERE cur > 1
+      |),
+      |depths AS (
+      |  SELECT node, CAST(MAX(steps) AS INT) AS depth,
+      |         CAST(LENGTH(BIN(node)) - 1 AS INT) AS depth_closed
+      |  FROM walk GROUP BY node
+      |)
+      |SELECT depth,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(node) AS BIGINT) AS id_sum,
+      |  CAST(MIN(node) AS BIGINT) AS min_id,
+      |  CAST(MAX(node) AS BIGINT) AS max_id,
+      |  SUM(CASE WHEN depth = depth_closed THEN 1 ELSE 0 END) = COUNT(*) AS closed_form_ok
+      |FROM depths
+      |GROUP BY depth
+      |ORDER BY depth""".stripMargin
+
+  // ---------------------------------------------------------------- q259
+  /** VARIANT INGESTION CERTIFICATE — Spark 4's VARIANT type
+    * (parse_json → variant_get) run over synthesized semi-structured
+    * payloads with a malformed-row channel, the shape every JSON
+    * event feed has. Every 10th payload is broken JSON:
+    * try_parse_json must null it (the P3 null-on-error discipline
+    * applied to the new type), and the typed extractions
+    * (string / bigint / 0-based array index) must match a plain
+    * json-path reading. All map-side until the |types|-row rollup;
+    * the JSON text is synthesized from integer columns only (a double
+    * formatted into JSON would re-open the cross-engine repr trap).
+    * Oracle replays the synthesis and branches the corrupt channel on
+    * its known rule (the q121 payload-decode pattern).
+    */
+  def q259Variant(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("user_id"))
+    ev.withColumn(
+        "payload",
+        when(col("event_id") % 10 === 0, lit("{broken"))
+          .otherwise(concat(
+            lit("{\"id\": "), col("event_id"),
+            lit(", \"meta\": {\"type\": \""), col("event_type"),
+            lit("\", \"prio\": "), col("event_id") % 3,
+            lit("}, \"vals\": ["), col("user_id") % 100,
+            lit(", "), col("user_id") % 7, lit("]}"))))
+      .withColumn("v", expr("try_parse_json(payload)"))
+      .withColumn("vtype", expr("variant_get(v, '$.meta.type', 'string')"))
+      .withColumn("prio", expr("variant_get(v, '$.meta.prio', 'bigint')"))
+      .withColumn("val1", expr("variant_get(v, '$.vals[1]', 'bigint')"))
+      .groupBy(coalesce(col("vtype"), lit("CORRUPT")).as("vtype"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(col("prio")).as("prio_sum"),
+        sum(col("val1")).as("val1_sum"))
+      .orderBy(col("vtype"))
+  }
+
+  val q259Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, user_id,
+      |    (event_id % 10 = 0) AS corrupt
+      |  FROM events),
+      |x AS (
+      |  SELECT
+      |    CASE WHEN corrupt THEN NULL ELSE event_type END AS vtype,
+      |    CASE WHEN corrupt THEN NULL ELSE event_id % 3 END AS prio,
+      |    CASE WHEN corrupt THEN NULL ELSE user_id % 7 END AS val1,
+      |    corrupt,
+      |    CASE WHEN corrupt THEN NULL ELSE
+      |      json_extract_string(
+      |        '{"id": ' || event_id || ', "meta": {"type": "' || event_type ||
+      |        '", "prio": ' || (event_id % 3) || '}, "vals": [' ||
+      |        (user_id % 100) || ', ' || (user_id % 7) || ']}',
+      |        '$.meta.type') END AS vtype_json
+      |  FROM ev)
+      |SELECT COALESCE(vtype_json, 'CORRUPT') AS vtype,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |  CAST(SUM(prio) AS BIGINT) AS prio_sum,
+      |  CAST(SUM(val1) AS BIGINT) AS val1_sum
+      |FROM x
+      |GROUP BY 1
+      |ORDER BY vtype""".stripMargin
+
+  // ---------------------------------------------------------------- q260
+  /** COLLATION CERTIFICATE — Spark 4 string collations: grouping under
+    * UTF8_LCASE must agree with grouping under lower() (the identity
+    * case-insensitive analytics relies on when it swaps explicit
+    * lower() wrapping for a collated column type). Case noise is
+    * synthesized deterministically over the customer segment (the
+    * q121 pattern: key-derived upper/lower/title variants), then both
+    * groupings run and the certificate joins them: identical group
+    * populations, identical distinct-count. The oracle replays the
+    * lower() side — the collated side is the Spark-surface under
+    * test, pinned equal.
+    */
+  def q260Collation(s: SparkSession, dir: String): DataFrame = {
+    val noisy = Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, lower(col("c_mktsegment")))
+          .when(col("c_custkey") % 3 === 1, col("c_mktsegment"))
+          .otherwise(initcap(lower(col("c_mktsegment")))).as("seg_noisy"))
+    val viaCollation = noisy
+      .groupBy(expr("collate(seg_noisy, 'UTF8_LCASE')").as("seg_c"))
+      .agg(count(lit(1)).as("n_collated"))
+      // collation PROPAGATES through lower(): the join key must come
+      // back to UTF8_BINARY or the seg = seg equality is indeterminate
+      .select(expr("collate(lower(seg_c), 'UTF8_BINARY')").as("seg"), col("n_collated"))
+    val viaLower = noisy
+      .groupBy(lower(col("seg_noisy")).as("seg"))
+      .agg(count(lit(1)).as("n_lower"), countDistinct(col("seg_noisy")).as("n_case_variants"))
+    viaLower
+      .join(viaCollation, Seq("seg"), "full_outer")
+      .select(
+        col("seg"),
+        col("n_lower").as("n_rows"),
+        col("n_case_variants"),
+        (col("n_lower") === col("n_collated")).as("collation_agrees"))
+      .orderBy(col("seg"))
+  }
+
+  val q260Oracle: String =
+    """WITH noisy AS (
+      |  SELECT c_custkey,
+      |    CASE
+      |      WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+      |      WHEN c_custkey % 3 = 1 THEN c_mktsegment
+      |      ELSE upper(c_mktsegment[1]) || lower(c_mktsegment[2:])
+      |    END AS seg_noisy
+      |  FROM customer)
+      |SELECT lower(seg_noisy) AS seg,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT seg_noisy) AS BIGINT) AS n_case_variants,
+      |  TRUE AS collation_agrees
+      |FROM noisy
+      |GROUP BY 1
+      |ORDER BY seg""".stripMargin
+
+  // ---------------------------------------------------------------- q261
+  /** NATIVE JARO-WINKLER SCORING (expr/JaroWinkler: codegen'd Catalyst
+    * expression, registered as SQL `jaro_winkler`) — the
+    * entity-resolution name-similarity primitive, certified against
+    * DuckDB's jaro_winkler_similarity over every pair of the distinct
+    * part-name catalog. The pair frame is |catalog|², not |part|² —
+    * the q160 dedupe-first discipline (62 distinct names at sf0.01) —
+    * so the cross join is a bounded model-state product, with the
+    * catalog distinct being the only corpus-sized pass. Scores ride
+    * at round-6 (the q25 float-output discipline); the match variant
+    * (boost threshold 0.7, prefix cap 4, both-empty → 0) is pinned by
+    * JaroWinklerSpec.
+    */
+  def q261JaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir).select(col("p_name")).distinct()
+    val a = names.select(col("p_name").as("name_a"))
+    val b = names.select(col("p_name").as("name_b"))
+    a.crossJoin(b)
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw", round(expr("jaro_winkler(name_a, name_b)"), 6))
+      .filter(col("jw") >= 0.5)
+      .select(col("name_a"), col("name_b"), col("jw"))
+      .orderBy(col("jw").desc, col("name_a"), col("name_b"))
+  }
+
+  val q261Oracle: String =
+    """WITH names AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |FROM names a, names b
+      |WHERE a.p_name < b.p_name
+      |  AND round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.5
+      |ORDER BY jw DESC, name_a, name_b""".stripMargin
+
+  // ---------------------------------------------------------------- q262
+  /** INVERTED-INDEX CONSTRUCTION with delta-encoded postings — the
+    * index-build pass behind q122's BM25 and every phrase/decontam
+    * lookup, certified structurally: postings are collected per
+    * (term, BLOCK) — block = doc_id div 1024, so no list ever exceeds
+    * the block width regardless of corpus size (the unbounded
+    * per-term collect is exactly what dies at 100 TB) — delta-encoded
+    * (first id raw, then strictly-positive gaps), and rolled up per
+    * term: df, block count, id range, strict-sortedness verdict, the
+    * telescoping-sum integrity law (Σ gaps = last − first per block),
+    * and the varint cost proxy Σ bit_length(delta) — the actual
+    * compressed-index size driver, engine-portable via length(bin(x)).
+    * Oracle rebuilds the same postings with lag windows.
+    */
+  def q262InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val termDocs = Tables
+      .documents(s, dir)
+      .select(explode(TextStats.tokens(lower(col("text")))).as("term"), col("doc_id"))
+      .distinct()
+      .withColumn("block", expr("doc_id div 1024"))
+    val blockPostings = termDocs
+      .groupBy(col("term"), col("block"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .withColumn(
+        "deltas",
+        expr("transform(ids, (x, i) -> CASE WHEN i = 0 THEN x ELSE x - ids[i - 1] END)"))
+      .withColumn(
+        "sorted_ok",
+        expr("forall(slice(deltas, 2, size(deltas) - 1), d -> d > 0)") ||
+          size(col("deltas")) === 1)
+      .withColumn(
+        "telescope_ok",
+        expr("aggregate(slice(deltas, 2, size(deltas) - 1), 0L, (a, x) -> a + x)") ===
+          expr("element_at(ids, -1) - ids[0]"))
+      .withColumn(
+        "encoded_bits",
+        expr("aggregate(transform(deltas, d -> length(bin(d))), 0L, (a, x) -> a + x)"))
+    blockPostings
+      .groupBy(col("term"))
+      .agg(
+        sum(size(col("ids")).cast("long")).as("df"),
+        count(lit(1)).as("n_blocks"),
+        min(col("ids")(0)).as("min_id"),
+        max(expr("element_at(ids, -1)")).as("max_id"),
+        sum(col("encoded_bits")).as("encoded_bits"),
+        (sum(when(col("sorted_ok"), 1L).otherwise(0L)) === count(lit(1))).as("sorted_ok"),
+        (sum(when(col("telescope_ok"), 1L).otherwise(0L)) === count(lit(1))).as("telescope_ok"))
+      .orderBy(col("term"))
+  }
+
+  val q262Oracle: String =
+    """WITH td AS (
+      |  SELECT DISTINCT term, doc_id
+      |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term, doc_id
+      |        FROM documents)),
+      |g AS (
+      |  SELECT term, doc_id // 1024 AS block, doc_id,
+      |    LAG(doc_id) OVER (PARTITION BY term, doc_id // 1024 ORDER BY doc_id) AS prev
+      |  FROM td),
+      |d AS (
+      |  SELECT term, block, doc_id, prev,
+      |    CASE WHEN prev IS NULL THEN doc_id ELSE doc_id - prev END AS delta
+      |  FROM g)
+      |SELECT term,
+      |  CAST(COUNT(*) AS BIGINT) AS df,
+      |  CAST(COUNT(DISTINCT block) AS BIGINT) AS n_blocks,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+      |  CAST(MAX(doc_id) AS BIGINT) AS max_id,
+      |  CAST(SUM(LENGTH(BIN(delta))) AS BIGINT) AS encoded_bits,
+      |  BOOL_AND(delta > 0 OR prev IS NULL) AS sorted_ok,
+      |  TRUE AS telescope_ok
+      |FROM d
+      |GROUP BY term
+      |ORDER BY term""".stripMargin
+
+  // ---------------------------------------------------------------- q263
+  /** HLL SET ALGEBRA — the MERGEABILITY certificate that makes sketches
+    * a 100 TB primitive: for every event-type pair, registers(A ∪ B)
+    * must equal the element-wise max of registers(A) and registers(B)
+    * (expr/HllRegisters lifts the aggregate's own partition-merge to a
+    * relational law), the merged union estimate must land within 5% of
+    * the exact distinct-user union, and the inclusion-exclusion
+    * intersection estimate est(A)+est(B)−est(A∪B) within 25% of the
+    * exact intersection. Per-type sketches are one pass; the union
+    * pass fans each event row out only to the pairs containing its
+    * type (≤4×). Exact counts ride |A∩B| = |A|+|B|−|A∪B| — no third
+    * distinct pass. The oracle replays the exacts and pins the three
+    * sketch laws.
+    */
+  def q263HllAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val perType = base
+      .groupBy(col("event_type"))
+      .agg(
+        expr("hll_registers(user_id)").as("regs"),
+        expr("hll_distinct(user_id)").as("est"),
+        countDistinct(col("user_id")).as("exact"))
+    val types = perType.select(col("event_type")).collect().map(_.getString(0)).sorted
+    val pairRows = for {
+      i <- types.indices; j <- (i + 1) until types.length
+    } yield (types(i), types(j))
+    val pairs = s.createDataFrame(pairRows).toDF("type_a", "type_b")
+    val unionAgg = base
+      .join(
+        broadcast(pairs),
+        col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        expr("hll_registers(user_id)").as("regs_u"),
+        expr("hll_distinct(user_id)").as("est_u"),
+        countDistinct(col("user_id")).as("exact_union"))
+    val a = perType.select(
+      col("event_type").as("type_a"), col("regs").as("regs_a"),
+      col("est").as("est_a"), col("exact").as("exact_a"))
+    val b = perType.select(
+      col("event_type").as("type_b"), col("regs").as("regs_b"),
+      col("est").as("est_b"), col("exact").as("exact_b"))
+    unionAgg
+      .join(broadcast(a), Seq("type_a"))
+      .join(broadcast(b), Seq("type_b"))
+      .withColumn("exact_intersect", col("exact_a") + col("exact_b") - col("exact_union"))
+      .withColumn(
+        "merge_law_ok",
+        expr("zip_with(regs_a, regs_b, (x, y) -> greatest(x, y))") === col("regs_u"))
+      .withColumn(
+        "union_est_ok",
+        abs(col("est_u") - col("exact_union")) * lit(20) <= col("exact_union"))
+      .withColumn(
+        "ie_est_ok",
+        abs(col("est_a") + col("est_b") - col("est_u") - col("exact_intersect")) * lit(4)
+          <= col("exact_intersect"))
+      .select(
+        col("type_a"), col("type_b"),
+        col("exact_a"), col("exact_b"), col("exact_union"), col("exact_intersect"),
+        col("merge_law_ok"), col("union_est_ok"), col("ie_est_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q263Oracle: String =
+    """WITH t AS (SELECT DISTINCT event_type FROM events),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b
+      |  FROM t a, t b WHERE a.event_type < b.event_type),
+      |ex AS (
+      |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact
+      |  FROM events GROUP BY 1),
+      |exu AS (
+      |  SELECT p.type_a, p.type_b,
+      |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_union
+      |  FROM pairs p JOIN events e
+      |    ON e.event_type = p.type_a OR e.event_type = p.type_b
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b,
+      |  ea.exact AS exact_a, eb.exact AS exact_b,
+      |  exu.exact_union,
+      |  ea.exact + eb.exact - exu.exact_union AS exact_intersect,
+      |  TRUE AS merge_law_ok, TRUE AS union_est_ok, TRUE AS ie_est_ok
+      |FROM pairs p
+      |JOIN exu ON exu.type_a = p.type_a AND exu.type_b = p.type_b
+      |JOIN ex ea ON ea.event_type = p.type_a
+      |JOIN ex eb ON eb.event_type = p.type_b
+      |ORDER BY p.type_a, p.type_b""".stripMargin
+
+  // ---------------------------------------------------------------- q264
+  /** AMS "TUG-OF-WAR" SECOND-MOMENT SKETCH (Alon-Matias-Szegedy
+    * STOC'96): F2 = Σ_v count(v)² of the user-activity distribution —
+    * the self-join size / skew statistic — estimated by 16 independent
+    * ±1-sign projections, every one FULLY replayed in the oracle: the
+    * sign of (estimator r, user u) is an md5 bit (the q116
+    * engine-portable hash bit), sketch_r = Σ count(u)·s(r, u), and
+    * est_r = sketch_r². No verdict pinning anywhere — both engines
+    * re-derive every sketch from scratch, plus the exact F2 and each
+    * estimator's exact-ppm ratio to it. The 16× fan-out multiplies
+    * the BOUNDED per-user count frame, never raw events.
+    */
+  def q264AmsF2(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val reps = s.range(0, 16).select(col("id").cast("int").as("r"))
+    val signed = counts
+      .crossJoin(broadcast(reps))
+      .withColumn(
+        "sgn",
+        lit(1L) - lit(2L) *
+          (conv(substring(md5(concat(col("r"), lit(":"), col("user_id"))), 1, 1), 16, 10)
+            .cast("long") % 2))
+    val perR = signed
+      .groupBy(col("r"))
+      .agg(sum(col("c") * col("sgn")).as("sketch"))
+      .withColumn("est", col("sketch") * col("sketch"))
+    val f2 = counts.agg(sum(col("c") * col("c")).as("f2_exact"))
+    perR
+      .crossJoin(broadcast(f2))
+      .withColumn("ratio_ppm", expr("(est * 1000000) div f2_exact"))
+      .select(col("r"), col("sketch"), col("est"), col("f2_exact"), col("ratio_ppm"))
+      .orderBy(col("r"))
+  }
+
+  val q264Oracle: String =
+    """WITH counts AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+      |reps AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS r),
+      |signed AS (
+      |  SELECT r, c,
+      |    1 - 2 * (CAST(('0x' || substr(md5(r || ':' || user_id), 1, 1)) AS BIGINT) % 2) AS sgn
+      |  FROM counts, reps),
+      |perr AS (
+      |  SELECT r, CAST(SUM(c * sgn) AS BIGINT) AS sketch
+      |  FROM signed GROUP BY r),
+      |f2 AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM counts)
+      |SELECT r, sketch, sketch * sketch AS est, f2.f2_exact,
+      |  (sketch * sketch * 1000000) // f2.f2_exact AS ratio_ppm
+      |FROM perr, f2
+      |ORDER BY r""".stripMargin
+
+  // ---------------------------------------------------------------- q265
+  /** LOCAL CLUSTERING COEFFICIENT — the per-node closure of q174's
+    * global triangle count: cc(n) = 2·t(n) / (deg(n)·(deg(n)−1)),
+    * where t(n) is the number of triangles through n (each q174
+    * degree-ordered triangle row exploded to its three corners — no
+    * second triangle pass) and deg(n) the simple undirected degree.
+    * Integer-exact in ppm (2·10⁶·t div deg·(deg−1)); degree-1 nodes
+    * carry NULL. Rolled up per 100-node bucket: node count, closed
+    * wedges (Σ2t), open+closed wedges (Σ deg·(deg−1)), exact-rational
+    * bucket coefficient, and min/max per-node ppm — the skew profile a
+    * curriculum-sampling pass reads. Oracle replays the textbook
+    * canonical x<y<z triple join + corner unnest.
+    */
+  def q265ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val edges = blockGraph(s, dir)
+    val canon = edges
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+    val deg = canon
+      .select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+    val tri = graft.ops.Triangles
+      .triangles(edges, "u", "v")
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("tri"))
+    val perNode = deg
+      .join(tri, Seq("node"), "left")
+      .na.fill(0L, Seq("tri"))
+      .withColumn("wedges", col("deg") * (col("deg") - 1))
+      .withColumn(
+        "cc_ppm",
+        when(col("deg") >= 2, expr("(2000000 * tri) div wedges")))
+    perNode
+      .groupBy(expr("node div 100").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(lit(2) * col("tri")).as("closed_wedges"),
+        sum(col("wedges")).as("all_wedges"),
+        expr("CASE WHEN sum(wedges) > 0 THEN (2000000 * sum(tri)) div sum(wedges) END")
+          .as("bucket_cc_ppm"),
+        min(col("cc_ppm")).as("min_cc_ppm"),
+        max(col("cc_ppm")).as("max_cc_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val q265Oracle: String =
+    s"""WITH e AS (
+      |$BlockGraphSql
+      |), canon AS (
+      |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e WHERE u <> v
+      |), deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      |  FROM (SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
+      |  GROUP BY node
+      |), t AS (
+      |  SELECT x.a AS n1, x.b AS n2, y.b AS n3
+      |  FROM canon x
+      |  JOIN canon y ON y.a = x.a AND y.b > x.b
+      |  JOIN canon z ON z.a = x.b AND z.b = y.b
+      |), tri AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+      |  FROM (SELECT unnest([n1, n2, n3]) AS node FROM t)
+      |  GROUP BY node
+      |), pn AS (
+      |  SELECT deg.node, deg.deg, COALESCE(tri.tri, 0) AS tri,
+      |    deg.deg * (deg.deg - 1) AS wedges,
+      |    CASE WHEN deg.deg >= 2
+      |         THEN (2000000 * COALESCE(tri.tri, 0)) // (deg.deg * (deg.deg - 1))
+      |    END AS cc_ppm
+      |  FROM deg LEFT JOIN tri ON tri.node = deg.node
+      |)
+      |SELECT node // 100 AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(2 * tri) AS BIGINT) AS closed_wedges,
+      |  CAST(SUM(wedges) AS BIGINT) AS all_wedges,
+      |  CAST(CASE WHEN SUM(wedges) > 0
+      |            THEN (2000000 * SUM(tri)) // SUM(wedges) END AS BIGINT)
+      |    AS bucket_cc_ppm,
+      |  CAST(MIN(cc_ppm) AS BIGINT) AS min_cc_ppm,
+      |  CAST(MAX(cc_ppm) AS BIGINT) AS max_cc_ppm
+      |FROM pn
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q266
+  /** EXACT AUTOCORRELATION FUNCTION (ACF, lags 0–7) of the zero-filled
+    * daily event-count series — the seasonality detector behind
+    * q238/q252, certified sample-exact: with n days, S = Σx, the
+    * integer deviation dev_t = n·x_t − S makes the standard estimator
+    * r_k = Σ dev_t·dev_{t−k} / Σ dev_t² a pure integer ratio (ppm via
+    * truncating div; both engines truncate toward zero, negative lags
+    * included). Products are widened to decimal(38,0)/HUGEINT BEFORE
+    * the sum (the q170 first-factor rule: 366 days · (n·x−S)² ≈ 10²⁰
+    * blows int64). The per-lag pairing is an equi join of the BOUNDED
+    * daily frame against itself on day−k — no windows, no sequential
+    * scan; everything before it is one groupBy over events. Oracle
+    * replays the grid, deviations and all eight ratios from scratch.
+    */
+  def q266Acf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .select(to_date(col("ts")).as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("x"))
+    val grid = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val series = grid.join(daily, Seq("day"), "left").na.fill(0L, Seq("x"))
+    val m = series.agg(count(lit(1)).as("n"), sum(col("x")).as("st"))
+    val dev = series
+      .crossJoin(broadcast(m))
+      .select(col("day"), col("n"), (col("n") * col("x") - col("st")).as("dev"))
+    val ks = s.range(0, 8).select(col("id").cast("int").as("k"))
+    val pairs = dev
+      .crossJoin(broadcast(ks))
+      .join(
+        dev.select(col("day").as("bday"), col("dev").as("bdev")),
+        expr("bday = date_sub(day, k)"))
+    val perK = pairs
+      .groupBy(col("k"))
+      .agg(
+        max(col("n")).as("n_days"),
+        sum(col("dev").cast("decimal(38,0)") * col("bdev")).as("num"),
+        count(lit(1)).as("n_pairs"))
+    val den = perK
+      .where(col("k") === 0)
+      .select(col("num").as("den"))
+    perK
+      .crossJoin(broadcast(den))
+      .select(
+        col("k"),
+        col("n_days"),
+        col("n_pairs"),
+        expr("CAST((num * 1000000) div den AS BIGINT)").as("acf_ppm"))
+      .orderBy(col("k"))
+  }
+
+  val q266Oracle: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+      |grid AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM b),
+      |s AS (
+      |  SELECT grid.day, COALESCE(d.x, 0) AS x
+      |  FROM grid LEFT JOIN d USING (day)),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS st FROM s),
+      |dev AS (SELECT day, m.n AS n, m.n * x - m.st AS dev FROM s, m),
+      |ks AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS k),
+      |perk AS (
+      |  SELECT k, MAX(a.n) AS n_days,
+      |    SUM(CAST(a.dev AS HUGEINT) * p.dev) AS num,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM dev a, ks, dev p
+      |  WHERE p.day = a.day - k
+      |  GROUP BY k),
+      |den AS (SELECT num AS den FROM perk WHERE k = 0)
+      |SELECT k, n_days, n_pairs,
+      |  CAST((num * 1000000) // den.den AS BIGINT) AS acf_ppm
+      |FROM perk, den
+      |ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------- q267
+  /** JUMP CONSISTENT HASH ROUTING (expr/JumpHash — native codegen'd
+    * `jump_hash(key, n)`, Lamping & Veach arXiv:1406.2294) with the
+    * MINIMAL-RESHARD LAW certified relationally: route every distinct
+    * user to 16 and to 17 buckets; when the fleet grows 16 → 17 a key
+    * either keeps its bucket or moves to the NEW bucket 16 — so
+    * moved_in must be 0 for every old bucket (the property that makes
+    * a 100 TB reshard touch only ~1/17 of the data; contrast
+    * ops/Rendezvous, which pays O(n) per key for weighted targets).
+    * The oracle replays the paper's LCG loop — uint64 wrap as HUGEINT
+    * mod 2⁶⁴, the IEEE divide/multiply jump, trunc-not-cast (the q212
+    * rounding gotcha) — in a recursive CTE, then the same audit.
+    */
+  def q267JumpHash(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Tables
+      .events(s, dir)
+      .select(col("user_id"))
+      .distinct()
+      .select(
+        col("user_id"),
+        expr("jump_hash(user_id, 16)").as("b16"),
+        expr("jump_hash(user_id, 17)").as("b17"))
+    val moved = assigned.where(col("b16") =!= col("b17"))
+    val c16 = assigned.groupBy(col("b16").as("bucket")).agg(count(lit(1)).as("cnt16"))
+    val c17 = assigned.groupBy(col("b17").as("bucket")).agg(count(lit(1)).as("cnt17"))
+    val out = moved.groupBy(col("b16").as("bucket")).agg(count(lit(1)).as("moved_out"))
+    val in = moved.groupBy(col("b17").as("bucket")).agg(count(lit(1)).as("moved_in"))
+    c17
+      .join(c16, Seq("bucket"), "left")
+      .join(out, Seq("bucket"), "left")
+      .join(in, Seq("bucket"), "left")
+      .na.fill(0L, Seq("cnt16", "moved_out", "moved_in"))
+      .withColumn("minimal_ok", col("bucket") === 16 || col("moved_in") === 0)
+      .select(
+        col("bucket"), col("cnt16"), col("cnt17"),
+        col("moved_out"), col("moved_in"), col("minimal_ok"))
+      .orderBy(col("bucket"))
+  }
+
+  val q267Oracle: String =
+    """WITH RECURSIVE keys AS (SELECT DISTINCT user_id FROM events),
+      |params AS (SELECT CAST(unnest([16, 17]) AS BIGINT) AS n),
+      |jump AS (
+      |  SELECT k.user_id, p.n,
+      |    CAST(k.user_id AS HUGEINT) AS key,
+      |    CAST(-1 AS BIGINT) AS b,
+      |    CAST(0 AS BIGINT) AS j
+      |  FROM keys k, params p
+      |  UNION ALL
+      |  SELECT user_id, n,
+      |    (key * 2862933555777941757 + 1) % 18446744073709551616 AS key,
+      |    j AS b,
+      |    CAST(trunc((j + 1) * (2147483648.0 /
+      |      CAST(((key * 2862933555777941757 + 1) % 18446744073709551616)
+      |           // 8589934592 + 1 AS DOUBLE))) AS BIGINT) AS j
+      |  FROM jump WHERE j < n),
+      |fin AS (SELECT user_id, n, CAST(b AS INT) AS bucket FROM jump WHERE j >= n),
+      |asg AS (
+      |  SELECT a.user_id, a.bucket AS b16, c.bucket AS b17
+      |  FROM (SELECT user_id, bucket FROM fin WHERE n = 16) a
+      |  JOIN (SELECT user_id, bucket FROM fin WHERE n = 17) c USING (user_id)),
+      |mv AS (SELECT * FROM asg WHERE b16 <> b17),
+      |c16 AS (SELECT b16 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt16 FROM asg GROUP BY 1),
+      |c17 AS (SELECT b17 AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt17 FROM asg GROUP BY 1),
+      |o AS (SELECT b16 AS bucket, CAST(COUNT(*) AS BIGINT) AS moved_out FROM mv GROUP BY 1),
+      |i AS (SELECT b17 AS bucket, CAST(COUNT(*) AS BIGINT) AS moved_in FROM mv GROUP BY 1)
+      |SELECT c17.bucket,
+      |  COALESCE(c16.cnt16, 0) AS cnt16, c17.cnt17,
+      |  COALESCE(o.moved_out, 0) AS moved_out,
+      |  COALESCE(i.moved_in, 0) AS moved_in,
+      |  (c17.bucket = 16 OR COALESCE(i.moved_in, 0) = 0) AS minimal_ok
+      |FROM c17
+      |LEFT JOIN c16 ON c16.bucket = c17.bucket
+      |LEFT JOIN o ON o.bucket = c17.bucket
+      |LEFT JOIN i ON i.bucket = c17.bucket
+      |ORDER BY c17.bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q268
+  /** UNPIVOT / MELT CERTIFICATE — the wide→long reshape every feature
+    * store and profiler leans on (q119 hand-rolls it with stack-style
+    * unions; this pins the FIRST-CLASS API): `Dataset.unpivot` on two
+    * integer-grid part metrics (size, retail cents — the q170
+    * discipline keeps the sums exact) against DuckDB's `UNPIVOT (val
+    * FOR metric IN (...))`. Certified per (brand, metric): row count,
+    * min/max/sum, plus the conservation law n_long = 2·n_wide that
+    * melt must obey. Map-side reshape — unpivot is a Generate, no
+    * shuffle until the aggregate.
+    */
+  def q268Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables
+      .part(s, dir)
+      .select(
+        col("p_brand"),
+        col("p_size").cast("long").as("size"),
+        expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val wide = p.groupBy(col("p_brand")).agg(count(lit(1)).as("n_wide"))
+    val long = p
+      .unpivot(
+        Array(col("p_brand")),
+        Array(col("size"), col("cents")),
+        "metric",
+        "val")
+      .groupBy(col("p_brand"), col("metric"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("val")).as("min_val"),
+        max(col("val")).as("max_val"),
+        sum(col("val")).as("sum_val"))
+    long
+      .join(broadcast(wide), Seq("p_brand"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(col("n")).as("n_long"),
+        max(col("n_wide")).as("n_wide"),
+        (sum(col("n")) === lit(2) * max(col("n_wide"))).as("conserved_ok"),
+        max(when(col("metric") === "size", col("sum_val"))).as("sum_size"),
+        max(when(col("metric") === "cents", col("sum_val"))).as("sum_cents"),
+        max(when(col("metric") === "size", col("max_val"))).as("max_size"),
+        min(when(col("metric") === "cents", col("min_val"))).as("min_cents"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q268Oracle: String =
+    """WITH p AS (
+      |  SELECT p_brand, CAST(p_size AS BIGINT) AS size,
+      |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM part),
+      |wide AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_wide FROM p GROUP BY 1),
+      |longf AS (
+      |  SELECT p_brand, metric, CAST(COUNT(*) AS BIGINT) AS n,
+      |    MIN(val) AS min_val, MAX(val) AS max_val, SUM(val) AS sum_val
+      |  FROM (SELECT * FROM p UNPIVOT (val FOR metric IN (size, cents)))
+      |  GROUP BY 1, 2)
+      |SELECT l.p_brand,
+      |  CAST(SUM(l.n) AS BIGINT) AS n_long,
+      |  MAX(w.n_wide) AS n_wide,
+      |  (SUM(l.n) = 2 * MAX(w.n_wide)) AS conserved_ok,
+      |  CAST(MAX(CASE WHEN metric = 'size' THEN sum_val END) AS BIGINT) AS sum_size,
+      |  CAST(MAX(CASE WHEN metric = 'cents' THEN sum_val END) AS BIGINT) AS sum_cents,
+      |  CAST(MAX(CASE WHEN metric = 'size' THEN max_val END) AS BIGINT) AS max_size,
+      |  CAST(MIN(CASE WHEN metric = 'cents' THEN min_val END) AS BIGINT) AS min_cents
+      |FROM longf l JOIN wide w ON w.p_brand = l.p_brand
+      |GROUP BY l.p_brand
+      |ORDER BY l.p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q269
+  /** HILBERT vs Z-ORDER, MEASURED — q208's rectangle probe plus the
+    * metric that actually separates the curves: the CLUSTERING NUMBER
+    * (Moon et al., "Analysis of the clustering properties of the
+    * Hilbert space-filling curve", TKDE 2001) — how many CONTIGUOUS
+    * curve ranges a query rectangle shatters into, i.e. the number of
+    * seeks a range-pruned scan pays. File counts on the sparse sample
+    * tie (files_z = files_h at this occupancy — measured, kept as
+    * evidence); the cluster count over the rectangle's full cell grid
+    * shows the textbook ~2× Hilbert advantage (measured here: 281 vs
+    * 156 summed over the 20 probes). Runs are counted with one lag
+    * window per curve over the tiny qid×64-cell frame: a cell starts
+    * a run iff position−1 is absent. [[graft.ops.Layout.hilbertValue]]
+    * / [[graft.ops.Layout.hilbertSqlCtes]] emit both engines' round
+    * arithmetic from one generator.
+    */
+  def q269Hilbert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val queries = (0 until 20)
+      .map(i => (i, (i * 37L) % 248, (i * 53L) % 248))
+      .toDF("qid", "x0", "y0")
+    // data-sample file counts (q208's probe, third layout added)
+    val keyed0 = Tables
+      .lineitem(s, dir)
+      .select(
+        (col("l_partkey") % 256).as("x"),
+        ((col("l_suppkey") * 131) % 256).as("y"))
+      .withColumn(
+        "zkey",
+        graft.ops.Layout.zValue(Seq((col("x"), 0L, 255L), (col("y"), 0L, 255L)), 8))
+    val keyed = graft.ops.Layout
+      .hilbertValue(keyed0, "x", "y", 8, "hkey")
+      .withColumn("file_z", expr("zkey div 256"))
+      .withColumn("file_h", expr("hkey div 256"))
+    val files = keyed
+      .crossJoin(broadcast(queries))
+      .where(
+        col("x") >= col("x0") && col("x") <= col("x0") + 7 &&
+          col("y") >= col("y0") && col("y") <= col("y0") + 7)
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("file_z")).as("files_z"),
+        countDistinct(col("file_h")).as("files_h"))
+    // grid-exact cluster counts: every cell of every rectangle
+    val cells0 = queries
+      .withColumn("dx", explode(expr("sequence(0L, 7L)")))
+      .withColumn("dy", explode(expr("sequence(0L, 7L)")))
+      .select(col("qid"), (col("x0") + col("dx")).as("x"), (col("y0") + col("dy")).as("y"))
+      .withColumn(
+        "zkey",
+        graft.ops.Layout.zValue(Seq((col("x"), 0L, 255L), (col("y"), 0L, 255L)), 8))
+    val cells = graft.ops.Layout.hilbertValue(cells0, "x", "y", 8, "hkey")
+    def runStart(key: String): Column = {
+      val prev = lag(col(key), 1).over(Window.partitionBy(col("qid")).orderBy(col(key)))
+      when(prev.isNull || prev =!= col(key) - 1, 1L).otherwise(0L)
+    }
+    val clusters = cells
+      .withColumn("zrun", runStart("zkey"))
+      .withColumn("hrun", runStart("hkey"))
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("zrun")).as("clusters_z"),
+        sum(col("hrun")).as("clusters_h"))
+    files
+      .join(clusters, Seq("qid"))
+      .withColumn("hilbert_wins", col("clusters_h") <= col("clusters_z"))
+      .select(
+        col("qid"), col("n_rows"), col("files_z"), col("files_h"),
+        col("n_cells"), col("clusters_z"), col("clusters_h"), col("hilbert_wins"))
+      .orderBy(col("qid"))
+  }
+
+  val q269Oracle: String = {
+    val zsql = graft.ops.Layout.zValueSql(Seq(("x", 0L, 255L), ("y", 0L, 255L)), 8)
+    val (hilbertCtes, hfin) =
+      graft.ops.Layout.hilbertSqlCtes("rows_k", Seq("rid", "x AS x", "y AS y"), "x", "y", 8)
+    val (cellCtes, cfin) =
+      graft.ops.Layout.hilbertSqlCtes("cells0", Seq("qid", "x AS x", "y AS y"), "x", "y", 8)
+    // the two chains share round CTE names — prefix the cell chain
+    val cellCtesP = cellCtes.replace("__h", "__c")
+    val cfinP = cfin.replace("__h", "__c")
+    s"""WITH rows_k AS (
+       |  SELECT row_number() OVER () AS rid,
+       |    l_partkey % 256 AS x, (l_suppkey * 131) % 256 AS y
+       |  FROM lineitem
+       |),
+       |$hilbertCtes,
+       |keyed AS (
+       |  SELECT h.x, h.y,
+       |    $zsql // 256 AS file_z,
+       |    h.hkey // 256 AS file_h
+       |  FROM $hfin h
+       |), q AS (
+       |  SELECT CAST(i AS INT) AS qid, (i * 37) % 248 AS x0, (i * 53) % 248 AS y0
+       |  FROM (SELECT unnest(range(0, 20)) AS i)
+       |), files AS (
+       |  SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(DISTINCT file_z) AS BIGINT) AS files_z,
+       |    CAST(COUNT(DISTINCT file_h) AS BIGINT) AS files_h
+       |  FROM keyed JOIN q
+       |    ON x BETWEEN x0 AND x0 + 7 AND y BETWEEN y0 AND y0 + 7
+       |  GROUP BY q.qid
+       |), cells0 AS (
+       |  SELECT qid, x0 + dx.d AS x, y0 + dy.d AS y
+       |  FROM q,
+       |    (SELECT unnest(range(0, 8)) AS d) dx,
+       |    (SELECT unnest(range(0, 8)) AS d) dy
+       |),
+       |$cellCtesP,
+       |ck AS (
+       |  SELECT qid, $zsql AS zkey, hkey
+       |  FROM $cfinP
+       |), runs AS (
+       |  SELECT qid,
+       |    CASE WHEN lag(zkey) OVER (PARTITION BY qid ORDER BY zkey) IS NULL
+       |           OR lag(zkey) OVER (PARTITION BY qid ORDER BY zkey) <> zkey - 1
+       |         THEN 1 ELSE 0 END AS zrun,
+       |    CASE WHEN lag(hkey) OVER (PARTITION BY qid ORDER BY hkey) IS NULL
+       |           OR lag(hkey) OVER (PARTITION BY qid ORDER BY hkey) <> hkey - 1
+       |         THEN 1 ELSE 0 END AS hrun
+       |  FROM ck
+       |), clusters AS (
+       |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |    CAST(SUM(zrun) AS BIGINT) AS clusters_z,
+       |    CAST(SUM(hrun) AS BIGINT) AS clusters_h
+       |  FROM runs GROUP BY qid
+       |)
+       |SELECT f.qid, f.n_rows, f.files_z, f.files_h,
+       |  c.n_cells, c.clusters_z, c.clusters_h,
+       |  (c.clusters_h <= c.clusters_z) AS hilbert_wins
+       |FROM files f JOIN clusters c ON c.qid = f.qid
+       |ORDER BY f.qid""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q270
+  /** AGGREGATE FILTER-CLAUSE CERTIFICATE — `agg(x) FILTER (WHERE p)`
+    * (SQL:2003 T612, supported by both engines since Spark 3.0 /
+    * DuckDB 0.5) pinned against its CASE-expression rewrite in the
+    * same scan: per return flag, filtered count/sum/min alongside the
+    * CASE forms plus equality verdicts, including the all-false-filter
+    * group edge (sum → NULL, count → 0 — the null-vs-zero asymmetry
+    * q209 pinned for plain aggregates carries over). Exact: integer
+    * key sums only, quantity thresholds on the raw double column.
+    */
+  def q270FilterClause(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("q270_lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  sum(l_orderkey) FILTER (WHERE l_quantity > 25) AS sum_big,
+        |  min(l_orderkey) FILTER (WHERE l_quantity > 25 AND l_linenumber = 1) AS min_big_l1,
+        |  sum(l_orderkey) FILTER (WHERE l_quantity > 1000) AS sum_none,
+        |  count(*) FILTER (WHERE l_quantity > 1000) AS n_none,
+        |  count(*) FILTER (WHERE l_quantity > 25)
+        |    = sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS count_eq_case,
+        |  coalesce(sum(l_orderkey) FILTER (WHERE l_quantity > 25), -1)
+        |    = coalesce(sum(CASE WHEN l_quantity > 25 THEN l_orderkey END), -1) AS sum_eq_case,
+        |  sum(l_orderkey) FILTER (WHERE l_quantity > 1000) IS NULL AS empty_sum_is_null
+        |FROM q270_lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val q270Oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n_all,
+      |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+      |  CAST(sum(l_orderkey) FILTER (WHERE l_quantity > 25) AS BIGINT) AS sum_big,
+      |  CAST(min(l_orderkey) FILTER (WHERE l_quantity > 25 AND l_linenumber = 1) AS BIGINT)
+      |    AS min_big_l1,
+      |  CAST(sum(l_orderkey) FILTER (WHERE l_quantity > 1000) AS BIGINT) AS sum_none,
+      |  CAST(count(*) FILTER (WHERE l_quantity > 1000) AS BIGINT) AS n_none,
+      |  count(*) FILTER (WHERE l_quantity > 25)
+      |    = sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS count_eq_case,
+      |  coalesce(sum(l_orderkey) FILTER (WHERE l_quantity > 25), -1)
+      |    = coalesce(sum(CASE WHEN l_quantity > 25 THEN l_orderkey END), -1) AS sum_eq_case,
+      |  sum(l_orderkey) FILTER (WHERE l_quantity > 1000) IS NULL AS empty_sum_is_null
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q271
+  /** LATERAL JOIN CERTIFICATE — the correlated top-N-per-row shape
+    * (`FROM cust, LATERAL (SELECT ... WHERE o_custkey = c_custkey
+    * ORDER BY ... LIMIT 3)`) that engines must decorrelate, pinned
+    * against the window-function rewrite IN THE SAME QUERY: per
+    * customer bucket, the lateral path's top-3-order revenue sum and
+    * count must equal the row_number()≤3 path's (verdict columns).
+    * Exact: revenue in floor-cents. The tie rule (o_orderdate DESC,
+    * o_orderkey DESC) is a total order, so top-3 is deterministic.
+    */
+  def q271Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("q271_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("q271_orders")
+    s.sql(
+      """WITH lat AS (
+        |  SELECT c.c_custkey, t.cents
+        |  FROM q271_customer c,
+        |  LATERAL (
+        |    SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |    FROM q271_orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+        |    LIMIT 3
+        |  ) t
+        |),
+        |lat_b AS (
+        |  SELECT c_custkey DIV 100 AS bucket,
+        |    count(*) AS n_lat, sum(cents) AS cents_lat
+        |  FROM lat GROUP BY 1
+        |),
+        |win AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM q271_orders
+        |),
+        |win_b AS (
+        |  SELECT c_custkey DIV 100 AS bucket,
+        |    count(*) AS n_win, sum(cents) AS cents_win
+        |  FROM win WHERE rn <= 3 GROUP BY 1
+        |)
+        |SELECT l.bucket, l.n_lat, l.cents_lat,
+        |  w.n_win, w.cents_win,
+        |  l.n_lat = w.n_win AS n_eq,
+        |  l.cents_lat = w.cents_win AS cents_eq
+        |FROM lat_b l JOIN win_b w ON w.bucket = l.bucket
+        |ORDER BY l.bucket""".stripMargin)
+  }
+
+  val q271Oracle: String =
+    """WITH lat AS (
+      |  SELECT c.c_custkey, t.cents
+      |  FROM customer c,
+      |  LATERAL (
+      |    SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |    FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+      |    LIMIT 3
+      |  ) t
+      |),
+      |lat_b AS (
+      |  SELECT c_custkey // 100 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_lat, CAST(sum(cents) AS BIGINT) AS cents_lat
+      |  FROM lat GROUP BY 1
+      |),
+      |win AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders
+      |),
+      |win_b AS (
+      |  SELECT c_custkey // 100 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_win, CAST(sum(cents) AS BIGINT) AS cents_win
+      |  FROM win WHERE rn <= 3 GROUP BY 1
+      |)
+      |SELECT l.bucket, l.n_lat, l.cents_lat,
+      |  w.n_win, w.cents_win,
+      |  l.n_lat = w.n_win AS n_eq,
+      |  l.cents_lat = w.cents_win AS cents_eq
+      |FROM lat_b l JOIN win_b w ON w.bucket = l.bucket
+      |ORDER BY l.bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q272
+  /** THEIL–SEN ROBUST TREND (Sen 1968): per event type, the median of
+    * all pairwise daily-count slopes — the outlier-proof alternative
+    * to q134's OLS (one wild day moves OLS arbitrarily; it moves the
+    * pairwise-slope median not at all). Exact: slopes on the integer
+    * grid (micro-units, truncating div — both engines truncate toward
+    * zero on negatives), the median as the DISCRETE lower
+    * order-statistic selected by row_number under the total order
+    * (slope, d_i, d_j) — the q92/q97 interpolation-free recipe. The
+    * pair frame is bounded (days², ≤366² per type, calendar-bounded,
+    * not data-bounded); everything upstream is one groupBy on events.
+    */
+  def q272TheilSen(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables
+      .events(s, dir)
+      .select(col("event_type").as("t"), to_date(col("ts")).as("day"))
+      .groupBy(col("t"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("d", datediff(col("day"), to_date(lit("2024-01-01"))))
+    val a = daily.select(col("t"), col("d").as("di"), col("c").as("ci"))
+    val b = daily.select(col("t").as("tb"), col("d").as("dj"), col("c").as("cj"))
+    val pairs = a
+      .join(b, col("t") === col("tb") && col("di") < col("dj"))
+      .withColumn("slope_u", expr("((cj - ci) * 1000000) div (dj - di)"))
+    val w = Window.partitionBy(col("t")).orderBy(col("slope_u"), col("di"), col("dj"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("t"))))
+      .groupBy(col("t"))
+      .agg(
+        max(col("np")).as("n_pairs"),
+        min(col("slope_u")).as("min_slope_u"),
+        max(col("slope_u")).as("max_slope_u"),
+        max(when(col("rn") === expr("(np + 1) div 2"), col("slope_u"))).as("median_slope_u"))
+      .orderBy(col("t"))
+  }
+
+  val q272Oracle: String =
+    """WITH daily AS (
+      |  SELECT event_type AS t, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (SELECT t, day - DATE '2024-01-01' AS d, c FROM daily),
+      |pairs AS (
+      |  SELECT a.t, a.d AS di, b.d AS dj,
+      |    ((b.c - a.c) * 1000000) // (b.d - a.d) AS slope_u
+      |  FROM dd a JOIN dd b ON b.t = a.t AND a.d < b.d),
+      |ranked AS (
+      |  SELECT t, slope_u,
+      |    row_number() OVER (PARTITION BY t ORDER BY slope_u, di, dj) AS rn,
+      |    COUNT(*) OVER (PARTITION BY t) AS np
+      |  FROM pairs)
+      |SELECT t,
+      |  CAST(MAX(np) AS BIGINT) AS n_pairs,
+      |  CAST(MIN(slope_u) AS BIGINT) AS min_slope_u,
+      |  CAST(MAX(slope_u) AS BIGINT) AS max_slope_u,
+      |  CAST(MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_u END) AS BIGINT) AS median_slope_u
+      |FROM ranked
+      |GROUP BY t
+      |ORDER BY t""".stripMargin
+
+  // ---------------------------------------------------------------- q273
+  /** MANN–WHITNEY U (Wilcoxon rank-sum, 1947) — the nonparametric A/B
+    * companion to q233's chi-square: does `value` under 'click'
+    * stochastically dominate 'view'? Exact integer throughout via
+    * DOUBLED midranks: group both samples by value (ties collapse),
+    * prefix-sum the combined counts ([[graft.ops.Sweep]]'s range-binned
+    * two-pass — the distributed form; the oracle replays with a plain
+    * window), then 2·avgrank of a tie group = 2·prior + c + 1, so
+    * 2R = Σ c_g·(2·prior + c + 1) and 2U = 2R − n(n+1) are integers.
+    * Certified: both 2U values, the partition law 2U_A + 2U_B =
+    * 2·n_A·n_B (ties cancel in midranks — the law a broken tie rule
+    * breaks), and the dominance direction.
+    */
+  def q273MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val byVal = Tables
+      .events(s, dir)
+      .where(col("event_type").isin("click", "view"))
+      .groupBy(col("value").as("v"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val cum = graft.ops.Sweep
+      .orderedPrefixSum(byVal, Seq.empty, col("v"), lit(0L), col("c"), "cum")
+      .withColumn("prior", col("cum") - col("c"))
+    cum
+      .agg(
+        sum(col("ca")).as("n_a"),
+        sum(col("cb")).as("n_b"),
+        sum(col("ca") * (lit(2) * col("prior") + col("c") + 1)).as("r2_a"),
+        sum(col("cb") * (lit(2) * col("prior") + col("c") + 1)).as("r2_b"))
+      .select(
+        col("n_a"), col("n_b"),
+        col("r2_a"), col("r2_b"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
+        (col("r2_b") - col("n_b") * (col("n_b") + 1)).as("u2_b"))
+      .withColumn(
+        "partition_ok",
+        col("u2_a") + col("u2_b") === lit(2) * col("n_a") * col("n_b"))
+      .withColumn("a_dominates", col("u2_a") > col("u2_b"))
+  }
+
+  val q273Oracle: String =
+    """WITH byval AS (
+      |  SELECT value AS v,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY value),
+      |cum AS (
+      |  SELECT v, ca, cb, ca + cb AS c,
+      |    COALESCE(SUM(ca + cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |  FROM byval),
+      |agg AS (
+      |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+      |    CAST(SUM(ca * (2 * prior + c + 1)) AS BIGINT) AS r2_a,
+      |    CAST(SUM(cb * (2 * prior + c + 1)) AS BIGINT) AS r2_b
+      |  FROM cum)
+      |SELECT n_a, n_b, r2_a, r2_b,
+      |  r2_a - n_a * (n_a + 1) AS u2_a,
+      |  r2_b - n_b * (n_b + 1) AS u2_b,
+      |  (r2_a - n_a * (n_a + 1)) + (r2_b - n_b * (n_b + 1)) = 2 * n_a * n_b AS partition_ok,
+      |  (r2_a - n_a * (n_a + 1)) > (r2_b - n_b * (n_b + 1)) AS a_dominates
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- q274
+  /** BITMAP-INDEX SET ALGEBRA — hour-presence bitmaps per (event type,
+    * 62-hour block): mask = OR of (1 << hour-in-block) (62 bits so the
+    * sign bit is never touched — portable two's-complement-free), then
+    * per type pair the intersection/union HOUR counts via
+    * bit_count(maskA & maskB) / bit_count(maskA | maskB) summed over
+    * blocks — the roaring-bitmap query shape (bitwise words instead of
+    * value joins) certified against inclusion-exclusion: inter + union
+    * = hours_a + hours_b per pair, plus a direct COUNT(DISTINCT)
+    * replay of each side's hour count. One events pass builds the
+    * bitmap frame (|types|·|blocks| rows); the pair pass is a
+    * broadcast join on the tiny frame.
+    */
+  def q274Bitmap(s: SparkSession, dir: String): DataFrame = {
+    val hours = Tables
+      .events(s, dir)
+      .select(
+        col("event_type").as("t"),
+        expr("CAST(floor(ts_ns div 1000 / 3600000000.0) AS BIGINT)").as("ehour"))
+      .distinct()
+    val masks0 = hours
+      .select(col("t"), expr("ehour div 62").as("blk"), expr("ehour % 62").as("bit"))
+      .groupBy(col("t"), col("blk"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(bit AS INT)))").as("mask"))
+    // densify to the full type×block grid (mask 0) so a block where only
+    // ONE type has activity still contributes to the pair's union at
+    // sparse SFs — otherwise the inner pair join drops it and the
+    // inclusion-exclusion law silently narrows its domain
+    val masks = masks0
+      .select(col("t")).distinct()
+      .crossJoin(masks0.select(col("blk")).distinct())
+      .join(masks0, Seq("t", "blk"), "left")
+      .na.fill(0L, Seq("mask"))
+    val perBlock = masks
+      .select(col("t").as("ta"), col("blk"), col("mask").as("ma"))
+      .join(
+        masks.select(col("t").as("tb"), col("blk").as("blkb"), col("mask").as("mb")),
+        col("blk") === col("blkb") && col("ta") < col("tb"))
+      .select(
+        col("ta"), col("tb"),
+        expr("bit_count(ma & mb)").cast("long").as("inter_bits"),
+        expr("bit_count(ma | mb)").cast("long").as("union_bits"))
+    val totals = masks
+      .groupBy(col("t"))
+      .agg(sum(expr("bit_count(mask)").cast("long")).as("hours"))
+    perBlock
+      .groupBy(col("ta"), col("tb"))
+      .agg(
+        sum(col("inter_bits")).as("inter_hours"),
+        sum(col("union_bits")).as("union_hours"))
+      .join(broadcast(totals.select(col("t").as("ta"), col("hours").as("hours_a"))), Seq("ta"))
+      .join(broadcast(totals.select(col("t").as("tb"), col("hours").as("hours_b"))), Seq("tb"))
+      .withColumn(
+        "incl_excl_ok",
+        col("inter_hours") + col("union_hours") === col("hours_a") + col("hours_b"))
+      .select(
+        col("ta"), col("tb"), col("hours_a"), col("hours_b"),
+        col("inter_hours"), col("union_hours"), col("incl_excl_ok"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  val q274Oracle: String =
+    """WITH hours AS (
+      |  SELECT DISTINCT event_type AS t,
+      |    CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS ehour
+      |  FROM events),
+      |masks0 AS (
+      |  SELECT t, ehour // 62 AS blk,
+      |    CAST(SUM(DISTINCT (CAST(1 AS BIGINT) << CAST(ehour % 62 AS INT))) AS BIGINT) AS mask
+      |  FROM hours GROUP BY 1, 2),
+      |masks AS (
+      |  SELECT g.t, g.blk, COALESCE(m.mask, 0) AS mask
+      |  FROM (SELECT t, blk
+      |        FROM (SELECT DISTINCT t FROM masks0), (SELECT DISTINCT blk FROM masks0)) g
+      |  LEFT JOIN masks0 m ON m.t = g.t AND m.blk = g.blk),
+      |perblock AS (
+      |  SELECT a.t AS ta, b.t AS tb,
+      |    bit_count(a.mask & b.mask) AS inter_bits,
+      |    bit_count(a.mask | b.mask) AS union_bits
+      |  FROM masks a JOIN masks b ON b.blk = a.blk AND a.t < b.t),
+      |totals AS (
+      |  SELECT t, CAST(SUM(bit_count(mask)) AS BIGINT) AS hours FROM masks GROUP BY 1)
+      |SELECT p.ta, p.tb, x.hours AS hours_a, y.hours AS hours_b,
+      |  CAST(SUM(inter_bits) AS BIGINT) AS inter_hours,
+      |  CAST(SUM(union_bits) AS BIGINT) AS union_hours,
+      |  CAST(SUM(inter_bits) AS BIGINT) + CAST(SUM(union_bits) AS BIGINT)
+      |    = x.hours + y.hours AS incl_excl_ok
+      |FROM perblock p
+      |JOIN totals x ON x.t = p.ta
+      |JOIN totals y ON y.t = p.tb
+      |GROUP BY p.ta, p.tb, x.hours, y.hours
+      |ORDER BY p.ta, p.tb""".stripMargin
+
+  // ---------------------------------------------------------------- q275
+  /** DAG LONGEST PATH (critical path) over the q174 block graph —
+    * every edge goes low→high key, so the graph is a DAG and the
+    * longest-path DP L(v) = max(L(v), max over u→v of L(u)+1) closes
+    * in ≤ 9 rounds (the deepest chain inside a 10-block). The rounds
+    * are the Bellman relaxation every scheduling/critical-path engine
+    * runs — each one join + one max-aggregate, lineage cut per round
+    * ([[graft.ops.Checkpoints]]); no driver collects. Output: the
+    * depth histogram (nodes, id-sum, id-range per longest-path
+    * length) plus each depth's convergence flag. Oracle: recursive
+    * CTE with UNION dedup (bounded: nodes × depths), then the same
+    * MAX-per-node rollup.
+    */
+  def q275CriticalPath(s: SparkSession, dir: String): DataFrame = {
+    val edges = blockGraph(s, dir)
+    val nodes = edges
+      .select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .distinct()
+    var lp = nodes.withColumn("len", lit(0L))
+    for (_ <- 1 to 9) {
+      val relaxed = lp
+        .join(edges, col("node") === col("u"))
+        .select(col("v").as("node"), (col("len") + 1).as("len"))
+      lp = graft.ops.Checkpoints.cut(
+        lp.unionByName(relaxed).groupBy(col("node")).agg(max(col("len")).as("len")))
+    }
+    lp.groupBy(col("len"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("node")).as("id_sum"),
+        min(col("node")).as("min_id"),
+        max(col("node")).as("max_id"))
+      .orderBy(col("len"))
+  }
+
+  val q275Oracle: String =
+    s"""WITH RECURSIVE e AS (
+      |$BlockGraphSql
+      |), nodes AS (
+      |  SELECT u AS node FROM e UNION SELECT v FROM e
+      |), walk(node, len) AS (
+      |  SELECT node, 0 FROM nodes
+      |  UNION
+      |  SELECT e.v, w.len + 1 FROM walk w JOIN e ON e.u = w.node
+      |), lp AS (
+      |  SELECT node, MAX(len) AS len FROM walk GROUP BY node
+      |)
+      |SELECT CAST(len AS BIGINT) AS len,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(node) AS BIGINT) AS id_sum,
+      |  CAST(MIN(node) AS BIGINT) AS min_id,
+      |  CAST(MAX(node) AS BIGINT) AS max_id
+      |FROM lp
+      |GROUP BY len
+      |ORDER BY len""".stripMargin
+
+  // ---------------------------------------------------------------- q276
+  /** GREEDY SET COVER for VOCABULARY CURATION — "which 6 documents
+    * cover the most vocabulary?": the classic (1−1/e)-approximation
+    * loop, each round picking the doc with the most still-uncovered
+    * tokens (tie: lowest doc_id). The doc→token membership frame is
+    * distributed; each round is one anti-join (drop covered tokens) +
+    * one count aggregate + a 1-row argmax collect (bounded model
+    * state, the IVF-centroid class). The oracle replays all 6 picks
+    * relationally — chained MATERIALIZED CTEs re-deriving each round's
+    * argmax with a window (no pinned picks; both engines run the same
+    * greedy from scratch). Output per round: picked doc, newly/cum
+    * covered, coverage ppm of the full vocabulary.
+    */
+  def q276SetCover(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // universe = token BIGRAMS (the unigram vocabulary of the synthetic
+    // corpus is only 31 words — one document covers it; bigrams give a
+    // ~900-term universe no single doc dominates)
+    val pairs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), graft.ops.TextStats.tokens(lower(col("text"))).as("ts"))
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(0, size(ts) - 2), i -> ts[i] || ' ' || ts[i + 1])"))
+          .as("tok"))
+      .distinct()
+      .cache()
+    val vocabTotal = pairs.select(col("tok")).distinct().count()
+    var uncovered = pairs
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    for (round <- 1 to 6) {
+      val best = uncovered
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id").asc)
+        .limit(1)
+        .as[(Long, Long)]
+        .head()
+      picks += ((round, best._1, best._2))
+      val coveredToks = pairs.where(col("doc_id") === best._1).select(col("tok"))
+      uncovered = graft.ops.Checkpoints.cut(
+        uncovered.join(coveredToks, Seq("tok"), "left_anti"))
+    }
+    pairs.unpersist()
+    var cumRun = 0L
+    val rows = picks.toSeq.map { case (r, d, g) => cumRun += g; (r, d, g, cumRun) }
+    rows
+      .toDF("round", "doc_id", "newly_covered", "cum_covered")
+      .withColumn("vocab_total", lit(vocabTotal))
+      .withColumn("coverage_ppm", expr("(cum_covered * 1000000) div vocab_total"))
+      .orderBy(col("round"))
+  }
+
+  val q276Oracle: String = {
+    // round i: pick argmax gain over pairs minus tokens of picks 1..i-1
+    val rounds = (1 to 6).map { i =>
+      val prevCov =
+        if (i == 1) ""
+        else s"WHERE tok NOT IN (SELECT tok FROM cov${i - 1})"
+      val prevCovSel =
+        if (i == 1) s"SELECT tok FROM pairs WHERE doc_id = (SELECT doc_id FROM pick1)"
+        else
+          s"""SELECT tok FROM cov${i - 1}
+             |  UNION SELECT tok FROM pairs WHERE doc_id = (SELECT doc_id FROM pick$i)""".stripMargin
+      s"""unc$i AS MATERIALIZED (
+         |  SELECT doc_id, tok FROM pairs $prevCov),
+         |pick$i AS MATERIALIZED (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+         |  FROM unc$i GROUP BY doc_id
+         |  ORDER BY gain DESC, doc_id ASC LIMIT 1),
+         |cov$i AS MATERIALIZED (
+         |  $prevCovSel)""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS tok
+       |  FROM toks, (SELECT unnest(range(1, 256)) AS i)
+       |  WHERE i < len(ts)),
+       |vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_total FROM pairs),
+       |${rounds.mkString(",\n")},
+       |allp AS (
+       |  ${(1 to 6)
+         .map(i => s"SELECT $i AS round, doc_id, gain FROM pick$i")
+         .mkString("\n  UNION ALL ")}
+       |)
+       |SELECT CAST(round AS INT) AS round, doc_id,
+       |  gain AS newly_covered,
+       |  CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS cum_covered,
+       |  vocab.vocab_total,
+       |  (CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) * 1000000) // vocab.vocab_total
+       |    AS coverage_ppm
+       |FROM allp, vocab
+       |ORDER BY round""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q277
+  /** STRONGLY CONNECTED COMPONENTS (ops/Scc — forward/backward
+    * min-label fixpoints, the directed closure of the CC family) on a
+    * graph with PLANTED cycles: forward edges k→k+1/k+2 inside
+    * 10-blocks plus a max→min back edge in every third block, so those
+    * blocks collapse to one 10-node SCC and the rest stay singletons.
+    * The oracle is GROUND TRUTH, not a replay of the labeling: a
+    * recursive reachability closure joined with its transpose defines
+    * mutual reachability, scc(v) = min mutually-reachable id — so a
+    * hash match PROVES the FW-BW labeling exact on this dataset (the
+    * q130 measured-finding posture; see Scc scaladoc for the
+    * general-graph caveat). Rolled up per scc-id bucket: nodes, sccs,
+    * cyclic sccs, max size, id sum.
+    */
+  /** Directed test graph shared by q277: forward +1/+2 edges inside
+    * 10-blocks over real customer keys, plus a (max → min) back edge
+    * in blocks where block % 3 = 0.
+    */
+  private[graft] def directedBlockGraph(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+    val fwd = keys
+      .withColumn("d", explode(array(lit(1L), lit(2L))))
+      .withColumn("v", col("k") + col("d"))
+      .where(expr("(k div 10) = (v div 10)"))
+      .join(keys.withColumnRenamed("k", "v"), Seq("v"), "left_semi")
+      .select(col("k").as("src"), col("v").as("dst"))
+    val back = keys
+      .groupBy(expr("k div 10").as("blk"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .where(col("blk") % 3 === 0 && col("lo") < col("hi"))
+      .select(col("hi").as("src"), col("lo").as("dst"))
+    fwd.unionByName(back)
+  }
+
+  private[graft] val DirectedBlockGraphSql: String =
+    """SELECT cand.k AS src, cand.v AS dst
+      |  FROM (SELECT k.c_custkey AS k, k.c_custkey + d.d AS v
+      |        FROM customer k, (SELECT unnest([1, 2]) AS d) d
+      |        WHERE (k.c_custkey // 10) = ((k.c_custkey + d.d) // 10)) cand
+      |  JOIN customer k2 ON k2.c_custkey = cand.v
+      |  UNION ALL
+      |  SELECT hi AS src, lo AS dst
+      |  FROM (SELECT c_custkey // 10 AS blk, MIN(c_custkey) AS lo, MAX(c_custkey) AS hi
+      |        FROM customer GROUP BY 1)
+      |  WHERE blk % 3 = 0 AND lo < hi""".stripMargin
+
+  def q277Scc(s: SparkSession, dir: String): DataFrame = {
+    val comps = graft.ops.Scc.components(directedBlockGraph(s, dir), rounds = 12)
+    comps
+      .groupBy(expr("scc_id div 500").as("bucket"))
+      .agg(
+        sum(col("size")).as("n_nodes"),
+        count(lit(1)).as("n_sccs"),
+        sum(when(col("size") > 1, 1L).otherwise(0L)).as("n_cyclic"),
+        max(col("size")).as("max_size"),
+        sum(col("scc_id")).as("id_sum"))
+      .orderBy(col("bucket"))
+  }
+
+  val q277Oracle: String =
+    s"""WITH RECURSIVE e AS (
+      |$DirectedBlockGraphSql
+      |), nodes AS (
+      |  SELECT src AS node FROM e UNION SELECT dst FROM e
+      |), reach(a, node) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.node
+      |), mutual AS (
+      |  SELECT x.a AS v, x.node AS u
+      |  FROM reach x JOIN reach y ON y.a = x.node AND y.node = x.a
+      |), scc AS (
+      |  SELECT v, MIN(u) AS scc_id FROM mutual GROUP BY v
+      |), sizes AS (
+      |  SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS size FROM scc GROUP BY scc_id
+      |)
+      |SELECT scc_id // 500 AS bucket,
+      |  CAST(SUM(size) AS BIGINT) AS n_nodes,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sccs,
+      |  CAST(SUM(CASE WHEN size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cyclic,
+      |  CAST(MAX(size) AS BIGINT) AS max_size,
+      |  CAST(SUM(scc_id) AS BIGINT) AS id_sum
+      |FROM sizes
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q278
+  /** CMS JOIN-SIZE ESTIMATION (Cormode–Muthukrishnan §4.2): the inner
+    * product of two Count-Min sketches over the join key estimates
+    * |R ⋈ S| = Σ_k c_R(k)·c_S(k) — the cardinality-estimation trick a
+    * planner can run on 100 TB inputs from two O(d·w) summaries
+    * without touching the data again. Each side's key multiset goes
+    * through q131's 4×32 matrix (md5 row hashes ⇒ every counter is
+    * relationally replayable); the estimate is min over rows of the
+    * row-wise dot product, and the CMS guarantee est ≥ exact (hash
+    * collisions only ADD spurious products) is pinned per row and for
+    * the min. The exact join size rides one equi-join aggregate on
+    * the per-key count frames. Width 32 vs 150 users forces real
+    * collisions — the overcount is visibly non-zero and checked.
+    */
+  def q278CmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def side(t: String) = ev
+      .where(col("event_type") === t)
+      .select(col("user_id").cast("string").as("k"))
+    val a = side("click").agg(expr("count_min(k, 4, 32)").as("ma"), count(lit(1)).as("n_r"))
+    val b = side("purchase").agg(expr("count_min(k, 4, 32)").as("mb"), count(lit(1)).as("n_s"))
+    val exact = side("click")
+      .groupBy(col("k")).agg(count(lit(1)).as("cr"))
+      .join(side("purchase").groupBy(col("k")).agg(count(lit(1)).as("cs")), Seq("k"))
+      .agg(sum(col("cr") * col("cs")).as("exact_join_size"))
+    def rowDot(i: Int) =
+      expr(s"aggregate(zip_with(ma[$i], mb[$i], (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    a.crossJoin(b)
+      .crossJoin(exact)
+      .select(
+        col("n_r"), col("n_s"), col("exact_join_size"),
+        rowDot(0).as("dot_0"), rowDot(1).as("dot_1"),
+        rowDot(2).as("dot_2"), rowDot(3).as("dot_3"))
+      .withColumn("est_join_size", least(col("dot_0"), col("dot_1"), col("dot_2"), col("dot_3")))
+      .withColumn(
+        "never_under",
+        col("dot_0") >= col("exact_join_size") && col("dot_1") >= col("exact_join_size") &&
+          col("dot_2") >= col("exact_join_size") && col("dot_3") >= col("exact_join_size"))
+      .withColumn(
+        "overcount_ppm",
+        expr("((est_join_size - exact_join_size) * 1000000) div exact_join_size"))
+  }
+
+  val q278Oracle: String = {
+    val rows = (0 until 4)
+      .map { i =>
+        s"""SELECT $i AS i, CAST(('0x' || substr(md5($i || ':' || k), 1, 15)) AS BIGINT) % 32
+           |  AS bucket, c FROM ra""".stripMargin
+      }
+      .mkString("\n  UNION ALL ")
+    val rowsB = (0 until 4)
+      .map { i =>
+        s"""SELECT $i AS i, CAST(('0x' || substr(md5($i || ':' || k), 1, 15)) AS BIGINT) % 32
+           |  AS bucket, c FROM rb""".stripMargin
+      }
+      .mkString("\n  UNION ALL ")
+    s"""WITH ra AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events WHERE event_type = 'click' GROUP BY 1),
+       |rb AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |acell AS (
+       |  SELECT i, bucket, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+       |  $rows
+       |  ) GROUP BY i, bucket),
+       |bcell AS (
+       |  SELECT i, bucket, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+       |  $rowsB
+       |  ) GROUP BY i, bucket),
+       |dots AS (
+       |  SELECT a.i, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
+       |  FROM acell a JOIN bcell b ON b.i = a.i AND b.bucket = a.bucket
+       |  GROUP BY a.i),
+       |ex AS (
+       |  SELECT CAST(SUM(ra.c * rb.c) AS BIGINT) AS exact_join_size
+       |  FROM ra JOIN rb ON rb.k = ra.k),
+       |ns AS (
+       |  SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+       |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_s
+       |  FROM events),
+       |wide AS (
+       |  SELECT
+       |    MAX(CASE WHEN i = 0 THEN dot END) AS dot_0,
+       |    MAX(CASE WHEN i = 1 THEN dot END) AS dot_1,
+       |    MAX(CASE WHEN i = 2 THEN dot END) AS dot_2,
+       |    MAX(CASE WHEN i = 3 THEN dot END) AS dot_3
+       |  FROM dots)
+       |SELECT ns.n_r, ns.n_s, ex.exact_join_size,
+       |  wide.dot_0, wide.dot_1, wide.dot_2, wide.dot_3,
+       |  least(wide.dot_0, wide.dot_1, wide.dot_2, wide.dot_3) AS est_join_size,
+       |  (wide.dot_0 >= ex.exact_join_size AND wide.dot_1 >= ex.exact_join_size AND
+       |   wide.dot_2 >= ex.exact_join_size AND wide.dot_3 >= ex.exact_join_size) AS never_under,
+       |  ((least(wide.dot_0, wide.dot_1, wide.dot_2, wide.dot_3) - ex.exact_join_size)
+       |    * 1000000) // ex.exact_join_size AS overcount_ppm
+       |FROM wide, ex, ns""".stripMargin
+  }
+
+}

@@ -1908,10 +1908,13 @@ private[graft] trait QueriesGraph {
     */
   def q301TextRank(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: pairs AND freq both consume the explode — uncached,
+    // freq re-ran the full corpus tokenization inside the final job
     val toks = Tables
       .documents(s, dir)
       .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
       .where(length(col("word")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val pairs = toks
       .withColumn("prev", lag(col("word"), 1).over(byDoc))
@@ -1925,15 +1928,25 @@ private[graft] trait QueriesGraph {
       .select(col("a").as("u"), col("b").as("v"), col("w"))
       .unionByName(pairs.select(col("b").as("u"), col("a").as("v"), col("w")))
     dirEdges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wdeg = dirEdges.groupBy(col("u")).agg(sum(col("w")).as("wdeg"))
+    // wdeg is referenced twice per round plus init and the final
+    // projection — ~10 subtree scans inside the ONE lazy evaluation —
+    // so cut it eagerly (r11; uncut it re-aggregated the edge frame per
+    // reference), and pre-join it into the edge frame once so each
+    // round does one join, not two (the PageRank `ed` discipline)
+    val wdeg = graft.ops.Checkpoints.cut(
+      dirEdges.groupBy(col("u")).agg(sum(col("w")).as("wdeg")))
+    val ew = dirEdges.join(wdeg, Seq("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize NOW: the four lazy-round subtree scans of an
+    // unmaterialized cache would race and recompute the join per round
+    ew.count()
     val freq = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
     // the edge frame already owns a column named "v" (the pair target),
     // so the rank value is "vr" until the final projection
     var rank = wdeg.select(col("u").as("word"), lit(1000000000000L).as("vr"))
     for (_ <- 1 to 4) {
-      val inflow = dirEdges
+      val inflow = ew
         .join(rank.withColumnRenamed("word", "u"), Seq("u"))
-        .join(wdeg, Seq("u"))
         .groupBy(col("v").as("word"))
         // decimal(38,0)-staged first factor (q170 discipline): vr is
         // 10^12-grid rank mass, so vr*w wraps int64 at w > ~9.2M pair

@@ -75,31 +75,40 @@ object PageRank {
     var prevCkpt: DataFrame = null
     for (_ <- 1 to iters) {
       // dangling mass this round: decimal-exact (order-independent) sum
-      // of rank on nodes with no out-edges; empty anti-join → 0.0
-      val dm =
-        if (!hasDangling) 0.0
+      // of rank on nodes with no out-edges, attached as a BROADCAST
+      // 1-row frame so it evaluates INSIDE the round's one checkpoint
+      // job (r11; the r10 head() was a second driver job per round —
+      // a scalar that never leaves the cluster shouldn't schedule one).
+      // The double value is identical: same decimal accumulation, same
+      // cast, and dm/n is computed in double on both paths.
+      val next0 =
+        nodes
+          .join(
+            ed.join(ranks, ed("src") === ranks("node"))
+              .select(col("dst"), (col("r") / col("deg")).as("c"))
+              .groupBy(col("dst").as("node"))
+              .agg(sum(col("c").cast("decimal(38,12)")).cast("double").as("csum")),
+            Seq("node"),
+            "left"
+          )
+      val next = (
+        if (!hasDangling)
+          next0.select(
+            col("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("csum"), lit(0.0))).as("r"))
         else {
-          val dmRow = ranks
+          val dmf = ranks
             .join(srcs, Seq("node"), "left_anti")
-            .agg(sum(col("r").cast("decimal(38,12)")).cast("double"))
-            .head()
-          if (dmRow.isNullAt(0)) 0.0 else dmRow.getDouble(0)
+            .agg(coalesce(sum(col("r").cast("decimal(38,12)")).cast("double"), lit(0.0)).as("dm"))
+          next0
+            .crossJoin(broadcast(dmf))
+            .select(
+              col("node"),
+              (lit((1.0 - damping) / n) +
+                lit(damping) * (coalesce(col("csum"), lit(0.0)) + col("dm") / lit(n.toDouble))).as("r"))
         }
-      val next = nodes
-        .join(
-          ed.join(ranks, ed("src") === ranks("node"))
-            .select(col("dst"), (col("r") / col("deg")).as("c"))
-            .groupBy(col("dst").as("node"))
-            .agg(sum(col("c").cast("decimal(38,12)")).cast("double").as("csum")),
-          Seq("node"),
-          "left"
-        )
-        .select(
-          col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("csum"), lit(0.0)) + lit(dm / n))).as("r")
-        )
-        .cutLineage()
+      ).cutLineage()
       // free the superseded round's checkpoint blocks (executor storage
       // otherwise grows linearly with iters for library callers)
       if (prevCkpt != null) GraftShim.unpersistCheckpoint(prevCkpt)

@@ -165,9 +165,24 @@ object Bench {
       else (times(reps / 2 - 1) + times(reps / 2)) / 2
     }
 
+    // WALL GUARD (r11 — the structural fix for the r9 rc=124 class):
+    // if the run is about to outlive the driver budget (interference
+    // can inflate the heavy tail 1.5-2.5× and trip spurious in-run
+    // escalations), DEGRADE remaining queries to warm+single-shot
+    // instead of timing out with no record at all. Degraded names ride
+    // in the record so band adjudication knows those values are
+    // one-shot under load, not settled medians.
+    val wallGuardSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_GUARD", "1900").toDouble
+    val wallStart = System.nanoTime()
+    def wallElapsed: Double = (System.nanoTime() - wallStart) / 1e9
+    val degraded = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = ordered.map { case (name, fn) =>
+      val overWall = wallElapsed > wallGuardSec
+      if (overWall) degraded += name
       val med =
-        if (!adaptive) heavyMeasure(fn, warm = false)
+        if (overWall) { timed(fn); timed(fn) } // warm + one-shot, no settle
+        else if (!adaptive) heavyMeasure(fn, warm = false)
         else if (expect.get(name).exists(_ < heavyThresh)) {
           timed(fn) // warm rep at the bench SF (codegen + JIT)
           val v = timed(fn)
@@ -227,8 +242,9 @@ object Bench {
     // settled medians (an "median_of_3" label there would mislabel ~190
     // of 317 values).
     val agg = if (adaptive) "adaptive" else s"median_of_$reps"
+    val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"$agg","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate,"adaptive":$adaptive,"nq":${results.size},"subset":${only.isDefined},"loadavg":"$loadavgStart","loadavg_end":"$loadavg","cpu":"$cpu","nproc":$nproc}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"$agg","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate,"adaptive":$adaptive,"nq":${results.size},"subset":${only.isDefined},"degraded":$degradedJson,"loadavg":"$loadavgStart","loadavg_end":"$loadavg","cpu":"$cpu","nproc":$nproc}"""
     println(line)
     // ALSO persist the full record to a file: the driver's captured
     // stdout tail truncates past ~64 per-query medians; the file is

@@ -3277,4 +3277,224 @@ private[graft] trait QueriesGraph {
       |  (u0_x2 + u1_x2 = 2 * CAST(n0 AS HUGEINT) * n1) AS law_ok,
       |  CAST((u0_x2 * 1000000) // (2 * CAST(n0 AS HUGEINT) * n1) AS BIGINT) AS auc_ppm
       |FROM u""".stripMargin
+
+  // ---------------------------------------------------------------- q318
+  /** IMPORTANCE-WEIGHT ESS DIAGNOSTIC (Kong 1992's effective sample
+    * size, the reweighting sanity check next to q62/q142/q304's
+    * mixture planners): reweighting the EMPIRICAL per-source document
+    * distribution to the UNIFORM-over-sources target gives each doc in
+    * source s the weight w_s = N/(k·n_s); the diagnostic every
+    * reweighted-training run needs is ESS = (Σw)²/Σw² — how many
+    * effective documents the weighted corpus is worth. Algebra
+    * collapses it to ESS = k²/Σ_s(1/n_s) (k · harmonic mean), so the
+    * statistic is DEFINED on the 10¹² reciprocal grid (each 1/n_s as
+    * the floor integer 10¹² div n_s — grid definition, not
+    * approximation: both engines replay the floor identically, the
+    * repo-wide exact-replay recipe). Per-source w ppm rides as a
+    * column, plus the ESS ≤ N readout — a LAW in the reals (AM–HM:
+    * equality iff the corpus is already uniform) but a DIAGNOSTIC on
+    * the grid: floor(10¹²/n_s) under-counts Σ(1/n_s), so a
+    * near-uniform corpus can read a few grid units above N; both
+    * engines compute the identical grid value either way. One
+    * row-count scan of documents — no token work.
+    */
+  def q318ImportanceEss(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables
+      .documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"))
+    per.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = per.agg(
+      sum(col("n_s")).as("n"),
+      count(lit(1)).as("k"),
+      sum(expr("1000000000000 div n_s")).as("inv_sum"))
+    per
+      .crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("n_s"),
+        // per-doc importance weight in ppm: (N · 10⁶) div (k · n_s)
+        expr("cast((cast(n as decimal(38,0)) * 1000000) div (k * n_s) as bigint)").as("w_ppm"),
+        col("n"),
+        col("k"),
+        // ESS = k² / Σ(1/n_s) on the 10¹² grid, emitted in docs
+        expr("cast((cast(k as decimal(38,0)) * k * 1000000000000) div inv_sum as bigint)").as("ess_docs"),
+        // effective fraction of the corpus in ppm
+        expr("cast(((cast(k as decimal(38,0)) * k * 1000000000000) div inv_sum) * 1000000 div n as bigint)")
+          .as("ess_ppm"))
+      .withColumn("ess_le_n", col("ess_docs") <= col("n"))
+      .orderBy(col("source"))
+  }
+
+  val q318Oracle: String =
+    """WITH per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(SUM(n_s) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(1000000000000 // n_s) AS BIGINT) AS inv_sum
+      |  FROM per
+      |)
+      |SELECT per.source, per.n_s,
+      |  CAST((CAST(n AS HUGEINT) * 1000000) // (k * n_s) AS BIGINT) AS w_ppm,
+      |  tot.n, tot.k,
+      |  CAST((CAST(k AS HUGEINT) * k * 1000000000000) // inv_sum AS BIGINT) AS ess_docs,
+      |  CAST(((CAST(k AS HUGEINT) * k * 1000000000000) // inv_sum) * 1000000 // n AS BIGINT) AS ess_ppm,
+      |  (CAST(k AS HUGEINT) * k * 1000000000000) // inv_sum <= n AS ess_le_n
+      |FROM per, tot
+      |ORDER BY per.source""".stripMargin
+
+  // ---------------------------------------------------------------- q319
+  /** ZIPF RANK-FREQUENCY SLOPE, integer-exact (Zipf's law: freq ∝
+    * rank^−s with s ≈ 1 — the corpus-health fingerprint next to q303's
+    * Heaps law and q137's vocab stats; a slope far from −1 flags
+    * boilerplate or templated spam): word frequencies from one token
+    * scan, rank by (freq DESC, word), keep the top-1024 ranks (a
+    * BOUNDED model-state frame at any corpus size), take integer log₂
+    * of rank and frequency via length(bin(x))−1 (the q199
+    * engine-portable recipe — no transcendental ever evaluated), and
+    * fit OLS on the (log₂ rank, log₂ freq) grid from exact integer
+    * sufficient statistics: slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) in ppm,
+    * decimal(38,0)-staged cross products (the q134 recipe).
+    */
+  def q319ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables
+      .documents(s, dir)
+      .select(explode(TextStats.tokens(lower(col("text")))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+    // top-1024 via orderBy+limit FIRST (TakeOrderedAndProject — fully
+    // distributed partial top-k), THEN the rank window on the bounded
+    // 1024-row frame; a global row_number over the full vocabulary
+    // would single-partition-sort the whole vocab at corpus scale
+    val ranked = freq
+      .orderBy(col("freq").desc, col("word"))
+      .limit(1024)
+      .withColumn("rk", row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+      .select(
+        expr("cast(length(bin(rk)) - 1 as bigint)").as("x"),
+        expr("cast(length(bin(freq)) - 1 as bigint)").as("y"))
+    ranked
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+      .select(
+        col("n"),
+        col("sx"),
+        col("sy"),
+        expr("cast(((cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy) * 1000000) div (cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx) as bigint)")
+          .as("slope_ppm"))
+      .withColumn("zipf_like", col("slope_ppm") < 0)
+  }
+
+  val q319Oracle: String =
+    """WITH freq AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      |    FROM documents)
+      |  WHERE length(word) > 0
+      |  GROUP BY word
+      |), ranked AS (
+      |  SELECT CAST(length(bin(rk)) - 1 AS BIGINT) AS x,
+      |         CAST(length(bin(freq)) - 1 AS BIGINT) AS y
+      |  FROM (SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rk FROM freq)
+      |  WHERE rk <= 1024
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      |  FROM ranked
+      |)
+      |SELECT n, sx, sy,
+      |  CAST(((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+      |    // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS slope_ppm,
+      |  ((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+      |    // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) < 0 AS zipf_like
+      |FROM stats""".stripMargin
+
+  // ---------------------------------------------------------------- q320
+  /** COHEN'S KAPPA ANNOTATOR AGREEMENT (Cohen 1960 — the label-noise
+    * diagnostic an LLM-data pipeline runs between any two quality
+    * raters before trusting either): two deterministic rule
+    * "annotators" over documents — A: length rule (≥ 64 tokens),
+    * B: stopword rule (stopword tokens ≥ ¼ of tokens, integer
+    * cross-multiplied) — one confusion-matrix aggregate, then kappa as
+    * the EXACT RATIONAL (N·agree − Σ marginal products) /
+    * (N² − Σ marginal products), emitted in ppm with a single
+    * truncating division last (both engines truncate toward zero —
+    * the q198-probed law, so a negative kappa replays identically
+    * too). The kappa ≤ po law (exact in the rationals whenever
+    * pe > 0) rides as a column. PRECONDITION (q313 posture): the two
+    * annotators must not be constant AND identical — pe = 1 makes
+    * kappa undefined (DuckDB raises, Spark ANSI-off nulls), which no
+    * generator corpus produces. Chance-corrected agreement, one scan.
+    */
+  def q320CohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = TextStats.stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val labeled = Tables
+      .documents(s, dir)
+      .select(TextStats.tokens(lower(col("text"))).as("toks"))
+      .select(
+        when(size(col("toks")) >= 64, 1L).otherwise(0L).as("a"),
+        when(
+          expr(s"size(filter(toks, t -> array_contains($stopArr, t))) * 4 >= size(toks)"),
+          1L).otherwise(0L).as("b"))
+    labeled
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("case when a = 1 and b = 1 then 1 else 0 end")).as("n11"),
+        sum(expr("case when a = 1 and b = 0 then 1 else 0 end")).as("n10"),
+        sum(expr("case when a = 0 and b = 1 then 1 else 0 end")).as("n01"),
+        sum(expr("case when a = 0 and b = 0 then 1 else 0 end")).as("n00"))
+      .select(
+        col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("cast(((n11 + n00) * 1000000) div n as bigint)").as("po_ppm"),
+        // pe numerator: marginal products a1·b1 + a0·b0 (decimal-staged)
+        expr("""cast(((cast(n as decimal(38,0)) * (n11 + n00)
+               |      - (cast(n11 + n10 as decimal(38,0)) * (n11 + n01)
+               |         + cast(n01 + n00 as decimal(38,0)) * (n10 + n00))) * 1000000)
+               |  div (cast(n as decimal(38,0)) * n
+               |       - (cast(n11 + n10 as decimal(38,0)) * (n11 + n01)
+               |          + cast(n01 + n00 as decimal(38,0)) * (n10 + n00))) as bigint)""".stripMargin)
+          .as("kappa_ppm"))
+      .withColumn("kappa_le_po", col("kappa_ppm") <= col("po_ppm"))
+  }
+
+  val q320Oracle: String = {
+    val stopList = graft.ops.TextStats.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH lab AS (
+      |  SELECT CASE WHEN len(toks) >= 64 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN len(list_filter(toks, t -> list_contains($stopList, t))) * 4 >= len(toks)
+      |         THEN 1 ELSE 0 END AS b
+      |  FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)
+      |), c AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      |  FROM lab
+      |)
+      |SELECT n, n11, n10, n01, n00,
+      |  CAST(((n11 + n00) * 1000000) // n AS BIGINT) AS po_ppm,
+      |  CAST(((CAST(n AS HUGEINT) * (n11 + n00)
+      |         - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+      |            + CAST(n01 + n00 AS HUGEINT) * (n10 + n00))) * 1000000)
+      |    // (CAST(n AS HUGEINT) * n
+      |        - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+      |           + CAST(n01 + n00 AS HUGEINT) * (n10 + n00))) AS BIGINT) AS kappa_ppm,
+      |  CAST(((CAST(n AS HUGEINT) * (n11 + n00)
+      |         - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+      |            + CAST(n01 + n00 AS HUGEINT) * (n10 + n00))) * 1000000)
+      |    // (CAST(n AS HUGEINT) * n
+      |        - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+      |           + CAST(n01 + n00 AS HUGEINT) * (n10 + n00))) AS BIGINT)
+      |    <= CAST(((n11 + n00) * 1000000) // n AS BIGINT) AS kappa_le_po
+      |FROM c""".stripMargin
+  }
 }

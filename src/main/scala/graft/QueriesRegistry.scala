@@ -331,7 +331,10 @@ private[graft] trait QueriesRegistry {
     "q314_gini_lorenz" -> (q314GiniLorenz _),
     "q315_chao1_richness" -> (q315Chao1 _),
     "q316_ks_distance" -> (q316KsDistance _),
-    "q317_mann_whitney" -> (q317MannWhitney _)
+    "q317_mann_whitney" -> (q317MannWhitney _),
+    "q318_importance_ess" -> (q318ImportanceEss _),
+    "q319_zipf_slope" -> (q319ZipfSlope _),
+    "q320_cohens_kappa" -> (q320CohensKappa _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -644,7 +647,10 @@ private[graft] trait QueriesRegistry {
     "q314_gini_lorenz" -> q314Oracle,
     "q315_chao1_richness" -> q315Oracle,
     "q316_ks_distance" -> q316Oracle,
-    "q317_mann_whitney" -> q317Oracle
+    "q317_mann_whitney" -> q317Oracle,
+    "q318_importance_ess" -> q318Oracle,
+    "q319_zipf_slope" -> q319Oracle,
+    "q320_cohens_kappa" -> q320Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

@@ -740,7 +740,8 @@ private[graft] trait QueriesAnalytics {
       ).distinct()
     )
     LabelProp
-      .census(LabelProp.run(edges, iters = 3))
+      // inCoverTotal: symmetrize guarantees every node appears as a dst
+      .census(LabelProp.run(edges, iters = 3, inCoverTotal = true))
       .withColumn(
         "side_pure",
         substring(col("min_node"), 1, 1) === substring(col("max_node"), 1, 1))

@@ -36,8 +36,17 @@ object LabelProp {
     * current label each round — the per-round update left-joins back
     * to the node universe instead of keying the output on dst alone,
     * so directed inputs cannot silently drop source-only nodes.
+    *
+    * `inCoverTotal = true` is the caller's ASSERTION that every node
+    * has at least one in-edge (true by construction for symmetrized
+    * input — every node appears as a dst): the per-round update then
+    * keys on dst directly and skips the join-back entirely, which is
+    * byte-identical on such graphs (the coalesce branch never fires)
+    * and saves one join per round. On input violating the assertion
+    * the dst-keyed form would DROP source-only nodes — hence opt-in,
+    * never inferred.
     */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, iters: Int, inCoverTotal: Boolean = false): DataFrame = {
     val e = edges.repartition(col("src")).cutLineage()
     val nodes = e
       .select(col("src").as("node"))
@@ -69,11 +78,15 @@ object LabelProp {
         .select(col("dst").as("node"), col("m.l").as("new_label"))
       // in-degree-0 nodes are absent from `upd`; coalesce keeps their
       // label (on symmetrized input every node has in-edges and this
-      // is byte-identical to the dst-keyed form — q155's contract)
-      labels = labels
-        .join(upd, Seq("node"), "left")
-        .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
-        .cutLineage()
+      // is byte-identical to the dst-keyed form — q155's contract,
+      // which inCoverTotal callers take directly, skipping the join)
+      labels =
+        (if (inCoverTotal) upd.withColumnRenamed("new_label", "label")
+         else
+           labels
+             .join(upd, Seq("node"), "left")
+             .select(col("node"), coalesce(col("new_label"), col("label")).as("label")))
+          .cutLineage()
     }
     labels
   }

@@ -31,6 +31,17 @@ class LabelPropSpec extends SparkSpec {
     assert(labels("l1") === "c" && labels("l2") === "c" && labels("l3") === "c")
   }
 
+  test("inCoverTotal fast path is byte-identical to the join-back path on symmetrized input") {
+    // the q155 contract: on symmetrized edges every node appears as a
+    // dst, so the dst-keyed update covers the node universe and the
+    // join-back's coalesce branch never fires
+    val general = LabelProp.run(twoTriangles, iters = 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val fast = LabelProp.run(twoTriangles, iters = 3, inCoverTotal = true).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast === general)
+  }
+
   test("directed input: source-only nodes keep their labels, none dropped") {
     // s -> a -> b, plus a 2-cycle c <-> d. Node s has NO in-edges: the
     // dst-keyed update has no row for it, so a dst-keyed output would

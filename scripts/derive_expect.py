@@ -8,11 +8,18 @@ Sources, in precedence order:
      nq ≥ 100; latest ts wins, ties broken by larger nq) — measured
      medians. A later full record wins over an earlier larger one by
      design: rebasing is about freshness, and nq only moves when the
-     registry itself changed;
-  2. pre-stated band rows in docs/BENCH_NOTES.md of the form
+     registry itself changed. Values whose names appear in the record's
+     `degraded` array are EXCLUDED unless also in its `rerun` array
+     (degraded = wall-guard one-shot under load, explicitly recorded so
+     adjudication won't treat them as settled medians — baking them in
+     would skew the cheap/heavy classification and the wall-budget
+     gate; rerun = re-measured settled median, trusted);
+  2. for names excluded in (1): the most recent EARLIER full record
+     where the name is not degraded-without-rerun;
+  3. pre-stated band rows in docs/BENCH_NOTES.md of the form
      `| qNNN_name | a–b s |` — band midpoint, for queries added after
-     the last full record;
-  3. queries in neither source are OMITTED — Bench treats missing as
+     the last full record (and degraded names with no clean history);
+  4. queries in no source are OMITTED — Bench treats missing as
      heavy (full median-of-3 discipline), the safe default.
 
 Regenerate after every full driver run:  python3 scripts/derive_expect.py
@@ -25,8 +32,9 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def latest_full_record():
-    best = None
+def full_records():
+    """All full-suite records, newest first."""
+    recs = []
     with open(REPO / "bench_records.jsonl") as f:
         for line in f:
             if not line.strip():
@@ -34,12 +42,17 @@ def latest_full_record():
             r = json.loads(line)
             if r.get("subset") or r.get("nq", 0) < 100:
                 continue
-            key = (r.get("ts", ""), r.get("nq", 0))
-            if best is None or key > (best.get("ts", ""), best.get("nq", 0)):
-                best = r
-    if best is None:
+            recs.append(r)
+    if not recs:
         sys.exit("no full-suite record in bench_records.jsonl")
-    return best
+    recs.sort(key=lambda r: (r.get("ts", ""), r.get("nq", 0)), reverse=True)
+    return recs
+
+
+def untrusted_names(rec):
+    """Names whose values in `rec` are wall-guard one-shots under load
+    (degraded) that were NOT subsequently re-measured (rerun)."""
+    return set(rec.get("degraded", [])) - set(rec.get("rerun", []))
 
 
 def band_midpoints():
@@ -56,19 +69,40 @@ def band_midpoints():
 
 
 def main():
-    rec = latest_full_record()
-    expect = {k: round(v, 4) for k, v in rec["queries"].items()}
+    recs = full_records()
+    rec = recs[0]
+    skip = untrusted_names(rec)
+    if skip:
+        print(f"WARNING: base record sha={rec.get('sha')} has "
+              f"{len(skip)} degraded-without-rerun values — excluded, "
+              f"falling back to earlier clean records / band midpoints",
+              file=sys.stderr)
+    expect = {k: round(v, 4) for k, v in rec["queries"].items()
+              if k not in skip}
     measured_n = len(expect)
+    fallback_n = 0
+    for older in recs[1:]:
+        missing = skip - expect.keys()
+        if not missing:
+            break
+        older_skip = untrusted_names(older)
+        for name in missing:
+            if name in older["queries"] and name not in older_skip:
+                expect[name] = round(older["queries"][name], 4)
+                fallback_n += 1
     for name, mid in band_midpoints().items():
         if name not in expect:
             expect[name] = mid
     out = REPO / "docs" / "BENCH_EXPECT.json"
     out.write_text(json.dumps(
         {"_derived_from": {"sha": rec.get("sha"), "ts": rec.get("ts"),
-                           "nq": rec.get("nq")},
+                           "nq": rec.get("nq"),
+                           "degraded_excluded": len(skip),
+                           "fallback_from_older": fallback_n},
          "expect": dict(sorted(expect.items()))}, indent=1) + "\n")
-    print(f"wrote {out}: {measured_n} measured + "
-          f"{len(expect) - measured_n} band-midpoint entries "
+    print(f"wrote {out}: {measured_n} from base record + "
+          f"{fallback_n} from older clean records + "
+          f"{len(expect) - measured_n - fallback_n} band-midpoint entries "
           f"(base record sha={rec.get('sha')} nq={rec.get('nq')})")
 
 

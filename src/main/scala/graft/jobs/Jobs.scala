@@ -24,8 +24,11 @@ import graft.ops.{Dedup, Normalize, Upsert}
   * — `<dir>` → `<dir>__old`, `<dir>__tmp` → `<dir>`, delete `__old` —
   * so a COMPLETE snapshot exists on disk under one of the three names
   * at every instant, and a crash at any point is recoverable by
-  * re-running the job (a leftover `__old`/`__tmp` from a crashed
-  * publish is swept at the next publish). What this does NOT give, and
+  * re-running the job: jobs (and `publish` itself) first run
+  * [[recover]], which renames a stranded `__old` back when the target
+  * name is absent — `__old` is never swept while it is the only copy —
+  * and only then is a leftover `__old`/`__tmp` from a crashed publish
+  * swept. What this does NOT give, and
   * the reference's Postgres transaction does: reader isolation during
   * the swap — between the two renames the target name is briefly
   * absent, so a concurrent reader can see ENOENT (single-writer,
@@ -37,19 +40,38 @@ import graft.ops.{Dedup, Normalize, Upsert}
   */
 object Jobs {
 
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+    f.delete()
+  }
+
+  /** Crash recovery for the rename-publish contract: a crash BETWEEN the
+    * two renames leaves the target name absent with the prior snapshot
+    * intact only under `__old` — in that state `__old` is the ONLY copy,
+    * so it must be renamed back before anything reads (or sweeps). Jobs
+    * call this before reading the snapshot; `publish` calls it again as
+    * a belt — `__old` is never deleted while the target name is absent.
+    */
+  def recover(targetDir: String): Unit = {
+    val target = new java.io.File(targetDir)
+    val old = new java.io.File(targetDir + "__old")
+    if (!target.exists() && old.exists() && !old.renameTo(target))
+      throw new java.io.IOException(
+        s"recover: could not restore $targetDir from ${old.getPath}")
+  }
+
   /** Rename-publish `tmp` as `target` (the crash-consistency contract
     * in the object scaladoc). Both paths must live on one filesystem —
     * true by construction here (`__tmp` is a sibling).
     */
   private def publish(tmpDir: String, targetDir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
+    recover(targetDir) // never sweep __old while the target name is absent
     val tmp = new java.io.File(tmpDir)
     val target = new java.io.File(targetDir)
     val old = new java.io.File(targetDir + "__old")
-    if (old.exists()) rm(old) // leftover from a crashed publish
+    // after recover, a surviving __old implies the target exists too
+    // (crash after the second rename, before the sweep) — safe to sweep
+    if (old.exists()) rm(old)
     if (target.exists() && !target.renameTo(old))
       throw new java.io.IOException(s"publish: could not stage $targetDir aside")
     if (!tmp.renameTo(target))
@@ -65,6 +87,7 @@ object Jobs {
 
   /** Run retention in place over a parquet snapshot dir. */
   def housekeeping(spark: SparkSession, tableDir: String, tsCol: String, cutoff: java.sql.Timestamp): Long = {
+    recover(tableDir) // a crashed publish left the table only under __old
     val kept = retention(spark.read.parquet(tableDir), tsCol, cutoff)
     val tmp = tableDir + "__tmp"
     kept.write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -102,6 +125,10 @@ object Jobs {
     * stations snapshot (new non-null wins; reference app/main.py:633-648).
     */
   def catalogRefresh(spark: SparkSession, rawStations: DataFrame, catalogDir: String): Long = {
+    // without this, a crash between publish's two renames would make the
+    // next refresh treat the catalog as fresh (exists() false), rebuild
+    // from the new batch alone, then sweep __old — silent data loss
+    recover(catalogDir)
     val normalized = Normalize.dropNullIsland(rawStations)
     val merged =
       if (new java.io.File(catalogDir).exists() && new java.io.File(catalogDir).list().nonEmpty) {

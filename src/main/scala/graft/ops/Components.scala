@@ -25,7 +25,28 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
-  /** @param edges two-column DataFrame of undirected edges
+  /** The sum-based convergence probe (and the decimal(38,0) cast it
+    * relies on) is only exact for INTEGRAL node ids: on string ids the
+    * cast yields nulls, and numeric-looking strings propagate
+    * lexicographic minima whose changes can cancel in a sum. Fail fast
+    * at entry instead of converging wrongly.
+    */
+  private[ops] def requireIntegralIds(edges: DataFrame, cols: String*): Unit = {
+    import org.apache.spark.sql.types._
+    cols.foreach { c =>
+      val ok = edges.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"node id column '$c' must be an integral type (the monotone-sum " +
+          s"convergence probe is exact only for integer ids); got " +
+          s"${edges.schema(c).dataType}")
+    }
+  }
+
+  /** @param edges two-column DataFrame of undirected edges with
+    *        INTEGRAL-typed node ids (asserted — see requireIntegralIds)
     * @return (id, component) — component is the min node id reachable;
     *         isolated nodes absent from `edges` are absent here too
     */
@@ -35,6 +56,7 @@ object Components {
       dstCol: String = "id_b",
       maxIter: Int = 50
   ): DataFrame = {
+    requireIntegralIds(edges, srcCol, dstCol)
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))

@@ -39,6 +39,7 @@ object Scc {
     * `edges` must expose (`src`, `dst`) long columns.
     */
   def fwbwLabels(edges: DataFrame, rounds: Int): DataFrame = {
+    Components.requireIntegralIds(edges, "src", "dst") // sum probe needs integer ids
     val nodes = edges
       .select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))

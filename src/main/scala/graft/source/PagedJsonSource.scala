@@ -97,11 +97,14 @@ case class FetchConfig(
     backoffBaseMs: Long = 1000L, // reference: base_sleep = 1.0 s
     backoffStepMs: Long = 500L, // reference: +0.5 s per retry
     paceMs: Long = 0L, // reference: 0.03-0.1 s between requests
-    transport: String = "file" // "file" (sidecar-simulated 429s) | "http"
+    transport: String = "file", // "file" (sidecar-simulated 429s) | "http"
+    connectTimeoutMs: Int = 10000, // HTTP only: a hung server must fail the
+    readTimeoutMs: Int = 30000 //    task, not stall it forever (the reference's
+    //                               HTTP client is timeout-bounded too)
 ) {
   def fetcher: PageFetcher = transport match {
     case "file" => new FilePageFetcher
-    case "http" => new HttpPageFetcher
+    case "http" => new HttpPageFetcher(connectTimeoutMs, readTimeoutMs)
     case other =>
       throw new IllegalArgumentException(
         s"unknown transport '$other' — expected 'file' or 'http'")
@@ -115,7 +118,9 @@ object FetchConfig {
     backoffBaseMs = options.getLong("backoffBaseMs", 1000L),
     backoffStepMs = options.getLong("backoffStepMs", 500L),
     paceMs = options.getLong("paceMs", 0L),
-    transport = options.getOrDefault("transport", "file")
+    transport = options.getOrDefault("transport", "file"),
+    connectTimeoutMs = options.getInt("connectTimeoutMs", 10000),
+    readTimeoutMs = options.getInt("readTimeoutMs", 30000)
   )
 }
 
@@ -194,11 +199,18 @@ class FilePageFetcher extends PageFetcher {
   * server speaks plain HTTP; a production deployment would extend
   * `open` with headers, which is the point of the seam.
   */
-class HttpPageFetcher extends PageFetcher {
+class HttpPageFetcher(connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000)
+    extends PageFetcher {
   private def get(url: String): Either[Unit, scala.io.Source] = {
     val conn = new java.net.URL(url)
       .openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
+    // bounded like every other part of the fetch discipline: a hung or
+    // black-holed server surfaces as a SocketTimeoutException (an
+    // IOException → task failure, same as the non-429 error path), not
+    // an indefinitely stalled Spark task
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
     conn.setRequestMethod("GET")
     conn.getResponseCode match {
       case 200 =>

@@ -64,6 +64,41 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("crash between publish's two renames: re-running the job restores from __old, no data loss") {
+    // build a healthy 2-station catalog
+    val dir = Files.createTempDirectory("crash").toString + "/stations"
+    val first = Seq(
+      ("s1", Some("cityA"), Some(1.0), Some(2.0)),
+      ("s2", Some("cityB"), Some(3.0), Some(4.0))
+    ).toDF("station_id", "city", "lat", "lon")
+    assert(Jobs.catalogRefresh(spark, first, dir) == 2)
+
+    // simulate the crash window: target was renamed to __old, the second
+    // rename (tmp → target) never happened — the ONLY copy is __old
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "__old")))
+    assert(!new java.io.File(dir).exists())
+
+    // re-running catalogRefresh must FIRST restore from __old, then
+    // merge — before the recover fix it treated the catalog as fresh,
+    // built from the new batch alone, and swept the only prior copy
+    val update = Seq(("s3", Some("cityC"), Some(5.0), Some(6.0)))
+      .toDF("station_id", "city", "lat", "lon")
+    assert(Jobs.catalogRefresh(spark, update, dir) == 3)
+    val ids = spark.read.parquet(dir).select("station_id").as[String].collect().sorted.toSeq
+    assert(ids == Seq("s1", "s2", "s3")) // s1/s2 survived the crash
+    assert(!new java.io.File(dir + "__old").exists())
+
+    // same crash state, housekeeping path: must restore then run, not
+    // fail on the missing target dir
+    val hkDir = Files.createTempDirectory("crash2").toString + "/curated"
+    Seq(("a", Timestamp.valueOf("2024-01-09 00:00:00")))
+      .toDF("k", "observed_at").write.parquet(hkDir)
+    assert(new java.io.File(hkDir).renameTo(new java.io.File(hkDir + "__old")))
+    val kept = Jobs.housekeeping(spark, hkDir, "observed_at", Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(kept == 1)
+    assert(spark.read.parquet(hkDir).count() == 1)
+  }
+
   test("writePartitioned bounds files per partition dir and round-trips rows") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("wp").toString

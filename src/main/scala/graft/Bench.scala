@@ -194,9 +194,71 @@ object Bench {
         } else heavyMeasure(fn, warm = true)
       name -> med
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // SPIKE RE-RUN ADJUDICATION (r12 — the r11 verdict's #1 task): the
+    // binding r11 record shipped q94_pq_adc at 17.5× its four-record
+    // consensus because an interference window hit its measurement and
+    // the wall guard then demoted 57 queries to one-shot. Adjudication
+    // had to happen OUT of harness (twin-record ratio method); this pass
+    // moves it IN: after the main pass — when the load window that
+    // inflated a value has typically moved on — re-measure (warm +
+    // median-of-up-to-3, light settle) every query whose value exceeds
+    // SPIKE_K× its committed expectation by at least SPIKE_ABS seconds,
+    // worst absolute excess first, and REPLACE the value. A re-run that
+    // still reads high stays high — that is a real regression, recorded
+    // as such. `rerun` names + original `spiked` values ride in the
+    // record so BENCH_EXPECT rebasing (derive_expect.py) can trust rerun
+    // values and band adjudication can see what was replaced.
+    //
+    // Wall discipline: the pass fits INSIDE the driver budget's slack —
+    // each rep checks the rerun wall (default 2050 s measured-wall; the
+    // budget evidence is r8's 2138 s sbt-total passing and the gate's
+    // 2400 s assumption, minus ~120 s JVM startup and teardown margin)
+    // and the pass stops mid-query rather than overrun, keeping at least
+    // the warm-shot improvement it already paid for.
+    val spikeK = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPIKE_K", "2.0").toDouble
+    val spikeAbs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPIKE_ABS", "0.75").toDouble
+    val rerunWallSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_WALL", "2050").toDouble
+    val spiked = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val reran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val adjudicated: Seq[(String, Double)] = {
+      val byName = ordered.toMap
+      val candidates = results
+        .flatMap { case (name, v) =>
+          expect.get(name) match {
+            case Some(e) if v > spikeK * e && v - e > spikeAbs => Some((name, v, e))
+            case _ => None
+          }
+        }
+        .sortBy { case (_, v, e) => -(v - e) } // worst distortion first
+      val replaced = scala.collection.mutable.Map.empty[String, Double]
+      candidates.foreach { case (name, v, _) =>
+        if (wallElapsed < rerunWallSec) {
+          val fn = byName(name)
+          timed(fn) // warm (codegen/JIT at the bench SF)
+          val reps3 = scala.collection.mutable.ArrayBuffer.empty[Double]
+          // up to 3 settled reps, each gated on the rerun wall so one
+          // genuinely-slow query cannot blow the budget for the rest
+          while (reps3.size < 3 && (reps3.isEmpty || wallElapsed < rerunWallSec)) {
+            System.gc()
+            Thread.sleep(400)
+            reps3 += timed(fn)
+          }
+          val sortedReps = reps3.sorted
+          val n = sortedReps.size
+          val med =
+            if (n % 2 == 1) sortedReps(n / 2)
+            else (sortedReps(n / 2 - 1) + sortedReps(n / 2)) / 2
+          spiked(name) = v
+          reran += name
+          replaced(name) = med
+        }
+      }
+      results.map { case (name, v) => name -> replaced.getOrElse(name, v) }
+    }
+    val qs = adjudicated.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (adjudicated.nonEmpty) adjudicated.map(_._2).sum else 0.0
     // Record labels (round 6): `source` defaults to "driver" — the
     // binding per-round run sets no env; builder-local runs MUST set
     // SPARK_GRAFT_BENCH_SOURCE=local. A SUBSET run can never be the
@@ -243,8 +305,14 @@ object Bench {
     // of 317 values).
     val agg = if (adaptive) "adaptive" else s"median_of_$reps"
     val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // rerun = names whose values are spike-adjudicated settled medians
+    // (trusted by derive_expect.py even when also in `degraded`);
+    // spiked = the original main-pass values they replaced.
+    val rerunJson = reran.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val spikedJson = spiked
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"$agg","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate,"adaptive":$adaptive,"nq":${results.size},"subset":${only.isDefined},"degraded":$degradedJson,"loadavg":"$loadavgStart","loadavg_end":"$loadavg","cpu":"$cpu","nproc":$nproc}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"$agg","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate,"adaptive":$adaptive,"nq":${results.size},"subset":${only.isDefined},"degraded":$degradedJson,"rerun":$rerunJson,"spiked":$spikedJson,"loadavg":"$loadavgStart","loadavg_end":"$loadavg","cpu":"$cpu","nproc":$nproc}"""
     println(line)
     // ALSO persist the full record to a file: the driver's captured
     // stdout tail truncates past ~64 per-query medians; the file is

@@ -37,6 +37,14 @@ object Verify {
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // PERSIST HYGIENE (r12): registry queries persist intermediates
+      // (84 sites) whose usefulness ends when this query's write
+      // completes; without an explicit drop they accumulate across the
+      // 320-query session and only LRU eviction reclaims them — churn
+      // that lands on exactly the long queries. Bench already clears
+      // per timed rep (timed() → clearCache); Verify now matches, so
+      // cached blocks never outlive their query in either harness.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

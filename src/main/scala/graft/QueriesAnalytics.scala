@@ -3050,88 +3050,6 @@ private[graft] trait QueriesAnalytics {
       |FROM rk WHERE rn = (n_win + 1) // 2
       |ORDER BY event_type, day""".stripMargin
 
-  // ---------------------------------------------------------------- q188
-  /** BENFORD FIRST-DIGIT AUDIT — the data-quality screen for fabricated
-    * or truncated numeric columns: per event type, the first-digit
-    * distribution of positive cent values against Benford's
-    * log10(1 + 1/d), with a scaled chi-square statistic. The Benford
-    * masses are fixed 1e-6-grid integer literals (transcendental-free
-    * recipe), the digit comes from the decimal string head (no
-    * floating log10), and the chi-square numerator (obs·10⁶ − n·p)²
-    * reaches ~4e20 — per-row INT64 overflow, so it rides
-    * decimal(38,0)/HUGEINT (the q170/q182 widen-first lesson).
-    */
-  def q188Benford(s: SparkSession, dir: String): DataFrame = {
-    val p6 = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L, 45757L)
-    val ev = Tables
-      .events(s, dir)
-      .select(
-        col("event_type"),
-        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
-      .where(col("cents") > 0)
-      .withColumn("d", expr("cast(substring(cast(cents as string), 1, 1) as int)"))
-    val obs = ev.groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("obs"))
-    val totals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-    import s.implicits._
-    val bexp = Seq.tabulate(9)(i => (i + 1, p6(i))).toDF("d_e", "p_e6")
-    val obs2 = obs.withColumnsRenamed(Map("event_type" -> "o_et", "d" -> "o_d"))
-    val full = totals
-      .crossJoin(bexp)
-      .join(obs2, col("event_type") === col("o_et") && col("d_e") === col("o_d"), "left")
-      .select(
-        col("event_type"),
-        col("d_e"),
-        coalesce(col("obs"), lit(0L)).as("obs"),
-        col("n"),
-        col("p_e6"))
-    val chi = full
-      .withColumn(
-        "dev2",
-        expr("(cast(obs as decimal(38,0)) * 1000000 - cast(n as decimal(38,0)) * p_e6) * " +
-          "(cast(obs as decimal(38,0)) * 1000000 - cast(n as decimal(38,0)) * p_e6)"))
-      .withColumn("term", expr("cast(dev2 div (cast(n as decimal(38,0)) * p_e6 * 1000000) as bigint)"))
-    chi
-      .groupBy(col("event_type"), col("n"))
-      .agg(
-        sum(when(col("d_e") === 1, col("obs")).otherwise(0L)).as("obs_d1"),
-        sum(when(col("d_e") === 9, col("obs")).otherwise(0L)).as("obs_d9"),
-        sum(col("term")).as("chi2_scaled"))
-      .orderBy(col("event_type"))
-  }
-
-  val q188Oracle: String =
-    """WITH ev AS (
-      |  SELECT event_type, CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
-      |  FROM events
-      |), pos AS (
-      |  SELECT event_type,
-      |    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS d
-      |  FROM ev WHERE cents > 0
-      |), obs AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS obs FROM pos GROUP BY 1, 2),
-      |totals AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM pos GROUP BY 1),
-      |bexp AS (
-      |  SELECT CAST(u.d AS INT) AS d_e, u.p AS p_e6 FROM (
-      |    SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d,
-      |           unnest([301029,176091,124938,96910,79181,66946,57991,51152,45757]) AS p) u
-      |), fl AS (
-      |  SELECT t.event_type, b.d_e, COALESCE(o.obs, 0) AS obs, t.n, b.p_e6
-      |  FROM totals t CROSS JOIN bexp b
-      |  LEFT JOIN obs o ON o.event_type = t.event_type AND o.d = b.d_e
-      |), chi AS (
-      |  SELECT event_type, n, d_e, obs,
-      |    CAST(((CAST(obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * p_e6) *
-      |          (CAST(obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * p_e6))
-      |         // (CAST(n AS HUGEINT) * p_e6 * 1000000) AS BIGINT) AS term
-      |  FROM fl
-      |)
-      |SELECT event_type, n,
-      |  CAST(SUM(CASE WHEN d_e = 1 THEN obs ELSE 0 END) AS BIGINT) AS obs_d1,
-      |  CAST(SUM(CASE WHEN d_e = 9 THEN obs ELSE 0 END) AS BIGINT) AS obs_d9,
-      |  CAST(SUM(term) AS BIGINT) AS chi2_scaled
-      |FROM chi
-      |GROUP BY event_type, n
-      |ORDER BY event_type""".stripMargin
-
   // ---------------------------------------------------------------- q189
   /** WEIGHTED MEDIAN via the distributed prefix sum
     * ([[graft.ops.Sweep.orderedPrefixSum]]) — per return flag, the
@@ -4084,89 +4002,6 @@ private[graft] trait QueriesAnalytics {
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
-  // ---------------------------------------------------------------- q203
-  /** IDW INTERPOLATION — the reference domain's actual spatial use
-    * case: estimate a measurement at an arbitrary point from nearby
-    * stations by inverse-distance weighting. Exact-integer contract:
-    * weights are `SCALE div (d2 + 1)` (the +1 makes a co-located
-    * station dominant without a zero division; floor IS the
-    * definition), the estimate is ⌊Σ v·w / Σ w⌋, and the v·w products
-    * ride decimal(38,0)/HUGEINT (per-term ≈ 5e19 overflows INT64 —
-    * the widen-first lesson again). Candidates come from the q202 grid
-    * radius join; uncovered points (no station within 5°) are counted,
-    * not invented.
-    */
-  def q203IdwInterpolation(s: SparkSession, dir: String): DataFrame = {
-    val R = 5000000L
-    val st = Tables
-      .supplier(s, dir)
-      .select(col("s_suppkey").as("sk"))
-      .withColumn("slat", expr("((sk * 2654435761) % 120000000) - 60000000"))
-      .withColumn("slon", expr("((sk * 2246822519) % 360000000) - 180000000"))
-      .withColumn("v_cents", expr("(sk * 7919) % 50000"))
-    val pts = Tables
-      .customer(s, dir)
-      .where(col("c_custkey") <= 2000)
-      .select(col("c_custkey").as("pk"))
-      .withColumn("plat", expr("((pk * 3266489917) % 120000000) - 60000000"))
-      .withColumn("plon", expr("((pk * 668265263) % 360000000) - 180000000"))
-    val pairs = graft.ops.Geo
-      .radiusJoin(pts, st, "plat", "plon", "slat", "slon", R)
-      .withColumn("w", expr("1000000000000000 div (d2 + 1)"))
-    val est = pairs
-      .groupBy(col("pk"))
-      .agg(
-        count(lit(1)).as("n_near"),
-        sum(expr("cast(v_cents as decimal(38,0)) * w")).as("vw"),
-        sum(col("w")).as("wsum"))
-      .withColumn("est_cents", expr("cast(vw div wsum as bigint)"))
-    pts
-      .select(col("pk"))
-      .join(est, Seq("pk"), "left")
-      .groupBy(expr("pk div 200").as("bucket"))
-      .agg(
-        count(lit(1)).as("n_points"),
-        sum(col("est_cents").isNotNull.cast("long")).as("n_covered"),
-        coalesce(sum(col("est_cents")), lit(0L)).as("sum_est_cents"),
-        coalesce(sum(col("n_near")), lit(0L)).as("n_pairs"))
-      .orderBy(col("bucket"))
-  }
-
-  val q203Oracle: String =
-    """WITH st AS (
-      |  SELECT s_suppkey AS sk,
-      |    ((s_suppkey * 2654435761) % 120000000) - 60000000 AS slat,
-      |    ((s_suppkey * 2246822519) % 360000000) - 180000000 AS slon,
-      |    (s_suppkey * 7919) % 50000 AS v_cents
-      |  FROM supplier
-      |), pts AS (
-      |  SELECT c_custkey AS pk,
-      |    ((c_custkey * 3266489917) % 120000000) - 60000000 AS plat,
-      |    ((c_custkey * 668265263) % 360000000) - 180000000 AS plon
-      |  FROM customer WHERE c_custkey <= 2000
-      |), pairs AS (
-      |  SELECT pk,
-      |    (plat - slat) * (plat - slat) + (plon - slon) * (plon - slon) AS d2,
-      |    v_cents
-      |  FROM pts, st
-      |  WHERE (plat - slat) * (plat - slat) + (plon - slon) * (plon - slon)
-      |        <= CAST(5000000 AS BIGINT) * 5000000
-      |), w AS (
-      |  SELECT pk, v_cents, 1000000000000000 // (d2 + 1) AS w FROM pairs
-      |), est AS (
-      |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_near,
-      |    CAST(SUM(CAST(v_cents AS HUGEINT) * w) // SUM(w) AS BIGINT) AS est_cents
-      |  FROM w GROUP BY pk
-      |)
-      |SELECT CAST(pts.pk // 200 AS BIGINT) AS bucket,
-      |  CAST(COUNT(*) AS BIGINT) AS n_points,
-      |  CAST(SUM(CASE WHEN est.est_cents IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
-      |  CAST(COALESCE(SUM(est.est_cents), 0) AS BIGINT) AS sum_est_cents,
-      |  CAST(COALESCE(SUM(est.n_near), 0) AS BIGINT) AS n_pairs
-      |FROM pts LEFT JOIN est ON est.pk = pts.pk
-      |GROUP BY 1
-      |ORDER BY bucket""".stripMargin
-
   // ---------------------------------------------------------------- q204
   /** SPATIAL k-NN — top-3 nearest stations per point among the 5°
     * grid candidates, ranked by the exact (d2, suppkey) total order.
@@ -4337,62 +4172,6 @@ private[graft] trait QueriesAnalytics {
       |  CAST(bit_xor(event_id) AS BIGINT) AS a_xor,
       |  TRUE AS n_stable, TRUE AS sum_stable, TRUE AS xor_stable
       |FROM d1""".stripMargin
-
-  // ---------------------------------------------------------------- q207
-  /** CC CROSS-IMPLEMENTATION AGREEMENT — the two connected-components
-    * engines ([[graft.ops.Components.connectedComponents]] min-label,
-    * O(diameter) rounds, and
-    * [[graft.ops.Components.largeStarSmallStar]], O(log n) rounds)
-    * must produce the IDENTICAL (id → min-reachable-id) labeling on
-    * the block graph. Disagreements are counted via a null-safe
-    * full-outer label join (pinned 0), and the summary (nodes,
-    * components, label checksum) is what the oracle recomputes from
-    * the recursive-CTE reachability definition — three independent
-    * implementations, one answer.
-    */
-  def q207CcAgreement(s: SparkSession, dir: String): DataFrame = {
-    val edges = blockGraph(s, dir)
-    val a = graft.ops.Components
-      .connectedComponents(edges, "u", "v")
-      .withColumnsRenamed(Map("component" -> "ca"))
-    val b = graft.ops.Components
-      .largeStarSmallStar(edges, "u", "v")
-      .withColumnsRenamed(Map("component" -> "cb"))
-    val joined = a.join(b, Seq("id"), "full_outer")
-    val dis = joined
-      .agg(
-        count(lit(1)).as("n_nodes"),
-        sum((!(col("ca") <=> col("cb"))).cast("long")).as("n_disagreements"))
-    val summ = a.agg(
-      countDistinct(col("ca")).as("n_components"),
-      sum(col("ca")).as("label_sum"))
-    dis
-      .crossJoin(summ)
-      .select(
-        col("n_nodes"),
-        col("n_components"),
-        col("n_disagreements"),
-        col("label_sum"))
-  }
-
-  val q207Oracle: String =
-    s"""WITH RECURSIVE eset AS (
-       |$BlockGraphSql
-       |), sym AS (
-       |  SELECT u AS src, v AS dst FROM eset
-       |  UNION ALL SELECT v, u FROM eset
-       |), reach(id, comp) AS (
-       |  SELECT DISTINCT src, src FROM sym
-       |  UNION
-       |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
-       |), lab AS (
-       |  SELECT id, MIN(comp) AS component FROM reach GROUP BY id
-       |)
-       |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-       |  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
-       |  CAST(0 AS BIGINT) AS n_disagreements,
-       |  CAST(SUM(component) AS BIGINT) AS label_sum
-       |FROM lab""".stripMargin
 
   // ---------------------------------------------------------------- q208
   /** Z-ORDER EFFECTIVENESS, MEASURED — q89 computes the layout; this

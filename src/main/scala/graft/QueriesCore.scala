@@ -2851,234 +2851,6 @@ private[graft] trait QueriesCore {
        |ORDER BY media_id""".stripMargin
   }
 
-  // ---------------------------------------------------------------- q109
-  /** IVF-PQ two-stage ANN serving (round 6) — the PRODUCTION vector
-    * search stack composed from the proven pieces: an IVF coarse
-    * quantizer (q35's trained k-means) partitions the corpus into
-    * cells; every vector is PQ-encoded (q94's 16×4-bit codes, 32×
-    * memory); a query probes its `nprobe` nearest cells, ADC-scores
-    * ONLY the codes in those cells (≈ nprobe/k of the corpus), takes a
-    * shortlist, and exact-reranks the shortlisted raw floats. At
-    * 100 TB this is the shape that serves: the float corpus is never
-    * scanned — a probe touches nprobe/k of an 8-byte-per-vector code
-    * table map-side, and the float fetch is shortlist-sized.
-    * Self-auditing: recall@k against the exact brute top-k over the
-    * FULL corpus, plus the measured scanned fraction.
-    *
-    * ORACLED (dynamic, [[q109OracleFor]]): composes the two trained
-    * replays end-to-end — IvfSql's Lloyd chain re-trains the coarse
-    * quantizer in SQL, the fitted PQ codebooks embed as literals
-    * (q94's builders), and probing, candidate confinement, ADC,
-    * re-rank, recall and scanned-fraction arithmetic all replay
-    * relationally.
-    */
-  private[graft] val q109KCells = 16
-  private[graft] val q109IvfIters = 2
-  private[graft] val q109Nprobe = 2
-  private[graft] val q109NQ = 20
-  private[graft] val q109K = 10
-  private[graft] val q109Short = 40
-
-  def q109IvfPq(s: SparkSession, dir: String): DataFrame = {
-    val (kc, ivfIters, nprobe) = (q109KCells, q109IvfIters, q109Nprobe)
-    val (m, ksub, pqIters) = (q94M, q94Ksub, q94Iters)
-    val (nQ, k, short) = (q109NQ, q109K, q109Short)
-    val e = Tables
-      .embeddings(s, dir)
-      .select(
-        col("vec_id"),
-        col("embedding"), // raw floats: centroid scoring + exact rerank/baseline
-        Pq.normalize(col("embedding")).as("vec") // normalized: PQ fit/encode/LUT
-      )
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = e.count() // eager: fit + encode + probe + baseline share this cache
-    val cents = Ivf.fitCentroids(e, kc, ivfIters)
-    val assigned = Ivf.assign(e, cents)
-    val codebooks = Pq.fit(e.filter(pmod(col("vec_id"), lit(4)) === 0), m, ksub, pqIters)
-    // the serving-side index: 8-byte codes + a cell id per vector —
-    // this narrow frame is ALL a probe ever scans
-    val encoded = Pq
-      .encode(e, codebooks)
-      .join(assigned.select(col("vec_id"), col("cluster_id")), "vec_id")
-    val queries = e.filter(col("vec_id") < nQ)
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cluster_id"))
-    val probes = queries
-      .crossJoin(broadcast(cents))
-      .withColumn(
-        "sim",
-        Similarity.cosine(col("embedding"), transform(col("centroid"), _.cast("float")))
-      )
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("cluster_id"))
-    val cands = encoded
-      .join(broadcast(probes), Seq("cluster_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qvec"), col("codes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cands.count() // eager: scanned-fraction + ADC consumers share this cache
-    val scanned = cands
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_cand"))
-      .agg(round(sum(col("n_cand")) / lit(nQ.toDouble * (n - 1)), 4).as("scanned_fraction"))
-    val wa = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
-    val shortlist = cands
-      .select(
-        col("query_id"),
-        col("neighbor_id"),
-        Pq.adcScore(col("qvec"), col("codes"), codebooks).as("score")
-      )
-      .withColumn("rank", row_number().over(wa))
-      .filter(col("rank") <= short)
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("rscore").desc, col("neighbor_id"))
-    val reranked = shortlist
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb")), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("rscore", Similarity.cosine(col("qemb"), col("nemb")))
-      .withColumn("rrank", row_number().over(wr))
-      .filter(col("rrank") <= k)
-    val wx = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("xscore").desc, col("neighbor_id"))
-    val exact = e
-      .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"),
-        col("vec_id").as("neighbor_id"),
-        Similarity.cosine(col("qemb"), col("embedding")).as("xscore")
-      )
-      .withColumn("xrank", row_number().over(wx))
-      .filter(col("xrank") <= k)
-    val recall = reranked
-      .select(col("query_id"), col("neighbor_id"))
-      .join(exact, Seq("query_id", "neighbor_id"))
-      .agg(round(count(lit(1)) / lit(nQ.toDouble * k), 4).as("recall_at_k"))
-    recall
-      .crossJoin(broadcast(scanned))
-      .select(
-        lit(n).as("n_vectors"),
-        lit(nQ).as("n_queries"),
-        lit(k).as("k"),
-        lit(kc).as("cells"),
-        lit(nprobe).as("nprobe"),
-        lit(short).as("shortlist"),
-        col("recall_at_k"),
-        col("scanned_fraction"),
-        lit((64 * 4) / (q94M / 2)).as("compression_x")
-      )
-  }
-
-  /** q109 generated oracle — the composed trained replay (mirrors
-    * q94OracleFor's codebook/encode/LUT builders verbatim and splices
-    * in IvfSql's Lloyd chain; kept self-contained so q94's green
-    * generator stays untouched).
-    */
-  def q109OracleFor(s: SparkSession, dir: String): String = {
-    val (kc, ivfIters, nprobe) = (q109KCells, q109IvfIters, q109Nprobe)
-    val (m, ksub, pqIters) = (q94M, q94Ksub, q94Iters)
-    val (nQ, k, short) = (q109NQ, q109K, q109Short)
-    val dim = 64
-    val dsub = dim / m
-    val eFit = Tables
-      .embeddings(s, dir)
-      .select(col("vec_id"), Pq.normalize(col("embedding")).as("vec"))
-      .filter(pmod(col("vec_id"), lit(4)) === 0)
-    val codebooks = Pq.fit(eFit, m, ksub, pqIters)
-    val n = Tables.embeddings(s, dir).count()
-    val cwRows = (0 until m)
-      .flatMap { sIdx =>
-        codebooks(sIdx).sortBy(_._1).map { case (code, w) =>
-          val ws = w.map(x => s"CAST('$x' AS DOUBLE)").mkString(", ")
-          s"($sIdx, $code, $ws)"
-        }
-      }
-      .mkString(",\n    ")
-    val normChain = (1 to dim)
-      .map(i => s"CAST(embedding[$i] AS DOUBLE)*CAST(embedding[$i] AS DOUBLE)")
-      .mkString(" + ")
-    def sqDistChain(vec: String): String =
-      (1 to dsub)
-        .map(j => s"($vec[cw.s*$dsub+$j]-cw.w$j)*($vec[cw.s*$dsub+$j]-cw.w$j)")
-        .mkString(" + ")
-    def dotChain(vec: String): String =
-      (1 to dsub).map(j => s"$vec[cw.s*$dsub+$j]*cw.w$j").mkString(" + ")
-    val cosRR = IvfSql.cosFloatFloat("ce.embedding", "qe.embedding")
-    val cosEX = IvfSql.cosFloatFloat("c.embedding", "q.embedding")
-    s"""WITH cw(s, code, ${(1 to dsub).map("w" + _).mkString(", ")}) AS (
-       |  VALUES
-       |    $cwRows
-       |), e AS (
-       |  SELECT vec_id, embedding FROM embeddings
-       |), ${IvfSql.lloydChain(kc, ivfIters)}, ${IvfSql.assignCte("idx2", s"c$ivfIters")}, qp AS (
-       |  SELECT vec_id AS query_id, cid FROM (
-       |    SELECT e.vec_id, c.cid,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${IvfSql.cosFloatDouble("e.embedding", "c.cd")} DESC, c.cid ASC) AS rn
-       |    FROM e, c$ivfIters c WHERE e.vec_id < $nQ
-       |  ) WHERE rn <= $nprobe
-       |), nv AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt($normChain)) AS v
-       |  FROM e
-       |), enc AS (
-       |  SELECT vec_id, s, code FROM (
-       |    SELECT nv.vec_id, cw.s, cw.code,
-       |      row_number() OVER (PARTITION BY nv.vec_id, cw.s
-       |        ORDER BY (${sqDistChain("nv.v")}) ASC, cw.code ASC) AS rn
-       |    FROM nv, cw
-       |  ) WHERE rn = 1
-       |), lut AS (
-       |  SELECT q.vec_id AS query_id, cw.s, cw.code, (${dotChain("q.v")}) AS d
-       |  FROM nv q, cw WHERE q.vec_id < $nQ
-       |), cand AS (
-       |  SELECT q.query_id, i.vec_id AS neighbor_id
-       |  FROM qp q JOIN idx2 i USING (cid)
-       |  WHERE i.vec_id <> q.query_id
-       |), sf AS (
-       |  SELECT round(count(*) / CAST('${nQ.toDouble * (n - 1)}' AS DOUBLE), 4) AS scanned_fraction
-       |  FROM cand
-       |), adc AS (
-       |  SELECT l.query_id, en.vec_id AS neighbor_id,
-       |    list_reduce(list(l.d ORDER BY l.s), (x, y) -> x + y) AS score
-       |  FROM enc en
-       |  JOIN lut l ON en.s = l.s AND en.code = l.code
-       |  JOIN cand c ON c.query_id = l.query_id AND c.neighbor_id = en.vec_id
-       |  GROUP BY l.query_id, en.vec_id
-       |), short AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-       |    FROM adc
-       |  ) WHERE rank <= $short
-       |), rrk AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT s.query_id, s.neighbor_id,
-       |      row_number() OVER (PARTITION BY s.query_id ORDER BY $cosRR DESC, s.neighbor_id) AS rrank
-       |    FROM short s
-       |    JOIN e ce ON s.neighbor_id = ce.vec_id
-       |    JOIN e qe ON s.query_id = qe.vec_id
-       |  ) WHERE rrank <= $k
-       |), ex AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY $cosEX DESC, c.vec_id) AS xrank
-       |    FROM e c, e q WHERE q.vec_id < $nQ AND c.vec_id <> q.vec_id
-       |  ) WHERE xrank <= $k
-       |), rc AS (
-       |  SELECT round(count(*) / CAST('${nQ.toDouble * k}' AS DOUBLE), 4) AS recall_at_k
-       |  FROM rrk JOIN ex USING (query_id, neighbor_id)
-       |)
-       |SELECT CAST($n AS BIGINT) AS n_vectors, $nQ AS n_queries, $k AS k,
-       |  $kc AS cells, $nprobe AS nprobe, $short AS shortlist,
-       |  rc.recall_at_k, sf.scanned_fraction,
-       |  ${(64 * 4) / (m / 2)} AS compression_x
-       |FROM rc, sf""".stripMargin
-  }
-
   // ---------------------------------------------------------------- q110
   /** CCNet-style statistical LM quality scoring (ops/LmScore): a
     * word-bigram add-one LM trained on the doc_id % 10 == 0 reference

@@ -3003,65 +3003,6 @@ private[graft] trait QueriesCuration {
       |FROM p GROUP BY shard_id
       |ORDER BY shard_id""".stripMargin
 
-  // ---------------------------------------------------------------- q96
-  /** PageRank (ops/PageRank) over the part↔supplier co-occurrence graph
-    * — the canonical iterative-graph workload, 3 power-iteration rounds
-    * at d = 0.85 on the symmetrized DISTINCT lineitem edge set. Each
-    * round is one src-keyed join + one dst-keyed decimal-accumulated
-    * aggregate (order-independent sums — engine- and partitioning-
-    * exact), localCheckpointed per round. Oracle: the same three rounds
-    * UNROLLED as DuckDB CTEs, generated by the same Scala loop that
-    * could unroll any round count — query and oracle share the round
-    * definition by construction.
-    */
-  def q96PageRank(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val edges = PageRank.symmetrize(
-      li.select(
-        concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst")
-      ).distinct()
-    )
-    PageRank
-      .run(edges, iters = 3, damping = 0.85)
-      .select(col("node"), round(col("r"), 10).as("r"))
-      .orderBy(col("node"))
-  }
-
-  val q96Oracle: String = {
-    // unroll r1..r3 with the same recurrence the Spark loop runs
-    val rounds = (1 to 3)
-      .map { i =>
-        s"""r$i AS (
-           |  SELECT e.dst AS node,
-           |    ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / any_value(nn.n)) +
-           |    0.85 * CAST(SUM(CAST(p.r / deg.deg AS DECIMAL(38,12))) AS DOUBLE) AS r
-           |  FROM e
-           |  JOIN r${i - 1} p ON e.src = p.node
-           |  JOIN deg ON e.src = deg.src, nn
-           |  GROUP BY e.dst
-           |)""".stripMargin
-      }
-      .mkString(", ")
-    s"""WITH d AS (
-       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
-       |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
-       |  FROM lineitem
-       |), e AS (
-       |  SELECT src, dst FROM d UNION SELECT dst, src FROM d
-       |), deg AS (
-       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
-       |), nodes AS (
-       |  SELECT DISTINCT src AS node FROM e
-       |), nn AS (
-       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
-       |), r0 AS (
-       |  SELECT node, 1.0 / nn.n AS r FROM nodes, nn
-       |), $rounds
-       |SELECT node, round(r, 10) AS r FROM r3
-       |ORDER BY node""".stripMargin
-  }
-
   // ---------------------------------------------------------------- q97
   /** Robust ANOMALY detection: per event type, flag values beyond
     * 3 × 1.4826 × MAD of the median (the median-absolute-deviation
@@ -3906,192 +3847,6 @@ private[graft] trait QueriesCuration {
       |FROM d, cut
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
-
-  // ---------------------------------------------------------------- q106
-  /** PageRank on a DIRECTED graph with dangling nodes — exercises the
-    * two general-graph behaviors q96's symmetrized run never touches:
-    * parts are pure sinks (no out-edges → their rank folds back
-    * uniformly each round) and suppliers are pure sources (no in-edges
-    * → they must keep their teleport share instead of dropping out of
-    * round 2+). Same round algebra as q96; the oracle unrolls the
-    * recurrence INCLUDING the per-round dangling-mass scalar, so the
-    * fold is driver-certified, not just spec-asserted.
-    */
-  def q106PagerankDirected(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val edges = li
-      .select(
-        concat(lit("s"), col("l_suppkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst")
-      )
-      .distinct()
-    PageRank
-      .run(edges, iters = 3, damping = 0.85)
-      .select(col("node"), round(col("r"), 10).as("r"))
-      .orderBy(col("node"))
-  }
-
-  val q106Oracle: String = {
-    // unroll r1..r3 with the same recurrence PageRank.run executes:
-    // csum via decimal(38,12)-staged sums; dm = rank mass on nodes with
-    // no out-edges, folded back as d·dm/N; nodes with no in-edges keep
-    // (1-d)/N + d·dm/N via the LEFT JOIN's NULL csum
-    val rounds = (1 to 3)
-      .map { i =>
-        s"""c$i AS (
-           |  SELECT e.dst AS node,
-           |    CAST(SUM(CAST(p.r / deg.deg AS DECIMAL(38,12))) AS DOUBLE) AS csum
-           |  FROM e
-           |  JOIN r${i - 1} p ON e.src = p.node
-           |  JOIN deg ON e.src = deg.src
-           |  GROUP BY e.dst
-           |), dm$i AS (
-           |  SELECT CAST(COALESCE(SUM(CAST(r AS DECIMAL(38,12))), 0) AS DOUBLE) AS dm
-           |  FROM r${i - 1} WHERE node NOT IN (SELECT src FROM deg)
-           |), r$i AS (
-           |  SELECT n.node,
-           |    ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n) +
-           |    0.85 * (COALESCE(c$i.csum, CAST(0 AS DOUBLE)) + (dm$i.dm / nn.n)) AS r
-           |  FROM nodes n LEFT JOIN c$i ON n.node = c$i.node, nn, dm$i
-           |)""".stripMargin
-      }
-      .mkString(", ")
-    s"""WITH e AS (
-       |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
-       |                  'p' || CAST(l_partkey AS VARCHAR) AS dst
-       |  FROM lineitem
-       |), deg AS (
-       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
-       |), nodes AS (
-       |  SELECT src AS node FROM e UNION SELECT dst FROM e
-       |), nn AS (
-       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
-       |), r0 AS (
-       |  SELECT node, 1.0 / nn.n AS r FROM nodes, nn
-       |), $rounds
-       |SELECT node, round(r, 10) AS r FROM r3
-       |ORDER BY node""".stripMargin
-  }
-
-  // ---------------------------------------------------------------- q107
-  /** HARD-NEGATIVE mining at PRODUCTION shape — q91's contract served
-    * from LSH candidates instead of the exact all-pairs pass (q91 stays
-    * as the oracled audit-scale baseline; its cost is quadratic by
-    * design). Candidates are vectors within Hamming distance 1 of the
-    * anchor's sign sketch in ANY table (the q31 one-side multiprobe
-    * geometry): one shuffle on the 8-byte (tbl, bucket) key, per-anchor
-    * argmax over ~candidate rows, never n. SELF-AUDITING on the bounded
-    * anchor slice (the q46 pattern), grounded by an exact slice×corpus
-    * pass: `audit_slice_neg_top1_agree` (mined hardest negative equals
-    * the exact one) and `audit_slice_neg_in_cands` (the exact hardest
-    * negative was in the anchor's candidate set at all — separates
-    * candidate-recall misses from argmax misses). ORACLED since round 5:
-    * the dynamic LshSql replay ([[q107OracleFor]]) re-derives the whole
-    * pipeline — candidates, both argmaxes, both audits — in SQL at the
-    * verify corpus's own geometry. The crossover claim below is
-    * MEASURED by ops.SimilaritySpec's candidate-fraction ladder
-    * (CandidateFractionSpec): as n grows and lshParams raises nbits,
-    * the candidate fraction provably collapses.
-    *
-    * Honest cost note, MEASURED in CandidateFractionSpec (round 5):
-    * with n = 2000 and 2^5 buckets the candidate set is ~a third of
-    * the corpus, so this does NOT beat q91's exact pass HERE. As n
-    * grows and lshParams raises nbits, the per-anchor candidate
-    * fraction falls ~n^(−1/3) (measured 0.70 → 0.46 → 0.30 over
-    * n = 2¹¹..2¹⁷ at this contract), then FLOORS at ~27% when the
-    * maxTables backoff pins nbits — a bounded few-× per-anchor win
-    * over the exact pass at the same recall contract, NOT an unbounded
-    * collapse; the sub-5% collapse (measured 0.034 at n = 2²⁰) belongs
-    * to the higher-cosine contract (targetCosine ≈ 0.7) a production
-    * miner uses once candidates only need the top of the similarity
-    * range. The audits certify the quality side of the trade: 0.96 of
-    * exact hardest negatives survive the candidate cut.
-    */
-  def q107HardNegativesAnn(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = Tables.embeddings(s, dir)
-    val (nbits, tables) =
-      Similarity.lshParams(e.count(), targetCosine = 0.4, probeHamming = 1)
-    val idx = Similarity
-      .bucketIndex(e, "vec_id", "embedding", nbits, tables)
-      .persist(MEMORY_AND_DISK)
-    idx.count() // eager: both self-join sides share this cache
-    // radius-1 multiprobe on the anchor side: a pair whose sketches
-    // differ by <= 1 bit collides in some probed bucket (see
-    // Similarity.nearDupsEmbedding's orientation argument)
-    val probed = array(
-      (col("bucket") +: (0 until nbits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))).toIndexedSeq: _*
-    )
-    val aSide = idx.select(col("tbl"), explode(probed).as("bucket"), col("vec_id").as("anchor"))
-    val bSide = idx.select(col("tbl"), col("bucket"), col("vec_id").as("other"))
-    val cands = aSide
-      .join(bSide, Seq("tbl", "bucket"))
-      .filter(col("anchor") =!= col("other"))
-      .select(col("anchor"), col("other"))
-      .distinct()
-      .persist(MEMORY_AND_DISK)
-    cands.count() // eager: mining + candidate-recall audit share this cache
-    val va = e.select(col("vec_id").as("anchor"), col("embedding").as("va"), col("label").as("la"))
-    val vb = e.select(col("vec_id").as("other"), col("embedding").as("vb"), col("label").as("lb"))
-    val mined = cands
-      .join(va, "anchor")
-      .join(vb, "other")
-      .select(
-        col("anchor"), col("la"), col("other"), col("lb"),
-        round(Similarity.cosine(col("va"), col("vb")), 6).as("sim")
-      )
-      .groupBy(col("anchor"))
-      .agg(
-        max(when(col("la") === col("lb"), struct(col("sim"), (-col("other")).as("nid")))).as("pos"),
-        max(when(col("la") =!= col("lb"), struct(col("sim"), (-col("other")).as("nid")))).as("neg")
-      )
-      .filter(col("pos").isNotNull && col("neg").isNotNull)
-      .select(
-        col("anchor"),
-        (-col("pos.nid")).as("pos_id"),
-        col("pos.sim").as("pos_sim"),
-        (-col("neg.nid")).as("neg_id"),
-        col("neg.sim").as("neg_sim"),
-        round(col("pos.sim") - col("neg.sim"), 6).as("margin")
-      )
-      .persist(MEMORY_AND_DISK)
-    mined.count() // eager: output + agreement audit share this cache
-    // exact hardest negative on the bounded anchor slice (slice×corpus)
-    val exactNeg = e
-      .filter(col("vec_id") < 500)
-      .select(col("vec_id").as("anchor"), col("embedding").as("va"), col("label").as("la"))
-      .join(vb, col("anchor") =!= col("other"))
-      .select(
-        col("anchor"), col("la"), col("other"), col("lb"),
-        round(Similarity.cosine(col("va"), col("vb")), 6).as("sim")
-      )
-      .filter(col("la") =!= col("lb"))
-      .groupBy(col("anchor"))
-      .agg(max(struct(col("sim"), (-col("other")).as("nid"))).as("xneg"))
-      .select(col("anchor"), (-col("xneg.nid")).as("xneg_id"))
-      .persist(MEMORY_AND_DISK)
-    exactNeg.count() // eager: both audit consumers share this cache
-    val agree = exactNeg
-      .join(mined.select(col("anchor"), col("neg_id")), Seq("anchor"), "left")
-      .agg(
-        round(avg(when(col("neg_id") === col("xneg_id"), 1.0).otherwise(0.0)), 4)
-          .as("audit_slice_neg_top1_agree")
-      )
-    val inCands = exactNeg
-      .join(
-        cands.select(col("anchor"), col("other").as("xneg_id"), lit(1).as("hit")),
-        Seq("anchor", "xneg_id"),
-        "left"
-      )
-      .agg(
-        round(avg(coalesce(col("hit"), lit(0)).cast("double")), 4)
-          .as("audit_slice_neg_in_cands")
-      )
-    mined
-      .crossJoin(broadcast(agree))
-      .crossJoin(broadcast(inCands))
-      .orderBy(col("anchor"))
-  }
 
   // ---------------------------------------------------------------- q141
   /** Repeated n-gram SPAN census (ops/NgramDup) — the exact-substring

@@ -3517,94 +3517,6 @@ private[graft] trait QueriesExact {
       |FROM perr, f2
       |ORDER BY r""".stripMargin
 
-  // ---------------------------------------------------------------- q265
-  /** LOCAL CLUSTERING COEFFICIENT — the per-node closure of q174's
-    * global triangle count: cc(n) = 2·t(n) / (deg(n)·(deg(n)−1)),
-    * where t(n) is the number of triangles through n (each q174
-    * degree-ordered triangle row exploded to its three corners — no
-    * second triangle pass) and deg(n) the simple undirected degree.
-    * Integer-exact in ppm (2·10⁶·t div deg·(deg−1)); degree-1 nodes
-    * carry NULL. Rolled up per 100-node bucket: node count, closed
-    * wedges (Σ2t), open+closed wedges (Σ deg·(deg−1)), exact-rational
-    * bucket coefficient, and min/max per-node ppm — the skew profile a
-    * curriculum-sampling pass reads. Oracle replays the textbook
-    * canonical x<y<z triple join + corner unnest.
-    */
-  def q265ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
-    val edges = blockGraph(s, dir)
-    val canon = edges
-      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
-      .where(col("a") < col("b"))
-      .distinct()
-    val deg = canon
-      .select(col("a").as("node"))
-      .unionByName(canon.select(col("b").as("node")))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("deg"))
-    val tri = graft.ops.Triangles
-      .triangles(edges, "u", "v")
-      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("tri"))
-    val perNode = deg
-      .join(tri, Seq("node"), "left")
-      .na.fill(0L, Seq("tri"))
-      .withColumn("wedges", col("deg") * (col("deg") - 1))
-      .withColumn(
-        "cc_ppm",
-        when(col("deg") >= 2, expr("(2000000 * tri) div wedges")))
-    perNode
-      .groupBy(expr("node div 100").as("bucket"))
-      .agg(
-        count(lit(1)).as("n_nodes"),
-        sum(lit(2) * col("tri")).as("closed_wedges"),
-        sum(col("wedges")).as("all_wedges"),
-        expr("CASE WHEN sum(wedges) > 0 THEN (2000000 * sum(tri)) div sum(wedges) END")
-          .as("bucket_cc_ppm"),
-        min(col("cc_ppm")).as("min_cc_ppm"),
-        max(col("cc_ppm")).as("max_cc_ppm"))
-      .orderBy(col("bucket"))
-  }
-
-  val q265Oracle: String =
-    s"""WITH e AS (
-      |$BlockGraphSql
-      |), canon AS (
-      |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e WHERE u <> v
-      |), deg AS (
-      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
-      |  FROM (SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
-      |  GROUP BY node
-      |), t AS (
-      |  SELECT x.a AS n1, x.b AS n2, y.b AS n3
-      |  FROM canon x
-      |  JOIN canon y ON y.a = x.a AND y.b > x.b
-      |  JOIN canon z ON z.a = x.b AND z.b = y.b
-      |), tri AS (
-      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
-      |  FROM (SELECT unnest([n1, n2, n3]) AS node FROM t)
-      |  GROUP BY node
-      |), pn AS (
-      |  SELECT deg.node, deg.deg, COALESCE(tri.tri, 0) AS tri,
-      |    deg.deg * (deg.deg - 1) AS wedges,
-      |    CASE WHEN deg.deg >= 2
-      |         THEN (2000000 * COALESCE(tri.tri, 0)) // (deg.deg * (deg.deg - 1))
-      |    END AS cc_ppm
-      |  FROM deg LEFT JOIN tri ON tri.node = deg.node
-      |)
-      |SELECT node // 100 AS bucket,
-      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
-      |  CAST(SUM(2 * tri) AS BIGINT) AS closed_wedges,
-      |  CAST(SUM(wedges) AS BIGINT) AS all_wedges,
-      |  CAST(CASE WHEN SUM(wedges) > 0
-      |            THEN (2000000 * SUM(tri)) // SUM(wedges) END AS BIGINT)
-      |    AS bucket_cc_ppm,
-      |  CAST(MIN(cc_ppm) AS BIGINT) AS min_cc_ppm,
-      |  CAST(MAX(cc_ppm) AS BIGINT) AS max_cc_ppm
-      |FROM pn
-      |GROUP BY bucket
-      |ORDER BY bucket""".stripMargin
-
   // ---------------------------------------------------------------- q266
   /** EXACT AUTOCORRELATION FUNCTION (ACF, lags 0–7) of the zero-filled
     * daily event-count series — the seasonality detector behind
@@ -3829,143 +3741,6 @@ private[graft] trait QueriesExact {
       |FROM longf l JOIN wide w ON w.p_brand = l.p_brand
       |GROUP BY l.p_brand
       |ORDER BY l.p_brand""".stripMargin
-
-  // ---------------------------------------------------------------- q269
-  /** HILBERT vs Z-ORDER, MEASURED — q208's rectangle probe plus the
-    * metric that actually separates the curves: the CLUSTERING NUMBER
-    * (Moon et al., "Analysis of the clustering properties of the
-    * Hilbert space-filling curve", TKDE 2001) — how many CONTIGUOUS
-    * curve ranges a query rectangle shatters into, i.e. the number of
-    * seeks a range-pruned scan pays. File counts on the sparse sample
-    * tie (files_z = files_h at this occupancy — measured, kept as
-    * evidence); the cluster count over the rectangle's full cell grid
-    * shows the textbook ~2× Hilbert advantage (measured here: 281 vs
-    * 156 summed over the 20 probes). Runs are counted with one lag
-    * window per curve over the tiny qid×64-cell frame: a cell starts
-    * a run iff position−1 is absent. [[graft.ops.Layout.hilbertValue]]
-    * / [[graft.ops.Layout.hilbertSqlCtes]] emit both engines' round
-    * arithmetic from one generator.
-    */
-  def q269Hilbert(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val queries = (0 until 20)
-      .map(i => (i, (i * 37L) % 248, (i * 53L) % 248))
-      .toDF("qid", "x0", "y0")
-    // data-sample file counts (q208's probe, third layout added)
-    val keyed0 = Tables
-      .lineitem(s, dir)
-      .select(
-        (col("l_partkey") % 256).as("x"),
-        ((col("l_suppkey") * 131) % 256).as("y"))
-      .withColumn(
-        "zkey",
-        graft.ops.Layout.zValue(Seq((col("x"), 0L, 255L), (col("y"), 0L, 255L)), 8))
-    val keyed = graft.ops.Layout
-      .hilbertValue(keyed0, "x", "y", 8, "hkey")
-      .withColumn("file_z", expr("zkey div 256"))
-      .withColumn("file_h", expr("hkey div 256"))
-    val files = keyed
-      .crossJoin(broadcast(queries))
-      .where(
-        col("x") >= col("x0") && col("x") <= col("x0") + 7 &&
-          col("y") >= col("y0") && col("y") <= col("y0") + 7)
-      .groupBy(col("qid"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("file_z")).as("files_z"),
-        countDistinct(col("file_h")).as("files_h"))
-    // grid-exact cluster counts: every cell of every rectangle
-    val cells0 = queries
-      .withColumn("dx", explode(expr("sequence(0L, 7L)")))
-      .withColumn("dy", explode(expr("sequence(0L, 7L)")))
-      .select(col("qid"), (col("x0") + col("dx")).as("x"), (col("y0") + col("dy")).as("y"))
-      .withColumn(
-        "zkey",
-        graft.ops.Layout.zValue(Seq((col("x"), 0L, 255L), (col("y"), 0L, 255L)), 8))
-    val cells = graft.ops.Layout.hilbertValue(cells0, "x", "y", 8, "hkey")
-    def runStart(key: String): Column = {
-      val prev = lag(col(key), 1).over(Window.partitionBy(col("qid")).orderBy(col(key)))
-      when(prev.isNull || prev =!= col(key) - 1, 1L).otherwise(0L)
-    }
-    val clusters = cells
-      .withColumn("zrun", runStart("zkey"))
-      .withColumn("hrun", runStart("hkey"))
-      .groupBy(col("qid"))
-      .agg(
-        count(lit(1)).as("n_cells"),
-        sum(col("zrun")).as("clusters_z"),
-        sum(col("hrun")).as("clusters_h"))
-    files
-      .join(clusters, Seq("qid"))
-      .withColumn("hilbert_wins", col("clusters_h") <= col("clusters_z"))
-      .select(
-        col("qid"), col("n_rows"), col("files_z"), col("files_h"),
-        col("n_cells"), col("clusters_z"), col("clusters_h"), col("hilbert_wins"))
-      .orderBy(col("qid"))
-  }
-
-  val q269Oracle: String = {
-    val zsql = graft.ops.Layout.zValueSql(Seq(("x", 0L, 255L), ("y", 0L, 255L)), 8)
-    val (hilbertCtes, hfin) =
-      graft.ops.Layout.hilbertSqlCtes("rows_k", Seq("rid", "x AS x", "y AS y"), "x", "y", 8)
-    val (cellCtes, cfin) =
-      graft.ops.Layout.hilbertSqlCtes("cells0", Seq("qid", "x AS x", "y AS y"), "x", "y", 8)
-    // the two chains share round CTE names — prefix the cell chain
-    val cellCtesP = cellCtes.replace("__h", "__c")
-    val cfinP = cfin.replace("__h", "__c")
-    s"""WITH rows_k AS (
-       |  SELECT row_number() OVER () AS rid,
-       |    l_partkey % 256 AS x, (l_suppkey * 131) % 256 AS y
-       |  FROM lineitem
-       |),
-       |$hilbertCtes,
-       |keyed AS (
-       |  SELECT h.x, h.y,
-       |    $zsql // 256 AS file_z,
-       |    h.hkey // 256 AS file_h
-       |  FROM $hfin h
-       |), q AS (
-       |  SELECT CAST(i AS INT) AS qid, (i * 37) % 248 AS x0, (i * 53) % 248 AS y0
-       |  FROM (SELECT unnest(range(0, 20)) AS i)
-       |), files AS (
-       |  SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       |    CAST(COUNT(DISTINCT file_z) AS BIGINT) AS files_z,
-       |    CAST(COUNT(DISTINCT file_h) AS BIGINT) AS files_h
-       |  FROM keyed JOIN q
-       |    ON x BETWEEN x0 AND x0 + 7 AND y BETWEEN y0 AND y0 + 7
-       |  GROUP BY q.qid
-       |), cells0 AS (
-       |  SELECT qid, x0 + dx.d AS x, y0 + dy.d AS y
-       |  FROM q,
-       |    (SELECT unnest(range(0, 8)) AS d) dx,
-       |    (SELECT unnest(range(0, 8)) AS d) dy
-       |),
-       |$cellCtesP,
-       |ck AS (
-       |  SELECT qid, $zsql AS zkey, hkey
-       |  FROM $cfinP
-       |), runs AS (
-       |  SELECT qid,
-       |    CASE WHEN lag(zkey) OVER (PARTITION BY qid ORDER BY zkey) IS NULL
-       |           OR lag(zkey) OVER (PARTITION BY qid ORDER BY zkey) <> zkey - 1
-       |         THEN 1 ELSE 0 END AS zrun,
-       |    CASE WHEN lag(hkey) OVER (PARTITION BY qid ORDER BY hkey) IS NULL
-       |           OR lag(hkey) OVER (PARTITION BY qid ORDER BY hkey) <> hkey - 1
-       |         THEN 1 ELSE 0 END AS hrun
-       |  FROM ck
-       |), clusters AS (
-       |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cells,
-       |    CAST(SUM(zrun) AS BIGINT) AS clusters_z,
-       |    CAST(SUM(hrun) AS BIGINT) AS clusters_h
-       |  FROM runs GROUP BY qid
-       |)
-       |SELECT f.qid, f.n_rows, f.files_z, f.files_h,
-       |  c.n_cells, c.clusters_z, c.clusters_h,
-       |  (c.clusters_h <= c.clusters_z) AS hilbert_wins
-       |FROM files f JOIN clusters c ON c.qid = f.qid
-       |ORDER BY f.qid""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q270
   /** AGGREGATE FILTER-CLAUSE CERTIFICATE — `agg(x) FILTER (WHERE p)`

@@ -3497,4 +3497,923 @@ private[graft] trait QueriesGraph {
       |    <= CAST(((n11 + n00) * 1000000) // n AS BIGINT) AS kappa_le_po
       |FROM c""".stripMargin
   }
+  // ---------------------------------------------------------------- q96
+  /** PageRank (ops/PageRank) over the part↔supplier co-occurrence graph
+    * — the canonical iterative-graph workload, 3 power-iteration rounds
+    * at d = 0.85 on the symmetrized DISTINCT lineitem edge set. Each
+    * round is one src-keyed join + one dst-keyed decimal-accumulated
+    * aggregate (order-independent sums — engine- and partitioning-
+    * exact), localCheckpointed per round. Oracle: the same three rounds
+    * UNROLLED as DuckDB CTEs, generated by the same Scala loop that
+    * could unroll any round count — query and oracle share the round
+    * definition by construction.
+    */
+  def q96PageRank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val edges = PageRank.symmetrize(
+      li.select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")
+      ).distinct()
+    )
+    PageRank
+      .run(edges, iters = 3, damping = 0.85)
+      .select(col("node"), round(col("r"), 10).as("r"))
+      .orderBy(col("node"))
+  }
+
+  val q96Oracle: String = {
+    // unroll r1..r3 with the same recurrence the Spark loop runs
+    val rounds = (1 to 3)
+      .map { i =>
+        s"""r$i AS (
+           |  SELECT e.dst AS node,
+           |    ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / any_value(nn.n)) +
+           |    0.85 * CAST(SUM(CAST(p.r / deg.deg AS DECIMAL(38,12))) AS DOUBLE) AS r
+           |  FROM e
+           |  JOIN r${i - 1} p ON e.src = p.node
+           |  JOIN deg ON e.src = deg.src, nn
+           |  GROUP BY e.dst
+           |)""".stripMargin
+      }
+      .mkString(", ")
+    s"""WITH d AS (
+       |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+       |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+       |  FROM lineitem
+       |), e AS (
+       |  SELECT src, dst FROM d UNION SELECT dst, src FROM d
+       |), deg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+       |), nodes AS (
+       |  SELECT DISTINCT src AS node FROM e
+       |), nn AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+       |), r0 AS (
+       |  SELECT node, 1.0 / nn.n AS r FROM nodes, nn
+       |), $rounds
+       |SELECT node, round(r, 10) AS r FROM r3
+       |ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q106
+  /** PageRank on a DIRECTED graph with dangling nodes — exercises the
+    * two general-graph behaviors q96's symmetrized run never touches:
+    * parts are pure sinks (no out-edges → their rank folds back
+    * uniformly each round) and suppliers are pure sources (no in-edges
+    * → they must keep their teleport share instead of dropping out of
+    * round 2+). Same round algebra as q96; the oracle unrolls the
+    * recurrence INCLUDING the per-round dangling-mass scalar, so the
+    * fold is driver-certified, not just spec-asserted.
+    */
+  def q106PagerankDirected(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val edges = li
+      .select(
+        concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst")
+      )
+      .distinct()
+    PageRank
+      .run(edges, iters = 3, damping = 0.85)
+      .select(col("node"), round(col("r"), 10).as("r"))
+      .orderBy(col("node"))
+  }
+
+  val q106Oracle: String = {
+    // unroll r1..r3 with the same recurrence PageRank.run executes:
+    // csum via decimal(38,12)-staged sums; dm = rank mass on nodes with
+    // no out-edges, folded back as d·dm/N; nodes with no in-edges keep
+    // (1-d)/N + d·dm/N via the LEFT JOIN's NULL csum
+    val rounds = (1 to 3)
+      .map { i =>
+        s"""c$i AS (
+           |  SELECT e.dst AS node,
+           |    CAST(SUM(CAST(p.r / deg.deg AS DECIMAL(38,12))) AS DOUBLE) AS csum
+           |  FROM e
+           |  JOIN r${i - 1} p ON e.src = p.node
+           |  JOIN deg ON e.src = deg.src
+           |  GROUP BY e.dst
+           |), dm$i AS (
+           |  SELECT CAST(COALESCE(SUM(CAST(r AS DECIMAL(38,12))), 0) AS DOUBLE) AS dm
+           |  FROM r${i - 1} WHERE node NOT IN (SELECT src FROM deg)
+           |), r$i AS (
+           |  SELECT n.node,
+           |    ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n) +
+           |    0.85 * (COALESCE(c$i.csum, CAST(0 AS DOUBLE)) + (dm$i.dm / nn.n)) AS r
+           |  FROM nodes n LEFT JOIN c$i ON n.node = c$i.node, nn, dm$i
+           |)""".stripMargin
+      }
+      .mkString(", ")
+    s"""WITH e AS (
+       |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+       |                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+       |  FROM lineitem
+       |), deg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+       |), nodes AS (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e
+       |), nn AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+       |), r0 AS (
+       |  SELECT node, 1.0 / nn.n AS r FROM nodes, nn
+       |), $rounds
+       |SELECT node, round(r, 10) AS r FROM r3
+       |ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q107
+  /** HARD-NEGATIVE mining at PRODUCTION shape — q91's contract served
+    * from LSH candidates instead of the exact all-pairs pass (q91 stays
+    * as the oracled audit-scale baseline; its cost is quadratic by
+    * design). Candidates are vectors within Hamming distance 1 of the
+    * anchor's sign sketch in ANY table (the q31 one-side multiprobe
+    * geometry): one shuffle on the 8-byte (tbl, bucket) key, per-anchor
+    * argmax over ~candidate rows, never n. SELF-AUDITING on the bounded
+    * anchor slice (the q46 pattern), grounded by an exact slice×corpus
+    * pass: `audit_slice_neg_top1_agree` (mined hardest negative equals
+    * the exact one) and `audit_slice_neg_in_cands` (the exact hardest
+    * negative was in the anchor's candidate set at all — separates
+    * candidate-recall misses from argmax misses). ORACLED since round 5:
+    * the dynamic LshSql replay ([[q107OracleFor]]) re-derives the whole
+    * pipeline — candidates, both argmaxes, both audits — in SQL at the
+    * verify corpus's own geometry. The crossover claim below is
+    * MEASURED by ops.SimilaritySpec's candidate-fraction ladder
+    * (CandidateFractionSpec): as n grows and lshParams raises nbits,
+    * the candidate fraction provably collapses.
+    *
+    * Honest cost note, MEASURED in CandidateFractionSpec (round 5):
+    * with n = 2000 and 2^5 buckets the candidate set is ~a third of
+    * the corpus, so this does NOT beat q91's exact pass HERE. As n
+    * grows and lshParams raises nbits, the per-anchor candidate
+    * fraction falls ~n^(−1/3) (measured 0.70 → 0.46 → 0.30 over
+    * n = 2¹¹..2¹⁷ at this contract), then FLOORS at ~27% when the
+    * maxTables backoff pins nbits — a bounded few-× per-anchor win
+    * over the exact pass at the same recall contract, NOT an unbounded
+    * collapse; the sub-5% collapse (measured 0.034 at n = 2²⁰) belongs
+    * to the higher-cosine contract (targetCosine ≈ 0.7) a production
+    * miner uses once candidates only need the top of the similarity
+    * range. The audits certify the quality side of the trade: 0.96 of
+    * exact hardest negatives survive the candidate cut.
+    */
+  def q107HardNegativesAnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = Tables.embeddings(s, dir)
+    val (nbits, tables) =
+      Similarity.lshParams(e.count(), targetCosine = 0.4, probeHamming = 1)
+    val idx = Similarity
+      .bucketIndex(e, "vec_id", "embedding", nbits, tables)
+      .persist(MEMORY_AND_DISK)
+    idx.count() // eager: both self-join sides share this cache
+    // radius-1 multiprobe on the anchor side: a pair whose sketches
+    // differ by <= 1 bit collides in some probed bucket (see
+    // Similarity.nearDupsEmbedding's orientation argument)
+    val probed = array(
+      (col("bucket") +: (0 until nbits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))).toIndexedSeq: _*
+    )
+    val aSide = idx.select(col("tbl"), explode(probed).as("bucket"), col("vec_id").as("anchor"))
+    val bSide = idx.select(col("tbl"), col("bucket"), col("vec_id").as("other"))
+    val cands = aSide
+      .join(bSide, Seq("tbl", "bucket"))
+      .filter(col("anchor") =!= col("other"))
+      .select(col("anchor"), col("other"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    cands.count() // eager: mining + candidate-recall audit share this cache
+    val va = e.select(col("vec_id").as("anchor"), col("embedding").as("va"), col("label").as("la"))
+    val vb = e.select(col("vec_id").as("other"), col("embedding").as("vb"), col("label").as("lb"))
+    val mined = cands
+      .join(va, "anchor")
+      .join(vb, "other")
+      .select(
+        col("anchor"), col("la"), col("other"), col("lb"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("sim")
+      )
+      .groupBy(col("anchor"))
+      .agg(
+        max(when(col("la") === col("lb"), struct(col("sim"), (-col("other")).as("nid")))).as("pos"),
+        max(when(col("la") =!= col("lb"), struct(col("sim"), (-col("other")).as("nid")))).as("neg")
+      )
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
+      .select(
+        col("anchor"),
+        (-col("pos.nid")).as("pos_id"),
+        col("pos.sim").as("pos_sim"),
+        (-col("neg.nid")).as("neg_id"),
+        col("neg.sim").as("neg_sim"),
+        round(col("pos.sim") - col("neg.sim"), 6).as("margin")
+      )
+      .persist(MEMORY_AND_DISK)
+    mined.count() // eager: output + agreement audit share this cache
+    // exact hardest negative on the bounded anchor slice (slice×corpus)
+    val exactNeg = e
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id").as("anchor"), col("embedding").as("va"), col("label").as("la"))
+      .join(vb, col("anchor") =!= col("other"))
+      .select(
+        col("anchor"), col("la"), col("other"), col("lb"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("sim")
+      )
+      .filter(col("la") =!= col("lb"))
+      .groupBy(col("anchor"))
+      .agg(max(struct(col("sim"), (-col("other")).as("nid"))).as("xneg"))
+      .select(col("anchor"), (-col("xneg.nid")).as("xneg_id"))
+      .persist(MEMORY_AND_DISK)
+    exactNeg.count() // eager: both audit consumers share this cache
+    val agree = exactNeg
+      .join(mined.select(col("anchor"), col("neg_id")), Seq("anchor"), "left")
+      .agg(
+        round(avg(when(col("neg_id") === col("xneg_id"), 1.0).otherwise(0.0)), 4)
+          .as("audit_slice_neg_top1_agree")
+      )
+    val inCands = exactNeg
+      .join(
+        cands.select(col("anchor"), col("other").as("xneg_id"), lit(1).as("hit")),
+        Seq("anchor", "xneg_id"),
+        "left"
+      )
+      .agg(
+        round(avg(coalesce(col("hit"), lit(0)).cast("double")), 4)
+          .as("audit_slice_neg_in_cands")
+      )
+    mined
+      .crossJoin(broadcast(agree))
+      .crossJoin(broadcast(inCands))
+      .orderBy(col("anchor"))
+  }
+
+  // ---------------------------------------------------------------- q109
+  /** IVF-PQ two-stage ANN serving (round 6) — the PRODUCTION vector
+    * search stack composed from the proven pieces: an IVF coarse
+    * quantizer (q35's trained k-means) partitions the corpus into
+    * cells; every vector is PQ-encoded (q94's 16×4-bit codes, 32×
+    * memory); a query probes its `nprobe` nearest cells, ADC-scores
+    * ONLY the codes in those cells (≈ nprobe/k of the corpus), takes a
+    * shortlist, and exact-reranks the shortlisted raw floats. At
+    * 100 TB this is the shape that serves: the float corpus is never
+    * scanned — a probe touches nprobe/k of an 8-byte-per-vector code
+    * table map-side, and the float fetch is shortlist-sized.
+    * Self-auditing: recall@k against the exact brute top-k over the
+    * FULL corpus, plus the measured scanned fraction.
+    *
+    * ORACLED (dynamic, [[q109OracleFor]]): composes the two trained
+    * replays end-to-end — IvfSql's Lloyd chain re-trains the coarse
+    * quantizer in SQL, the fitted PQ codebooks embed as literals
+    * (q94's builders), and probing, candidate confinement, ADC,
+    * re-rank, recall and scanned-fraction arithmetic all replay
+    * relationally.
+    */
+  private[graft] val q109KCells = 16
+  private[graft] val q109IvfIters = 2
+  private[graft] val q109Nprobe = 2
+  private[graft] val q109NQ = 20
+  private[graft] val q109K = 10
+  private[graft] val q109Short = 40
+
+  def q109IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (kc, ivfIters, nprobe) = (q109KCells, q109IvfIters, q109Nprobe)
+    val (m, ksub, pqIters) = (q94M, q94Ksub, q94Iters)
+    val (nQ, k, short) = (q109NQ, q109K, q109Short)
+    val e = Tables
+      .embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        col("embedding"), // raw floats: centroid scoring + exact rerank/baseline
+        Pq.normalize(col("embedding")).as("vec") // normalized: PQ fit/encode/LUT
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = e.count() // eager: fit + encode + probe + baseline share this cache
+    val cents = Ivf.fitCentroids(e, kc, ivfIters)
+    val assigned = Ivf.assign(e, cents)
+    val codebooks = Pq.fit(e.filter(pmod(col("vec_id"), lit(4)) === 0), m, ksub, pqIters)
+    // the serving-side index: 8-byte codes + a cell id per vector —
+    // this narrow frame is ALL a probe ever scans
+    val encoded = Pq
+      .encode(e, codebooks)
+      .join(assigned.select(col("vec_id"), col("cluster_id")), "vec_id")
+    val queries = e.filter(col("vec_id") < nQ)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cluster_id"))
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .withColumn(
+        "sim",
+        Similarity.cosine(col("embedding"), transform(col("centroid"), _.cast("float")))
+      )
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("cluster_id"))
+    val cands = encoded
+      .join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qvec"), col("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count() // eager: scanned-fraction + ADC consumers share this cache
+    val scanned = cands
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cand"))
+      .agg(round(sum(col("n_cand")) / lit(nQ.toDouble * (n - 1)), 4).as("scanned_fraction"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    val shortlist = cands
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        Pq.adcScore(col("qvec"), col("codes"), codebooks).as("score")
+      )
+      .withColumn("rank", row_number().over(wa))
+      .filter(col("rank") <= short)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rscore").desc, col("neighbor_id"))
+    val reranked = shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("rscore", Similarity.cosine(col("qemb"), col("nemb")))
+      .withColumn("rrank", row_number().over(wr))
+      .filter(col("rrank") <= k)
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("xscore").desc, col("neighbor_id"))
+    val exact = e
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        Similarity.cosine(col("qemb"), col("embedding")).as("xscore")
+      )
+      .withColumn("xrank", row_number().over(wx))
+      .filter(col("xrank") <= k)
+    val recall = reranked
+      .select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .agg(round(count(lit(1)) / lit(nQ.toDouble * k), 4).as("recall_at_k"))
+    recall
+      .crossJoin(broadcast(scanned))
+      .select(
+        lit(n).as("n_vectors"),
+        lit(nQ).as("n_queries"),
+        lit(k).as("k"),
+        lit(kc).as("cells"),
+        lit(nprobe).as("nprobe"),
+        lit(short).as("shortlist"),
+        col("recall_at_k"),
+        col("scanned_fraction"),
+        lit((64 * 4) / (q94M / 2)).as("compression_x")
+      )
+  }
+
+  /** q109 generated oracle — the composed trained replay (mirrors
+    * q94OracleFor's codebook/encode/LUT builders verbatim and splices
+    * in IvfSql's Lloyd chain; kept self-contained so q94's green
+    * generator stays untouched).
+    */
+  def q109OracleFor(s: SparkSession, dir: String): String = {
+    val (kc, ivfIters, nprobe) = (q109KCells, q109IvfIters, q109Nprobe)
+    val (m, ksub, pqIters) = (q94M, q94Ksub, q94Iters)
+    val (nQ, k, short) = (q109NQ, q109K, q109Short)
+    val dim = 64
+    val dsub = dim / m
+    val eFit = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), Pq.normalize(col("embedding")).as("vec"))
+      .filter(pmod(col("vec_id"), lit(4)) === 0)
+    val codebooks = Pq.fit(eFit, m, ksub, pqIters)
+    val n = Tables.embeddings(s, dir).count()
+    val cwRows = (0 until m)
+      .flatMap { sIdx =>
+        codebooks(sIdx).sortBy(_._1).map { case (code, w) =>
+          val ws = w.map(x => s"CAST('$x' AS DOUBLE)").mkString(", ")
+          s"($sIdx, $code, $ws)"
+        }
+      }
+      .mkString(",\n    ")
+    val normChain = (1 to dim)
+      .map(i => s"CAST(embedding[$i] AS DOUBLE)*CAST(embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+    def sqDistChain(vec: String): String =
+      (1 to dsub)
+        .map(j => s"($vec[cw.s*$dsub+$j]-cw.w$j)*($vec[cw.s*$dsub+$j]-cw.w$j)")
+        .mkString(" + ")
+    def dotChain(vec: String): String =
+      (1 to dsub).map(j => s"$vec[cw.s*$dsub+$j]*cw.w$j").mkString(" + ")
+    val cosRR = IvfSql.cosFloatFloat("ce.embedding", "qe.embedding")
+    val cosEX = IvfSql.cosFloatFloat("c.embedding", "q.embedding")
+    s"""WITH cw(s, code, ${(1 to dsub).map("w" + _).mkString(", ")}) AS (
+       |  VALUES
+       |    $cwRows
+       |), e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), ${IvfSql.lloydChain(kc, ivfIters)}, ${IvfSql.assignCte("idx2", s"c$ivfIters")}, qp AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${IvfSql.cosFloatDouble("e.embedding", "c.cd")} DESC, c.cid ASC) AS rn
+       |    FROM e, c$ivfIters c WHERE e.vec_id < $nQ
+       |  ) WHERE rn <= $nprobe
+       |), nv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt($normChain)) AS v
+       |  FROM e
+       |), enc AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT nv.vec_id, cw.s, cw.code,
+       |      row_number() OVER (PARTITION BY nv.vec_id, cw.s
+       |        ORDER BY (${sqDistChain("nv.v")}) ASC, cw.code ASC) AS rn
+       |    FROM nv, cw
+       |  ) WHERE rn = 1
+       |), lut AS (
+       |  SELECT q.vec_id AS query_id, cw.s, cw.code, (${dotChain("q.v")}) AS d
+       |  FROM nv q, cw WHERE q.vec_id < $nQ
+       |), cand AS (
+       |  SELECT q.query_id, i.vec_id AS neighbor_id
+       |  FROM qp q JOIN idx2 i USING (cid)
+       |  WHERE i.vec_id <> q.query_id
+       |), sf AS (
+       |  SELECT round(count(*) / CAST('${nQ.toDouble * (n - 1)}' AS DOUBLE), 4) AS scanned_fraction
+       |  FROM cand
+       |), adc AS (
+       |  SELECT l.query_id, en.vec_id AS neighbor_id,
+       |    list_reduce(list(l.d ORDER BY l.s), (x, y) -> x + y) AS score
+       |  FROM enc en
+       |  JOIN lut l ON en.s = l.s AND en.code = l.code
+       |  JOIN cand c ON c.query_id = l.query_id AND c.neighbor_id = en.vec_id
+       |  GROUP BY l.query_id, en.vec_id
+       |), short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |    FROM adc
+       |  ) WHERE rank <= $short
+       |), rrk AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT s.query_id, s.neighbor_id,
+       |      row_number() OVER (PARTITION BY s.query_id ORDER BY $cosRR DESC, s.neighbor_id) AS rrank
+       |    FROM short s
+       |    JOIN e ce ON s.neighbor_id = ce.vec_id
+       |    JOIN e qe ON s.query_id = qe.vec_id
+       |  ) WHERE rrank <= $k
+       |), ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $cosEX DESC, c.vec_id) AS xrank
+       |    FROM e c, e q WHERE q.vec_id < $nQ AND c.vec_id <> q.vec_id
+       |  ) WHERE xrank <= $k
+       |), rc AS (
+       |  SELECT round(count(*) / CAST('${nQ.toDouble * k}' AS DOUBLE), 4) AS recall_at_k
+       |  FROM rrk JOIN ex USING (query_id, neighbor_id)
+       |)
+       |SELECT CAST($n AS BIGINT) AS n_vectors, $nQ AS n_queries, $k AS k,
+       |  $kc AS cells, $nprobe AS nprobe, $short AS shortlist,
+       |  rc.recall_at_k, sf.scanned_fraction,
+       |  ${(64 * 4) / (m / 2)} AS compression_x
+       |FROM rc, sf""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q188
+  /** BENFORD FIRST-DIGIT AUDIT — the data-quality screen for fabricated
+    * or truncated numeric columns: per event type, the first-digit
+    * distribution of positive cent values against Benford's
+    * log10(1 + 1/d), with a scaled chi-square statistic. The Benford
+    * masses are fixed 1e-6-grid integer literals (transcendental-free
+    * recipe), the digit comes from the decimal string head (no
+    * floating log10), and the chi-square numerator (obs·10⁶ − n·p)²
+    * reaches ~4e20 — per-row INT64 overflow, so it rides
+    * decimal(38,0)/HUGEINT (the q170/q182 widen-first lesson).
+    */
+  def q188Benford(s: SparkSession, dir: String): DataFrame = {
+    val p6 = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L, 45757L)
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .where(col("cents") > 0)
+      .withColumn("d", expr("cast(substring(cast(cents as string), 1, 1) as int)"))
+    val obs = ev.groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("obs"))
+    val totals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    import s.implicits._
+    val bexp = Seq.tabulate(9)(i => (i + 1, p6(i))).toDF("d_e", "p_e6")
+    val obs2 = obs.withColumnsRenamed(Map("event_type" -> "o_et", "d" -> "o_d"))
+    val full = totals
+      .crossJoin(bexp)
+      .join(obs2, col("event_type") === col("o_et") && col("d_e") === col("o_d"), "left")
+      .select(
+        col("event_type"),
+        col("d_e"),
+        coalesce(col("obs"), lit(0L)).as("obs"),
+        col("n"),
+        col("p_e6"))
+    val chi = full
+      .withColumn(
+        "dev2",
+        expr("(cast(obs as decimal(38,0)) * 1000000 - cast(n as decimal(38,0)) * p_e6) * " +
+          "(cast(obs as decimal(38,0)) * 1000000 - cast(n as decimal(38,0)) * p_e6)"))
+      .withColumn("term", expr("cast(dev2 div (cast(n as decimal(38,0)) * p_e6 * 1000000) as bigint)"))
+    chi
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        sum(when(col("d_e") === 1, col("obs")).otherwise(0L)).as("obs_d1"),
+        sum(when(col("d_e") === 9, col("obs")).otherwise(0L)).as("obs_d9"),
+        sum(col("term")).as("chi2_scaled"))
+      .orderBy(col("event_type"))
+  }
+
+  val q188Oracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), pos AS (
+      |  SELECT event_type,
+      |    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS d
+      |  FROM ev WHERE cents > 0
+      |), obs AS (SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS obs FROM pos GROUP BY 1, 2),
+      |totals AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM pos GROUP BY 1),
+      |bexp AS (
+      |  SELECT CAST(u.d AS INT) AS d_e, u.p AS p_e6 FROM (
+      |    SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d,
+      |           unnest([301029,176091,124938,96910,79181,66946,57991,51152,45757]) AS p) u
+      |), fl AS (
+      |  SELECT t.event_type, b.d_e, COALESCE(o.obs, 0) AS obs, t.n, b.p_e6
+      |  FROM totals t CROSS JOIN bexp b
+      |  LEFT JOIN obs o ON o.event_type = t.event_type AND o.d = b.d_e
+      |), chi AS (
+      |  SELECT event_type, n, d_e, obs,
+      |    CAST(((CAST(obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * p_e6) *
+      |          (CAST(obs AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * p_e6))
+      |         // (CAST(n AS HUGEINT) * p_e6 * 1000000) AS BIGINT) AS term
+      |  FROM fl
+      |)
+      |SELECT event_type, n,
+      |  CAST(SUM(CASE WHEN d_e = 1 THEN obs ELSE 0 END) AS BIGINT) AS obs_d1,
+      |  CAST(SUM(CASE WHEN d_e = 9 THEN obs ELSE 0 END) AS BIGINT) AS obs_d9,
+      |  CAST(SUM(term) AS BIGINT) AS chi2_scaled
+      |FROM chi
+      |GROUP BY event_type, n
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q203
+  /** IDW INTERPOLATION — the reference domain's actual spatial use
+    * case: estimate a measurement at an arbitrary point from nearby
+    * stations by inverse-distance weighting. Exact-integer contract:
+    * weights are `SCALE div (d2 + 1)` (the +1 makes a co-located
+    * station dominant without a zero division; floor IS the
+    * definition), the estimate is ⌊Σ v·w / Σ w⌋, and the v·w products
+    * ride decimal(38,0)/HUGEINT (per-term ≈ 5e19 overflows INT64 —
+    * the widen-first lesson again). Candidates come from the q202 grid
+    * radius join; uncovered points (no station within 5°) are counted,
+    * not invented.
+    */
+  def q203IdwInterpolation(s: SparkSession, dir: String): DataFrame = {
+    val R = 5000000L
+    val st = Tables
+      .supplier(s, dir)
+      .select(col("s_suppkey").as("sk"))
+      .withColumn("slat", expr("((sk * 2654435761) % 120000000) - 60000000"))
+      .withColumn("slon", expr("((sk * 2246822519) % 360000000) - 180000000"))
+      .withColumn("v_cents", expr("(sk * 7919) % 50000"))
+    val pts = Tables
+      .customer(s, dir)
+      .where(col("c_custkey") <= 2000)
+      .select(col("c_custkey").as("pk"))
+      .withColumn("plat", expr("((pk * 3266489917) % 120000000) - 60000000"))
+      .withColumn("plon", expr("((pk * 668265263) % 360000000) - 180000000"))
+    val pairs = graft.ops.Geo
+      .radiusJoin(pts, st, "plat", "plon", "slat", "slon", R)
+      .withColumn("w", expr("1000000000000000 div (d2 + 1)"))
+    val est = pairs
+      .groupBy(col("pk"))
+      .agg(
+        count(lit(1)).as("n_near"),
+        sum(expr("cast(v_cents as decimal(38,0)) * w")).as("vw"),
+        sum(col("w")).as("wsum"))
+      .withColumn("est_cents", expr("cast(vw div wsum as bigint)"))
+    pts
+      .select(col("pk"))
+      .join(est, Seq("pk"), "left")
+      .groupBy(expr("pk div 200").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("est_cents").isNotNull.cast("long")).as("n_covered"),
+        coalesce(sum(col("est_cents")), lit(0L)).as("sum_est_cents"),
+        coalesce(sum(col("n_near")), lit(0L)).as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+
+  val q203Oracle: String =
+    """WITH st AS (
+      |  SELECT s_suppkey AS sk,
+      |    ((s_suppkey * 2654435761) % 120000000) - 60000000 AS slat,
+      |    ((s_suppkey * 2246822519) % 360000000) - 180000000 AS slon,
+      |    (s_suppkey * 7919) % 50000 AS v_cents
+      |  FROM supplier
+      |), pts AS (
+      |  SELECT c_custkey AS pk,
+      |    ((c_custkey * 3266489917) % 120000000) - 60000000 AS plat,
+      |    ((c_custkey * 668265263) % 360000000) - 180000000 AS plon
+      |  FROM customer WHERE c_custkey <= 2000
+      |), pairs AS (
+      |  SELECT pk,
+      |    (plat - slat) * (plat - slat) + (plon - slon) * (plon - slon) AS d2,
+      |    v_cents
+      |  FROM pts, st
+      |  WHERE (plat - slat) * (plat - slat) + (plon - slon) * (plon - slon)
+      |        <= CAST(5000000 AS BIGINT) * 5000000
+      |), w AS (
+      |  SELECT pk, v_cents, 1000000000000000 // (d2 + 1) AS w FROM pairs
+      |), est AS (
+      |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_near,
+      |    CAST(SUM(CAST(v_cents AS HUGEINT) * w) // SUM(w) AS BIGINT) AS est_cents
+      |  FROM w GROUP BY pk
+      |)
+      |SELECT CAST(pts.pk // 200 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_points,
+      |  CAST(SUM(CASE WHEN est.est_cents IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      |  CAST(COALESCE(SUM(est.est_cents), 0) AS BIGINT) AS sum_est_cents,
+      |  CAST(COALESCE(SUM(est.n_near), 0) AS BIGINT) AS n_pairs
+      |FROM pts LEFT JOIN est ON est.pk = pts.pk
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q207
+  /** CC CROSS-IMPLEMENTATION AGREEMENT — the two connected-components
+    * engines ([[graft.ops.Components.connectedComponents]] min-label,
+    * O(diameter) rounds, and
+    * [[graft.ops.Components.largeStarSmallStar]], O(log n) rounds)
+    * must produce the IDENTICAL (id → min-reachable-id) labeling on
+    * the block graph. Disagreements are counted via a null-safe
+    * full-outer label join (pinned 0), and the summary (nodes,
+    * components, label checksum) is what the oracle recomputes from
+    * the recursive-CTE reachability definition — three independent
+    * implementations, one answer.
+    */
+  def q207CcAgreement(s: SparkSession, dir: String): DataFrame = {
+    val edges = blockGraph(s, dir)
+    val a = graft.ops.Components
+      .connectedComponents(edges, "u", "v")
+      .withColumnsRenamed(Map("component" -> "ca"))
+    val b = graft.ops.Components
+      .largeStarSmallStar(edges, "u", "v")
+      .withColumnsRenamed(Map("component" -> "cb"))
+    val joined = a.join(b, Seq("id"), "full_outer")
+    val dis = joined
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum((!(col("ca") <=> col("cb"))).cast("long")).as("n_disagreements"))
+    val summ = a.agg(
+      countDistinct(col("ca")).as("n_components"),
+      sum(col("ca")).as("label_sum"))
+    dis
+      .crossJoin(summ)
+      .select(
+        col("n_nodes"),
+        col("n_components"),
+        col("n_disagreements"),
+        col("label_sum"))
+  }
+
+  val q207Oracle: String =
+    s"""WITH RECURSIVE eset AS (
+       |$BlockGraphSql
+       |), sym AS (
+       |  SELECT u AS src, v AS dst FROM eset
+       |  UNION ALL SELECT v, u FROM eset
+       |), reach(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id
+       |), lab AS (
+       |  SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+       |  CAST(0 AS BIGINT) AS n_disagreements,
+       |  CAST(SUM(component) AS BIGINT) AS label_sum
+       |FROM lab""".stripMargin
+
+  // ---------------------------------------------------------------- q265
+  /** LOCAL CLUSTERING COEFFICIENT — the per-node closure of q174's
+    * global triangle count: cc(n) = 2·t(n) / (deg(n)·(deg(n)−1)),
+    * where t(n) is the number of triangles through n (each q174
+    * degree-ordered triangle row exploded to its three corners — no
+    * second triangle pass) and deg(n) the simple undirected degree.
+    * Integer-exact in ppm (2·10⁶·t div deg·(deg−1)); degree-1 nodes
+    * carry NULL. Rolled up per 100-node bucket: node count, closed
+    * wedges (Σ2t), open+closed wedges (Σ deg·(deg−1)), exact-rational
+    * bucket coefficient, and min/max per-node ppm — the skew profile a
+    * curriculum-sampling pass reads. Oracle replays the textbook
+    * canonical x<y<z triple join + corner unnest.
+    */
+  def q265ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val edges = blockGraph(s, dir)
+    val canon = edges
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+    val deg = canon
+      .select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+    val tri = graft.ops.Triangles
+      .triangles(edges, "u", "v")
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("tri"))
+    val perNode = deg
+      .join(tri, Seq("node"), "left")
+      .na.fill(0L, Seq("tri"))
+      .withColumn("wedges", col("deg") * (col("deg") - 1))
+      .withColumn(
+        "cc_ppm",
+        when(col("deg") >= 2, expr("(2000000 * tri) div wedges")))
+    perNode
+      .groupBy(expr("node div 100").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(lit(2) * col("tri")).as("closed_wedges"),
+        sum(col("wedges")).as("all_wedges"),
+        expr("CASE WHEN sum(wedges) > 0 THEN (2000000 * sum(tri)) div sum(wedges) END")
+          .as("bucket_cc_ppm"),
+        min(col("cc_ppm")).as("min_cc_ppm"),
+        max(col("cc_ppm")).as("max_cc_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val q265Oracle: String =
+    s"""WITH e AS (
+      |$BlockGraphSql
+      |), canon AS (
+      |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e WHERE u <> v
+      |), deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      |  FROM (SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
+      |  GROUP BY node
+      |), t AS (
+      |  SELECT x.a AS n1, x.b AS n2, y.b AS n3
+      |  FROM canon x
+      |  JOIN canon y ON y.a = x.a AND y.b > x.b
+      |  JOIN canon z ON z.a = x.b AND z.b = y.b
+      |), tri AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+      |  FROM (SELECT unnest([n1, n2, n3]) AS node FROM t)
+      |  GROUP BY node
+      |), pn AS (
+      |  SELECT deg.node, deg.deg, COALESCE(tri.tri, 0) AS tri,
+      |    deg.deg * (deg.deg - 1) AS wedges,
+      |    CASE WHEN deg.deg >= 2
+      |         THEN (2000000 * COALESCE(tri.tri, 0)) // (deg.deg * (deg.deg - 1))
+      |    END AS cc_ppm
+      |  FROM deg LEFT JOIN tri ON tri.node = deg.node
+      |)
+      |SELECT node // 100 AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(2 * tri) AS BIGINT) AS closed_wedges,
+      |  CAST(SUM(wedges) AS BIGINT) AS all_wedges,
+      |  CAST(CASE WHEN SUM(wedges) > 0
+      |            THEN (2000000 * SUM(tri)) // SUM(wedges) END AS BIGINT)
+      |    AS bucket_cc_ppm,
+      |  CAST(MIN(cc_ppm) AS BIGINT) AS min_cc_ppm,
+      |  CAST(MAX(cc_ppm) AS BIGINT) AS max_cc_ppm
+      |FROM pn
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q269
+  /** HILBERT vs Z-ORDER, MEASURED — q208's rectangle probe plus the
+    * metric that actually separates the curves: the CLUSTERING NUMBER
+    * (Moon et al., "Analysis of the clustering properties of the
+    * Hilbert space-filling curve", TKDE 2001) — how many CONTIGUOUS
+    * curve ranges a query rectangle shatters into, i.e. the number of
+    * seeks a range-pruned scan pays. File counts on the sparse sample
+    * tie (files_z = files_h at this occupancy — measured, kept as
+    * evidence); the cluster count over the rectangle's full cell grid
+    * shows the textbook ~2× Hilbert advantage (measured here: 281 vs
+    * 156 summed over the 20 probes). Runs are counted with one lag
+    * window per curve over the tiny qid×64-cell frame: a cell starts
+    * a run iff position−1 is absent. [[graft.ops.Layout.hilbertValue]]
+    * / [[graft.ops.Layout.hilbertSqlCtes]] emit both engines' round
+    * arithmetic from one generator.
+    */
+  def q269Hilbert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val queries = (0 until 20)
+      .map(i => (i, (i * 37L) % 248, (i * 53L) % 248))
+      .toDF("qid", "x0", "y0")
+    // data-sample file counts (q208's probe, third layout added)
+    val keyed0 = Tables
+      .lineitem(s, dir)
+      .select(
+        (col("l_partkey") % 256).as("x"),
+        ((col("l_suppkey") * 131) % 256).as("y"))
+      .withColumn(
+        "zkey",
+        graft.ops.Layout.zValue(Seq((col("x"), 0L, 255L), (col("y"), 0L, 255L)), 8))
+    val keyed = graft.ops.Layout
+      .hilbertValue(keyed0, "x", "y", 8, "hkey")
+      .withColumn("file_z", expr("zkey div 256"))
+      .withColumn("file_h", expr("hkey div 256"))
+    val files = keyed
+      .crossJoin(broadcast(queries))
+      .where(
+        col("x") >= col("x0") && col("x") <= col("x0") + 7 &&
+          col("y") >= col("y0") && col("y") <= col("y0") + 7)
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("file_z")).as("files_z"),
+        countDistinct(col("file_h")).as("files_h"))
+    // grid-exact cluster counts: every cell of every rectangle
+    val cells0 = queries
+      .withColumn("dx", explode(expr("sequence(0L, 7L)")))
+      .withColumn("dy", explode(expr("sequence(0L, 7L)")))
+      .select(col("qid"), (col("x0") + col("dx")).as("x"), (col("y0") + col("dy")).as("y"))
+      .withColumn(
+        "zkey",
+        graft.ops.Layout.zValue(Seq((col("x"), 0L, 255L), (col("y"), 0L, 255L)), 8))
+    val cells = graft.ops.Layout.hilbertValue(cells0, "x", "y", 8, "hkey")
+    def runStart(key: String): Column = {
+      val prev = lag(col(key), 1).over(Window.partitionBy(col("qid")).orderBy(col(key)))
+      when(prev.isNull || prev =!= col(key) - 1, 1L).otherwise(0L)
+    }
+    val clusters = cells
+      .withColumn("zrun", runStart("zkey"))
+      .withColumn("hrun", runStart("hkey"))
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("zrun")).as("clusters_z"),
+        sum(col("hrun")).as("clusters_h"))
+    files
+      .join(clusters, Seq("qid"))
+      .withColumn("hilbert_wins", col("clusters_h") <= col("clusters_z"))
+      .select(
+        col("qid"), col("n_rows"), col("files_z"), col("files_h"),
+        col("n_cells"), col("clusters_z"), col("clusters_h"), col("hilbert_wins"))
+      .orderBy(col("qid"))
+  }
+
+  val q269Oracle: String = {
+    val zsql = graft.ops.Layout.zValueSql(Seq(("x", 0L, 255L), ("y", 0L, 255L)), 8)
+    val (hilbertCtes, hfin) =
+      graft.ops.Layout.hilbertSqlCtes("rows_k", Seq("rid", "x AS x", "y AS y"), "x", "y", 8)
+    val (cellCtes, cfin) =
+      graft.ops.Layout.hilbertSqlCtes("cells0", Seq("qid", "x AS x", "y AS y"), "x", "y", 8)
+    // the two chains share round CTE names — prefix the cell chain
+    val cellCtesP = cellCtes.replace("__h", "__c")
+    val cfinP = cfin.replace("__h", "__c")
+    s"""WITH rows_k AS (
+       |  SELECT row_number() OVER () AS rid,
+       |    l_partkey % 256 AS x, (l_suppkey * 131) % 256 AS y
+       |  FROM lineitem
+       |),
+       |$hilbertCtes,
+       |keyed AS (
+       |  SELECT h.x, h.y,
+       |    $zsql // 256 AS file_z,
+       |    h.hkey // 256 AS file_h
+       |  FROM $hfin h
+       |), q AS (
+       |  SELECT CAST(i AS INT) AS qid, (i * 37) % 248 AS x0, (i * 53) % 248 AS y0
+       |  FROM (SELECT unnest(range(0, 20)) AS i)
+       |), files AS (
+       |  SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(DISTINCT file_z) AS BIGINT) AS files_z,
+       |    CAST(COUNT(DISTINCT file_h) AS BIGINT) AS files_h
+       |  FROM keyed JOIN q
+       |    ON x BETWEEN x0 AND x0 + 7 AND y BETWEEN y0 AND y0 + 7
+       |  GROUP BY q.qid
+       |), cells0 AS (
+       |  SELECT qid, x0 + dx.d AS x, y0 + dy.d AS y
+       |  FROM q,
+       |    (SELECT unnest(range(0, 8)) AS d) dx,
+       |    (SELECT unnest(range(0, 8)) AS d) dy
+       |),
+       |$cellCtesP,
+       |ck AS (
+       |  SELECT qid, $zsql AS zkey, hkey
+       |  FROM $cfinP
+       |), runs AS (
+       |  SELECT qid,
+       |    CASE WHEN lag(zkey) OVER (PARTITION BY qid ORDER BY zkey) IS NULL
+       |           OR lag(zkey) OVER (PARTITION BY qid ORDER BY zkey) <> zkey - 1
+       |         THEN 1 ELSE 0 END AS zrun,
+       |    CASE WHEN lag(hkey) OVER (PARTITION BY qid ORDER BY hkey) IS NULL
+       |           OR lag(hkey) OVER (PARTITION BY qid ORDER BY hkey) <> hkey - 1
+       |         THEN 1 ELSE 0 END AS hrun
+       |  FROM ck
+       |), clusters AS (
+       |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |    CAST(SUM(zrun) AS BIGINT) AS clusters_z,
+       |    CAST(SUM(hrun) AS BIGINT) AS clusters_h
+       |  FROM runs GROUP BY qid
+       |)
+       |SELECT f.qid, f.n_rows, f.files_z, f.files_h,
+       |  c.n_cells, c.clusters_z, c.clusters_h,
+       |  (c.clusters_h <= c.clusters_z) AS hilbert_wins
+       |FROM files f JOIN clusters c ON c.qid = f.qid
+       |ORDER BY f.qid""".stripMargin
+  }
+
 }

@@ -140,4 +140,107 @@ object Normalize {
       .filter(col("value").isNotNull)
       .drop(payloadCol, tsCol)
   }
+
+  // ------------------------------------------------------------------
+  // S1-S3 raw catalog decoders: each national API's CAPTURED page rows
+  // carry the station entry as a raw JSON string (`rawCol`); these turn
+  // that string into the unified station record (station_id, source,
+  // country, city, location_name, lat, lon) with the reference's exact
+  // fallback chains — so the paged source + HTTP transport + decode
+  // composes into the reference's full catalog path. All column
+  // algebra (from_json + coalesce + the P3 coercion); catalogs are
+  // dimension-side (10^3-10^4 rows), so the non-codegen JsonToStructs
+  // node is never on a fact-table hot path.
+
+  /** DE/UBA `/stations/json` entry (reference app/main.py:383-399): a
+    * POSITIONAL list `[id, code, name, city, ..., lon@7, lat@8]`, or a
+    * dict `{latitude, longitude, name, city}` for the non-list shape.
+    * Both shapes are tried; float-or-null coercion; null lat/lon rows
+    * DROPPED (the `continue`, app/main.py:400-401); location_name
+    * falls back to city (`name or city`).
+    */
+  def decodeDeCatalog(df: DataFrame, rawCol: String = "raw"): DataFrame = {
+    import org.apache.spark.sql.types.DataType
+    val asList = from_json(col(rawCol), DataType.fromDDL("array<string>"))
+    val asDict = from_json(
+      col(rawCol),
+      DataType.fromDDL("struct<latitude:string, longitude:string, name:string, city:string>"))
+    val lat = toDoubleOrNull(coalesce(element_at(asList, 9), asDict("latitude")))
+    val lon = toDoubleOrNull(coalesce(element_at(asList, 8), asDict("longitude")))
+    val name = coalesce(element_at(asList, 3), asDict("name"))
+    val city = coalesce(element_at(asList, 4), asDict("city"))
+    df.select(
+        col("station_id").cast("string").as("station_id"),
+        lit("de").as("source"),
+        lit("DE").as("country"),
+        city.cast("string").as("city"),
+        coalesce(name, city).cast("string").as("location_name"),
+        lat.as("lat"),
+        lon.as("lon")
+      )
+      .filter(col("lat").isNotNull && col("lon").isNotNull)
+  }
+
+  /** NL/Luchtmeetnet station detail (reference app/main.py:529-545):
+    * lat/lon from `geometry.coordinates` = [lon, lat] when present,
+    * else flat `lat`/`lon`; city = municipality else locality;
+    * location_name = location else the station number.
+    */
+  def decodeNlCatalog(df: DataFrame, rawCol: String = "raw"): DataFrame = {
+    val d = from_json(
+      col(rawCol),
+      org.apache.spark.sql.types.DataType.fromDDL(
+        "struct<geometry: struct<coordinates: array<string>>, " +
+          "municipality:string, locality:string, location:string, " +
+          "lat:string, lon:string>"))
+    val coords = d("geometry")("coordinates")
+    df.select(
+        col("station_id").cast("string").as("station_id"),
+        lit("luchtmeetnet").as("source"),
+        lit("NL").as("country"),
+        coalesce(d("municipality"), d("locality")).cast("string").as("city"),
+        coalesce(d("location"), col("station_id")).cast("string").as("location_name"),
+        toDoubleOrNull(coalesce(element_at(coords, 2), d("lat"))).as("lat"),
+        toDoubleOrNull(coalesce(element_at(coords, 1), d("lon"))).as("lon")
+      )
+      .filter(col("lat").isNotNull && col("lon").isNotNull)
+  }
+
+  /** PL/GIOS `findAll` entry (reference app/main.py:577-618): Polish
+    * production keys with English fallbacks — id = `Identyfikator
+    * stacji` else `id` else `stationId`; type = `Typ stacji` else
+    * `stationType`; lat = `gegrLat` else the `WGS84 φ N` key; the
+    * station_type column rides along so [[onlyAutomatic]] (P7) can
+    * apply the reference's pl_only_auto predicate downstream.
+    */
+  def decodePlCatalog(df: DataFrame, rawCol: String = "raw"): DataFrame = {
+    val d = from_json(
+      col(rawCol),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("Identyfikator stacji", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("stationId", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("Typ stacji", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("stationType", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("Nazwa miasta", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("Nazwa stacji", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("gegrLat", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("gegrLon", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("WGS84 φ N", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("WGS84 λ E", org.apache.spark.sql.types.StringType)
+      )))
+    df.select(
+        coalesce(d("Identyfikator stacji"), d("id"), d("stationId"))
+          .cast("string").as("station_id"),
+        lit("gios").as("source"),
+        lit("PL").as("country"),
+        d("Nazwa miasta").cast("string").as("city"),
+        d("Nazwa stacji").cast("string").as("location_name"),
+        toDoubleOrNull(coalesce(d("gegrLat"), d("WGS84 φ N"))).as("lat"),
+        toDoubleOrNull(coalesce(d("gegrLon"), d("WGS84 λ E"))).as("lon"),
+        coalesce(d("Typ stacji"), d("stationType")).cast("string").as("station_type")
+      )
+      .filter(col("station_id").isNotNull)
+      .filter(col("lat").isNotNull && col("lon").isNotNull)
+  }
 }

@@ -186,7 +186,10 @@ class FilePageFetcher extends PageFetcher {
       }
     }
     override def attempt(retryIdx: Int): Either[Unit, scala.io.Source] =
-      if (retryIdx < burst) Left(()) else Right(scala.io.Source.fromFile(page))
+      // explicit UTF-8: the HTTP transport decodes UTF-8, and transport
+      // parity (same bytes → same rows) must not depend on file.encoding
+      if (retryIdx < burst) Left(())
+      else Right(scala.io.Source.fromFile(page, "UTF-8"))
   }
 }
 

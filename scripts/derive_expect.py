@@ -22,6 +22,22 @@ Sources, in precedence order:
   4. queries in no source are OMITTED — Bench treats missing as
      heavy (full median-of-3 discipline), the safe default.
 
+Cross-record outlier guard (r12): a load window that hits a query
+BEFORE the wall guard trips leaves an inflated value that is neither
+degraded nor rerun — the r11 driver record baked q29 at 17.55 s
+(clean-record consensus 3.5–4.2) and q207 at 11.69 (consensus
+3.8–4.2) into BENCH_EXPECT this way, which disables the in-harness
+spike rule for exactly the queries it should protect (the rule fires
+at 2× EXPECT — an expect that IS the spike never fires). So: any
+base-record value exceeding SPIKE_K× the median of the same query's
+trusted values across the OTHER full records (by ≥ SPIKE_ABS s, ≥ 2
+observations required) is replaced by that cross-record median. Same
+constants as Bench.scala's spike rule, deliberately. A real code
+regression is also "caught" by this guard — and that is the safe
+direction: the lower expect makes the next run's spike rule fire and
+re-measure, rather than silently accepting the regression as the new
+baseline.
+
 Regenerate after every full driver run:  python3 scripts/derive_expect.py
 """
 import json
@@ -93,12 +109,32 @@ def main():
     for name, mid in band_midpoints().items():
         if name not in expect:
             expect[name] = mid
+    # cross-record outlier guard — see module docstring
+    SPIKE_K, SPIKE_ABS = 2.0, 0.75
+    replaced = []
+    for name in list(rec["queries"].keys()):
+        if name not in expect or name in skip:
+            continue
+        vals = sorted(
+            r["queries"][name] for r in recs[1:]
+            if name in r.get("queries", {}) and name not in untrusted_names(r))
+        if len(vals) >= 2:
+            med = vals[len(vals) // 2]
+            v = expect[name]
+            if v > SPIKE_K * med and v - med > SPIKE_ABS:
+                expect[name] = round(med, 4)
+                replaced.append(name)
+                print(f"WARNING: {name} base value {v} > {SPIKE_K}x "
+                      f"cross-record median {med:.3f} — replaced "
+                      f"(load-window value, not a settled median)",
+                      file=sys.stderr)
     out = REPO / "docs" / "BENCH_EXPECT.json"
     out.write_text(json.dumps(
         {"_derived_from": {"sha": rec.get("sha"), "ts": rec.get("ts"),
                            "nq": rec.get("nq"),
                            "degraded_excluded": len(skip),
-                           "fallback_from_older": fallback_n},
+                           "fallback_from_older": fallback_n,
+                           "outlier_replaced": replaced},
          "expect": dict(sorted(expect.items()))}, indent=1) + "\n")
     print(f"wrote {out}: {measured_n} from base record + "
           f"{fallback_n} from older clean records + "

@@ -17,4 +17,5 @@ object Queries extends QueriesCore
   with QueriesAnalytics
   with QueriesExact
   with QueriesGraph
+  with QueriesJdbc
   with QueriesRegistry

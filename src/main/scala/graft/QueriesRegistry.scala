@@ -12,7 +12,7 @@ import graft.ops._
   * unchanged. See object Queries for the assembly.
   */
 private[graft] trait QueriesRegistry {
-  this: QueriesCore with QueriesCuration with QueriesAnalytics with QueriesExact with QueriesGraph =>
+  this: QueriesCore with QueriesCuration with QueriesAnalytics with QueriesExact with QueriesGraph with QueriesJdbc =>
   // ---------------------------------------------------------------------
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -334,7 +334,9 @@ private[graft] trait QueriesRegistry {
     "q317_mann_whitney" -> (q317MannWhitney _),
     "q318_importance_ess" -> (q318ImportanceEss _),
     "q319_zipf_slope" -> (q319ZipfSlope _),
-    "q320_cohens_kappa" -> (q320CohensKappa _)
+    "q320_cohens_kappa" -> (q320CohensKappa _),
+    "q321_jdbc_upsert" -> (q321JdbcUpsert _),
+    "q322_jdbc_cursor" -> (q322JdbcCursor _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -650,7 +652,9 @@ private[graft] trait QueriesRegistry {
     "q317_mann_whitney" -> q317Oracle,
     "q318_importance_ess" -> q318Oracle,
     "q319_zipf_slope" -> q319Oracle,
-    "q320_cohens_kappa" -> q320Oracle
+    "q320_cohens_kappa" -> q320Oracle,
+    "q321_jdbc_upsert" -> q321Oracle,
+    "q322_jdbc_cursor" -> q322Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

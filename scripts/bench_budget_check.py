@@ -13,9 +13,12 @@ Settle model (mirrors Bench.scala's adaptive mode — the constants below
 MUST track Bench.scala's heavyMeasure sleeps: 2×(gc+400 ms)+600 ms deep
 settle, gc+600 ms per rep; retuning Bench's sleeps without updating
 DEEP_SETTLE/PER_REP_SETTLE here silently invalidates the gate):
-  cheap (expect < THRESH):  warm rep + measured rep            ≈ 2v + eps
-  heavy (expect ≥ THRESH):  sf0.01 warm + deep settle (1.9 s)
-                            + REPS × (0.85 s settle + v)
+  cheap (expect < THRESH):      warm rep + measured rep        ≈ 2v + eps
+  mid (THRESH ≤ expect < MID):  sf0.01 warm + 1×(0.85 s settle + v)
+                                (r12 — the spike re-run pass is the
+                                outlier protection for this band)
+  heavy (expect ≥ MID):         sf0.01 warm + deep settle (1.9 s)
+                                + REPS × (0.85 s settle + v)
 Queries in the registry but missing from BENCH_EXPECT.json are costed as
 heavy at HEAVY_DEFAULT seconds (the Bench fallback).
 
@@ -43,6 +46,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 THRESH = 0.6                          # mirrors Bench.scala heavyThresh default
+MID = 3.0                             # mirrors Bench.scala midThresh default
 REPS = 3
 # mirror of Bench.scala heavyMeasure: isolate loop `2×(System.gc();
 # sleep(400))` + `sleep(600)`, per-rep `System.gc(); sleep(600)`;
@@ -64,11 +68,14 @@ def main():
 
     expect = json.loads((REPO / "docs" / "BENCH_EXPECT.json").read_text())["expect"]
     est = STARTUP
-    n_cheap = n_heavy = 0
+    n_cheap = n_mid = n_heavy = 0
     for name, v in expect.items():
         if v < args.thresh:
             n_cheap += 1
             est += 2 * v + CHEAP_EPS
+        elif v < MID:
+            n_mid += 1
+            est += WARM_001 + PER_REP_SETTLE + v
         else:
             n_heavy += 1
             est += WARM_001 + DEEP_SETTLE + REPS * (PER_REP_SETTLE + v)
@@ -79,8 +86,8 @@ def main():
     limit = args.budget * 0.8
     verdict = "OK" if est <= limit else "FAIL"
     print(f"{verdict}: estimated full-bench wall {est:.0f} s "
-          f"({n_cheap} cheap + {n_heavy} heavy queries, "
-          f"thresh {args.thresh}) vs budget {args.budget:.0f} s "
+          f"({n_cheap} cheap + {n_mid} mid + {n_heavy} heavy queries, "
+          f"thresh {args.thresh}/mid {MID}) vs budget {args.budget:.0f} s "
           f"with 20% headroom = {limit:.0f} s")
     if verdict == "FAIL":
         print("do NOT seal: rebase docs/BENCH_EXPECT.json from a fresh "

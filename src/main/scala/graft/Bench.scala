@@ -44,6 +44,29 @@ object Bench {
     // self-evident from the record alone. A hard idle gate was
     // CONSIDERED AND REJECTED: failing the driver's own seal bench on
     // load would trade a noisy record for no record.
+    val (loadavgPreflight, _, _) = hostId()
+    // PRE-FLIGHT LOAD SETTLE (r12): the r11 driver record and both r12
+    // local attempts started on a box still digesting a PREVIOUS
+    // harness run (loadavg 6.06 / 3.98 / 3.48 at start) and paid as
+    // interference-degraded measurements in the early sorted-name
+    // window. A bounded wait is strictly better than starting hot: our
+    // own JVM is idle while waiting, so this trades wall the budget can
+    // afford (default ≤180 s) for measurement quality it cannot. NOT
+    // the rejected hard gate above — on timeout we proceed and the
+    // record says what the box looked like (settle_waited +
+    // loadavg_preflight fields).
+    def loadavg1: Double =
+      try java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => 0.0 }
+    val settleLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_LOAD", "2.5").toDouble
+    val settleMaxSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MAX", "180").toDouble
+    var settleWaited = 0.0
+    while (loadavg1 > settleLoad && settleWaited < settleMaxSec) {
+      Thread.sleep(15000)
+      settleWaited += 15.0
+    }
     val (loadavgStart, _, _) = hostId()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -76,6 +99,20 @@ object Bench {
     // cheap path (the verdict's "~200 of 313"). Every cheap query is
     // bounded by the <1 s bulk band rule with 2× headroom.
     val heavyThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_THRESH", "0.6").toDouble
+    // MID TIER (r12): both wall-guard-tripped records (r11 driver, r12
+    // local) show the cost structure that overruns the guard is the
+    // full median-of-3-plus-settle discipline applied to ~90 queries in
+    // the 0.6–3 s band (~4 executions + ~3 s of settle each ≈ 8–12 min
+    // of the wall). Now that the spike re-run pass exists, a mid-band
+    // query can take ONE settled rep: an interference-inflated reading
+    // breaches 2×expect+0.75 s and gets re-measured as a median-of-3 by
+    // that pass — the escalation IS the outlier protection, paid only
+    // when a reading is suspicious instead of 3× always. Sub-2×
+    // window drift (1.3–1.8×) stays band-adjudication territory exactly
+    // as it already was for the one-shot cheap class. Full discipline
+    // remains for the ≥3 s tail, where a single rep's GC adjacency can
+    // move absolute seconds without tripping the relative spike rule.
+    val midThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_MID_THRESH", "3.0").toDouble
     val expect = loadExpect(sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_EXPECT", "/root/repo/docs/BENCH_EXPECT.json"))
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -191,6 +228,14 @@ object Bench {
           // knob as classification — overriding SPARK_GRAFT_BENCH_THRESH
           // must move both cutoffs together)
           if (v >= heavyThresh) heavyMeasure(fn, warm = false) else v
+        } else if (expect.get(name).exists(_ < midThresh)) {
+          // mid tier: sf0.01 warm (codegen), one settled rep; the spike
+          // re-run pass escalates any suspicious reading to median-of-3
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+          System.gc()
+          Thread.sleep(600)
+          timed(fn)
         } else heavyMeasure(fn, warm = true)
       name -> med
     }
@@ -312,7 +357,7 @@ object Bench {
     val spikedJson = spiked
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"$agg","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate,"adaptive":$adaptive,"nq":${results.size},"subset":${only.isDefined},"degraded":$degradedJson,"rerun":$rerunJson,"spiked":$spikedJson,"loadavg":"$loadavgStart","loadavg_end":"$loadavg","cpu":"$cpu","nproc":$nproc}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"$agg","source":"$source","round":$round,"sha":"$sha","ts":"$stamp","isolate":$isolate,"adaptive":$adaptive,"nq":${results.size},"subset":${only.isDefined},"degraded":$degradedJson,"rerun":$rerunJson,"spiked":$spikedJson,"loadavg":"$loadavgStart","loadavg_preflight":"$loadavgPreflight","settle_waited":$settleWaited,"loadavg_end":"$loadavg","cpu":"$cpu","nproc":$nproc}"""
     println(line)
     // ALSO persist the full record to a file: the driver's captured
     // stdout tail truncates past ~64 per-query medians; the file is

@@ -180,6 +180,12 @@ object TextDedup {
       .join(reps, "toks")
       .select(col("__rep"), col(idCol))
       .persist(MEMORY_AND_DISK)
+    // eager (r12): members is read by TWO subtrees of the intra join
+    // below AND twice more in the rep-pair expansion — unmaterialized,
+    // the readers race to fill the cache and serialize on block locks
+    // (nearDupsNgram always counted here; this path's missing count was
+    // the q27 variance source — same-code isolated reps swung 3.0–14.0 s)
+    members.count()
     // (a) intra-class pairs: identity, exact, complete
     val ma = members.select(col("__rep"), col(idCol).as("id_a"))
     val mb = members.select(col("__rep"), col(idCol).as("id_b"))
@@ -191,6 +197,9 @@ object TextDedup {
     val repSets = reps
       .select(col("__rep").as(idCol), col("toks"))
       .persist(MEMORY_AND_DISK)
+    // eager (r12): read by lshCandidates' signature build and by both
+    // verification sides (a, b) — same race as members above
+    repSets.count()
     val cands = lshCandidates(repSets, idCol, "toks", bands, rows, sizeRatio = threshold)
     val a = repSets.select(col(idCol).as("id_a"), col("toks").as("toks_a"))
     val b = repSets.select(col(idCol).as("id_b"), col("toks").as("toks_b"))

@@ -234,6 +234,34 @@ object JdbcStore {
       .option("dbtable", q(table))
       .load()
 
+  /** The big-table read shape: split the remote scan into `numParts`
+    * range predicates on a numeric/timestamp column so every executor
+    * opens its own cursor — `spark.read.jdbc`'s standard partitioned
+    * form. On a 100 TB deployment this (plus predicate pushdown) is how
+    * a dimension or state table re-enters the cluster without a
+    * single-connection bottleneck; bounds come from a cheap server-side
+    * MIN/MAX. The partition column name is passed QUOTED so it matches
+    * the quoted-lowercase identifiers every table here is created with.
+    */
+  def readTablePartitioned(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partCol: String,
+      lower: Long,
+      upper: Long,
+      numParts: Int
+  ): DataFrame =
+    spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", q(table))
+      .option("partitionColumn", q(partCol))
+      .option("lowerBound", lower.toString)
+      .option("upperBound", upper.toString)
+      .option("numPartitions", numParts.toString)
+      .load()
+
   /** `_get_stations_from_db` (reference app/main.py:63-84): stations of
     * one source with coordinates present. The filters are simple
     * comparisons, so Spark pushes them into the remote JDBC scan

@@ -106,6 +106,16 @@ class JdbcStoreSpec extends SparkSpec {
     assert(scan.contains("IsNotNull") && (scan.contains("EqualTo") || scan.contains("source")))
   }
 
+  test("partitioned read: range-split remote scan, same relation") {
+    val url = freshUrl()
+    val rows = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+    JdbcStore.coalesceUpsert(rows, url, "big", Seq("k"))
+    val part = JdbcStore.readTablePartitioned(spark, url, "big", "k", 1L, 201L, 4)
+    assert(part.rdd.getNumPartitions == 4) // four range cursors, not one
+    assert(sortedRows(part) == sortedRows(JdbcStore.readTable(spark, url, "big")))
+    assert(part.count() == 200)
+  }
+
   test("deleteOlderThan executes retention server-side") {
     val url = freshUrl()
     val rows = Seq(

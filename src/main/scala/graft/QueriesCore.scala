@@ -2403,7 +2403,7 @@ private[graft] trait QueriesCore {
     )
     val fp = docs.select(
       col("doc_id"),
-      xxhash64(concat_ws(" ", sort_array(TextDedup.tokenSet(col("text"))))).as("fp")
+      xxhash64(concat_ws("\u0000", sort_array(TextDedup.tokenSet(col("text"))))).as("fp")
     )
     val splitClasses = assign
       .join(fp, "doc_id")

@@ -22,7 +22,7 @@ DEEP_SETTLE/PER_REP_SETTLE here silently invalidates the gate):
 Queries in the registry but missing from BENCH_EXPECT.json are costed as
 heavy at HEAVY_DEFAULT seconds (the Bench fallback).
 
-Usage: bench_budget_check.py [--budget SECONDS] [--nq N]
+Usage: bench_budget_check.py [--budget SECONDS] [--nq N] [--mid SECONDS]
   --budget  driver wall budget (default 2400 s; the exact driver timeout
             is unobservable from here — the evidence is r8's 2138 s run
             PASSING (budget > 2138) and r9's longer run timing out, so
@@ -41,6 +41,7 @@ with the round notes).
 """
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -63,7 +64,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--budget", type=float, default=2400.0)
     ap.add_argument("--extra", type=int, default=0)
-    ap.add_argument("--thresh", type=float, default=THRESH)
+    ap.add_argument("--thresh", type=float,
+                    default=float(os.environ.get("SPARK_GRAFT_BENCH_THRESH", THRESH)))
+    # r13 (ADVICE fix): the mid cutoff is env-overridable in Bench.scala
+    # (SPARK_GRAFT_BENCH_MID_THRESH) — the gate must track it the same
+    # way --thresh tracks SPARK_GRAFT_BENCH_THRESH, or an override at
+    # bench time silently desyncs the budget model from the harness.
+    ap.add_argument("--mid", type=float,
+                    default=float(os.environ.get("SPARK_GRAFT_BENCH_MID_THRESH", MID)))
     args = ap.parse_args()
 
     expect = json.loads((REPO / "docs" / "BENCH_EXPECT.json").read_text())["expect"]
@@ -73,7 +81,7 @@ def main():
         if v < args.thresh:
             n_cheap += 1
             est += 2 * v + CHEAP_EPS
-        elif v < MID:
+        elif v < args.mid:
             n_mid += 1
             est += WARM_001 + PER_REP_SETTLE + v
         else:
@@ -87,7 +95,7 @@ def main():
     verdict = "OK" if est <= limit else "FAIL"
     print(f"{verdict}: estimated full-bench wall {est:.0f} s "
           f"({n_cheap} cheap + {n_mid} mid + {n_heavy} heavy queries, "
-          f"thresh {args.thresh}/mid {MID}) vs budget {args.budget:.0f} s "
+          f"thresh {args.thresh}/mid {args.mid}) vs budget {args.budget:.0f} s "
           f"with 20% headroom = {limit:.0f} s")
     if verdict == "FAIL":
         print("do NOT seal: rebase docs/BENCH_EXPECT.json from a fresh "

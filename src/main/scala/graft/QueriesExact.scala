@@ -4158,45 +4158,69 @@ private[graft] trait QueriesExact {
     * cover the most vocabulary?": the classic (1−1/e)-approximation
     * loop, each round picking the doc with the most still-uncovered
     * tokens (tie: lowest doc_id). The doc→token membership frame is
-    * distributed; each round is one anti-join (drop covered tokens) +
-    * one count aggregate + a 1-row argmax collect (bounded model
-    * state, the IVF-centroid class). The oracle replays all 6 picks
-    * relationally — chained MATERIALIZED CTEs re-deriving each round's
-    * argmax with a window (no pinned picks; both engines run the same
-    * greedy from scratch). Output per round: picked doc, newly/cum
-    * covered, coverage ppm of the full vocabulary.
+    * distributed and materialized ONCE; the covered-token set is
+    * DRIVER-HELD MODEL STATE — after k picks it is the union of k
+    * documents' bigram sets, bounded by k × max-doc-length (the
+    * IVF-centroid class of boundedness, NOT universe-sized), so each
+    * round is one filter-and-argmax aggregation over the static cache
+    * plus one single-doc token collect. Round 13 rework: the previous
+    * shape (per-round anti-join + localCheckpoint of the shrinking
+    * uncovered frame) rewrote ~|pairs| blocks six times, and those
+    * checkpoint writes were the variance amplifier the r12 verdict
+    * flagged (binding-record 5.86 s vs 2.4–2.7 s clean-local) — the
+    * rewrite holds the SAME greedy semantics (identical picks, ties by
+    * doc_id) with zero lineage growth and zero per-round block writes.
+    * The oracle replays all 6 picks relationally — chained MATERIALIZED
+    * CTEs re-deriving each round's argmax with a window (no pinned
+    * picks; both engines run the same greedy from scratch). Output per
+    * round: picked doc, newly/cum covered, coverage ppm of the full
+    * vocabulary.
     */
   def q276SetCover(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // universe = token BIGRAMS (the unigram vocabulary of the synthetic
     // corpus is only 31 words — one document covers it; bigrams give a
-    // ~900-term universe no single doc dominates)
-    val pairs = Tables
+    // ~900-term universe no single doc dominates). Representation: ONE
+    // row per doc with its distinct-bigram ARRAY (the TextDedup "sets"
+    // shape, bounded per row by doc length) instead of an exploded
+    // (doc, tok) pair frame — each greedy round is then a single NARROW
+    // stage (map-side lambda filter + TakeOrdered(1)) over the cache,
+    // no per-round shuffle at all, and the pick's uncovered bigrams
+    // ride back in the argmax row itself (one job per round, not two).
+    val sets = Tables
       .documents(s, dir)
       .select(col("doc_id"), graft.ops.TextStats.tokens(lower(col("text"))).as("ts"))
       .select(
         col("doc_id"),
-        explode(expr("transform(sequence(0, size(ts) - 2), i -> ts[i] || ' ' || ts[i + 1])"))
-          .as("tok"))
-      .distinct()
-      .cache()
-    val vocabTotal = pairs.select(col("tok")).distinct().count()
-    var uncovered = pairs
+        array_distinct(expr("transform(sequence(0, size(ts) - 2), i -> ts[i] || ' ' || ts[i + 1])"))
+          .as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (single reader — no concurrent-fill race) doubling as
+    // the vocab census the output reports coverage against
+    val vocabTotal = sets.select(explode(col("toks")).as("tok")).distinct().count()
+    val covered = scala.collection.mutable.HashSet.empty[String]
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     for (round <- 1 to 6) {
-      val best = uncovered
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("gain"))
-        .orderBy(col("gain").desc, col("doc_id").asc)
+      // gain = |doc's bigrams \ covered|: an in-row lambda filter
+      // against the bounded driver-held set (Catalyst folds the In over
+      // its conversion threshold into a hashed InSet — codegen'd, no
+      // join, no broadcast, no shuffle)
+      val remaining =
+        if (covered.isEmpty) col("toks")
+        else filter(col("toks"), t => !t.isInCollection(covered))
+      val best = sets
+        .select(col("doc_id"), remaining.as("new_toks"))
+        .orderBy(size(col("new_toks")).desc, col("doc_id").asc)
         .limit(1)
-        .as[(Long, Long)]
+        .as[(Long, Seq[String])]
         .head()
-      picks += ((round, best._1, best._2))
-      val coveredToks = pairs.where(col("doc_id") === best._1).select(col("tok"))
-      uncovered = graft.ops.Checkpoints.cut(
-        uncovered.join(coveredToks, Seq("tok"), "left_anti"))
+      picks += ((round, best._1, best._2.size.toLong))
+      // fold the pick's uncovered bigrams into the covered set: ONE
+      // document's bigrams — the same bounded-model-state contract as
+      // the argmax row itself
+      covered ++= best._2
     }
-    pairs.unpersist()
+    sets.unpersist()
     var cumRun = 0L
     val rows = picks.toSeq.map { case (r, d, g) => cumRun += g; (r, d, g, cumRun) }
     rows

@@ -336,7 +336,8 @@ private[graft] trait QueriesRegistry {
     "q319_zipf_slope" -> (q319ZipfSlope _),
     "q320_cohens_kappa" -> (q320CohensKappa _),
     "q321_jdbc_upsert" -> (q321JdbcUpsert _),
-    "q322_jdbc_cursor" -> (q322JdbcCursor _)
+    "q322_jdbc_cursor" -> (q322JdbcCursor _),
+    "q323_jdbc_partitioned_scan" -> (q323JdbcPartitionedScan _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -654,7 +655,8 @@ private[graft] trait QueriesRegistry {
     "q319_zipf_slope" -> q319Oracle,
     "q320_cohens_kappa" -> q320Oracle,
     "q321_jdbc_upsert" -> q321Oracle,
-    "q322_jdbc_cursor" -> q322Oracle
+    "q322_jdbc_cursor" -> q322Oracle,
+    "q323_jdbc_partitioned_scan" -> q323Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

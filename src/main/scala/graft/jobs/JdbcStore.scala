@@ -78,7 +78,7 @@ object JdbcStore {
     override def getJDBCType(dt: DataType): Option[org.apache.spark.sql.jdbc.JdbcType] =
       dt match {
         case StringType =>
-          Some(org.apache.spark.sql.jdbc.JdbcType("VARCHAR(1024)", java.sql.Types.VARCHAR))
+          Some(org.apache.spark.sql.jdbc.JdbcType("VARCHAR(32672)", java.sql.Types.VARCHAR))
         case BooleanType =>
           Some(org.apache.spark.sql.jdbc.JdbcType("BOOLEAN", java.sql.Types.BOOLEAN))
         case _ => None // JdbcUtils common defaults are Derby-compatible here
@@ -102,9 +102,19 @@ object JdbcStore {
     * created here and the `createTableColumnTypes` hint handed to
     * Spark's writer — without it Spark's DerbyDialect maps StringType to
     * CLOB, which cannot sit in a MERGE ON predicate).
+    *
+    * String width (r13, ADVICE fix): VALUE columns get Derby's maximum
+    * VARCHAR width (32672) so staging long text (a document body)
+    * through an upsert cannot hit a silent 22001 truncation error; KEY
+    * columns stay at 1024 because they back a PRIMARY KEY index and
+    * Derby bounds an index key by roughly half the page size — 1024 is
+    * the widest known-safe indexed width, and the reference's key
+    * columns (station id, source, pollutant) are all far shorter.
     */
-  def sqlType(dt: DataType): String = dt match {
-    case StringType     => "VARCHAR(1024)"
+  def sqlType(dt: DataType): String = sqlType(dt, key = false)
+
+  def sqlType(dt: DataType, key: Boolean): String = dt match {
+    case StringType     => if (key) "VARCHAR(1024)" else "VARCHAR(32672)"
     case DoubleType     => "DOUBLE"
     case FloatType      => "REAL"
     case LongType       => "BIGINT"
@@ -123,24 +133,79 @@ object JdbcStore {
     * does the same dance with CREATE TABLE IF NOT EXISTS,
     * app/main.py:104-115).
     */
+  /** ANSI CREATE TABLE text — a named builder (not inlined in
+    * [[ensureTable]]) so the golden-SQL portability spec pins the DDL
+    * the same way it pins the MERGE statements.
+    */
+  private[graft] def createTableSql(table: String, schema: StructType, keys: Seq[String]): String = {
+    val cols = schema.fields
+      .map { f =>
+        val isKey = keys.contains(f.name)
+        val notNull = if (isKey) " NOT NULL" else ""
+        s"${q(f.name)} ${sqlType(f.dataType, isKey)}$notNull"
+      }
+      .mkString(", ")
+    val pk = s", PRIMARY KEY (${keys.map(q).mkString(", ")})"
+    s"CREATE TABLE ${q(table)} ($cols$pk)"
+  }
+
   def ensureTable(url: String, table: String, schema: StructType, keys: Seq[String]): Unit =
     withConnection(url) { conn =>
-      val cols = schema.fields
-        .map { f =>
-          val notNull = if (keys.contains(f.name)) " NOT NULL" else ""
-          s"${q(f.name)} ${sqlType(f.dataType)}$notNull"
-        }
-        .mkString(", ")
-      val pk = s", PRIMARY KEY (${keys.map(q).mkString(", ")})"
-      try execute(conn, s"CREATE TABLE ${q(table)} ($cols$pk)")
-      catch { case e: SQLException if e.getSQLState == "X0Y32" => () }
+      // already-exists is the desired state: X0Y32 is Derby's SQLState,
+      // 42P07 Postgres's (duplicate_table) — the URL-swap claim covers
+      // the create-if-absent dance too
+      try execute(conn, createTableSql(table, schema, keys))
+      catch {
+        case e: SQLException if e.getSQLState == "X0Y32" || e.getSQLState == "42P07" => ()
+      }
     }
+
+  /** Every statement an upsert against `url` will send, in order —
+    * exposed for the golden-SQL portability spec. `url` is deliberately
+    * UNUSED in construction: ONE ANSI statement set serves every
+    * engine, which IS the Derby→Postgres "URL swap" claim, and the spec
+    * asserts byte-identity of this output across both URL prefixes so a
+    * future engine-conditioned branch cannot land silently.
+    */
+  private[graft] def plannedUpsertSql(
+      url: String,
+      table: String,
+      stageTable: String,
+      schema: StructType,
+      keys: Seq[String],
+      advanceTsCol: Option[String]
+  ): Seq[String] = {
+    val _ = url // no dialect branch — see scaladoc
+    val columns = schema.fields.map(_.name).toSeq
+    val set = advanceTsCol match {
+      case Some(ts) => advanceSetClause(ts)
+      case None     => coalesceSetClause(columns, keys)
+    }
+    Seq(
+      createTableSql(table, schema, keys),
+      mergeSql(table, stageTable, columns, keys, set),
+      s"DROP TABLE ${q(stageTable)}"
+    )
+  }
 
   def tableExists(url: String, table: String): Boolean =
     withConnection(url) { conn =>
-      val rs = conn.getMetaData.getTables(null, null, table, null)
-      try rs.next()
-      finally rs.close()
+      val md = conn.getMetaData
+      // getTables' tableNamePattern is a LIKE pattern — `_` matches any
+      // single char, so the raw name "ingestion_cursors" would also
+      // match an "ingestionXcursors" table (r13, ADVICE fix). Escaping
+      // the pattern is NOT portable: Derby 10.16 reports an empty
+      // getSearchStringEscape and treats a backslash (or any escape
+      // prefix) literally, so an escaped pattern matches nothing at
+      // all. The driver-agnostic exact check: query with the raw name
+      // (a superset — wildcards can only over-match) and post-filter
+      // the returned rows on exact TABLE_NAME equality.
+      val rs = md.getTables(null, null, table, null)
+      try {
+        var found = false
+        while (!found && rs.next()) found = rs.getString("TABLE_NAME") == table
+        found
+      } finally rs.close()
     }
 
   /** Parallel executor-side staging write. Overwrite drops + recreates
@@ -160,7 +225,33 @@ object JdbcStore {
       .save()
   }
 
-  private def mergeSql(
+  /** Stage `df` under a batch-unique table name, run `f`, DROP the stage
+    * (r13, ADVICE fix). The UUID suffix means two concurrent upserts
+    * into the same target cannot race on a shared stage — each MERGE
+    * sees exactly its own batch — and the finally-drop means no stage
+    * copy outlives its merge (the previous fixed `<table>_stage` name
+    * was both a concurrency hazard and a storage leak). The drop is
+    * best-effort: a failed drop must not mask the upsert's own outcome.
+    */
+  private def withStage[A](df: DataFrame, url: String, table: String)(f: String => A): A = {
+    val stageTable = table + "_stage_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    stage(df, url, stageTable)
+    try f(stageTable)
+    finally {
+      try withConnection(url)(execute(_, s"DROP TABLE ${q(stageTable)}"))
+      catch { case _: SQLException => () }
+    }
+  }
+
+  /** The exact MERGE an upsert executes — `private[graft]` so the
+    * golden-SQL dialect spec can pin the statement text. Everything in
+    * it is ANSI SQL:2003 (MERGE, COALESCE, CASE, quoted identifiers):
+    * the statement does NOT depend on the JDBC URL, which is precisely
+    * the Derby→Postgres "URL swap" claim, and the spec asserts
+    * byte-identity across both URL prefixes so a future engine-specific
+    * branch cannot land silently.
+    */
+  private[graft] def mergeSql(
       table: String,
       stageTable: String,
       columns: Seq[String],
@@ -176,6 +267,25 @@ object JdbcStore {
       s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)"
   }
 
+  /** A5's matched-row rule: new non-null wins, null keeps the old value
+    * — `COALESCE(s.c, t.c)` per value column, ANSI by construction.
+    */
+  private[graft] def coalesceSetClause(columns: Seq[String], keys: Seq[String]): String =
+    columns
+      .filterNot(keys.contains)
+      .map(c => s"${q(c)} = COALESCE(s.${q(c)}, t.${q(c)})")
+      .mkString(", ")
+
+  /** A4/A6's matched-row rule: the cursor only advances. Spelled as the
+    * portable CASE, not GREATEST — Derby has no GREATEST builtin and
+    * the CASE form is ANSI everywhere (null-safe: a null incumbent is
+    * always overtaken, a null update never overtakes).
+    */
+  private[graft] def advanceSetClause(tsCol: String): String = {
+    val ts = q(tsCol)
+    s"$ts = CASE WHEN t.$ts IS NULL OR s.$ts > t.$ts THEN s.$ts ELSE t.$ts END"
+  }
+
   /** A5 EXECUTED: COALESCE-upsert `updates` into the relational `table`
     * (created on demand) — new non-null wins, null keeps the old value;
     * the exact `ON CONFLICT ... COALESCE(EXCLUDED.c, t.c)` of reference
@@ -187,11 +297,11 @@ object JdbcStore {
     // ≤1 source row per key (ANSI MERGE cardinality): deterministic
     // first-wins over all columns, same rule as Jobs.catalogRefresh
     val deduped = Dedup.firstWins(updates, keys, updates.columns.toSeq)
-    val stageTable = table + "_stage"
-    stage(deduped, url, stageTable)
-    val valueCols = updates.columns.filterNot(keys.contains)
-    val set = valueCols.map(c => s"${q(c)} = COALESCE(s.${q(c)}, t.${q(c)})").mkString(", ")
-    withConnection(url)(execute(_, mergeSql(table, stageTable, updates.columns.toSeq, keys, set)).toLong)
+    withStage(deduped, url, table) { stageTable =>
+      val set = coalesceSetClause(updates.columns.toSeq, keys)
+      withConnection(url)(
+        execute(_, mergeSql(table, stageTable, updates.columns.toSeq, keys, set)).toLong)
+    }
   }
 
   /** A4/A6 EXECUTED: GREATEST-merge of per-key watermarks into the
@@ -214,12 +324,11 @@ object JdbcStore {
       .groupBy(keys.map(col): _*)
       .agg(max(col(tsCol)).as(tsCol))
       .select(updates.columns.map(col).toIndexedSeq: _*)
-    val stageTable = table + "_stage"
-    stage(deduped, url, stageTable)
-    val ts = q(tsCol)
-    val set =
-      s"$ts = CASE WHEN t.$ts IS NULL OR s.$ts > t.$ts THEN s.$ts ELSE t.$ts END"
-    withConnection(url)(execute(_, mergeSql(table, stageTable, updates.columns.toSeq, keys, set)).toLong)
+    withStage(deduped, url, table) { stageTable =>
+      val set = advanceSetClause(tsCol)
+      withConnection(url)(
+        execute(_, mergeSql(table, stageTable, updates.columns.toSeq, keys, set)).toLong)
+    }
   }
 
   /** Full-table read-back. For a big table add
@@ -261,6 +370,40 @@ object JdbcStore {
       .option("upperBound", upper.toString)
       .option("numPartitions", numParts.toString)
       .load()
+
+  /** Server-side MIN/MAX of a numeric column — the cheap bounds query
+    * that feeds [[readTablePartitioned]] (one row through the driver;
+    * the scaladoc there promises exactly this shape). Returns (0, 1)
+    * for an empty table so the partitioned read stays well-formed.
+    */
+  def columnBounds(url: String, table: String, column: String): (Long, Long) =
+    withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT MIN(${q(column)}), MAX(${q(column)}) FROM ${q(table)}")
+        try {
+          if (rs.next() && rs.getObject(1) != null) (rs.getLong(1), rs.getLong(2))
+          else (0L, 1L)
+        } finally rs.close()
+      } finally st.close()
+    }
+
+  /** Free an in-memory Derby database (r13, ADVICE fix): an
+    * `jdbc:derby:memory:` DB lives on the JVM heap until explicitly
+    * dropped, so every harness execution that creates a fresh one must
+    * drop it after materializing its read-back — otherwise Bench reps
+    * and dual-SF Verify passes accumulate leaked heap databases for the
+    * life of the run. Derby signals a successful drop by THROWING
+    * SQLException 08006 from the connect — expected, swallowed. No-op
+    * for non-memory URLs.
+    */
+  def dropInMemoryDerby(url: String): Unit =
+    if (url.startsWith("jdbc:derby:memory:")) {
+      val base = url.takeWhile(_ != ';')
+      try { DriverManager.getConnection(base + ";drop=true"); () }
+      catch { case _: SQLException => () }
+    }
 
   /** `_get_stations_from_db` (reference app/main.py:63-84): stations of
     * one source with coordinates present. The filters are simple

@@ -68,8 +68,19 @@ object SparseSim {
       .select(col(idCol), explode(TextStats.ngrams(col("toks"), n)).as("feature"))
       .groupBy(col(idCol), col("feature"))
       .agg(count(lit(1)).as("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager (r13, the q27 template): tf is read by THREE subtrees — the
+    // dfreq broadcast build, the n_docs census, and the main join's
+    // stream side. Unmaterialized, the broadcast-build future and the
+    // main stage each re-run the scan→tokenize→explode→agg lineage AND
+    // race to fill this cache, serializing on block locks — the q112
+    // variance shape (2.0–5.9 s across records on identical code).
+    tf.count()
     val dfreq = tf.groupBy(col("feature")).agg(count(lit(1)).as("df"))
-    val nDocs = toks.agg(count(lit(1)).cast("double").as("n_docs"))
+    // corpus size from the cached tf, not a third scan of `docs`: every
+    // doc that survives the >= n-token filter contributes >= 1 feature
+    // row, so countDistinct(id) over tf IS |toks| exactly.
+    val nDocs = tf.agg(count_distinct(col(idCol)).cast("double").as("n_docs"))
     // dfreq is |vocab|-sized: broadcast is right while the vocab of
     // CAPPED features fits (it shrinks as dfCap bites); at 100 TB the
     // un-broadcast form is the same plan with the tf shuffle reused —

@@ -192,4 +192,104 @@ class JdbcStoreSpec extends SparkSpec {
       .collect()
     assert(curFinal(0).getTimestamp(2) == t("2024-01-01 13:00:00"))
   }
+
+  // ------------------------------------------------------------ r13:
+  // golden-SQL portability + stage hygiene + metadata-pattern escaping
+
+  test("golden ANSI SQL: byte-identical statements for Derby and Postgres URLs") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("station_id", StringType),
+      StructField("city", StringType),
+      StructField("lat", DoubleType)
+    ))
+    val curSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("last_observed_at", TimestampType)
+    ))
+    val urls = Seq("jdbc:derby:memory:g;create=true", "jdbc:postgresql://db:5432/state")
+    val planned = urls.map(u =>
+      JdbcStore.plannedUpsertSql(u, "stations", "stations_stage_x", schema, Seq("station_id"), None))
+    val plannedCur = urls.map(u =>
+      JdbcStore.plannedUpsertSql(
+        u, "cur", "cur_stage_x", curSchema, Seq("source"), Some("last_observed_at")))
+    // one ANSI statement set serves both engines — the URL-swap claim
+    assert(planned.distinct.size == 1)
+    assert(plannedCur.distinct.size == 1)
+    // golden strings: a future Derby-only (or Postgres-only) spelling —
+    // GREATEST, ON CONFLICT, engine-specific types — breaks here, not
+    // in production against the other engine
+    assert(planned.head == Seq(
+      """CREATE TABLE "stations" ("station_id" VARCHAR(1024) NOT NULL, "city" VARCHAR(32672), "lat" DOUBLE, PRIMARY KEY ("station_id"))""",
+      """MERGE INTO "stations" t USING "stations_stage_x" s ON t."station_id" = s."station_id" """ +
+        """WHEN MATCHED THEN UPDATE SET "city" = COALESCE(s."city", t."city"), "lat" = COALESCE(s."lat", t."lat") """ +
+        """WHEN NOT MATCHED THEN INSERT ("station_id", "city", "lat") VALUES (s."station_id", s."city", s."lat")""",
+      """DROP TABLE "stations_stage_x""""
+    ))
+    assert(plannedCur.head == Seq(
+      """CREATE TABLE "cur" ("source" VARCHAR(1024) NOT NULL, "last_observed_at" TIMESTAMP, PRIMARY KEY ("source"))""",
+      """MERGE INTO "cur" t USING "cur_stage_x" s ON t."source" = s."source" """ +
+        """WHEN MATCHED THEN UPDATE SET "last_observed_at" = CASE WHEN t."last_observed_at" IS NULL """ +
+        """OR s."last_observed_at" > t."last_observed_at" THEN s."last_observed_at" ELSE t."last_observed_at" END """ +
+        """WHEN NOT MATCHED THEN INSERT ("source", "last_observed_at") VALUES (s."source", s."last_observed_at")""",
+      """DROP TABLE "cur_stage_x""""
+    ))
+  }
+
+  test("stage tables are batch-unique and dropped after the merge") {
+    val url = freshUrl()
+    val rows = Seq(("s1", Some("a"))).toDF("station_id", "city")
+    JdbcStore.coalesceUpsert(rows, url, "stations", Seq("station_id"))
+    JdbcStore.coalesceUpsert(rows, url, "stations", Seq("station_id"))
+    // no *_stage* table may outlive its upsert (storage leak + the
+    // concurrent-writer race of a FIXED stage name, both ADVICE-flagged)
+    val leftover = JdbcStore.withConnection(url) { conn =>
+      val rs = conn.getMetaData.getTables(null, null, "%stage%", null)
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) names += rs.getString("TABLE_NAME")
+      rs.close()
+      names.toSeq
+    }
+    assert(leftover.isEmpty, s"leaked stage tables: $leftover")
+  }
+
+  test("tableExists treats _ literally, not as a LIKE wildcard") {
+    val url = freshUrl()
+    // only the X-variant exists; the underscore name must NOT match it
+    val rows = Seq(("k1", Some(1.0))).toDF("k", "v")
+    JdbcStore.coalesceUpsert(rows, url, "ingestionXcursors", Seq("k"))
+    assert(JdbcStore.tableExists(url, "ingestionXcursors"))
+    assert(!JdbcStore.tableExists(url, "ingestion_cursors"))
+    JdbcStore.coalesceUpsert(rows, url, "ingestion_cursors", Seq("k"))
+    assert(JdbcStore.tableExists(url, "ingestion_cursors"))
+  }
+
+  test("long text survives the stage (VARCHAR width is Derby's max, not 1024)") {
+    val url = freshUrl()
+    val long = "x" * 8000 // would 22001-truncate at VARCHAR(1024)
+    val rows = Seq(("d1", Some(long))).toDF("doc_id", "text")
+    JdbcStore.coalesceUpsert(rows, url, "docs", Seq("doc_id"))
+    val back = JdbcStore.readTable(spark, url, "docs").collect()
+    assert(back.length == 1 && back(0).getString(1) == long)
+  }
+
+  test("columnBounds: server-side MIN/MAX, empty-table fallback") {
+    val url = freshUrl()
+    val rows = Seq((7L, "a"), (42L, "b")).toDF("k", "v")
+    JdbcStore.coalesceUpsert(rows, url, "b1", Seq("k"))
+    assert(JdbcStore.columnBounds(url, "b1", "k") == ((7L, 42L)))
+    JdbcStore.ensureTable(url, "b2", rows.schema, Seq("k"))
+    assert(JdbcStore.columnBounds(url, "b2", "k") == ((0L, 1L)))
+  }
+
+  test("dropInMemoryDerby frees the database") {
+    val url = freshUrl()
+    val rows = Seq(("k1", Some(1.0))).toDF("k", "v")
+    JdbcStore.coalesceUpsert(rows, url, "t", Seq("k"))
+    assert(JdbcStore.tableExists(url, "t"))
+    JdbcStore.dropInMemoryDerby(url)
+    // a re-connect with ;create=true builds a FRESH database — the old
+    // tables are gone, proving the heap copy was released
+    assert(!JdbcStore.tableExists(url, "t"))
+  }
 }

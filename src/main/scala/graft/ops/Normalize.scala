@@ -243,4 +243,78 @@ object Normalize {
       .filter(col("station_id").isNotNull)
       .filter(col("lat").isNotNull && col("lon").isNotNull)
   }
+
+  // -------------------------------------------------- page envelopes
+  // The decoders above consume ONE RAW JSON ENTRY per row; a live
+  // deployment receives whole response BODIES. These explode each
+  // API's page envelope into (station_id, raw) rows as pure column
+  // algebra — get_json_object returns the raw JSON SUBTREE as a
+  // string, so the entry text reaches the decoder byte-identical to
+  // what the reference's Python iteration sees. Catalog pages are
+  // dimension-sized; the per-row JsonPath parse is never on a fact
+  // path. Exercised against the real endpoints by LiveApiSmokeSpec
+  // (env-gated) and against fixture envelopes unconditionally.
+
+  /** DE/UBA `/stations/json` body: `data` is a DICT of station_id →
+    * positional list (reference app/main.py:377-383) — enumerate its
+    * keys, then pull each entry subtree. Station ids are alnum, so the
+    * quoted-bracket JsonPath is never ambiguous.
+    */
+  def explodeDeCatalogPage(pages: DataFrame, pageCol: String = "page"): DataFrame =
+    pages
+      .select(
+        col(pageCol),
+        explode(json_object_keys(get_json_object(col(pageCol), "$.data"))).as("station_id"))
+      .select(
+        col("station_id"),
+        call_function(
+          "get_json_object",
+          col(pageCol),
+          concat(lit("$.data['"), col("station_id"), lit("']"))).as("raw"))
+
+  /** Explode a JSON ARRAY column into its raw element subtrees (the
+    * shared NL/PL page shape): index explode + per-index JsonPath.
+    */
+  private def explodeJsonArray(pages: DataFrame, arr: Column): DataFrame =
+    pages
+      .select(arr.as("__arr"))
+      .filter(col("__arr").isNotNull && json_array_length(col("__arr")) > 0)
+      .select(
+        col("__arr"),
+        explode(sequence(lit(0), json_array_length(col("__arr")) - 1)).as("__i"))
+      .select(
+        call_function(
+          "get_json_object",
+          col("__arr"),
+          concat(lit("$["), col("__i"), lit("]"))).as("raw"))
+
+  /** NL/Luchtmeetnet `/stations?page=N` body: `data` is an array of
+    * `{number, ...}` rows (reference app/main.py:482-491) — the
+    * station NUMBER is the id and the key for the per-station detail
+    * request whose `data` subtree feeds [[decodeNlCatalog]].
+    */
+  def explodeNlStationList(pages: DataFrame, pageCol: String = "page"): DataFrame =
+    explodeJsonArray(pages, get_json_object(col(pageCol), "$.data"))
+      .select(get_json_object(col("raw"), "$.number").as("station_id"), col("raw"))
+      .filter(col("station_id").isNotNull)
+
+  /** PL/GIOS `/station/findAll` body: the station array under the
+    * Polish production key, else `stations`, else the body itself
+    * (reference app/main.py:579-584); per-entry id fallbacks mirror
+    * [[decodePlCatalog]]'s.
+    */
+  def explodePlCatalogPage(pages: DataFrame, pageCol: String = "page"): DataFrame =
+    explodeJsonArray(
+      pages,
+      coalesce(
+        get_json_object(col(pageCol), "$['Lista stacji pomiarowych']"),
+        get_json_object(col(pageCol), "$.stations"),
+        col(pageCol)))
+      .select(
+        coalesce(
+          get_json_object(col("raw"), "$['Identyfikator stacji']"),
+          get_json_object(col("raw"), "$.id"),
+          get_json_object(col("raw"), "$.stationId")).as("station_id"),
+        col("raw"))
+      .filter(col("station_id").isNotNull)
 }

@@ -1,0 +1,137 @@
+package graft.source
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.Normalize
+
+/** S1–S3 LIVE-ENDPOINT smoke (r13, verdict task 5): turns "the
+  * production swap is a config change" into an executable claim. When
+  * `SPARK_GRAFT_LIVE_API=1` AND the public hosts are reachable, each
+  * national catalog endpoint is fetched through the REAL
+  * [[HttpPageFetcher]] transport, the body exploded by the REAL
+  * page-envelope algebra ([[Normalize.explodeDeCatalogPage]] family),
+  * and decoded by the REAL S1–S3 decoders — a failure past the
+  * reachability gate is a genuine contract break, not environment.
+  * In the offline sandbox the suite cancels (assume), never fails:
+  * the fixture-replay suite (PagedJsonSourceSpec) plus the envelope
+  * fixture test below remain the sanctioned offline done-state.
+  *
+  * Endpoints are the reference's own defaults (app/config.py:26-39):
+  * UBA air_data v2, Luchtmeetnet open_api, GIOS pjp-api v1 — all
+  * public, unauthenticated APIs.
+  */
+class LiveApiSmokeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val deBase = "https://www.umweltbundesamt.de/api/air_data/v2"
+  private val nlBase = "https://iq.luchtmeetnet.nl/open_api"
+  private val plBase = "https://api.gios.gov.pl/pjp-api/v1/rest"
+
+  private def liveEnabled: Boolean = sys.env.get("SPARK_GRAFT_LIVE_API").contains("1")
+
+  /** Fetch one URL through the production transport, riding its 429
+    * backoff contract (bounded retries, like the reference's loops at
+    * app/main.py:472-481). Returns None only for can't-reach — the
+    * reachability half of the gate; HTTP-level errors past a
+    * successful connect throw (real failures).
+    */
+  private def fetchLive(url: String): Option[String] = {
+    val conn = new HttpPageFetcher(connectTimeoutMs = 5000, readTimeoutMs = 20000).open(url)
+    def attempt(i: Int): Option[String] =
+      conn.attempt(i) match {
+        case Right(src) => try Some(src.mkString) finally src.close()
+        case Left(_) if i < 3 => Thread.sleep(1000L * (i + 1)); attempt(i + 1)
+        case Left(_) => None // sustained 429: treat as unreachable-now
+      }
+    try attempt(0)
+    catch {
+      case e: java.net.UnknownHostException => info(s"unreachable: $e"); None
+      case e: java.net.SocketTimeoutException => info(s"unreachable: $e"); None
+      case e: java.net.ConnectException => info(s"unreachable: $e"); None
+    }
+  }
+
+  private def onePage(body: String): DataFrame = Seq(body).toDF("page")
+
+  test("S1 live: UBA catalog decodes real stations with coordinates") {
+    assume(liveEnabled, "SPARK_GRAFT_LIVE_API != 1")
+    val body = fetchLive(s"$deBase/stations/json")
+    assume(body.isDefined, "UBA host unreachable from this environment")
+    val decoded = Normalize.decodeDeCatalog(Normalize.explodeDeCatalogPage(onePage(body.get)))
+    val n = decoded.count()
+    info(s"UBA live stations decoded: $n")
+    assert(n > 100) // Germany's national network is hundreds of stations
+    assert(decoded.filter(col("lat").between(47, 56) && col("lon").between(5, 16)).count() == n)
+  }
+
+  test("S2 live: Luchtmeetnet list page + station detail decode") {
+    assume(liveEnabled, "SPARK_GRAFT_LIVE_API != 1")
+    val list = fetchLive(s"$nlBase/stations?page=1")
+    assume(list.isDefined, "Luchtmeetnet host unreachable from this environment")
+    val numbers = Normalize
+      .explodeNlStationList(onePage(list.get))
+      .select(col("station_id"))
+      .as[String]
+      .collect()
+    info(s"NL list page 1 station numbers: ${numbers.length}")
+    assert(numbers.nonEmpty)
+    // the reference's per-station detail request (app/main.py:499-517)
+    val detail = fetchLive(s"$nlBase/stations/${numbers.head}")
+    assume(detail.isDefined, "Luchtmeetnet detail unreachable")
+    val decoded = Normalize.decodeNlCatalog(
+      onePage(detail.get).select(
+        lit(numbers.head).as("station_id"),
+        get_json_object(col("page"), "$.data").as("raw")))
+    val rows = decoded.collect()
+    info(s"NL detail decoded: ${rows.mkString("; ")}")
+    assert(rows.length == 1 && rows(0).getAs[String]("source") == "luchtmeetnet")
+  }
+
+  test("S3 live: GIOS findAll decodes real stations, P7 predicate composes") {
+    assume(liveEnabled, "SPARK_GRAFT_LIVE_API != 1")
+    val body = fetchLive(s"$plBase/station/findAll?page=0&size=200")
+    assume(body.isDefined, "GIOS host unreachable from this environment")
+    val decoded = Normalize.decodePlCatalog(Normalize.explodePlCatalogPage(onePage(body.get)))
+    val n = decoded.count()
+    info(s"GIOS live stations decoded: $n")
+    assert(n > 50)
+    // pl_only_auto composes on the live shape without error
+    assert(Normalize.onlyAutomatic(decoded).count() <= n)
+  }
+
+  // ------------------------------------------------- offline envelope
+  // The page-envelope algebra itself is certified UNCONDITIONALLY on
+  // captured-shape envelope fixtures (the live tests above add only
+  // the network).
+
+  test("page envelopes explode to the decoders' (station_id, raw) contract (offline)") {
+    val dePage =
+      """{"request":{"lang":"en"},"data":{
+        |"DEBB021":["DEBB021","021","Potsdam-Zentrum","Potsdam","route","1974-01-01","","13.0622","52.3932"],
+        |"DEBE010":["DEBE010","010","Neukoelln","Berlin","background","1979-01-01","","13.4309","52.4893"]}}"""
+        .stripMargin.replace("\n", "")
+    val de = Normalize.decodeDeCatalog(Normalize.explodeDeCatalogPage(Seq(dePage).toDF("page")))
+    assert(de.collect().map(_.getString(0)).sorted.toSeq == Seq("DEBB021", "DEBE010"))
+
+    val nlList =
+      """{"data":[{"number":"NL01494","location":"Zaandam"},{"number":"NL10404"}],
+        |"pagination":{"last_page":7}}""".stripMargin.replace("\n", "")
+    val nl = Normalize.explodeNlStationList(Seq(nlList).toDF("page"))
+    assert(nl.select(col("station_id")).as[String].collect().sorted.toSeq ==
+      Seq("NL01494", "NL10404"))
+
+    val plPage =
+      """{"Lista stacji pomiarowych":[
+        |{"Identyfikator stacji":"703","Typ stacji":"automatyczny","Nazwa miasta":"Warszawa",
+        |"Nazwa stacji":"Warszawa-Komunikacyjna","gegrLat":"52.2195","gegrLon":"21.0042"},
+        |{"id":"944","stationType":"manualna","Nazwa miasta":"Krakow","Nazwa stacji":"Krakow-K",
+        |"WGS84 φ N":"50.0105","WGS84 λ E":"19.9490"}]}""".stripMargin.replace("\n", "")
+    val pl = Normalize.decodePlCatalog(Normalize.explodePlCatalogPage(Seq(plPage).toDF("page")))
+    assert(pl.collect().map(_.getString(0)).sorted.toSeq == Seq("703", "944"))
+    // English-keyed bare-array fallback (the `or data` branch)
+    val bare = """[{"id":"1","stationType":"automatyczny","Nazwa miasta":"X","Nazwa stacji":"X-1","gegrLat":"50.1","gegrLon":"19.1"}]"""
+    val plBare = Normalize.decodePlCatalog(Normalize.explodePlCatalogPage(Seq(bare).toDF("page")))
+    assert(plBare.count() == 1)
+  }
+}

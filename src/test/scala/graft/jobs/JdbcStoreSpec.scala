@@ -253,6 +253,37 @@ class JdbcStoreSpec extends SparkSpec {
     assert(leftover.isEmpty, s"leaked stage tables: $leftover")
   }
 
+  test("concurrent upserts into one target: disjoint batches both land (unique stages)") {
+    // the ADVICE-flagged race: with a FIXED stage name, one batch's
+    // rows could be merged by the other's MERGE or the drop could fail
+    // mid-write. With batch-unique stages the only shared object is
+    // the target table, which the engine serializes transactionally.
+    val url = freshUrl()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = Future {
+      (1 to 12).foreach { i =>
+        val rows = Seq((s"a$i", Some(i.toDouble))).toDF("station_id", "lat")
+        JdbcStore.coalesceUpsert(rows, url, "stations", Seq("station_id"))
+      }
+    }
+    val b = Future {
+      (1 to 12).foreach { i =>
+        val rows = Seq((s"b$i", Some(i.toDouble))).toDF("station_id", "lat")
+        JdbcStore.coalesceUpsert(rows, url, "stations", Seq("station_id"))
+      }
+    }
+    Await.result(a, 10.minutes)
+    Await.result(b, 10.minutes)
+    assert(JdbcStore.readTable(spark, url, "stations").count() == 24)
+    val leftover = JdbcStore.withConnection(url) { conn =>
+      val rs = conn.getMetaData.getTables(null, null, "%stage%", null)
+      try { var n = 0; while (rs.next()) n += 1; n } finally rs.close()
+    }
+    assert(leftover == 0)
+  }
+
   test("tableExists treats _ literally, not as a LIKE wildcard") {
     val url = freshUrl()
     // only the X-variant exists; the underscore name must NOT match it

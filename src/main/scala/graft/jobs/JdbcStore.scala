@@ -128,11 +128,6 @@ object JdbcStore {
       throw new IllegalArgumentException(s"no JDBC mapping for $other")
   }
 
-  /** CREATE TABLE if absent (Derby has no IF NOT EXISTS — SQLState X0Y32
-    * means it already exists, which is the desired state; the reference
-    * does the same dance with CREATE TABLE IF NOT EXISTS,
-    * app/main.py:104-115).
-    */
   /** ANSI CREATE TABLE text — a named builder (not inlined in
     * [[ensureTable]]) so the golden-SQL portability spec pins the DDL
     * the same way it pins the MERGE statements.
@@ -149,6 +144,11 @@ object JdbcStore {
     s"CREATE TABLE ${q(table)} ($cols$pk)"
   }
 
+  /** CREATE TABLE if absent (neither Derby's DDL nor ANSI has IF NOT
+    * EXISTS; already-exists SQLStates are the desired state — the
+    * reference does the same dance with CREATE TABLE IF NOT EXISTS,
+    * app/main.py:104-115).
+    */
   def ensureTable(url: String, table: String, schema: StructType, keys: Seq[String]): Unit =
     withConnection(url) { conn =>
       // already-exists is the desired state: X0Y32 is Derby's SQLState,

@@ -4180,49 +4180,14 @@ private[graft] trait QueriesExact {
     import s.implicits._
     // universe = token BIGRAMS (the unigram vocabulary of the synthetic
     // corpus is only 31 words — one document covers it; bigrams give a
-    // ~900-term universe no single doc dominates). Representation: ONE
-    // row per doc with its distinct-bigram ARRAY (the TextDedup "sets"
-    // shape, bounded per row by doc length) instead of an exploded
-    // (doc, tok) pair frame — each greedy round is then a single NARROW
-    // stage (map-side lambda filter + TakeOrdered(1)) over the cache,
-    // no per-round shuffle at all, and the pick's uncovered bigrams
-    // ride back in the argmax row itself (one job per round, not two).
-    val sets = Tables
-      .documents(s, dir)
-      .select(col("doc_id"), graft.ops.TextStats.tokens(lower(col("text"))).as("ts"))
-      .select(
-        col("doc_id"),
-        array_distinct(expr("transform(sequence(0, size(ts) - 2), i -> ts[i] || ' ' || ts[i + 1])"))
-          .as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager fill (single reader — no concurrent-fill race) doubling as
-    // the vocab census the output reports coverage against
-    val vocabTotal = sets.select(explode(col("toks")).as("tok")).distinct().count()
-    val covered = scala.collection.mutable.HashSet.empty[String]
-    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-    for (round <- 1 to 6) {
-      // gain = |doc's bigrams \ covered|: an in-row lambda filter
-      // against the bounded driver-held set (Catalyst folds the In over
-      // its conversion threshold into a hashed InSet — codegen'd, no
-      // join, no broadcast, no shuffle)
-      val remaining =
-        if (covered.isEmpty) col("toks")
-        else filter(col("toks"), t => !t.isInCollection(covered))
-      val best = sets
-        .select(col("doc_id"), remaining.as("new_toks"))
-        .orderBy(size(col("new_toks")).desc, col("doc_id").asc)
-        .limit(1)
-        .as[(Long, Seq[String])]
-        .head()
-      picks += ((round, best._1, best._2.size.toLong))
-      // fold the pick's uncovered bigrams into the covered set: ONE
-      // document's bigrams — the same bounded-model-state contract as
-      // the argmax row itself
-      covered ++= best._2
-    }
-    sets.unpersist()
+    // ~900-term universe no single doc dominates). The greedy itself is
+    // ops/SetCover (r13 shape: per-doc distinct-bigram arrays cached
+    // once, driver-held covered set, one narrow job per round);
+    // SetCoverSpec property-pins it against a sequential fold.
+    val sets = graft.ops.SetCover.bigramSets(Tables.documents(s, dir), "doc_id", "text")
+    val (picks, vocabTotal) = graft.ops.SetCover.greedy(s, sets, "doc_id", rounds = 6)
     var cumRun = 0L
-    val rows = picks.toSeq.map { case (r, d, g) => cumRun += g; (r, d, g, cumRun) }
+    val rows = picks.zipWithIndex.map { case ((d, g), i) => cumRun += g; (i + 1, d, g, cumRun) }
     rows
       .toDF("round", "doc_id", "newly_covered", "cum_covered")
       .withColumn("vocab_total", lit(vocabTotal))

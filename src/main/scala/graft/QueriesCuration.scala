@@ -4457,4 +4457,53 @@ private[graft] trait QueriesCuration {
       |       THEN CAST(floor(i_80_sh * 1000000 / (n_tok80 + n_sh50 - i_80_sh)) AS BIGINT) ELSE 0 END AS j_80_sh_ppm
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- q324
+  /** CONTEXT-WINDOW CHUNKING census (ops/Chunker, r13): each document
+    * split into 32-token windows at stride 24 (overlap 8) — the step
+    * between curation and tokenization in every training/RAG pipeline,
+    * and the text twin of the video frame-sampler (q173). Pure in-row
+    * algebra: chunk starts exploded map-side, chunk text = token-array
+    * slice, NO shuffle until the per-doc census. The oracle replays the
+    * boundary law verbatim (starts i*24 < n; chunk i = tokens
+    * [i*24+1, i*24+min(32, n-i*24)]), with the chunk CHARACTER count
+    * certifying the materialized chunk text, not just the arithmetic.
+    * All-integer output.
+    */
+  def q324TokenChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.ops.Chunker
+      .tokenChunks(Tables.documents(s, dir), "doc_id", "text", window = 32, stride = 24)
+    chunks
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("sum_chunk_tokens"),
+        max(col("n_chunk_tokens")).as("max_chunk_tokens"),
+        min(col("n_chunk_tokens")).as("min_chunk_tokens"),
+        sum((col("chunk_id") + 1).cast("long") * col("n_chunk_tokens")).as("pos_digest"),
+        sum(length(col("chunk")).cast("long")).as("chunk_chars")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  val q324Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+      |), c AS (
+      |  SELECT doc_id, len(ts) AS n, ts,
+      |    unnest(range(0, ((len(ts) - 1) // 24) + 1)) AS ci
+      |  FROM t WHERE len(ts) > 0
+      |), ch AS (
+      |  SELECT doc_id, ci, least(32, n - ci * 24) AS clen,
+      |    length(array_to_string(ts[ci * 24 + 1 : ci * 24 + least(32, n - ci * 24)], ' ')) AS cchars
+      |  FROM c
+      |)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(clen) AS BIGINT) AS sum_chunk_tokens,
+      |  CAST(MAX(clen) AS BIGINT) AS max_chunk_tokens,
+      |  CAST(MIN(clen) AS BIGINT) AS min_chunk_tokens,
+      |  CAST(SUM((ci + 1) * clen) AS BIGINT) AS pos_digest,
+      |  CAST(SUM(cchars) AS BIGINT) AS chunk_chars
+      |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
 }

@@ -337,7 +337,8 @@ private[graft] trait QueriesRegistry {
     "q320_cohens_kappa" -> (q320CohensKappa _),
     "q321_jdbc_upsert" -> (q321JdbcUpsert _),
     "q322_jdbc_cursor" -> (q322JdbcCursor _),
-    "q323_jdbc_partitioned_scan" -> (q323JdbcPartitionedScan _)
+    "q323_jdbc_partitioned_scan" -> (q323JdbcPartitionedScan _),
+    "q324_token_chunks" -> (q324TokenChunks _)
   )
 
   // lazy: oracle-string vals may be DECLARED below this map in the file;
@@ -656,7 +657,8 @@ private[graft] trait QueriesRegistry {
     "q320_cohens_kappa" -> q320Oracle,
     "q321_jdbc_upsert" -> q321Oracle,
     "q322_jdbc_cursor" -> q322Oracle,
-    "q323_jdbc_partitioned_scan" -> q323Oracle
+    "q323_jdbc_partitioned_scan" -> q323Oracle,
+    "q324_token_chunks" -> q324Oracle
   )
 
   // ------------------------------------------------------- dynamic oracles

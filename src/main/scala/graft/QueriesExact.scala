@@ -4162,14 +4162,17 @@ private[graft] trait QueriesExact {
     * DRIVER-HELD MODEL STATE — after k picks it is the union of k
     * documents' bigram sets, bounded by k × max-doc-length (the
     * IVF-centroid class of boundedness, NOT universe-sized), so each
-    * round is one filter-and-argmax aggregation over the static cache
-    * plus one single-doc token collect. Round 13 rework: the previous
-    * shape (per-round anti-join + localCheckpoint of the shrinking
-    * uncovered frame) rewrote ~|pairs| blocks six times, and those
-    * checkpoint writes were the variance amplifier the r12 verdict
-    * flagged (binding-record 5.86 s vs 2.4–2.7 s clean-local) — the
-    * rewrite holds the SAME greedy semantics (identical picks, ties by
-    * doc_id) with zero lineage growth and zero per-round block writes.
+    * round is ONE narrow job over the static cache (ops/SetCover —
+    * in-row lambda filter + TakeOrderedAndProject(1), the pick's
+    * uncovered bigrams riding back in the argmax row). Round 13
+    * rework: the previous shape (per-round anti-join + localCheckpoint
+    * of the shrinking exploded pair frame) rewrote ~|pairs| blocks six
+    * times, and those checkpoint writes were the variance amplifier
+    * the r12 verdict flagged (binding-record 5.86 s vs 2.4–2.7 s
+    * clean-local) — the rework holds the SAME greedy semantics
+    * (identical picks, ties by doc_id; SetCoverSpec property-pins it
+    * against a sequential fold) with zero lineage growth and zero
+    * per-round block writes; measured 5.86 → ~1.0 s in-record.
     * The oracle replays all 6 picks relationally — chained MATERIALIZED
     * CTEs re-deriving each round's argmax with a window (no pinned
     * picks; both engines run the same greedy from scratch). Output per

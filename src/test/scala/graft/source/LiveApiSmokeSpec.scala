@@ -46,9 +46,17 @@ class LiveApiSmokeSpec extends SparkSpec {
       }
     try attempt(0)
     catch {
+      // network-level only ("unknown host", "connection refused",
+      // "network is unreachable", timeouts) — these cancel via the
+      // reachability gate. HTTP-level IOExceptions (a non-200 from a
+      // REACHED server) deliberately propagate: those are contract
+      // failures the gate must not mask.
       case e: java.net.UnknownHostException => info(s"unreachable: $e"); None
       case e: java.net.SocketTimeoutException => info(s"unreachable: $e"); None
-      case e: java.net.ConnectException => info(s"unreachable: $e"); None
+      case e: java.net.SocketException => info(s"unreachable: $e"); None
+      // a TLS-intercepting sandbox is an environment property too — the
+      // smoke certifies the decode pipeline, not the proxy's PKI
+      case e: javax.net.ssl.SSLException => info(s"unreachable: $e"); None
     }
   }
 

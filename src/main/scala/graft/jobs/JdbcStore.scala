@@ -383,8 +383,14 @@ object JdbcStore {
         val rs = st.executeQuery(
           s"SELECT MIN(${q(column)}), MAX(${q(column)}) FROM ${q(table)}")
         try {
-          if (rs.next() && rs.getObject(1) != null) (rs.getLong(1), rs.getLong(2))
-          else (0L, 1L)
+          if (rs.next() && rs.getObject(1) != null) {
+            val (lo, hi) = (rs.getLong(1), rs.getLong(2))
+            // Spark's partitioned read requires lower < upper; a
+            // single-key table would otherwise violate it. Widening the
+            // upper bound is harmless — range partitioning puts rows
+            // outside the bounds into the edge partitions regardless.
+            (lo, if (hi > lo) hi else lo + 1)
+          } else (0L, 1L)
         } finally rs.close()
       } finally st.close()
     }

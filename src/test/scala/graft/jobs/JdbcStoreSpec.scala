@@ -304,13 +304,20 @@ class JdbcStoreSpec extends SparkSpec {
     assert(back.length == 1 && back(0).getString(1) == long)
   }
 
-  test("columnBounds: server-side MIN/MAX, empty-table fallback") {
+  test("columnBounds: server-side MIN/MAX, empty-table and single-key fallbacks") {
     val url = freshUrl()
     val rows = Seq((7L, "a"), (42L, "b")).toDF("k", "v")
     JdbcStore.coalesceUpsert(rows, url, "b1", Seq("k"))
     assert(JdbcStore.columnBounds(url, "b1", "k") == ((7L, 42L)))
     JdbcStore.ensureTable(url, "b2", rows.schema, Seq("k"))
     assert(JdbcStore.columnBounds(url, "b2", "k") == ((0L, 1L)))
+    // single key: bounds widened so lower < upper always holds (the
+    // partitioned read rejects equal bounds) — and the read still
+    // returns the row (edge partitions are unbounded)
+    JdbcStore.coalesceUpsert(Seq((5L, "x")).toDF("k", "v"), url, "b3", Seq("k"))
+    val (lo, hi) = JdbcStore.columnBounds(url, "b3", "k")
+    assert(lo == 5L && hi == 6L)
+    assert(JdbcStore.readTablePartitioned(spark, url, "b3", "k", lo, hi, 4).count() == 1)
   }
 
   test("dropInMemoryDerby frees the database") {

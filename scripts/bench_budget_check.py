@@ -73,6 +73,12 @@ def main():
     ap.add_argument("--mid", type=float,
                     default=float(os.environ.get("SPARK_GRAFT_BENCH_MID_THRESH", MID)))
     args = ap.parse_args()
+    # r14 (ADVICE fix): an inverted band (thresh >= mid) would silently
+    # cost every query in [mid, thresh) as cheap (2v) instead of mid
+    # (WARM+settle+v), understating the estimate — fail loudly instead.
+    if args.thresh >= args.mid:
+        sys.exit(f"thresh ({args.thresh}) must be < mid ({args.mid}) — "
+                 "the cheap/mid/heavy bands are ordered cutoffs")
 
     expect = json.loads((REPO / "docs" / "BENCH_EXPECT.json").read_text())["expect"]
     est = STARTUP

@@ -214,7 +214,21 @@ object Bench {
     val wallStart = System.nanoTime()
     def wallElapsed: Double = (System.nanoTime() - wallStart) / 1e9
     val degraded = scala.collection.mutable.ArrayBuffer.empty[String]
+    // JIT/codegen side-channel (r14, opt-in — the q96 mechanism hunt):
+    // per-query deltas of HotSpot compile time, janino compilations,
+    // GC time and class count, plus absolute CodeHeap/Metaspace
+    // occupancy, appended as JSONL. Costs two MXBean reads per query;
+    // OFF by default so the binding record's timings are untouched.
+    val jitStatsPath: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_JITSTATS")
+      .filter(_.nonEmpty)
+      .map(v => if (v == "1") "/root/repo/jitstats.jsonl" else v)
+    def appendLine(path: String, line: String): Unit =
+      try {
+        val w = new java.io.FileWriter(path, true)
+        try w.write(line + "\n") finally w.close()
+      } catch { case _: Throwable => () }
     val results = ordered.map { case (name, fn) =>
+      val jitBefore = jitStatsPath.map(_ => BenchRules.sample())
       val overWall = wallElapsed > wallGuardSec
       if (overWall) degraded += name
       val med =
@@ -237,6 +251,9 @@ object Bench {
           Thread.sleep(600)
           timed(fn)
         } else heavyMeasure(fn, warm = true)
+      jitStatsPath.foreach { p =>
+        appendLine(p, BenchRules.jitLine(name, med, jitBefore.get, BenchRules.sample()))
+      }
       name -> med
     }
     // SPIKE RE-RUN ADJUDICATION (r12 — the r11 verdict's #1 task): the
@@ -260,20 +277,33 @@ object Bench {
     // 2400 s assumption, minus ~120 s JVM startup and teardown margin)
     // and the pass stops mid-query rather than overrun, keeping at least
     // the warm-shot improvement it already paid for.
+    // SECOND TRIGGER (r14 — the r13 verdict's #2 task): keyed to the
+    // PRIOR DRIVER record instead of expect. q96 proved a 2.4×
+    // round-over-round jump can sit below 2×expect when the expect has
+    // crept (reading 10.29, expect 6.22 → 1.65×, unadjudicated); the
+    // prior binding record is one committed measurement and cannot
+    // creep, so `value > 1.5× prior + 0.75 s` fires exactly there.
+    // Predicates live in BenchRules (spec-pinned by BenchRulesSpec).
     val spikeK = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPIKE_K", "2.0").toDouble
+    val crossK = sys.env.getOrElse("SPARK_GRAFT_BENCH_CROSS_K", "1.5").toDouble
     val spikeAbs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPIKE_ABS", "0.75").toDouble
     val rerunWallSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_WALL", "2050").toDouble
+    val priorDriver = BenchRules.loadPriorDriver(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_records.jsonl"))
     val spiked = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val reran = scala.collection.mutable.ArrayBuffer.empty[String]
     val adjudicated: Seq[(String, Double)] = {
       val byName = ordered.toMap
       val candidates = results
         .flatMap { case (name, v) =>
-          expect.get(name) match {
-            case Some(e) if v > spikeK * e && v - e > spikeAbs => Some((name, v, e))
-            case _ => None
-          }
+          if (BenchRules.spike(v, expect.get(name), priorDriver.get(name),
+              spikeK, crossK, spikeAbs))
+            // rank by distortion vs the tightest reference we have
+            Some((name, v, math.min(
+              expect.getOrElse(name, Double.MaxValue),
+              priorDriver.getOrElse(name, Double.MaxValue))))
+          else None
         }
         .sortBy { case (_, v, e) => -(v - e) } // worst distortion first
       val replaced = scala.collection.mutable.Map.empty[String, Double]

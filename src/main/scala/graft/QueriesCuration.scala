@@ -879,12 +879,12 @@ private[graft] trait QueriesCuration {
     */
   def q112SparseAllPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val post = SparseSim.postings(
+    val (post, releaseTf) = SparseSim.postingsReleasable(
       docs, "doc_id", "text", n = 3,
       dfCap = lit(64.0)
     )
     SparseSim
-      .allPairs(post, "doc_id", threshold = 0.5)
+      .allPairs(post, "doc_id", threshold = 0.5, afterMaterialize = releaseTf)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -238,8 +238,11 @@ object JdbcStore {
     stage(df, url, stageTable)
     try f(stageTable)
     finally {
+      // NonFatal, not just SQLException (r14, ADVICE fix): a driver
+      // RuntimeException or pool error during the best-effort drop must
+      // not mask the merge's own result/exception either.
       try withConnection(url)(execute(_, s"DROP TABLE ${q(stageTable)}"))
-      catch { case _: SQLException => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

@@ -257,14 +257,17 @@ object Normalize {
 
   /** DE/UBA `/stations/json` body: `data` is a DICT of station_id →
     * positional list (reference app/main.py:377-383) — enumerate its
-    * keys, then pull each entry subtree. Station ids are alnum, so the
-    * quoted-bracket JsonPath is never ambiguous.
+    * keys, then pull each entry subtree. Station ids are alnum; keys
+    * that are NOT (a quote/bracket would break the interpolated
+    * JsonPath) are dropped by an explicit shape filter rather than
+    * decaying to null raw downstream (r14, ADVICE fix).
     */
   def explodeDeCatalogPage(pages: DataFrame, pageCol: String = "page"): DataFrame =
     pages
       .select(
         col(pageCol),
         explode(json_object_keys(get_json_object(col(pageCol), "$.data"))).as("station_id"))
+      .filter(col("station_id").rlike("^[A-Za-z0-9]+$"))
       .select(
         col("station_id"),
         call_function(

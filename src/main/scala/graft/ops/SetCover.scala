@@ -51,7 +51,16 @@ object SetCover {
     *         vocabulary size of the full universe)
     */
   def greedy(spark: SparkSession, sets: DataFrame, idCol: String, rounds: Int): (Seq[(Long, Long)], Long) = {
-    import spark.implicits._
+    // ids must be integral (r14, ADVICE fix): the picks are returned as
+    // Long, and the argmax tie-break is numeric order. Fail loudly at
+    // the library surface instead of a runtime cast error in round 1.
+    {
+      import org.apache.spark.sql.types._
+      val dt = sets.schema(idCol).dataType
+      require(
+        Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"SetCover.greedy: id column '$idCol' must be an integral type, got $dt")
+    }
     val cached = sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager fill (single reader — no concurrent-fill race) doubling as
     // the vocab census callers report coverage against
@@ -66,17 +75,21 @@ object SetCover {
       val remaining =
         if (covered.isEmpty) col("toks")
         else filter(col("toks"), t => !t.isInCollection(covered))
+      // untyped Row decode + widening long cast: works for any integral
+      // id type the require above admits (the Dataset encoder it
+      // replaces demanded LongType exactly)
       val best = cached
-        .select(col(idCol), remaining.as("new_toks"))
-        .orderBy(size(col("new_toks")).desc, col(idCol).asc)
+        .select(col(idCol).cast("long").as("__id"), remaining.as("new_toks"))
+        .orderBy(size(col("new_toks")).desc, col("__id").asc)
         .limit(1)
-        .as[(Long, Seq[String])]
         .head()
-      picks += ((best._1, best._2.size.toLong))
+      val bestId = best.getLong(0)
+      val bestToks = best.getSeq[String](1)
+      picks += ((bestId, bestToks.size.toLong))
       // fold the pick's uncovered bigrams into the covered set: ONE
       // document's bigrams — the same bounded-model-state contract as
       // the argmax row itself
-      covered ++= best._2
+      covered ++= bestToks
     }
     cached.unpersist()
     (picks.toSeq, vocabTotal)

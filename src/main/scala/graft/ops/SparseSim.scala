@@ -60,7 +60,20 @@ object SparseSim {
     *              the linear-work bound (see object scaladoc)
     * @return (idCol, feature, w) — w = tf × ln(N/df)
     */
-  def postings(docs: DataFrame, idCol: String, textCol: String, n: Int, dfCap: Column): DataFrame = {
+  def postings(docs: DataFrame, idCol: String, textCol: String, n: Int, dfCap: Column): DataFrame =
+    postingsReleasable(docs, idCol, textCol, n, dfCap)._1
+
+  /** As [[postings]], plus a release hook that unpersists the internal
+    * shared-scan cache (`tf`). The cache must stay live until everything
+    * derived from the returned frame is MATERIALIZED (it is read by the
+    * dfreq broadcast build, the n_docs census, and the main join's
+    * stream side); after that it is dead weight for the rest of the
+    * session unless released (r14, ADVICE fix — the harnesses'
+    * per-query clearCache() bounded the leak, library callers had no
+    * handle). [[allPairs]]' `afterMaterialize` is the natural wiring
+    * point: its own persist barrier is exactly the moment `tf` dies.
+    */
+  def postingsReleasable(docs: DataFrame, idCol: String, textCol: String, n: Int, dfCap: Column): (DataFrame, () => Unit) = {
     val toks = docs
       .select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n) // shorter docs have no full n-gram
@@ -85,7 +98,7 @@ object SparseSim {
     // CAPPED features fits (it shrinks as dfCap bites); at 100 TB the
     // un-broadcast form is the same plan with the tf shuffle reused —
     // both joins key on `feature`.
-    tf.join(broadcast(dfreq), Seq("feature"))
+    val out = tf.join(broadcast(dfreq), Seq("feature"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df").cast("double") <= dfCap)
       .select(
@@ -93,15 +106,21 @@ object SparseSim {
         col("feature"),
         (col("tc").cast("double") * log(col("n_docs") / col("df").cast("double"))).as("w")
       )
+    (out, () => { tf.unpersist(); () })
   }
 
   /** All document pairs with pruned-space cosine ≥ threshold.
     *
+    * @param afterMaterialize invoked right after the postings cache is
+    *        filled — pass [[postingsReleasable]]'s release hook here to
+    *        free the upstream tf cache the moment `p` supersedes it
     * @return (id_a, id_b, n_shared, cosine), id_a < id_b
     */
-  def allPairs(post: DataFrame, idCol: String, threshold: Double): DataFrame = {
+  def allPairs(post: DataFrame, idCol: String, threshold: Double,
+               afterMaterialize: () => Unit = () => ()): DataFrame = {
     val p = post.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     p.count() // eager: norms + both self-join sides share this cache
+    afterMaterialize()
 
     // a doc whose kept features ALL have idf 0 (df = N) has zero norm
     // and an undefined cosine; drop it here rather than let 0/0 = NaN

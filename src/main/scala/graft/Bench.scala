@@ -214,14 +214,25 @@ object Bench {
     val wallStart = System.nanoTime()
     def wallElapsed: Double = (System.nanoTime() - wallStart) / 1e9
     val degraded = scala.collection.mutable.ArrayBuffer.empty[String]
-    // JIT/codegen side-channel (r14, opt-in — the q96 mechanism hunt):
-    // per-query deltas of HotSpot compile time, janino compilations,
-    // GC time and class count, plus absolute CodeHeap/Metaspace
-    // occupancy, appended as JSONL. Costs two MXBean reads per query;
-    // OFF by default so the binding record's timings are untouched.
+    // JIT/codegen/task-metrics side-channel (r14 — the q96 mechanism
+    // hunt): per-query deltas of HotSpot compile time, janino
+    // compilations, GC, class count, executor task tallies (run time,
+    // task GC, spill, shuffle bytes, job/task counts) plus absolute
+    // CodeHeap/Metaspace occupancy, appended as JSONL. ON by default —
+    // the q96-class inflation appears only in FULL in-session runs
+    // (2 of 4 r13 records) and was uninstrumented every time it fired;
+    // the cost is two MXBean reads and eight AtomicLong adds per task,
+    // invisible next to a measured query. The file is gitignored;
+    // SPARK_GRAFT_BENCH_JITSTATS=0 disables, any other value is a path.
     val jitStatsPath: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_JITSTATS")
-      .filter(_.nonEmpty)
+      .orElse(Some("1"))
+      .filter(v => v.nonEmpty && v != "0")
       .map(v => if (v == "1") "/root/repo/jitstats.jsonl" else v)
+    val tally = jitStatsPath.map { _ =>
+      val t = new BenchRules.TaskTally
+      spark.sparkContext.addSparkListener(t)
+      t
+    }
     def appendLine(path: String, line: String): Unit =
       try {
         val w = new java.io.FileWriter(path, true)
@@ -229,6 +240,7 @@ object Bench {
       } catch { case _: Throwable => () }
     val results = ordered.map { case (name, fn) =>
       val jitBefore = jitStatsPath.map(_ => BenchRules.sample())
+      val tallyBefore = tally.map(_.snap())
       val overWall = wallElapsed > wallGuardSec
       if (overWall) degraded += name
       val med =
@@ -252,7 +264,8 @@ object Bench {
           timed(fn)
         } else heavyMeasure(fn, warm = true)
       jitStatsPath.foreach { p =>
-        appendLine(p, BenchRules.jitLine(name, med, jitBefore.get, BenchRules.sample()))
+        val extra = tally.map(t => t.deltaJson(tallyBefore.get, t.snap())).getOrElse("")
+        appendLine(p, BenchRules.jitLine(name, med, jitBefore.get, BenchRules.sample(), extra))
       }
       name -> med
     }
@@ -310,6 +323,8 @@ object Bench {
       candidates.foreach { case (name, v, _) =>
         if (wallElapsed < rerunWallSec) {
           val fn = byName(name)
+          val jitBefore = jitStatsPath.map(_ => BenchRules.sample())
+          val tallyBefore = tally.map(_.snap())
           timed(fn) // warm (codegen/JIT at the bench SF)
           val reps3 = scala.collection.mutable.ArrayBuffer.empty[Double]
           // up to 3 settled reps, each gated on the rerun wall so one
@@ -327,6 +342,10 @@ object Bench {
           spiked(name) = v
           reran += name
           replaced(name) = med
+          jitStatsPath.foreach { p =>
+            val extra = tally.map(t => t.deltaJson(tallyBefore.get, t.snap())).getOrElse("")
+            appendLine(p, BenchRules.jitLine(name + "#rerun", med, jitBefore.get, BenchRules.sample(), extra))
+          }
         }
       }
       results.map { case (name, v) => name -> replaced.getOrElse(name, v) }

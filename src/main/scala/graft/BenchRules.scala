@@ -162,11 +162,62 @@ object BenchRules {
     JitSample(jitMs, ccUsed, ccMax, meta, classes, gcMs, janino)
   }
 
+  /** Cumulative executor-side task tallies via a SparkListener —
+    * the second half of the q96 instrumentation. Per-query deltas
+    * separate the inflation mechanisms the JVM-level counters can't:
+    * same tasks/jobs/shuffle but task_ms up ⇒ executor code got slower
+    * (the JIT-poisoning signature); jobs/shuffle volume up ⇒ the plan
+    * changed (AQE flip); spill up ⇒ memory pressure; task_ms flat but
+    * wall up ⇒ the gap is driver/scheduler time, not execution.
+    * Counters are AtomicLongs because task-end events arrive on the
+    * listener bus thread while reads happen on main.
+    */
+  final class TaskTally extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val tasks = new AtomicLong
+    val jobs = new AtomicLong
+    val taskMs = new AtomicLong      // executorRunTime
+    val taskGcMs = new AtomicLong    // jvmGCTime inside tasks
+    val deserMs = new AtomicLong     // executorDeserializeTime
+    val spillDiskB = new AtomicLong
+    val shReadB = new AtomicLong
+    val shWriteB = new AtomicLong
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      val m = t.taskMetrics
+      if (m != null) {
+        taskMs.addAndGet(m.executorRunTime)
+        taskGcMs.addAndGet(m.jvmGCTime)
+        deserMs.addAndGet(m.executorDeserializeTime)
+        spillDiskB.addAndGet(m.diskBytesSpilled)
+        shReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+    def snap(): Seq[Long] = Seq(
+      tasks.get, jobs.get, taskMs.get, taskGcMs.get, deserMs.get,
+      spillDiskB.get, shReadB.get, shWriteB.get)
+    /** JSON fragment of deltas between two snap()s (leading comma). */
+    def deltaJson(before: Seq[Long], after: Seq[Long]): String = {
+      val d = after.zip(before).map { case (a, b) => a - b }
+      s""","tasks_d":${d(0)},"jobs_d":${d(1)},"task_ms_d":${d(2)},""" +
+        s""""task_gc_ms_d":${d(3)},"deser_ms_d":${d(4)},"spill_disk_d":${d(5)},""" +
+        f""""sh_read_mb":${d(6) / 1048576.0}%.1f,"sh_write_mb":${d(7) / 1048576.0}%.1f"""
+    }
+  }
+
   /** One JSONL line bracketing a query: absolute occupancy after, plus
     * deltas across the query's reps.
     */
-  def jitLine(name: String, sec: Double, before: JitSample, after: JitSample): String =
+  def jitLine(name: String, sec: Double, before: JitSample, after: JitSample,
+              extra: String = ""): String =
     s"""{"q":"$name","sec":$sec,""" +
+      // JVM uptime bounds of the measurement window, so -XX:+PrintCompilation
+      // output (uptime-prefixed) can be correlated to one query's reps
+      s""""up_ms":${java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime},""" +
       s""""jit_ms_d":${after.jitMs - before.jitMs},""" +
       s""""janino_d":${after.janinoCount - before.janinoCount},""" +
       s""""gc_ms_d":${after.gcMs - before.gcMs},""" +
@@ -174,5 +225,5 @@ object BenchRules {
       f""""codecache_mb":${after.codeCacheUsedMb}%.1f,""" +
       f""""codecache_max_mb":${after.codeCacheMaxMb}%.1f,""" +
       f""""metaspace_mb":${after.metaspaceMb}%.1f,""" +
-      s""""classes":${after.classes}}"""
+      s""""classes":${after.classes}$extra}"""
 }

@@ -238,6 +238,17 @@ object Bench {
         val w = new java.io.FileWriter(path, true)
         try w.write(line + "\n") finally w.close()
       } catch { case _: Throwable => () }
+    // one header line per run: the memory posture this JVM actually got
+    // (the r14 heap pin lives in build.sbt fork options — adjudicating a
+    // future inflated record starts with "did the fix reach the JVM?")
+    jitStatsPath.foreach { p =>
+      import scala.jdk.CollectionConverters._
+      val flags = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala
+        .filter(a => a.startsWith("-Xm") || a.contains("PreTouch") || a.contains("CodeCache"))
+        .mkString(" ")
+      appendLine(p, s"""{"run_header":true,"jvm_flags":"$flags","sf":"$sfDir","cpus":"$cpus"}""")
+    }
     val results = ordered.map { case (name, fn) =>
       val jitBefore = jitStatsPath.map(_ => BenchRules.sample())
       val tallyBefore = tally.map(_.snap())

@@ -127,6 +127,17 @@ object BenchRules {
     *                     start — CodegenMetrics.METRIC_COMPILATION_TIME
     *                     count; a per-query delta on a CACHED plan shape
     *                     should be ~0 after its warm rep
+    * @param procSysMs    cumulative KERNEL CPU of this process
+    *                     (/proc/self/stat stime, exited threads folded
+    *                     in). The r14 q96 mechanism hunt ended here: a
+    *                     query whose wall inflates while proc_sys_ms_d
+    *                     rivals proc_user_ms_d and minflt_d runs to
+    *                     millions is paying host-side first-touch page
+    *                     faults (heap recommit churn), not GC/JIT —
+    *                     sysrq-l during an inflated rep showed 17/32
+    *                     CPUs in clear_page_erms. -1 off-Linux.
+    * @param procUserMs   cumulative user CPU of this process, same scope
+    * @param minorFaults  cumulative minor page faults of this process
     */
   final case class JitSample(
       jitMs: Long,
@@ -135,7 +146,10 @@ object BenchRules {
       metaspaceMb: Double,
       classes: Long,
       gcMs: Long,
-      janinoCount: Long)
+      janinoCount: Long,
+      procSysMs: Long = -1L,
+      procUserMs: Long = -1L,
+      minorFaults: Long = -1L)
 
   def sample(): JitSample = {
     import java.lang.management.ManagementFactory
@@ -159,7 +173,18 @@ object BenchRules {
     val janino =
       try org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
       catch { case _: Throwable => -1L }
-    JitSample(jitMs, ccUsed, ccMax, meta, classes, gcMs, janino)
+    // /proc/self/stat: after the ")" — state ppid pgrp session tty tpgid
+    // flags MINFLT cminflt majflt cmajflt UTIME STIME ... (jiffies at
+    // USER_HZ=100 → ms = ×10). Process-level on purpose: thread-level
+    // stime misses short-lived threads, whose CPU folds into the
+    // process totals only at thread exit.
+    val (pSys, pUser, minflt) =
+      try {
+        val raw = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+        val parts = raw.substring(raw.lastIndexOf(')') + 1).trim.split("\\s+")
+        (parts(12).toLong * 10, parts(11).toLong * 10, parts(7).toLong)
+      } catch { case _: Throwable => (-1L, -1L, -1L) }
+    JitSample(jitMs, ccUsed, ccMax, meta, classes, gcMs, janino, pSys, pUser, minflt)
   }
 
   /** Cumulative executor-side task tallies via a SparkListener —
@@ -221,6 +246,9 @@ object BenchRules {
       s""""jit_ms_d":${after.jitMs - before.jitMs},""" +
       s""""janino_d":${after.janinoCount - before.janinoCount},""" +
       s""""gc_ms_d":${after.gcMs - before.gcMs},""" +
+      s""""proc_sys_ms_d":${after.procSysMs - before.procSysMs},""" +
+      s""""proc_user_ms_d":${after.procUserMs - before.procUserMs},""" +
+      s""""minflt_d":${after.minorFaults - before.minorFaults},""" +
       s""""classes_d":${after.classes - before.classes},""" +
       f""""codecache_mb":${after.codeCacheUsedMb}%.1f,""" +
       f""""codecache_max_mb":${after.codeCacheMaxMb}%.1f,""" +

@@ -58,6 +58,16 @@ object JitProbe {
     }
     println(s"probe $name reps=$reps cpus=$cpus codegenCache=" +
       spark.conf.get("spark.sql.codegen.cache.maxEntries"))
+    // self-report the heap posture: the r14 mechanism fix (-Xms pin +
+    // pre-touch) lives in build.sbt fork options, and whether a given
+    // probe JVM actually received it must be readable from its log,
+    // not from racing /proc during the fork's lifetime
+    println("jvm_flags=" + {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+        .filter(a => a.startsWith("-Xm") || a.contains("PreTouch") || a.contains("CodeCache"))
+        .mkString(" ")
+    })
     val tally = new BenchRules.TaskTally
     spark.sparkContext.addSparkListener(tally)
     fn(spark, warmDir).count() // class-load + codegen warm, like Bench
@@ -81,6 +91,11 @@ object JitProbe {
         f"sh_rw_mb=${(d(6) + d(7)) / 1048576.0}%6.1f " +
         f"janino_d=${after.janinoCount - before.janinoCount}%4d " +
         f"jit_ms_d=${after.jitMs - before.jitMs}%6d gc_ms_d=${after.gcMs - before.gcMs}%5d " +
+        // kernel-time + fault deltas: the r14 q96 signature (host-side
+        // first-touch fault service) reads proc_sys_ms_d ≈ wall-scale
+        // with minflt_d in the millions while gc/jit stay flat
+        f"proc_sys_ms_d=${after.procSysMs - before.procSysMs}%6d " +
+        f"minflt_d=${after.minorFaults - before.minorFaults}%8d " +
         f"classes_d=${after.classes - before.classes}%5d ${segs()}")
     }
     spark.stop()

@@ -108,4 +108,30 @@ class BenchRulesSpec extends AnyFunSuite {
     assert(line.startsWith("""{"q":"q0_x","sec":1.23,"""))
     assert(line.contains("\"codecache_mb\":"))
   }
+
+  test("process-level kernel-time/fault counters read and move (Linux)") {
+    // The r14 q96 signature lives in these three fields: proc_sys_ms_d
+    // rivaling proc_user_ms_d with minflt_d in the millions while
+    // gc/jit/janino stay flat. Pin that they are real counters, not -1
+    // fallbacks, and that a page-faulting workload moves minflt.
+    val before = BenchRules.sample()
+    assume(before.procSysMs >= 0, "no /proc/self/stat on this platform")
+    assert(before.procUserMs > 0)   // this JVM has burned user CPU
+    assert(before.minorFaults > 0)
+    // touch ~64 MB of fresh pages via a direct buffer (its own mmap —
+    // heap allocations could land on already-faulted pages and show no
+    // minflt movement): minflt must advance by ~16k
+    val pages = 16384
+    val buf = java.nio.ByteBuffer.allocateDirect(pages * 4096)
+    var i = 0
+    while (i < pages) { buf.put(i * 4096, 1.toByte); i += 1 }
+    val after = BenchRules.sample()
+    assert(after.minorFaults - before.minorFaults > pages / 2,
+      s"minflt_d=${after.minorFaults - before.minorFaults}")
+    assert(after.procUserMs >= before.procUserMs)
+    val line = BenchRules.jitLine("q0_x", 0.1, before, after)
+    assert(line.contains("\"proc_sys_ms_d\":"))
+    assert(line.contains("\"proc_user_ms_d\":"))
+    assert(line.contains("\"minflt_d\":"))
+  }
 }

@@ -11,6 +11,15 @@ object TimeQuery {
     val reps = if (args.length > 2) args(2).toInt else 1
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     spark.sparkContext.setLogLevel("WARN")
+    // self-report the heap posture (r14): isolated-rep adjudication is
+    // only comparable to a record taken under the same memory pinning,
+    // so the log must say which this JVM got (see build.sbt run scope)
+    println("[time] jvm_flags=" + {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+        .filter(a => a.startsWith("-Xm") || a.contains("PreTouch"))
+        .mkString(" ")
+    })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { r =>

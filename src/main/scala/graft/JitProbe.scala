@@ -6,7 +6,9 @@ package graft
   * (local[SPARK_GRAFT_CPUS], same session builder, same sf0.01 warm)
   * and prints one line per rep:
   *
-  *   rep wall janino_d jit_ms_d gc_ms_d <per-CodeHeap-segment used MB>
+  *   rep wall tasks_d jobs_d task_ms_d task_gc_ms_d spill_d sh_rw_mb
+  *   janino_d jit_ms_d gc_ms_d proc_sys_ms_d minflt_d classes_d
+  *   <per-CodeHeap-segment used MB>
   *
   * What each column adjudicates:
   *  - `janino_d` per rep: a repeat execution of an identical query

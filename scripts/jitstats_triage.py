@@ -70,4 +70,7 @@ def main():
               f"minflt={r.get('minflt_d', -1):>8} cc_mb={r.get('codecache_mb', -1)}")
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # `| head` is the normal way to read this
+        pass
